@@ -1,0 +1,61 @@
+"""Deterministic bucketing — the seeded replacement for rand() cascades.
+
+The reference assigns synthetic attributes (country, shipping status,
+payment status) with chains of independent ``rand() < p`` draws
+(silver_to_gold.py:304-328,373-398,444-469). Two problems at scale:
+
+1. Non-determinism per evaluation: Spark re-executes plans per action, so
+   the same order can land in different countries between its CM1 row and
+   its CM2 row (SURVEY.md §3.2.5).
+2. Sequential-Bernoulli semantics: each draw is conditioned on the
+   previous misses, so effective probabilities are not the commented ones.
+
+We replace the cascade with a pure multiplicative-hash bucket of the
+primary key (Knuth's 2^32 golden-ratio constant). It is deterministic,
+Catalyst-foldable, engine-portable (same integer arithmetic in DuckDB),
+and distributes uniformly, so cumulative thresholds give the intended
+*marginal* distribution exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+KNUTH_MULTIPLIER = 2654435761  # 2^32 / golden ratio, fits in int64 products for keys < 3.4e9
+
+
+def deterministic_bucket(key: Column, n_buckets: int = 1000) -> Column:
+    """Uniform pseudo-random bucket in [0, n_buckets) from an integer key.
+
+    Uses plain ``%`` arithmetic (normalized to non-negative) instead of
+    xxhash64 so an external SQL engine reproduces it bit-for-bit.
+    """
+    raw = (key.cast("long") * F.lit(KNUTH_MULTIPLIER)) % F.lit(n_buckets)
+    return (raw + F.lit(n_buckets)) % F.lit(n_buckets)
+
+
+def bucketed_choice(
+    key: Column,
+    choices: Sequence[tuple[str, float]],
+    n_buckets: int = 1000,
+) -> Column:
+    """Map a key to a categorical value with given marginal probabilities.
+
+    ``choices`` is a list of ``(value, probability)``; probabilities are
+    cumulated into bucket thresholds. The last choice absorbs any
+    remainder. Replaces the reference's rand() cascades with identical
+    intended distribution but stable assignment.
+    """
+    bucket = deterministic_bucket(key, n_buckets)
+    expr = None
+    cum = 0.0
+    for value, p in choices[:-1]:
+        cum += p
+        threshold = int(round(cum * n_buckets))
+        cond = bucket < threshold
+        expr = F.when(cond, value) if expr is None else expr.when(cond, value)
+    last_value = choices[-1][0]
+    return F.lit(last_value) if expr is None else expr.otherwise(last_value)

@@ -1,0 +1,184 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH,
+SimHash (SURVEY.md §2.10 X1/X2; BASELINE north star).
+
+Design for 100 TB:
+  - exact dedup: hash group-by on the fingerprint — one shuffle, fully
+    partial-aggregated.
+  - near-dup: never all-pairs. The LSH path explodes each doc into a few
+    (band, band_hash) keys and self-joins on those keys, so candidate
+    generation scales with collision count, not n². The exact Jaccard
+    verification runs only on candidates.
+  - hashes are pure Column expressions; the portable variants use
+    md5-derived integers so a DuckDB oracle reproduces them exactly,
+    while the fast path uses xxhash64 (JVM intrinsic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, keys: list[str], tiebreak: str) -> DataFrame:
+    """Keep exactly one row per key combination — the row with the
+    smallest ``tiebreak`` value, so the choice is deterministic (unlike
+    dropDuplicates, whose survivor depends on physical order)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(tiebreak))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column (lower-cased)."""
+    toks = tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded pairs plus per-doc shingle counts."""
+    with_sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    return with_sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs above a threshold.
+
+    Candidate pairs come from an equi-join on shared shingles, so cost is
+    Σ_shingle df(shingle)² — fine when shingles are selective (n≥3). The
+    production path for heavy-tailed shingle frequencies is
+    :func:`minhash_lsh_pairs`.
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    left = sh.select(
+        F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    right = sh.select(
+        F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    shared = (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _md5_hash64(col, seed: int):
+    """Portable 60-bit integer hash: leading 15 hex chars of
+    md5(seed:value). Reproducible in DuckDB as
+    CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, n: int = 3
+) -> DataFrame:
+    """MinHash signature (k portable hash functions) per document.
+
+    min-hash_j(doc) = min over shingles of hash_j(shingle); Jaccard(a,b)
+    ≈ fraction of agreeing signature slots (Broder 1997).
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(_md5_hash64(F.col("shingle"), j)).alias(f"mh_{j}") for j in range(k)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    k hashes split into ``bands`` bands of k/bands rows; docs colliding
+    on any full band become candidates (P[collide] = 1-(1-s^r)^b), then
+    candidates are verified with exact shingle Jaccard. Only candidates
+    are ever paired — no all-pairs stage, scale-safe.
+    """
+    rows = k // bands
+    sig = minhash_signature(df, id_col, text_col, k, n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    keyed = sig.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    cand = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = doc_shingles(df, id_col, text_col, n)
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
+    shared = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint (Charikar 2002) from token hashes.
+
+    Each token votes ±1 per bit of its (portable) hash; the sign of each
+    bit-sum becomes the fingerprint bit. Near-duplicates have small
+    Hamming distance. Pure explode + group-by (one shuffle)."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    h = _md5_hash64(F.col("token"), 0)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc").agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc", fp.cast("long").alias("simhash"))

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10 X2;
+BASELINE north star).
+
+Two paths:
+  - brute-force cosine top-k: exact baseline. The query set is broadcast
+    (it is small by construction); candidates stream through a single
+    narrow stage — no shuffle of the corpus. O(|Q|·N·d) flops via
+    JVM-side higher-order array functions (zip_with/aggregate), no
+    Python in the loop.
+  - LSH-bucketed (random hyperplane / SRP): each vector gets a
+    ``n_planes``-bit signature from sign(v·plane); candidates share a
+    signature bucket. Planes are derived deterministically from md5 so
+    runs are reproducible without a stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k
+    nearest corpus vectors (excluding itself). Ranking uses the rounded
+    similarity with an id tie-break so results are engine-stable."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = (
+        c.join(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_component(plane: int, dim: int):
+    """Deterministic ±1 hyperplane component from md5 — reproducible
+    everywhere, no stored random state."""
+    h = F.conv(F.substring(F.md5(F.lit(f"plane:{plane}:{dim}")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def srp_signature(vec_col, n_planes: int, dim: int):
+    """Signed-random-projection bit signature of a vector column."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[_plane_component(p, i) for i in range(dim)])
+        bit = F.when(_dot(_as_double(vec_col), plane) >= 0, F.lit(2**p)).otherwise(
+            F.lit(0)
+        )
+        sig = sig + bit
+    return sig
+
+
+def srp_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """ANN top-k via SRP-LSH buckets: exact cosine computed only within
+    the query's signature bucket. Trades recall for candidate count
+    (recall measured against cosine_topk in tests)."""
+    sig = srp_signature(F.col(vec_col), n_planes, dim)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        sig.alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+            sig.alias("bucket"),
+        )
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = (
+        corpus.join(q, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,95 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.10
+X3 / BASELINE north star).
+
+All operators are pure Column expressions (JVM-side, codegen-friendly,
+no Python UDFs) so they vectorize inside whole-stage codegen and are
+reproducible in an external SQL engine for oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small stopword list matching the synthetic corpus vocabulary.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+TOKEN_PATTERN = r"\S+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization via regexp_extract_all — identical
+    semantics in DuckDB (len/empty-string safe, no trailing empties)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(toks: Column) -> Column:
+    """Fraction of tokens that are stopwords (0.0 for empty docs)."""
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are alphabetic or space — a proxy for
+    'clean prose' vs markup/noise."""
+    clean_len = F.length(F.regexp_replace(text, r"[^A-Za-z ]", ""))
+    return F.when(F.length(text) > 0, clean_len / F.length(text)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + stopword presence
+    + alpha ratio. Heuristic mirror of C4/Gopher-style filters, kept
+    SQL-portable."""
+    toks = tokens(text)
+    n = F.size(toks)
+    length_ok = F.when((n >= 5) & (n <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(toks) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    alpha_ok = alpha_ratio(text) * 0.3
+    return F.round(length_ok + stop_ok + alpha_ok, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lower-cased text. Engine-portable (md5 is
+    identical in DuckDB)."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def lang_guess(text: Column) -> Column:
+    """Tiny deterministic language-ID heuristic (stopword-marker based).
+
+    Real corpora would use charset n-gram profiles (fastText-style); the
+    synthetic corpus shares one vocabulary, so this demonstrates the
+    operator shape: first-matching-marker CASE, 'und' fallback."""
+    t = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return (
+        F.when(t.contains(" the ") | t.contains(" a "), "en")
+        .when(t.contains(" der ") | t.contains(" und "), "de")
+        .when(t.contains(" el ") | t.contains(" la "), "es")
+        .otherwise("und")
+    )
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis feature set as columns."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("avg_token_len", F.round(avg_token_len(toks), 4))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(toks), 4))
+        .withColumn("alpha_ratio", F.round(alpha_ratio(text), 4))
+        .withColumn("quality_score", quality_score(text))
+        .withColumn("fingerprint", fingerprint(text))
+        .withColumn("lang_guess", lang_guess(text))
+    )

@@ -1,0 +1,174 @@
+"""Aggregation operators — SURVEY.md §2.4, including the flagship
+`exec_daily_kpi` re-expression (the reference's one hand-written
+analytics query, scripts/sql/.sql:3-26).
+
+Scale notes: all group-bys are partial-aggregated map-side by Spark;
+COUNT(DISTINCT) is exact (expands to a two-phase aggregate) because the
+oracle hash-match requires exactness — approx_count_distinct is exposed
+separately in the library for the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.queries import query
+from multichannel_commerce_data_pipeline_spark.tables import load
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      ROUND(AVG(l_quantity), 2)                                       AS avg_qty,
+      ROUND(AVG(l_extendedprice), 2)                                  AS avg_price,
+      ROUND(AVG(l_discount), 4)                                       AS avg_disc,
+      COUNT(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: hash group-by with a multi-aggregate list (the CM2 order
+    rollup shape, silver_to_gold.py:504-509,554-561,595-601), expressed
+    as the classic pricing-summary query."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "order_rollup_constant",
+    oracle="""
+    SELECT
+      o_custkey                     AS buyer_id,
+      'SGD'                         AS currency,
+      ROUND(SUM(o_totalprice), 2)   AS total_spend,
+      COUNT(*)                      AS order_count
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def order_rollup_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2: group-by with a constant column attached during
+    aggregation (agg(lit('SGD')...), silver_to_gold.py:555,597)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("buyer_id")).agg(
+        F.first(F.lit("SGD")).alias("currency"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+@query(
+    "distinct_ratio_kpi",
+    oracle="""
+    SELECT
+      o_orderpriority                                           AS channel,
+      ROUND(SUM(o_totalprice), 2)                               AS revenue,
+      COUNT(DISTINCT o_custkey)                                 AS unique_buyers,
+      COUNT(DISTINCT o_orderkey)                                AS orders,
+      ROUND(SUM(o_totalprice) / COUNT(DISTINCT o_orderkey), 2)  AS aov
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def distinct_ratio_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 core: SUM + exact COUNT DISTINCT + ratio-of-aggregates (AOV),
+    the exec_daily_kpi aggregate shape (scripts/sql/.sql:10-25)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("channel")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.countDistinct("o_custkey").alias("unique_buyers"),
+        F.countDistinct("o_orderkey").alias("orders"),
+        F.round(F.sum("o_totalprice") / F.countDistinct("o_orderkey"), 2).alias("aov"),
+    )
+
+
+@query(
+    "rollup_hierarchy",
+    oracle="""
+    SELECT
+      r.r_name                       AS region,
+      n.n_name                       AS nation,
+      ROUND(SUM(c.c_acctbal), 2)     AS total_balance,
+      COUNT(*)                       AS customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 declared extension: hierarchical ROLLUP (region → nation →
+    grand total) — free from df.rollup(); dims broadcast."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        F.count(F.lit(1)).alias("customers"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2) AS sum_qty,
+      COUNT(*)                  AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 declared extension: CUBE over two grouping columns."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "global_max_checkpoint",
+    oracle="""
+    SELECT max(ts) AS high_watermark, COUNT(*) AS row_count FROM events
+    """,
+)
+def global_max_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4: global max for the checkpoint high-watermark plus row
+    count (bronze_to_silver_all_sources.py:93,30,96) — one pass, no
+    collect()."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("ts").alias("high_watermark"), F.count(F.lit(1)).alias("row_count")
+    )

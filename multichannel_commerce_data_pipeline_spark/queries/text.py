@@ -1,0 +1,138 @@
+"""Text-analysis queries over the `documents` table, oracle-checked.
+
+Binds operators/text.py to the driver's synthetic corpus. Every
+expression here is engine-portable: whitespace tokenization via
+regexp_extract_all, md5 fingerprints, integer/double arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.operators import text as T
+from multichannel_commerce_data_pipeline_spark.queries import query
+from multichannel_commerce_data_pipeline_spark.tables import load
+
+_STOP_IN = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+@query(
+    "text_token_stats",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      len(toks) AS n_tokens,
+      ROUND(CASE WHEN len(toks) > 0
+            THEN list_aggregate(list_transform(toks, t -> length(t)), 'sum') / len(toks)
+            ELSE 0.0 END, 4) AS avg_token_len,
+      ROUND(CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, t -> t IN ({_STOP_IN}))) / len(toks)
+            ELSE 0.0 END, 4) AS stopword_ratio,
+      ROUND(CASE WHEN length(text) > 0
+            THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / length(text)
+            ELSE 0.0 END, 4) AS alpha_ratio
+    FROM tok
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: token counting + quality features (length, stopword ratio,
+    alpha ratio) — the per-document statistics a C4/Gopher-style quality
+    filter consumes. Pure Column expressions, no UDFs."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = T.tokens(text)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(T.avg_token_len(toks), 4).alias("avg_token_len"),
+        F.round(T.stopword_ratio(toks), 4).alias("stopword_ratio"),
+        F.round(T.alpha_ratio(text), 4).alias("alpha_ratio"),
+    )
+
+
+@query(
+    "text_quality_filter",
+    oracle=rf"""
+    WITH feats AS (
+      SELECT
+        doc_id, lang, source,
+        regexp_extract_all(lower(text), '\S+') AS toks,
+        text
+      FROM documents
+    ), scored AS (
+      SELECT
+        doc_id, lang, source,
+        ROUND(
+          (CASE WHEN len(toks) BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN len(toks) > 0
+               AND len(list_filter(toks, t -> t IN ({_STOP_IN}))) / len(toks) >= 0.05
+             THEN 0.3 ELSE 0.0 END)
+          + (CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / length(text)
+             ELSE 0.0 END) * 0.3
+        , 4) AS quality_score
+      FROM feats
+    )
+    SELECT doc_id, lang, source, quality_score
+    FROM scored
+    WHERE quality_score >= 0.5
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: composite quality score + keep-filter — the canonical
+    'filter the crawl' step of a training-data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", "source", T.quality_score(F.col("text")).alias("quality_score"))
+        .filter(F.col("quality_score") >= 0.5)
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT
+      doc_id,
+      md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: deterministic document fingerprint — md5 of the
+    whitespace-normalized text; the key for exact dedup at scale."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    WITH padded AS (
+      SELECT doc_id, lang, concat(' ', lower(text), ' ') AS t FROM documents
+    )
+    SELECT
+      doc_id,
+      lang AS labeled_lang,
+      CASE
+        WHEN t LIKE '% the %' OR t LIKE '% a %'  THEN 'en'
+        WHEN t LIKE '% der %' OR t LIKE '% und %' THEN 'de'
+        WHEN t LIKE '% el %'  OR t LIKE '% la %'  THEN 'es'
+        ELSE 'und'
+      END AS guessed_lang
+    FROM padded
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: language-ID via stopword-marker heuristic (n-gram-profile
+    shape; deterministic CASE so it is oracle-checkable)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_guess(F.col("text")).alias("guessed_lang"),
+    )

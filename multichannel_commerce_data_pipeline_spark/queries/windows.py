@@ -1,0 +1,149 @@
+"""Window functions — SURVEY.md §2.5 declared surface.
+
+The reference has no window functions; the Power BI measure
+`current_week_revenue` (pbix Report/Layout) implies time-scoped
+aggregation that we absorb engine-side, and the gold star schema exists
+to serve ranking/trend queries. Declared surface: row_number, rank,
+dense_rank, lag, lead, running aggregates over frames — all built-in and
+oracle-checkable.
+
+Scale note: every window here partitions by a key (never a global
+ORDER BY over the whole relation), so state stays bounded per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.queries import query
+from multichannel_commerce_data_pipeline_spark.tables import load
+
+
+@query(
+    "window_rank_in_segment",
+    oracle="""
+    SELECT * FROM (
+      SELECT
+        c_mktsegment,
+        c_custkey,
+        c_acctbal,
+        ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+        DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk
+      FROM customer
+    ) WHERE rn <= 10
+    """,
+)
+def window_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank: top-10 customers by balance per
+    market segment (the 'revenue rank per channel' shape from SURVEY §2.5)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_orderdate,
+      LAG(o_totalprice)  OVER w AS prev_price,
+      LEAD(o_totalprice) OVER w AS next_price,
+      ROUND(o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice), 2) AS price_delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead: per-customer order-to-order price deltas (trend
+    queries the gold schema serves)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice")), 2).alias(
+            "price_delta"
+        ),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_orderdate,
+      ROUND(SUM(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+      ROUND(AVG(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg_3
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec aggregates: running total and 3-row moving average per
+    customer (rowsBetween)."""
+    o = load(spark, sf_dir, "orders")
+    ordered = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = ordered.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(moving), 2).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "current_week_revenue",
+    oracle="""
+    WITH anchored AS (SELECT date_trunc('week', max(o_orderdate)) AS wk FROM orders)
+    SELECT
+      CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+      ROUND(SUM(o_totalprice), 2)                   AS weekly_revenue,
+      COUNT(DISTINCT o_orderkey)                    AS weekly_orders
+    FROM orders, anchored
+    WHERE date_trunc('week', o_orderdate) = anchored.wk
+    GROUP BY 1
+    """,
+)
+def current_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Power BI measure `current_week_revenue` (pbix Report/Layout,
+    'Executive Overview' cards) absorbed engine-side: calendar-week
+    filter + aggregate. Anchored on max(o_orderdate) instead of
+    current_date() so the result is deterministic on static test data."""
+    o = load(spark, sf_dir, "orders")
+    week = F.date_trunc("week", F.col("o_orderdate"))
+    anchor = o.agg(F.date_trunc("week", F.max("o_orderdate")).alias("wk"))
+    return (
+        o.join(F.broadcast(anchor))
+        .filter(week == F.col("wk"))
+        .groupBy(week.cast("date").alias("week_start"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("weekly_revenue"),
+            F.countDistinct("o_orderkey").alias("weekly_orders"),
+        )
+    )
