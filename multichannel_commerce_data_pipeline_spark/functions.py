@@ -1,0 +1,54 @@
+"""Engine-portable scalar helpers shared by operators and queries.
+
+These exist because the driver's correctness gate hash-compares Spark
+results against a DuckDB oracle: any expression whose result depends on
+engine-specific floating-point rounding or hashing must be expressed in
+a form both engines evaluate bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dround(col: Column, scale: int = 2) -> Column:
+    """Cross-engine deterministic rounding of a DOUBLE expression.
+
+    Spark ``F.round`` on DOUBLE rounds HALF_UP on the decimal rendering
+    of the binary value while DuckDB ``ROUND(DOUBLE)`` rounds
+    half-to-even, so .5-boundary values (constant in money math like
+    ``price/quantity``) diverge. Casting through a DECIMAL first makes
+    both engines round the same decimal value HALF_UP:
+
+      Spark:  CAST(ROUND(CAST(x AS DECIMAL(38,scale+4)), scale) AS DOUBLE)
+      DuckDB: identical SQL (see :func:`oracle_dround`)
+
+    Validated: both engines agree on the double→decimal cast (round to
+    nearest at scale+4 digits of the exact binary expansion — never a
+    tie) and on decimal ROUND (HALF_UP / away from zero).
+    """
+    return F.round(col.cast(f"decimal(38,{scale + 4})"), scale).cast("double")
+
+
+def oracle_dround(expr: str, scale: int = 2) -> str:
+    """DuckDB SQL string equivalent of :func:`dround`."""
+    return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(38,{scale + 4})), {scale}) AS DOUBLE)"
+
+
+def portable_hash64(col: Column, seed: int) -> Column:
+    """Portable 60-bit integer hash: leading 15 hex chars of
+    md5(seed:value), identical in DuckDB as
+    ``CAST(('0x' || substr(md5(concat('seed:', x)), 1, 15)) AS BIGINT)``.
+
+    The JVM fast path for shuffle-key hashing is ``F.xxhash64``; this
+    md5 form is for anything whose value must be oracle-reproducible.
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def oracle_hash64(expr: str, seed: int) -> str:
+    """DuckDB SQL string equivalent of :func:`portable_hash64`."""
+    return f"CAST(('0x' || substr(md5(concat('{seed}:', {expr})), 1, 15)) AS BIGINT)"

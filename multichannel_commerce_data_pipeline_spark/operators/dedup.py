@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from multichannel_commerce_data_pipeline_spark.functions import dround, portable_hash64
 from multichannel_commerce_data_pipeline_spark.operators.text import tokens
 
 
@@ -34,14 +35,23 @@ def exact_dedup(df: DataFrame, keys: list[str], tiebreak: str) -> DataFrame:
 
 
 def shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles of a text column (lower-cased)."""
+    """Distinct word n-gram shingles of a text column (lower-cased).
+
+    Guarded for short documents: ``F.sequence(1, 0)`` yields the
+    *descending* array [1, 0] in Spark (not an empty one), which would
+    make ``slice(toks, 0, n)`` throw — so docs with fewer than ``n``
+    tokens explicitly produce an empty shingle set.
+    """
     toks = tokens(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.slice(toks, 1, 0))
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -53,16 +63,38 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs above a threshold.
 
     Candidate pairs come from an equi-join on shared shingles, so cost is
-    Σ_shingle df(shingle)² — fine when shingles are selective (n≥3). The
-    production path for heavy-tailed shingle frequencies is
+    Σ_shingle df(shingle)². ``df_cap`` drops shingles appearing in more
+    than that many documents before the self-join (standard
+    document-frequency cap): one boilerplate shingle shared by 10⁶ docs
+    would otherwise put 10¹² candidate pairs in a single partition. With
+    a cap this is scale-safe for heavy-tailed corpora; pairs whose *only*
+    overlap is capped boilerplate are treated as non-duplicates, which is
+    the standard trade. The sub-quadratic path is
     :func:`minhash_lsh_pairs`.
+
+    Note: ``n_sh`` (the per-doc shingle-set size used in the Jaccard
+    denominator) is computed before capping, so reported similarity for
+    surviving pairs is slightly conservative, never inflated.
     """
     sh = doc_shingles(df, id_col, text_col, n)
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     left = sh.select(
         F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
     )
@@ -77,19 +109,13 @@ def jaccard_pairs(
     )
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
-        shared.withColumn("jaccard", F.round(jac, 4))
+        shared.withColumn("jaccard", dround(jac, 4))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
-def _md5_hash64(col, seed: int):
-    """Portable 60-bit integer hash: leading 15 hex chars of
-    md5(seed:value). Reproducible in DuckDB as
-    CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
-    ).cast("long")
+_md5_hash64 = portable_hash64
 
 
 def minhash_signature(
@@ -125,10 +151,15 @@ def minhash_lsh_pairs(
     """
     rows = k // bands
     sig = minhash_signature(df, id_col, text_col, k, n)
+    # Band key = the r raw minhash values (array<long>), not a re-hash of
+    # them: equality of values is exactly band collision, so the result
+    # is oracle-reproducible in any SQL engine. The shuffle key is a few
+    # longs instead of one — negligible vs. xxhash64 bucketing, and it
+    # removes the (tiny) false-merge probability of 64-bit re-hashing.
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bh"),
+            F.array(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bh"),
         )
         for b in range(bands)
     ]
@@ -154,7 +185,7 @@ def minhash_lsh_pairs(
     )
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
-        shared.withColumn("jaccard", F.round(jac, 4))
+        shared.withColumn("jaccard", dround(jac, 4))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -15,8 +15,12 @@ Two paths:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.functions import dround
 
 
 def _as_double(col):
@@ -55,7 +59,7 @@ def cosine_topk(
     scored = (
         c.join(q)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(sim, 4).alias("cosine"))
+        .select("query_id", "neighbor_id", dround(sim, 4).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -65,23 +69,27 @@ def cosine_topk(
     )
 
 
-def _plane_component(plane: int, dim: int):
-    """Deterministic ±1 hyperplane component from md5 — reproducible
-    everywhere, no stored random state."""
-    h = F.conv(F.substring(F.md5(F.lit(f"plane:{plane}:{dim}")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _plane(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 — reproducible everywhere,
+    no stored random state. Computed driver-side once per plane: the
+    plane enters the plan as ONE array literal (O(n_planes) array ops
+    per row), not dim CASE expressions per row — at dim 768+ the
+    expression-per-component form explodes codegen."""
+    return [
+        1.0 if int(hashlib.md5(f"plane:{plane}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
 
 
 def srp_signature(vec_col, n_planes: int, dim: int):
-    """Signed-random-projection bit signature of a vector column."""
+    """Signed-random-projection bit signature of a vector column: one
+    zip_with/aggregate dot product per plane against a literal array."""
     sig = F.lit(0).cast("long")
+    v = _as_double(vec_col)
     for p in range(n_planes):
-        plane = F.array(*[_plane_component(p, i) for i in range(dim)])
-        bit = F.when(_dot(_as_double(vec_col), plane) >= 0, F.lit(2**p)).otherwise(
-            F.lit(0)
-        )
+        plane = F.array(*[F.lit(c) for c in _plane(p, dim)])
+        bit = F.when(_dot(v, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         sig = sig + bit
     return sig
 
@@ -94,28 +102,39 @@ def srp_bucket_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     k: int = 10,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """ANN top-k via SRP-LSH buckets: exact cosine computed only within
-    the query's signature bucket. Trades recall for candidate count
-    (recall measured against cosine_topk in tests)."""
+    the query's probed buckets. ``multi_probe`` additionally probes the
+    n_planes buckets at Hamming distance 1 from the query's own bucket
+    (the classic multi-probe LSH recall fix: the corpus stays
+    single-bucket, only the tiny broadcast query side fans out ×(p+1)).
+    Recall is measured against cosine_topk in tests."""
     sig = srp_signature(F.col(vec_col), n_planes, dim)
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
         sig.alias("bucket"),
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("qv"),
-            sig.alias("bucket"),
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        sig.alias("bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(n_planes)],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
+    q = F.broadcast(q)
     sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = (
         corpus.join(q, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(sim, 4).alias("cosine"))
+        .select("query_id", "neighbor_id", dround(sim, 4).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (

@@ -46,6 +46,7 @@ def load_registry() -> dict[str, Query]:
         aggregates,
         core,
         dedup,
+        flagship,
         joins,
         scalar_functions,
         sets,

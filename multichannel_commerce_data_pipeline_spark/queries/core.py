@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
 from multichannel_commerce_data_pipeline_spark.operators.bucketing import deterministic_bucket
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import load
@@ -207,30 +208,33 @@ def deterministic_bucket_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "arithmetic_margin",
-    oracle="""
+    oracle=f"""
     SELECT
       l_orderkey,
       l_linenumber,
-      ROUND(l_extendedprice * (1 - l_discount), 2)               AS net_revenue,
-      ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS gross_charge,
-      ROUND(l_extendedprice / l_quantity, 2)                     AS unit_price,
-      ROUND(l_extendedprice * (1 - l_discount) - l_quantity * 100.0, 2) AS cm1_amount
+      {oracle_dround("l_extendedprice * (1 - l_discount)")}               AS net_revenue,
+      {oracle_dround("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS gross_charge,
+      {oracle_dround("l_extendedprice / l_quantity")}                     AS unit_price,
+      {oracle_dround("l_extendedprice * (1 - l_discount) - l_quantity * 100.0")} AS cm1_amount
     FROM lineitem
     """,
 )
 def arithmetic_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7+F6: derived unit-economics arithmetic — net revenue, unit
     price, CM1 margin with a literal unit cost
-    (silver_to_gold.py:336-343,406-414,532-544)."""
+    (silver_to_gold.py:336-343,406-414,532-544). Rounding goes through
+    a decimal cast (functions.dround) because plain double rounding
+    resolves half-cent ties differently per engine — unit_price =
+    extendedprice/quantity hits exact .005 constantly."""
     li = load(spark, sf_dir, "lineitem")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(net, 2).alias("net_revenue"),
-        F.round(net * (1 + F.col("l_tax")), 2).alias("gross_charge"),
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias("unit_price"),
-        F.round(net - F.col("l_quantity") * F.lit(100.0), 2).alias("cm1_amount"),
+        dround(net).alias("net_revenue"),
+        dround(net * (1 + F.col("l_tax"))).alias("gross_charge"),
+        dround(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        dround(net - F.col("l_quantity") * F.lit(100.0)).alias("cm1_amount"),
     )
 
 

@@ -1,0 +1,187 @@
+"""Dedup queries over the `documents` table, oracle-checked (X1/X2).
+
+Binds operators/dedup.py to the driver's synthetic corpus. Every hash is
+the portable md5-derived form (functions.portable_hash64), so DuckDB
+reproduces signatures, band collisions, and Jaccard values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.functions import (
+    oracle_dround,
+    oracle_hash64,
+)
+from multichannel_commerce_data_pipeline_spark.operators import dedup as D
+from multichannel_commerce_data_pipeline_spark.operators import text as T
+from multichannel_commerce_data_pipeline_spark.queries import query
+from multichannel_commerce_data_pipeline_spark.tables import load
+
+# Shared DuckDB fragments reproducing shingles()/doc_shingles():
+# tok → 3-gram distinct shingles per doc → exploded (doc, n_sh, shingle).
+_SHINGLE_CTES = r"""
+    tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+    ),
+    shs AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
+             ELSE [] END AS sh
+      FROM tok
+    ),
+    ex AS (
+      SELECT doc_id AS doc, len(sh) AS n_sh, unnest(sh) AS shingle FROM shs
+    )
+"""
+
+_JACCARD = "shared / (n_a + n_b - shared)"
+
+_THRESHOLD = 0.14  # chosen so the synthetic corpus yields a non-empty pair set
+
+
+@query(
+    "exact_dedup_docs",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, source, fingerprint FROM (
+      SELECT doc_id, source, fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM fp
+    ) WHERE rn = 1
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup — one survivor per content fingerprint, chosen
+    deterministically (min doc_id) via a keyed row_number, which beats
+    dropDuplicates' physical-order-dependent survivor at any scale."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return D.exact_dedup(d, ["fingerprint"], "doc_id")
+
+
+def _jaccard_oracle(threshold: float, df_cap: int | None) -> str:
+    cap_cte = (
+        f""",
+    rare AS (
+      SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= {df_cap}
+    ),
+    exc AS (
+      SELECT ex.* FROM ex JOIN rare USING (shingle)
+    )"""
+        if df_cap is not None
+        else """,
+    exc AS (SELECT * FROM ex)"""
+    )
+    return f"""
+    WITH {_SHINGLE_CTES}{cap_cte},
+    shared_cte AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS shared
+      FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, {oracle_dround(_JACCARD, 4)} AS jaccard
+    FROM shared_cte
+    WHERE {_JACCARD} >= {threshold}
+    """
+
+
+@query("jaccard_near_dupes", oracle=_jaccard_oracle(_THRESHOLD, df_cap=400))
+def jaccard_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: exact n-gram Jaccard near-dup pairs with a document-frequency
+    cap on hot shingles (the scale guard: no boilerplate shingle may
+    produce a quadratic candidate partition)."""
+    d = load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=_THRESHOLD, df_cap=400
+    )
+
+
+def _minhash_lsh_oracle(k: int, bands: int, threshold: float) -> str:
+    rows = k // bands
+    mins = ",\n        ".join(
+        f"MIN({oracle_hash64('shingle', j)}) AS mh_{j}" for j in range(k)
+    )
+    band_cases = "\n          ".join(
+        f"WHEN {b} THEN [{', '.join(f'mh_{b * rows + r}' for r in range(rows))}]"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    mh AS (
+      SELECT doc,
+        {mins}
+      FROM ex GROUP BY doc
+    ),
+    keyed AS (
+      SELECT doc, b,
+        CASE b
+          {band_cases}
+        END AS bh
+      FROM mh, (SELECT unnest(range(0, {bands})) AS b) AS bands_
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+      FROM keyed x JOIN keyed y ON x.b = y.b AND x.bh = y.bh
+      WHERE x.doc < y.doc
+    ),
+    shared_cte AS (
+      SELECT c.doc_a, c.doc_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN ex a ON a.doc = c.doc_a
+      JOIN ex b ON b.doc = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, {oracle_dround(_JACCARD, 4)} AS jaccard
+    FROM shared_cte
+    WHERE {_JACCARD} >= {threshold}
+    """
+
+
+@query("minhash_lsh_dupes", oracle=_minhash_lsh_oracle(16, 8, _THRESHOLD))
+def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash + banded LSH candidate generation (k=16, 8 bands of
+    2), exact-Jaccard verified — the sub-quadratic near-dup path. Band
+    keys are the raw minhash value pairs, so DuckDB reproduces the
+    candidate set exactly."""
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD
+    )
+
+
+def _simhash_oracle(bits: int) -> str:
+    return f"""
+    WITH tokx AS (
+      SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents
+    ),
+    h AS (SELECT doc, {oracle_hash64("token", 0)} AS h FROM tokx),
+    votes AS (
+      SELECT doc, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(0, {bits})) AS b) AS bits_
+      GROUP BY doc, b
+    )
+    SELECT doc,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY doc
+    """
+
+
+@query("simhash_fingerprints", oracle=_simhash_oracle(16))
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: SimHash fingerprints (16-bit) — near-duplicates land at small
+    Hamming distance; one explode + one group-by."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash(d, "doc_id", "text", bits=16)

@@ -1,0 +1,178 @@
+"""Flagship query: the reference's `exec_daily_kpi` view re-expressed
+end-to-end (scripts/sql/.sql:3-26 — the one hand-written analytics query
+in the reference), composed from the same operator spine:
+
+  lineitem order rollup (A1)  →  freight left-join w/ coalesce (J1+J2+P3)
+  →  geo dim broadcast joins  →  3-way channel UNION ALL (U1)
+  →  grouped SUM / COUNT DISTINCT / AOV / margin% (A5)  →  ORDER BY (O1)
+
+Cross-engine determinism: every money column is aggregated as DECIMAL
+(exact, order-independent — a double SUM's value depends on partial-agg
+order, which differs between Spark's distributed combine and DuckDB's
+scan order), then cast to DOUBLE only at the output edge. Ratios divide
+the already-exact decimal sums as doubles, so both engines divide
+bit-identical operands.
+
+Scale shape: one shuffle for the order rollup, one for the freight
+rollup (both keyed on orderkey, so AQE can plan the order-freight join
+shuffle-free), broadcast joins for the ≤25-row dims, and a final
+partial-aggregated group-by on the KPI grain. No collect(), no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
+from multichannel_commerce_data_pipeline_spark.queries import query
+from multichannel_commerce_data_pipeline_spark.tables import load
+
+# channel tagging mirrors the reference's three CM2 fact tables
+# (wholesale / shopify / livestreaming, silver_to_gold.py:499-632)
+_CHANNELS = [
+    ("wholesale", "1-URGENT"),
+    ("shopify", "2-HIGH"),
+    ("livestreaming", "3-MEDIUM"),
+]
+
+_DEC = "decimal(18,6)"
+
+
+def _dec(col) -> F.Column:
+    return col.cast(_DEC)
+
+
+ORACLE = f"""
+    WITH order_rollup AS (
+      SELECT l_orderkey AS order_no,
+             ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS net_revenue
+      FROM lineitem GROUP BY 1
+    ),
+    freight AS (
+      SELECT l_orderkey AS order_no,
+             ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                       * CAST(2.5 AS DECIMAL(18,6))), 2) AS freight_cost
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ),
+    geo AS (
+      SELECT c.c_custkey, n.n_name AS country, rg.r_name AS region
+      FROM customer c
+      JOIN nation n  ON c.c_nationkey = n.n_nationkey
+      JOIN region rg ON n.n_regionkey = rg.r_regionkey
+    ),
+    cm2 AS (
+      SELECT o.o_orderkey AS order_no, o.o_orderdate, o.o_orderpriority,
+             g.country, g.region, r.net_revenue,
+             COALESCE(f.freight_cost, CAST(0 AS DECIMAL(18,2))) AS freight_cost,
+             ROUND(r.net_revenue * CAST(0.35 AS DECIMAL(18,6))
+                   - COALESCE(f.freight_cost, CAST(0 AS DECIMAL(18,2)))
+                   - CAST(8.00 AS DECIMAL(18,2)), 2) AS cm2_amount
+      FROM orders o
+      JOIN order_rollup r ON r.order_no = o.o_orderkey
+      LEFT JOIN freight f ON f.order_no = o.o_orderkey
+      JOIN geo g ON g.c_custkey = o.o_custkey
+    ),
+    tagged AS (
+      SELECT 'wholesale' AS channel, * FROM cm2 WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT 'shopify' AS channel, * FROM cm2 WHERE o_orderpriority = '2-HIGH'
+      UNION ALL
+      SELECT 'livestreaming' AS channel, * FROM cm2 WHERE o_orderpriority = '3-MEDIUM'
+    )
+    SELECT
+      strftime(o_orderdate, '%Y%m%d')                    AS date_key,
+      channel, country, region,
+      CAST(ROUND(SUM(net_revenue), 2) AS DOUBLE)         AS revenue,
+      CAST(ROUND(SUM(cm2_amount), 2) AS DOUBLE)          AS cm2,
+      COUNT(DISTINCT order_no)                           AS orders,
+      {oracle_dround("CAST(SUM(net_revenue) AS DOUBLE) / COUNT(DISTINCT order_no)")}
+        AS aov,
+      {oracle_dround(
+          "CAST(SUM(cm2_amount) AS DOUBLE) / CAST(SUM(net_revenue) AS DOUBLE) * 100"
+      )} AS margin_pct
+    FROM tagged
+    GROUP BY 1, 2, 3, 4
+    ORDER BY date_key DESC, channel, country
+"""
+
+
+@query("exec_daily_kpi", oracle=ORACLE)
+def exec_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship daily-KPI rollup (see module docstring)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    order_rollup = li.groupBy(F.col("l_orderkey").alias("order_no")).agg(
+        F.round(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))), 2
+        ).alias("net_revenue")
+    )
+    freight = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_orderkey").alias("order_no"))
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_quantity")) * F.expr(f"CAST(2.5 AS {_DEC})")), 2
+            ).alias("freight_cost")
+        )
+    )
+    geo = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(load(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("n_name").alias("country"), F.col("r_name").alias("region"))
+    )
+
+    freight_cost = F.coalesce(
+        freight.freight_cost, F.expr("CAST(0 AS DECIMAL(18,2))")
+    )
+    cm2 = (
+        o.join(order_rollup, o.o_orderkey == order_rollup.order_no)
+        .join(freight, o.o_orderkey == freight.order_no, "left")
+        .join(geo, geo.c_custkey == o.o_custkey)
+        .select(
+            o.o_orderkey.alias("order_no"),
+            "o_orderdate",
+            "o_orderpriority",
+            "country",
+            "region",
+            "net_revenue",
+            F.round(
+                F.col("net_revenue") * F.expr(f"CAST(0.35 AS {_DEC})")
+                - freight_cost
+                - F.expr("CAST(8.00 AS DECIMAL(18,2))"),
+                2,
+            ).alias("cm2_amount"),
+        )
+    )
+
+    tagged = None
+    for channel, prio in _CHANNELS:
+        frame = cm2.filter(F.col("o_orderpriority") == prio).select(
+            F.lit(channel).alias("channel"), "*"
+        )
+        tagged = frame if tagged is None else tagged.unionByName(frame)
+
+    revenue_sum = F.sum("net_revenue")
+    cm2_sum = F.sum("cm2_amount")
+    n_orders = F.countDistinct("order_no")
+    return (
+        tagged.groupBy(
+            F.date_format("o_orderdate", "yyyyMMdd").alias("date_key"),
+            "channel",
+            "country",
+            "region",
+        )
+        .agg(
+            F.round(revenue_sum, 2).cast("double").alias("revenue"),
+            F.round(cm2_sum, 2).cast("double").alias("cm2"),
+            n_orders.alias("orders"),
+            dround(revenue_sum.cast("double") / n_orders).alias("aov"),
+            dround(cm2_sum.cast("double") / revenue_sum.cast("double") * 100).alias(
+                "margin_pct"
+            ),
+        )
+        .orderBy(F.desc("date_key"), "channel", "country")
+    )

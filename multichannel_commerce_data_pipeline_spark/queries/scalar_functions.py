@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import load
 
@@ -88,37 +89,49 @@ def string_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "messy_value_cleaning",
-    oracle=r"""
+    oracle=rf"""
     SELECT
       event_id,
-      CAST(regexp_replace(concat('$', CAST(value AS VARCHAR)), '[$,]', '', 'g') AS DOUBLE)
-        AS price_cleaned,
-      ROUND(CAST(regexp_extract(concat(CAST(value AS VARCHAR), '%'), '([0-9.]+)', 1) AS DOUBLE) / 100, 6)
-        AS pct_as_fraction,
-      ROUND(value / 100.0, 2) AS cents_to_dollars
+      CAST(regexp_replace(
+        concat('$1,', CAST(event_id % 1000 AS VARCHAR), '.',
+               lpad(CAST(event_id % 100 AS VARCHAR), 2, '0')),
+        '[$,]', '', 'g') AS DOUBLE) AS price_cleaned,
+      {oracle_dround(
+        "CAST(regexp_extract(concat(CAST(event_id % 97 AS VARCHAR), '.', "
+        "CAST(event_id % 10 AS VARCHAR), '%'), '([0-9.]+)', 1) AS DOUBLE) / 100",
+        6,
+      )} AS pct_as_fraction,
+      {oracle_dround("value / 100.0")} AS cents_to_dollars
     FROM events
     """,
 )
 def messy_value_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9+P7: currency-symbol stripping, percent-string parsing, and
-    cents→dollars conversion — the conformance ops the reference's
-    generator requires ('$12.34', '5.1%', price_cents:
+    """F9+P7: currency-symbol/thousands-separator stripping, percent-
+    string parsing, and cents→dollars conversion — the conformance ops
+    the reference's generator requires ('$12.34', '5.1%', price_cents:
     api_data_generator.py:108,134,169,183) with only cents÷100 actually
-    handled there (bronze_to_silver_all_sources.py:61). Round-trips a
-    numeric column through the messy encodings and back."""
+    handled there (bronze_to_silver_all_sources.py:61). The messy
+    strings are built from integer key arithmetic (not double→string
+    casts, whose rendering is engine-specific), so both engines clean
+    byte-identical inputs."""
     ev = load(spark, sf_dir, "events")
-    v_str = F.col("value").cast("string")
+    eid = F.col("event_id")
+    price_str = F.concat(
+        F.lit("$1,"),
+        (eid % 1000).cast("string"),
+        F.lit("."),
+        F.lpad((eid % 100).cast("string"), 2, "0"),
+    )
+    pct_str = F.concat(
+        (eid % 97).cast("string"), F.lit("."), (eid % 10).cast("string"), F.lit("%")
+    )
     return ev.select(
         "event_id",
-        F.regexp_replace(F.concat(F.lit("$"), v_str), "[$,]", "")
-        .cast("double")
-        .alias("price_cleaned"),
-        F.round(
-            F.regexp_extract(F.concat(v_str, F.lit("%")), "([0-9.]+)", 1).cast("double")
-            / 100,
-            6,
+        F.regexp_replace(price_str, "[$,]", "").cast("double").alias("price_cleaned"),
+        dround(
+            F.regexp_extract(pct_str, "([0-9.]+)", 1).cast("double") / 100, 6
         ).alias("pct_as_fraction"),
-        F.round(F.col("value") / 100.0, 2).alias("cents_to_dollars"),
+        dround(F.col("value") / 100.0).alias("cents_to_dollars"),
     )
 
 

@@ -1,0 +1,78 @@
+"""Similarity-search queries over the `embeddings` table (X2).
+
+The exact brute-force path is oracle-checked against a DuckDB
+re-implementation whose float arithmetic mirrors Spark's fold order
+exactly (list_reduce starts from the first element; Spark's aggregate
+starts from 0.0 — identical for doubles). The SRP-LSH ANN path is
+registered without an oracle (approximate by design); its recall against
+the exact path is asserted in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.functions import oracle_dround
+from multichannel_commerce_data_pipeline_spark.operators import similarity as S
+from multichannel_commerce_data_pipeline_spark.queries import query
+from multichannel_commerce_data_pipeline_spark.tables import load
+
+_N_QUERIES = 8  # vec_id < 8 as the query set
+_K = 10
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), "
+    "(acc, x) -> acc + x)"
+)
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x))"
+
+_COSINE = (
+    _DOT.format(a="qv", b="cv")
+    + " / (" + _NORM.format(a="qv") + " * " + _NORM.format(a="cv") + ")"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {oracle_dround(_COSINE.replace('cv', 'c.v').replace('qv', 'q.qv'), 4)}
+               AS cosine
+      FROM c, q
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: exact brute-force cosine top-k — the ANN correctness
+    baseline. Query set broadcast; corpus streams through one narrow
+    stage (no corpus shuffle); JVM-side zip_with/aggregate dot products."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=_K)
+
+
+@query("ann_srp_topk", oracle=None)
+def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: SRP-LSH bucketed ANN top-k with multi-probe (Hamming-1
+    buckets) — the 100 TB path: candidates come from bucket equi-joins,
+    never all-pairs. Approximate by design, so no SQL oracle; recall vs
+    the exact path is asserted in tests/test_operators.py."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.srp_bucket_topk(
+        e, q, dim=64, id_col="vec_id", vec_col="embedding", n_planes=8, k=_K
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import load
 
@@ -87,23 +88,25 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_running_sum",
-    oracle="""
+    oracle=f"""
     SELECT
       o_custkey,
       o_orderkey,
       o_orderdate,
-      ROUND(SUM(o_totalprice) OVER (
+      {oracle_dround('''SUM(o_totalprice) OVER (
         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
-      ROUND(AVG(o_totalprice) OVER (
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_spend,
+      {oracle_dround('''AVG(o_totalprice) OVER (
         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg_3
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''')} AS moving_avg_3
     FROM orders
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-spec aggregates: running total and 3-row moving average per
-    customer (rowsBetween)."""
+    customer (rowsBetween). Rounded through a decimal cast
+    (functions.dround): a 2-row average lands on exact half-cents
+    (x/2 = .xx5) where plain double rounding diverges per engine."""
     o = load(spark, sf_dir, "orders")
     ordered = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -112,8 +115,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
-        F.round(F.avg("o_totalprice").over(moving), 2).alias("moving_avg_3"),
+        dround(F.sum("o_totalprice").over(running)).alias("running_spend"),
+        dround(F.avg("o_totalprice").over(moving)).alias("moving_avg_3"),
     )
 
 
