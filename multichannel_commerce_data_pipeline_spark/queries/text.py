@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.operators import text as T
 from multichannel_commerce_data_pipeline_spark.queries import query
-from multichannel_commerce_data_pipeline_spark.tables import load
+from multichannel_commerce_data_pipeline_spark.tables import load, parallelize_small_scan
 
 _STOP_IN = ", ".join(f"'{w}'" for w in T.STOPWORDS)
 
@@ -43,7 +43,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: token counting + quality features (length, stopword ratio,
     alpha ratio) — the per-document statistics a C4/Gopher-style quality
     filter consumes. Pure Column expressions, no UDFs."""
-    d = load(spark, sf_dir, "documents")
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     text = F.col("text")
     toks = T.tokens(text)
     return d.select(
@@ -86,7 +86,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: composite quality score + keep-filter — the canonical
     'filter the crawl' step of a training-data pipeline."""
-    d = load(spark, sf_dir, "documents")
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", "lang", "source", T.quality_score(F.col("text")).alias("quality_score"))
         .filter(F.col("quality_score") >= 0.5)
@@ -105,7 +105,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: deterministic document fingerprint — md5 of the
     whitespace-normalized text; the key for exact dedup at scale."""
-    d = load(spark, sf_dir, "documents")
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -130,7 +130,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: language-ID via stopword-marker heuristic (n-gram-profile
     shape; deterministic CASE so it is oracle-checkable)."""
-    d = load(spark, sf_dir, "documents")
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),

@@ -46,6 +46,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def parallelize_small_scan(
+    spark: SparkSession, df: DataFrame, min_parts: int | None = None
+) -> DataFrame:
+    """Repartition a scan only if it produced fewer partitions than the
+    cluster has cores. Single-file tables (the driver's documents/
+    embeddings parquet has one row group) scan as ONE partition, which
+    serializes compute-heavy per-row work (shingling, hashing, dot
+    products). At real scale the scan has thousands of splits and this
+    is a no-op — the check keeps the extra shuffle out of plans that
+    don't need it."""
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
 
