@@ -1,0 +1,51 @@
+"""t2-style correctness: every registered query matches its DuckDB
+oracle at sf0.001 (the driver runs the same protocol at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from multichannel_commerce_data_pipeline_spark.queries import load_registry
+from multichannel_commerce_data_pipeline_spark.testing import compare
+
+REGISTRY = load_registry()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_dir)
+    if q.oracle is None:
+        # rows-only check, mirroring the driver's weaker path
+        assert df.count() >= 0
+        return
+    problems = compare(df, oracle_con, q.oracle)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_registry_is_wired_to_driver_contract():
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) == len(REGISTRY)
+    assert "exec_daily_kpi" in qs
+
+
+def test_entry_returns_flagship(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.columns == [
+        "date_key",
+        "channel",
+        "country",
+        "region",
+        "revenue",
+        "cm2",
+        "orders",
+        "aov",
+        "margin_pct",
+    ]
+    assert df.count() > 0

@@ -1,0 +1,148 @@
+"""Unit tests for the operator library: determinism, edge cases, and
+the approximate paths that have no SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.operators import dedup as D
+from multichannel_commerce_data_pipeline_spark.operators import similarity as S
+from multichannel_commerce_data_pipeline_spark.operators.bucketing import (
+    bucketed_choice,
+    deterministic_bucket,
+)
+from multichannel_commerce_data_pipeline_spark.tables import load
+
+
+def test_deterministic_bucket_range_and_stability(spark):
+    df = spark.range(0, 5000).select(
+        deterministic_bucket(F.col("id"), 1000).alias("b")
+    )
+    stats = df.agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi"), F.countDistinct("b").alias("n")
+    ).first()
+    assert stats.lo >= 0 and stats.hi < 1000
+    assert stats.n > 500  # spreads across buckets
+    # same input → same buckets on re-evaluation (unlike rand())
+    a = [r.b for r in df.collect()]
+    b = [r.b for r in df.collect()]
+    assert a == b
+
+
+def test_bucketed_choice_marginals(spark):
+    choices = [("US", 0.5), ("UK", 0.3), ("rest", 0.2)]
+    df = spark.range(0, 20000).select(
+        bucketed_choice(F.col("id"), choices).alias("c")
+    )
+    counts = {r.c: r.n for r in df.groupBy("c").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == 20000
+    # multiplicative hashing is uniform: marginals land near targets
+    assert abs(counts["US"] / total - 0.5) < 0.05
+    assert abs(counts["UK"] / total - 0.3) < 0.05
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    rows = [(1, "a"), (3, "a"), (2, "a"), (7, "b"), (5, "b")]
+    df = spark.createDataFrame(rows, "id INT, key STRING")
+    out = {(r.key, r.id) for r in D.exact_dedup(df, ["key"], "id").collect()}
+    assert out == {("a", 1), ("b", 5)}  # min id survives, always
+
+
+def test_shingles_short_docs_are_empty_not_crash(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one"), (3, ""), (4, "a b c d")],
+        "id INT, text STRING",
+    )
+    got = {
+        r.id: r.sh
+        for r in df.select("id", D.shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c", "b c d"]
+
+
+def test_jaccard_pairs_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "entirely different words here now")],
+        "doc_id INT, text STRING",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_jaccard_df_cap_drops_boilerplate_only_pairs(spark):
+    # docs 1..4 share ONE boilerplate shingle; 5/6 are true near-dupes
+    boiler = "standard legal disclaimer text"
+    rows = [
+        (1, boiler + " alpha beta gamma"),
+        (2, boiler + " delta epsilon zeta"),
+        (3, boiler + " eta theta iota"),
+        (4, boiler + " kappa lambda mu"),
+        (5, "totally unique sentence about spark engines"),
+        (6, "totally unique sentence about spark engines again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    capped = D.jaccard_pairs(df, "doc_id", "text", threshold=0.1, df_cap=3)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (5, 6) in got
+    # every 1..4 pair's overlap is only the capped boilerplate shingles
+    assert not any(a <= 4 and b <= 4 for a, b in got)
+
+
+def test_minhash_lsh_finds_exact_jaccard_pairs(spark, sf_dir):
+    """LSH with verification returns a subset of the exact pair set,
+    with identical jaccard values on the pairs it finds."""
+    d = load(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_pairs(d, "doc_id", "text", threshold=0.14).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(
+            d, "doc_id", "text", k=16, bands=8, threshold=0.14
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+    if exact:  # banded LSH at r=2 should recall most true pairs
+        assert len(lsh) / len(exact) >= 0.5
+
+
+def test_srp_recall_vs_exact_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(e, q, k=10).collect()
+    approx = S.srp_bucket_topk(e, q, dim=64, n_planes=4, k=10).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"multi-probe SRP recall too low: {recall}"
+    # cosine values agree on the intersection (same scoring expression)
+    exact_vals = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_vals:
+            assert r.cosine == exact_vals[key]
+
+
+def test_simhash_near_dupes_have_small_hamming_distance(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the water"),
+        (3, "completely unrelated financial quarterly report revenue figures"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    fp = {r.doc: r.simhash for r in D.simhash(df, "doc_id", "text", bits=16).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+    assert ham(fp[1], fp[2]) <= 4
