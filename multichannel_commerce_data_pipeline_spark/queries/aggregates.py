@@ -172,3 +172,19 @@ def global_max_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         F.max("ts").alias("high_watermark"), F.count(F.lit(1)).alias("row_count")
     )
+
+
+@query("approx_distinct_kpi", oracle=None)
+def approx_distinct_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 at-scale variant: the exec_daily_kpi aggregate with
+    approx_count_distinct (HyperLogLog++, rsd=1%) replacing the exact
+    two-phase expand — the 100 TB path promised alongside
+    distinct_ratio_kpi. One single-pass partial aggregate instead of an
+    Expand + double shuffle; no oracle because DuckDB's HLL sketches
+    produce different estimates (driver records rows-only check)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("channel")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("unique_buyers_approx"),
+        F.approx_count_distinct("o_orderkey", 0.01).alias("orders_approx"),
+    )

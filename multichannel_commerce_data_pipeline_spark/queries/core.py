@@ -335,3 +335,20 @@ def recency_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("event_id", "ts", "user_id", "event_type")
     )
+
+
+@query(
+    "limit_zero_schema",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE FALSE
+    """,
+)
+def limit_zero_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: limit(0) empty-frame — the reference's schema-only trick used
+    to force JDBC DDL without moving rows (silver_to_gold.py:59). Spark
+    folds this to a LocalRelation <empty> at plan time: zero scan tasks
+    are launched, so at 100 TB this still touches no data."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate").limit(0)
