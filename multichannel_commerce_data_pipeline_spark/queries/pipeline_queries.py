@@ -1,0 +1,177 @@
+"""Medallion pipeline queries — S1/S2 bronze JSON scan, the five silver
+conformers (P1-P5, F9, F10), gold CM1/CM2, dim_date, and the end-to-end
+``exec_daily_kpi`` composition, all oracle-paired against DuckDB
+``read_json`` over the same committed bronze fixture files
+(tests/fixtures/bronze, scripts/make_fixtures.py).
+
+These run on the fixture corpus, not the sf tables — the point is the
+reference's own pipeline semantics (bronze_to_silver_all_sources.py,
+silver_to_gold.py, scripts/sql/.sql) verified end to end; scale behavior
+is benchmarked by the sf-table queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.pipeline import gold, silver
+from multichannel_commerce_data_pipeline_spark.pipeline.bronze import (
+    flatten_envelope,
+    read_bronze,
+)
+from multichannel_commerce_data_pipeline_spark.pipeline.schemas import (
+    oracle_bronze_from,
+)
+from multichannel_commerce_data_pipeline_spark.queries import query
+
+
+def _silver(spark: SparkSession, source: str) -> DataFrame:
+    return {
+        "joor": silver.conform_joor,
+        "shopify": silver.conform_shopify,
+        "tiktok": silver.conform_tiktok,
+        "freight": silver.conform_freight,
+        "gsheets": silver.conform_gsheets,
+    }[source](flatten_envelope(read_bronze(spark, source)))
+
+
+_WHOLESALE_REV = "unit_price * quantity"
+
+
+def _cm1_wholesale(spark: SparkSession) -> DataFrame:
+    return gold.cm1(
+        _silver(spark, "joor"), "wholesale", F.col("unit_price") * F.col("quantity")
+    )
+
+
+def _oracle_cm1_wholesale() -> str:
+    return gold.oracle_cm1(silver.oracle_conform_joor(), "wholesale", _WHOLESALE_REV)
+
+
+@query(
+    "pipeline_bronze_scan",
+    oracle=f"""
+    SELECT
+      raw_api_data.id                  AS id,
+      raw_api_data.customer_name       AS customer_name,
+      raw_api_data.total_price         AS total_price,
+      raw_api_data.quantity            AS quantity,
+      raw_api_data.sku                 AS sku,
+      raw_api_data.created_at          AS created_at,
+      kafka_metadata.bronze_timestamp  AS bronze_timestamp
+    FROM {oracle_bronze_from("shopify")}
+    """,
+)
+def pipeline_bronze_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2: explicit-schema JSON glob scan of the bronze object layout
+    ({src}/{Y}/{M}/{D}/*.json) and envelope flatten
+    (bronze_to_silver_all_sources.py:26-27). sf_dir unused — reads the
+    committed bronze fixtures."""
+    return flatten_envelope(read_bronze(spark, "shopify"))
+
+
+@query("silver_conform_joor", oracle=silver.oracle_conform_joor())
+def silver_conform_joor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3+F9: wholesale conformance — rename, $-price cleaning,
+    currency normalization, mixed-ISO-suffix timestamps, null defaults
+    (bronze_to_silver_all_sources.py:39-48 completed per SURVEY §2.8 F9)."""
+    return _silver(spark, "joor")
+
+
+@query("silver_conform_tiktok", oracle=silver.oracle_conform_tiktok())
+def silver_conform_tiktok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P7: cents→dollars arithmetic cast and epoch-seconds→timestamp
+    (bronze_to_silver_all_sources.py:61-62)."""
+    return _silver(spark, "tiktok")
+
+
+@query("silver_conform_freight", oracle=silver.oracle_conform_freight())
+def silver_conform_freight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: $-prefixed money and unit-suffixed weight ('3.2 kg'/'5 lbs')
+    normalization the reference generates but never cleans
+    (api_data_generator.py:134,142,150)."""
+    return _silver(spark, "freight")
+
+
+@query("silver_conform_gsheets", oracle=silver.oracle_conform_gsheets())
+def silver_conform_gsheets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: ragged array-of-arrays sheet → typed rows with header
+    promotion and money/percent cell cleaning — the path the reference
+    leaves raw (bronze_to_silver_all_sources.py:74-79)."""
+    return _silver(spark, "gsheets")
+
+
+@query("gold_cm1_wholesale", oracle=_oracle_cm1_wholesale())
+def gold_cm1_wholesale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM1 wide projection (silver_to_gold.py:267-360): date keys,
+    deterministic hash-bucket geo + IN-list region rollup, lit
+    economics, margin arithmetic. Zero shuffles."""
+    return _cm1_wholesale(spark)
+
+
+@query(
+    "gold_cm2_wholesale",
+    oracle=gold.oracle_cm2(_oracle_cm1_wholesale(), silver.oracle_conform_freight()),
+)
+def gold_cm2_wholesale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM2 (silver_to_gold.py:499-552): order rollup → broadcast left
+    join with the projected freight build side (J1/J2) → payment-source
+    fee switch (P12) → margin arithmetic. One shuffle total."""
+    return gold.cm2(_cm1_wholesale(spark), _silver(spark, "freight"))
+
+
+@query(
+    "pipeline_exec_daily_kpi",
+    oracle=gold.oracle_exec_daily_kpi(
+        [
+            gold.oracle_cm2(_oracle_cm1_wholesale(), silver.oracle_conform_freight()),
+            gold.oracle_cm2(
+                gold.oracle_cm1(
+                    silver.oracle_conform_shopify(), "shopify", "total_price"
+                ),
+                silver.oracle_conform_freight(),
+            ),
+            gold.oracle_cm2(
+                gold.oracle_cm1(
+                    silver.oracle_conform_tiktok(),
+                    "livestreaming",
+                    "unit_price * quantity",
+                ),
+                silver.oracle_conform_freight(),
+            ),
+        ]
+    ),
+)
+def pipeline_exec_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full medallion chain, end to end: bronze JSON → conformed
+    silver (×4 sources) → CM1 → CM2 (freight-enriched) → 3-way UNION →
+    exec_daily_kpi aggregate (scripts/sql/.sql:3-26). The one query a
+    reference user actually serves to BI."""
+    freight = _silver(spark, "freight")
+    cm2s = [
+        gold.cm2(_cm1_wholesale(spark), freight),
+        gold.cm2(
+            gold.cm1(_silver(spark, "shopify"), "shopify", F.col("total_price")),
+            freight,
+        ),
+        gold.cm2(
+            gold.cm1(
+                _silver(spark, "tiktok"),
+                "livestreaming",
+                F.col("unit_price") * F.col("quantity"),
+            ),
+            freight,
+        ),
+    ]
+    return gold.exec_daily_kpi(cm2s)
+
+
+@query(
+    "dim_date_generate",
+    oracle=gold.oracle_dim_date("2025-06-01", "2025-06-03"),
+)
+def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: generated date dimension with date parts — replaces the
+    reference's single hard-coded literal row (silver_to_gold.py:634-641)."""
+    return gold.dim_date(spark, "2025-06-01", "2025-06-03")

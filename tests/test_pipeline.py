@@ -1,0 +1,103 @@
+"""Medallion pipeline unit tests: fixture determinism, conformance
+totality, deterministic geo assignment, end-to-end KPI sanity."""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import os
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_make_fixtures():
+    spec = importlib.util.spec_from_file_location(
+        "make_fixtures", REPO / "scripts" / "make_fixtures.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _tree_digest(root: Path) -> str:
+    h = hashlib.sha256()
+    for p in sorted(root.rglob("*.json")):
+        h.update(str(p.relative_to(root)).encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()
+
+
+def test_fixture_generator_is_deterministic(tmp_path, monkeypatch):
+    mod = _load_make_fixtures()
+    monkeypatch.setattr(mod, "ROOT", tmp_path / "bronze")
+    mod.main()
+    first = _tree_digest(tmp_path / "bronze")
+    mod.main()
+    assert _tree_digest(tmp_path / "bronze") == first
+    # and matches the committed fixtures the oracle SQL reads
+    committed = _tree_digest(REPO / "tests" / "fixtures" / "bronze")
+    assert first == committed, "committed fixtures out of date: run scripts/make_fixtures.py"
+
+
+def _silver(spark, source):
+    from multichannel_commerce_data_pipeline_spark.pipeline import silver
+    from multichannel_commerce_data_pipeline_spark.pipeline.bronze import (
+        flatten_envelope,
+        read_bronze,
+    )
+
+    fn = {
+        "joor": silver.conform_joor,
+        "shopify": silver.conform_shopify,
+        "tiktok": silver.conform_tiktok,
+        "freight": silver.conform_freight,
+        "gsheets": silver.conform_gsheets,
+    }[source]
+    return fn(flatten_envelope(read_bronze(spark, source)))
+
+
+def test_conformance_is_total(spark):
+    """Silver must never throw and never emit nulls in defaulted columns
+    despite messy inputs (SURVEY §5.5)."""
+    joor = _silver(spark, "joor")
+    nulls = joor.select(
+        F.sum(F.col("buyer_name").isNull().cast("int")).alias("b"),
+        F.sum(F.col("unit_price").isNull().cast("int")).alias("p"),
+        F.sum(F.col("quantity").isNull().cast("int")).alias("q"),
+    ).first()
+    assert (nulls.b, nulls.p, nulls.q) == (0, 0, 0)
+    assert joor.filter(F.col("currency") != "USD").count() == 0
+
+    freight = _silver(spark, "freight")
+    assert freight.filter(F.col("weight_kg").isNull()).count() == 0
+    assert freight.filter(F.col("cost") < 0).count() == 0
+
+
+def test_country_assignment_deterministic_and_distributed(spark):
+    from multichannel_commerce_data_pipeline_spark.pipeline import gold
+
+    cm1 = gold.cm1(
+        _silver(spark, "joor"), "wholesale", F.col("unit_price") * F.col("quantity")
+    )
+    # stable across evaluations (the reference's rand() cascade is not)
+    a = {r.order_no: r.country for r in cm1.select("order_no", "country").collect()}
+    b = {r.order_no: r.country for r in cm1.select("order_no", "country").collect()}
+    assert a == b
+    # every country maps into a declared region
+    assert cm1.filter(F.col("region") == "Other").count() == 0
+
+
+def test_kpi_covers_all_channels(spark):
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    kpi = load_registry()["pipeline_exec_daily_kpi"].fn(spark, "unused")
+    rows = kpi.collect()
+    channels = {r.channel for r in rows}
+    assert channels == {"wholesale", "shopify", "livestreaming"}
+    assert {r.date_key for r in rows} == {"20250601", "20250602", "20250603"}
+    assert all(r.revenue > 0 for r in rows)
+    assert all(r.orders > 0 for r in rows)
