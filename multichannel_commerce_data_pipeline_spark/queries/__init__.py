@@ -53,6 +53,7 @@ def load_registry() -> dict[str, Query]:
         sets,
         similarity,
         text,
+        time_windows,
         windows,
     )
 

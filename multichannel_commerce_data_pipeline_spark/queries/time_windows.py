@@ -1,0 +1,134 @@
+"""Time-window operators (T4) on the events table — tumbling, sliding,
+and session windows. These are the batch-checkable twins of the
+streaming aggregates in streaming/jobs.py: F.window / F.session_window
+produce identical results on batch frames, which is what makes them
+oracle-verifiable (the streaming tests then assert stream≡batch).
+
+Scale: window aggregation is one shuffle on (window, keys); sliding
+windows replicate each row windowSize/slide times at the Expand stage —
+the 2d/1d slide here doubles rows pre-shuffle, which AQE coalesces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
+from multichannel_commerce_data_pipeline_spark.queries import query
+from multichannel_commerce_data_pipeline_spark.tables import load
+
+
+@query(
+    "tumbling_daily_events",
+    oracle=f"""
+    SELECT
+      CAST(date_trunc('day', ts) AS TIMESTAMP)                 AS window_start,
+      CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+      event_type,
+      COUNT(*)                                AS n_events,
+      {oracle_dround('SUM("value")')}       AS total_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def tumbling_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: tumbling 1-day windows — the daily grain the reference
+    imposes via date_key (silver_to_gold.py:272), as a real window
+    operator (epoch-aligned, identical in streaming with a watermark)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_events",
+    oracle=f"""
+    SELECT
+      date_trunc('day', ts) - k.k * INTERVAL 1 DAY                 AS window_start,
+      date_trunc('day', ts) - k.k * INTERVAL 1 DAY + INTERVAL 2 DAY AS window_end,
+      COUNT(*)                                                     AS n_events,
+      {oracle_dround('SUM("value")')}                            AS total_value
+    FROM events, (SELECT unnest([0, 1]) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: sliding windows (2-day window, 1-day slide) — each event
+    lands in exactly two windows; Spark's Expand replicates rows before
+    one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "session_window_events",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, "value",
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_id
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      MIN(ts)                                  AS session_start,
+      MAX(ts) + INTERVAL 30 MINUTE             AS session_end,
+      COUNT(*)                                 AS n_events,
+      {oracle_dround('SUM("value")')}        AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5: session windows (30-minute inactivity gap) per user —
+    Spark's session_window merges events closer than the gap; the
+    oracle reproduces it with a gaps-and-islands window SQL."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,182 @@
+"""Structured Streaming tests (T1/T2/T3/T5/T6, S9): AvailableNow
+drain ≡ batch result, checkpointed restart idempotency, stateful dedup
+within the watermark, and date-partitioned stream-to-table landing."""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parents[1]
+FIXTURES = REPO / "tests" / "fixtures" / "bronze"
+
+
+def _run_stream(spark, tmp: Path, source="joor", dedup=None, bronze=None):
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_bronze_to_silver,
+    )
+
+    stream_bronze_to_silver(
+        spark,
+        source,
+        str(bronze or FIXTURES),
+        str(tmp / "silver"),
+        str(tmp / "ckpt"),
+        dedup_keys=dedup,
+    )
+    return spark.read.parquet(str(tmp / "silver"))
+
+
+def _canon(df, cols=("order_id", "unit_price", "quantity")):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """The streamed silver table holds exactly the batch conformance
+    result (same transformation, incremental execution)."""
+    from multichannel_commerce_data_pipeline_spark.pipeline.bronze import (
+        flatten_envelope,
+        read_bronze,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.silver import conform_joor
+
+    streamed = _run_stream(spark, tmp_path)
+    batch = conform_joor(flatten_envelope(read_bronze(spark, "joor")))
+    assert _canon(streamed) == _canon(batch)
+
+
+def test_restart_is_idempotent(spark, tmp_path):
+    """T2: re-running the drain with the same checkpoint and no new
+    data appends nothing (the reference's non-atomic watermark file can
+    double-process on crash; the checkpoint cannot)."""
+    first = _run_stream(spark, tmp_path).count()
+    assert first > 0
+    again = _run_stream(spark, tmp_path).count()
+    assert again == first
+
+
+def test_incremental_pickup_of_new_files(spark, tmp_path):
+    """T1/T2: a new bronze file landing between drains is processed
+    exactly once."""
+    bronze = tmp_path / "bronze"
+    shutil.copytree(FIXTURES / "joor", bronze / "joor")
+    n1 = _run_stream(spark, tmp_path, bronze=bronze).count()
+
+    src = bronze / "joor" / "2025" / "06" / "03" / "batch.json"
+    line = json.loads(src.read_text().splitlines()[0])
+    line["raw_api_data"]["order_id"] = "JOOR-NEW001"
+    extra = bronze / "joor" / "2025" / "06" / "04"
+    extra.mkdir(parents=True)
+    (extra / "batch.json").write_text(json.dumps(line) + "\n")
+
+    after = _run_stream(spark, tmp_path, bronze=bronze)
+    assert after.count() == n1 + 1
+    assert after.filter(F.col("order_id") == "JOOR-NEW001").count() == 1
+
+
+def test_stateful_dedup_within_watermark(spark, tmp_path):
+    """T5: at-least-once redelivery (same order_id re-sent) collapses
+    to one silver row via dropDuplicatesWithinWatermark."""
+    bronze = tmp_path / "bronze"
+    shutil.copytree(FIXTURES / "joor", bronze / "joor")
+    day = bronze / "joor" / "2025" / "06" / "02"
+    dup_lines = (bronze / "joor" / "2025" / "06" / "01" / "batch.json").read_text()
+    (day / "redelivery.json").write_text(dup_lines)
+
+    out = _run_stream(spark, tmp_path, dedup=("order_id",), bronze=bronze)
+    total = out.count()
+    distinct = out.select("order_id").distinct().count()
+    assert total == distinct == 90  # 3 days x 30 orders, dupes collapsed
+
+
+def test_partitioned_landing(spark, tmp_path):
+    """T6/S9: the sink lands date-partitioned parquet (Hive layout), so
+    downstream readers prune partitions instead of listing everything."""
+    _run_stream(spark, tmp_path)
+    parts = {p.name for p in (tmp_path / "silver").glob("p_date=*")}
+    assert {"p_date=2025-06-01", "p_date=2025-06-02", "p_date=2025-06-03"} <= parts
+
+
+def test_streaming_window_counts_respect_watermark(spark, tmp_path):
+    """T3/T4 streaming: append-mode tumbling windows emit only once the
+    watermark passes their end — the still-open last day is withheld,
+    then finalized when later data advances the watermark."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_windowed_counts,
+    )
+
+    bronze = tmp_path / "bronze"
+    shutil.copytree(FIXTURES / "joor", bronze / "joor")
+
+    def drain():
+        stream_windowed_counts(
+            spark,
+            "joor",
+            str(bronze),
+            str(tmp_path / "win"),
+            str(tmp_path / "ckpt"),
+            watermark="1 hour",
+        )
+        return {
+            (str(r.window_start), r.n_rows)
+            for r in spark.read.parquet(str(tmp_path / "win")).collect()
+        }
+
+    # max bronze_ts is on 06-03, so the 06-03 window is still open
+    assert drain() == {
+        ("2025-06-01 00:00:00", 30),
+        ("2025-06-02 00:00:00", 30),
+    }
+
+    # a 06-04 message advances the watermark past the 06-03 window end
+    src = bronze / "joor" / "2025" / "06" / "03" / "batch.json"
+    line = json.loads(src.read_text().splitlines()[0])
+    line["raw_api_data"]["order_id"] = "JOOR-LATE01"
+    line["kafka_metadata"]["bronze_timestamp"] = "2025-06-04T12:00:00"
+    extra = bronze / "joor" / "2025" / "06" / "04"
+    extra.mkdir(parents=True)
+    (extra / "batch.json").write_text(json.dumps(line) + "\n")
+
+    assert drain() == {
+        ("2025-06-01 00:00:00", 30),
+        ("2025-06-02 00:00:00", 30),
+        ("2025-06-03 00:00:00", 30),
+    }
+
+
+def test_kafka_value_roundtrip(spark):
+    """S7/S8 frame shaping without a broker: encode rows to the Kafka
+    value JSON shape and decode back with the explicit schema."""
+    from multichannel_commerce_data_pipeline_spark.streaming.kafka import (
+        RAW_TOPICS,
+        decode_kafka_value,
+        encode_kafka_value,
+        kafka_reader,
+        kafka_writer,
+    )
+
+    df = spark.createDataFrame(
+        [("A-1", 12.5, 3), ("A-2", 7.0, 1)], "order_id STRING, price DOUBLE, qty INT"
+    )
+    encoded = encode_kafka_value(df, key_col="order_id")
+    assert encoded.columns == ["key", "value"]
+    parsed = encoded.select(
+        F.from_json("value", "order_id STRING, price DOUBLE, qty INT").alias("m")
+    ).select("m.*")
+    assert sorted(tuple(r) for r in parsed.collect()) == [
+        ("A-1", 12.5, 3),
+        ("A-2", 7.0, 1),
+    ]
+    assert set(RAW_TOPICS) == {"joor", "shopify", "tiktok", "freight", "gsheets"}
+    # reader/writer builders construct without a broker (no load/start);
+    # the writer needs a streaming frame — use the built-in rate source
+    assert kafka_reader(spark, "localhost:9092", "raw-joor") is not None
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    writer = kafka_writer(
+        encode_kafka_value(rate), "localhost:9092", "raw-joor", "/tmp/x"
+    )
+    assert writer is not None
+    assert decode_kafka_value is not None
