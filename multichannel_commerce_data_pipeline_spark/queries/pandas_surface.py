@@ -1,0 +1,107 @@
+"""X5 query bindings: each pandas-UDF API (SCALAR, GROUPED_AGG,
+applyInPandas, mapInPandas) exercised end-to-end against a plain-SQL
+DuckDB oracle — proving the Arrow path computes exactly what the
+declarative form would."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
+from multichannel_commerce_data_pipeline_spark.operators.pandas_ops import (
+    double_clicks_batches,
+    group_zscore,
+    token_count_pd,
+    weighted_avg_pd,
+)
+from multichannel_commerce_data_pipeline_spark.queries import query
+from multichannel_commerce_data_pipeline_spark.tables import load
+
+
+@query(
+    "pandas_scalar_tokens",
+    oracle="""
+    SELECT
+      doc_id,
+      len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+    WHERE len(trim(text)) > 0
+    """,
+)
+def pandas_scalar_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 SCALAR: vectorized pandas_udf token count over Arrow batches
+    (the escape hatch when tokenization outgrows regexp built-ins)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", token_count_pd(F.col("text")).alias("n_tokens")
+    )
+
+
+@query(
+    "pandas_udaf_weighted_avg",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      {oracle_dround("SUM(l_extendedprice * l_quantity) / SUM(l_quantity)", 4)}
+        AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 GROUPED_AGG (UDAF): quantity-weighted average price per
+    return flag, computed in one pandas call per group."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(weighted_avg_pd(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias(
+            "weighted_avg_price"
+        )
+    )
+
+
+@query(
+    "pandas_apply_zscore",
+    oracle=f"""
+    SELECT
+      o_orderkey,
+      o_orderpriority,
+      {oracle_dround(
+        "(o_totalprice - AVG(o_totalprice) OVER w) / STDDEV_SAMP(o_totalprice) OVER w",
+        6,
+      )} AS zscore
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    """,
+)
+def pandas_apply_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 applyInPandas (grouped map): within-priority z-score of order
+    value — per-group logic too stateful for a window expression family,
+    verified against its window-SQL equivalent."""
+    o = load(spark, sf_dir, "orders")
+    out = o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    zs = out.groupBy("o_orderpriority").applyInPandas(
+        lambda pdf: group_zscore(
+            pdf, "o_totalprice", ["o_orderkey", "o_orderpriority", "zscore"]
+        ),
+        "o_orderkey LONG, o_orderpriority STRING, zscore DOUBLE",
+    )
+    return zs.select("o_orderkey", "o_orderpriority", dround(F.col("zscore"), 6).alias("zscore"))
+
+
+@query(
+    "pandas_map_batches",
+    oracle="""
+    SELECT event_id, user_id, "value" * CAST(2.0 AS DOUBLE) AS boosted
+    FROM events
+    WHERE event_type = 'click'
+    """,
+)
+def pandas_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 mapInPandas: per-Arrow-batch filter + derive — O(batch)
+    memory regardless of partition size (the multimodal decode path
+    uses the same iterator shape)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", "user_id", "event_type", "value").mapInPandas(
+        double_clicks_batches, "event_id LONG, user_id LONG, boosted DOUBLE"
+    )
