@@ -48,6 +48,7 @@ def load_registry() -> dict[str, Query]:
         dedup,
         flagship,
         joins,
+        multimodal_queries,
         pandas_surface,
         pipeline_queries,
         scalar_functions,
