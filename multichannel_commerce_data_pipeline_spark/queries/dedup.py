@@ -118,11 +118,15 @@ def _minhash_lsh_oracle(k: int, bands: int, threshold: float) -> str:
     )
     return f"""
     WITH {_SHINGLE_CTES},
+    hx AS (
+      SELECT doc, n_sh, md5(concat('1:', shingle)) AS hex FROM ex
+    ),
     hashed AS (
-      SELECT doc,
-             {oracle_hash64("shingle", 1)} AS h1,
-             {oracle_hash32("shingle", 2)} AS h2
-      FROM ex
+      -- one md5 sliced into both KM hashes, mirroring the engine
+      SELECT doc, n_sh,
+             CAST(('0x' || substr(hex, 1, 15)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(hex, 17, 8)) AS BIGINT) AS h2
+      FROM hx
     ),
     mh AS (
       SELECT doc,
@@ -142,10 +146,12 @@ def _minhash_lsh_oracle(k: int, bands: int, threshold: float) -> str:
       WHERE x.doc < y.doc
     ),
     shared_cte AS (
+      -- verification joins on the 60-bit h1 shingle hash, mirroring the
+      -- engine (identical md5-derived values => identical counts)
       SELECT c.doc_a, c.doc_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
       FROM cand c
-      JOIN ex a ON a.doc = c.doc_a
-      JOIN ex b ON b.doc = c.doc_b AND b.shingle = a.shingle
+      JOIN hashed a ON a.doc = c.doc_a
+      JOIN hashed b ON b.doc = c.doc_b AND b.h1 = a.h1
       GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b, {oracle_dround(_JACCARD, 4)} AS jaccard
