@@ -142,3 +142,47 @@ def srp_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    threshold: float = 0.45,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-by-embedding
+    path): candidates are vector pairs sharing an SRP bucket (plus, with
+    ``multi_probe``, buckets at Hamming distance 1 — probing fans out
+    the bucket keys of ONE side only), then exact cosine filters at the
+    threshold. Never all-pairs: candidate count scales with bucket
+    occupancy, and the buckets are deterministic md5 planes, so the
+    whole operator — including which pairs are even considered — is
+    reproducible in any SQL engine."""
+    sig = srp_signature(F.col(vec_col), n_planes, dim)
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        sig.alias("bucket"),
+    )
+    left = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket")
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(n_planes)],
+        )
+        left = left.select("id_a", "va", F.explode(probes).alias("bucket"))
+    right = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", dround(sim, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

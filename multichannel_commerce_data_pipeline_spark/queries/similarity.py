@@ -81,3 +81,64 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.srp_bucket_topk(
         e, q, dim=64, id_col="vec_id", vec_col="embedding", n_planes=4, k=_K
     )
+
+
+_NEARDUP_PLANES = 4
+_NEARDUP_DIM = 64
+_NEARDUP_T = 0.45
+
+
+def _plane_sql(p: int, dim: int) -> str:
+    vals = ", ".join(str(c) for c in S._plane(p, dim))
+    return f"[{vals}]::DOUBLE[]"
+
+
+def _sig_sql(vcol: str, n_planes: int, dim: int) -> str:
+    terms = []
+    for p in range(n_planes):
+        dot = _DOT.format(a=vcol, b=_plane_sql(p, dim))
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _near_dup_oracle() -> str:
+    probes = ", ".join(
+        f"xor(bucket, {2 ** p})" for p in range(_NEARDUP_PLANES)
+    )
+    cos = oracle_dround(_COSINE.replace("qv", "a.v").replace("cv", "b.v"), 4)
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sigged AS (
+      SELECT vec_id, {_sig_sql('v', _NEARDUP_PLANES, _NEARDUP_DIM)} AS bucket FROM c
+    ),
+    probed AS (
+      SELECT vec_id, unnest([bucket, {probes}]) AS bucket FROM sigged
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM probed l JOIN sigged r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b, {cos} AS cosine
+      FROM cand JOIN c a ON a.vec_id = cand.id_a JOIN c b ON b.vec_id = cand.id_b
+    ) WHERE cosine >= {_NEARDUP_T}
+    """
+
+
+@query("embedding_near_dupes", oracle=_near_dup_oracle())
+def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2: embedding-cosine near-duplicate pairs via deterministic
+    SRP buckets + Hamming-1 multi-probe — the dedup-by-embedding path.
+    Candidates come from bucket equi-joins (never all-pairs); the md5
+    plane construction makes even the candidate set oracle-reproducible."""
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    return S.embedding_near_dup_pairs(
+        e,
+        dim=_NEARDUP_DIM,
+        n_planes=_NEARDUP_PLANES,
+        threshold=_NEARDUP_T,
+        multi_probe=True,
+    )
