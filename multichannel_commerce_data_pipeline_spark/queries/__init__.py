@@ -44,6 +44,7 @@ def load_registry() -> dict[str, Query]:
     the registry."""
     from multichannel_commerce_data_pipeline_spark.queries import (  # noqa: F401
         aggregates,
+        asof_queries,
         core,
         dedup,
         flagship,
