@@ -186,3 +186,84 @@ def embedding_near_dup_pairs(
         cand.select("id_a", "id_b", dround(sim, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroid_stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer, deterministic flavor: centroids are the
+    corpus vectors whose id is a multiple of ``centroid_stride`` (a
+    fixed pseudo-random sample — k-means would drift per run and break
+    reproducibility; swap in trained centroids at deployment). Each
+    vector joins the broadcast centroid set and keeps its
+    highest-cosine centroid (argmax via keyed row_number).
+
+    Returns (assignments: id, cell, cos_to_centroid; centroids)."""
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = F.broadcast(
+        base.filter(F.col("vid") % centroid_stride == 0).select(
+            F.col("vid").alias("cell"), F.col("v").alias("cv")
+        )
+    )
+    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    scored = base.join(cents).select(
+        "vid", "v", "cell", dround(sim, 6).alias("ccos")
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.col("cell"))
+    assign = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "v", "cell", "ccos")
+    )
+    return assign, cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroid_stride: int = 50,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors are inverted-listed by nearest
+    centroid; each query probes its ``n_probe`` nearest cells and ranks
+    exact cosine only within them. Candidate cost is
+    |Q| · n_probe · avg-cell-size instead of |Q| · N; the inverted lists
+    shuffle once on cell and the (tiny) probed-query side broadcasts —
+    the same plan at 10⁹ vectors with trained centroids."""
+    assign, cents = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
+    corpus = assign.select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    qsim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    qcells = qbase.join(cents).select(
+        "query_id", "qv", F.col("cell"), dround(qsim, 6).alias("qcos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.col("cell"))
+    probes = (
+        qcells.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dround(sim, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -142,3 +142,66 @@ def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_NEARDUP_T,
         multi_probe=True,
     )
+
+
+_IVF_STRIDE = 50
+_IVF_PROBE = 4
+
+
+def _ivf_oracle() -> str:
+    cos = lambda a, b: _COSINE.replace("qv", a).replace("cv", b)  # noqa: E731
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id % {_IVF_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vid, v, cell FROM (
+        SELECT c.vec_id AS vid, c.v AS v, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {oracle_dround(cos('c.v', 't.cv'), 6)} DESC, t.cell
+               ) AS rn
+        FROM c, cents t
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {oracle_dround(cos('q.v', 't.cv'), 6)} DESC, t.cell
+               ) AS rn
+        FROM c q, cents t WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {_IVF_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vid AS neighbor_id,
+             {oracle_dround(cos('p.qv', 'a.v'), 4)} AS cosine
+      FROM assign a JOIN probes p USING (cell)
+      WHERE p.query_id <> a.vid
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+    """
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: IVF ANN top-k — corpus inverted-listed under deterministic
+    coarse centroids; queries probe their 4 nearest cells and rank exact
+    cosine within them. The second scale path beside SRP-LSH; candidate
+    cost |Q|·n_probe·cell-size, never |Q|·N."""
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_topk(
+        e, q, centroid_stride=_IVF_STRIDE, n_probe=_IVF_PROBE,
+        id_col="vec_id", vec_col="embedding", k=_K,
+    )

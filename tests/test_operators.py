@@ -146,3 +146,25 @@ def test_simhash_near_dupes_have_small_hamming_distance(spark):
 
     assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
     assert ham(fp[1], fp[2]) <= 4
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with 4-of-10 cells probed should recover a solid fraction of
+    the exact top-k on the synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.operators import similarity as S
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(e, q, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(e, q, centroid_stride=50, n_probe=4, k=10).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
