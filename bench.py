@@ -16,9 +16,11 @@ import os
 import sys
 import time
 
-# Cover every operator family: scan+filter, projection arithmetic, join,
-# group-by/distinct, window, set-union composition, incremental scan,
-# text analysis, dedup (exact + LSH), similarity search, flagship KPI.
+# Cover every operator family: scan+filter, projection arithmetic, join
+# (equi + as-of), group-by/distinct, row windows, time/session windows,
+# set-union composition, incremental scan, text analysis, dedup (exact +
+# LSH + embedding), similarity search (exact + IVF), pandas UDAF,
+# flagship KPI.
 HEADLINE = [
     "exec_daily_kpi",
     "pricing_summary",
@@ -32,6 +34,11 @@ HEADLINE = [
     "exact_dedup_docs",
     "minhash_lsh_dupes",
     "ann_cosine_topk",
+    "asof_join_latest_order",
+    "session_window_events",
+    "pandas_udaf_weighted_avg",
+    "embedding_near_dupes",
+    "ann_ivf_topk",
 ]
 
 
