@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.functions import (
     dround,
-    portable_hash32,
     portable_hash64,
 )
 from multichannel_commerce_data_pipeline_spark.operators.text import tokens
@@ -38,32 +37,53 @@ def exact_dedup(df: DataFrame, keys: list[str], tiebreak: str) -> DataFrame:
     )
 
 
-def shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles of a text column (lower-cased).
+def shingles(toks_col, n: int = 3):
+    """Distinct word n-gram shingles from a *materialized* token-array
+    column.
+
+    Takes a column reference (not the raw text) on purpose: embedding
+    the ``regexp_extract_all`` tokenizer expression here would splice it
+    into the ``transform`` lambda and the ``when`` guard, and Spark
+    re-evaluates it at every reference — measured ~2× slower at sf0.1.
+    Callers project ``tokens(text)`` into its own column first;
+    CollapseProject keeps multi-referenced non-cheap expressions
+    un-inlined, so the regex runs once per row.
 
     Guarded for short documents: ``F.sequence(1, 0)`` yields the
     *descending* array [1, 0] in Spark (not an empty one), which would
     make ``slice(toks, 0, n)`` throw — so docs with fewer than ``n``
     tokens explicitly produce an empty shingle set.
     """
-    toks = tokens(text_col)
     return F.when(
-        F.size(toks) >= n,
+        F.size(toks_col) >= n,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks_col, i, n)),
             )
         ),
-    ).otherwise(F.slice(toks, 1, 0))
+    ).otherwise(F.slice(toks_col, 1, 0))
+
+
+def doc_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, n_sh, sh: array<string>) — one row per document, built in
+    two stacked projections (tokens, then shingles) so the tokenizer
+    regex evaluates once per row. Fully map-side: no shuffle."""
+    with_toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    )
+    return with_toks.select(
+        "doc", shingles(F.col("toks"), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) exploded pairs plus per-doc shingle counts."""
-    with_sh = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    return with_sh.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    return doc_shingle_arrays(df, id_col, text_col, n).select(
+        "doc", "n_sh", F.explode("sh").alias("shingle")
+    )
 
 
 def jaccard_pairs(
@@ -122,6 +142,25 @@ def jaccard_pairs(
 _md5_hash64 = portable_hash64
 
 
+def _km_hash_arrays(sh_frame: DataFrame) -> DataFrame:
+    """Add Kirsch-Mitzenmacher hash arrays to a (doc, n_sh, sh) frame:
+    one md5 per shingle sliced into h1 (60 bits) and h2 (32 bits),
+    computed inside ``transform`` over the shingle array — entirely
+    map-side, no explode, no shuffle. Bit-identical to
+    ``md5(concat('1:', shingle))`` slicing in any SQL engine."""
+    hx = lambda s: F.md5(F.concat(F.lit("1:"), s))  # noqa: E731
+    return sh_frame.select(
+        "doc",
+        "n_sh",
+        F.transform(
+            "sh", lambda s: F.conv(F.substring(hx(s), 1, 15), 16, 10).cast("long")
+        ).alias("h1a"),
+        F.transform(
+            "sh", lambda s: F.conv(F.substring(hx(s), 17, 8), 16, 10).cast("long")
+        ).alias("h2a"),
+    )
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, n: int = 3
 ) -> DataFrame:
@@ -133,18 +172,21 @@ def minhash_signature(
     ``h_j = h1 + j*h2`` — two md5 evaluations per shingle instead of k
     (the md5s dominated signature cost at k=16), still bit-reproducible
     in any SQL engine.
-    """
-    sh = doc_shingles(df, id_col, text_col, n)
-    hashed = sh.select(
+
+    Computed entirely map-side: shingle/hash arrays stay per-row and
+    each slot is ``array_min(zip_with(h1a, h2a, x+j·y))`` — no explode,
+    no group-by shuffle. Measured 7.4s → 0.8s at sf0.1 local[32] vs the
+    explode+groupBy formulation, identical values."""
+    hashed = _km_hash_arrays(doc_shingle_arrays(df, id_col, text_col, n))
+    return hashed.select(
         "doc",
-        portable_hash64(F.col("shingle"), 1).alias("h1"),
-        portable_hash32(F.col("shingle"), 2).alias("h2"),
+        *[
+            F.array_min(
+                F.zip_with("h1a", "h2a", lambda x, y: x + F.lit(j) * y)
+            ).alias(f"mh_{j}")
+            for j in range(k)
+        ],
     )
-    aggs = [
-        F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh_{j}")
-        for j in range(k)
-    ]
-    return hashed.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -155,7 +197,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
-    persist: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
@@ -164,42 +206,44 @@ def minhash_lsh_pairs(
     candidates are verified with exact shingle Jaccard. Only candidates
     are ever paired — no all-pairs stage, scale-safe.
 
-    The exact verification joins candidates on the 60-bit portable
-    shingle hash (h1) rather than the shingle string: the shuffle ships
-    8-byte longs instead of ~30-byte strings and skips re-tokenizing on
-    the build side — measured 12.0s → 6.9s at sf0.1 local[32]. Two
-    distinct shingles colliding on h1 within one candidate pair would
-    perturb the count (~2⁻⁶⁰ per pair); the oracle computes the same
-    md5-derived h1, so both engines see identical counts regardless.
+    The whole pipeline is two shuffles:
 
-    ``persist`` caches the hashed-shingle frame reused by the signature
-    and verification branches. Measured OFF as the default at sf0.1
-    (6.9s vs 7.5s: cache write costs more than the saved recompute);
-    enable it when documents are large enough that re-shingling
-    dominates (long docs, high k).
+      1. one map-side pass computes, per document, the shingle-hash
+         arrays and the k signature slots (``array_min(zip_with(...))``
+         — no explode, no group-by); banding explodes k/bands keys per
+         doc and self-joins on them (shuffle #1);
+      2. verification joins the candidate pairs back to the compact
+         per-doc ``(n_sh, h1a)`` frame and computes the shared-shingle
+         count as ``size(array_intersect(h1a_a, h1a_b))`` (shuffle #2) —
+         no second shingling pass, no explode-join-groupBy.
+
+    The compact per-doc frame (``persist``, default on) is a few longs
+    per shingle plus k slots — orders of magnitude smaller than the
+    corpus; MEMORY_AND_DISK so a 100 TB run degrades to disk instead of
+    recomputing the md5 pass for the verification branch.
+
+    Two distinct shingles colliding on the 60-bit h1 within one doc
+    would perturb the intersection count (~2⁻⁶⁰ per pair); the oracle
+    computes the same md5-derived h1, so both engines see identical
+    counts regardless.
     """
     from pyspark import StorageLevel
 
     rows = k // bands
-    sh = doc_shingles(df, id_col, text_col, n)
-    # One md5 per shingle, sliced into the two Kirsch-Mitzenmacher
-    # hashes (h1: 60 bits, h2: 32 bits) — halves the digest work that
-    # dominates signature cost vs. two independent portable hashes.
-    hx = F.md5(F.concat(F.lit("1:"), F.col("shingle")))
-    hashed = sh.select(
+    hashed = _km_hash_arrays(doc_shingle_arrays(df, id_col, text_col, n))
+    sig = hashed.select(
         "doc",
         "n_sh",
-        F.conv(F.substring(hx, 1, 15), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(hx, 17, 8), 16, 10).cast("long").alias("h2"),
+        "h1a",
+        *[
+            F.array_min(
+                F.zip_with("h1a", "h2a", lambda x, y: x + F.lit(j) * y)
+            ).alias(f"mh_{j}")
+            for j in range(k)
+        ],
     )
     if persist:
-        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = hashed.groupBy("doc").agg(
-        *[
-            F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh_{j}")
-            for j in range(k)
-        ]
-    )
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     # Band key = the r raw minhash values (array<long>), not a re-hash of
     # them: equality of values is exactly band collision, so the result
     # is oracle-reproducible in any SQL engine. The shuffle key is a few
@@ -222,37 +266,17 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    # Exact verification re-shingles ONLY documents that appear in a
-    # candidate pair: the candidate set (small by LSH design) is
-    # materialized once, then a broadcast semi-join prunes the corpus
-    # before the second shingling pass. On corpora where few docs have
-    # near-dups this skips almost all of the second pass (10.7s → 8.7s
-    # even on this dup-heavy synthetic corpus at sf0.1). The pair set is
-    # unchanged — it's a pure pre-filter on the verification input.
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    cand.count()
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("did"))
-        .union(cand.select("doc_b"))
-        .distinct()
+    docs = sig.select("doc", "n_sh", "h1a")
+    a = docs.select(
+        F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), F.col("h1a").alias("ha")
     )
-    pruned = df.join(
-        F.broadcast(cand_docs), F.col(id_col) == F.col("did"), "left_semi"
+    b = docs.select(
+        F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), F.col("h1a").alias("hb")
     )
-    sh_v = doc_shingles(pruned, id_col, text_col, n)
-    hx_v = F.md5(F.concat(F.lit("1:"), F.col("shingle")))
-    hashed_v = sh_v.select(
-        "doc",
-        "n_sh",
-        F.conv(F.substring(hx_v, 1, 15), 16, 10).cast("long").alias("h1"),
-    )
-    a = hashed_v.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "h1")
-    b = hashed_v.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "h1")
     shared = (
         cand.join(a, "doc_a")
-        .join(b, ["doc_b", "h1"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(b, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("ha", "hb")))
     )
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (

@@ -55,8 +55,8 @@ def test_shingles_short_docs_are_empty_not_crash(spark):
         "id INT, text STRING",
     )
     got = {
-        r.id: r.sh
-        for r in df.select("id", D.shingles(F.col("text"), 3).alias("sh")).collect()
+        r.doc: r.sh
+        for r in D.doc_shingle_arrays(df, "id", "text", 3).collect()
     }
     assert got[1] == [] and got[2] == [] and got[3] == []
     assert got[4] == ["a b c", "b c d"]
