@@ -286,6 +286,102 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded Hamming search.
+
+    The ``bits``-bit fingerprint is cut into ``bands`` equal bands; two
+    fingerprints within Hamming distance ``max_hamming`` < ``bands``
+    must agree on at least one full band (pigeonhole), so candidates are
+    exactly the pairs colliding on any (band, band-bits) key — an
+    equi-join, never all-pairs — and recall at the distance bound is 1.
+    Candidates are then filtered with the exact popcount of the XOR.
+    The band join ships only (doc, fingerprint) longs; at corpus scale
+    the candidate count tracks band-bucket occupancy, the same
+    collision-bounded shape as :func:`minhash_lsh_pairs`."""
+    rows = bits // bands
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    sims = simhash(df, id_col, text_col, bits)
+    mask = (1 << rows) - 1
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * rows)
+                .bitwiseAND(F.lit(mask))
+                .alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = sims.select(
+        "doc", "simhash", F.explode(band_keys).alias("k")
+    ).select("doc", "simhash", F.col("k.band").alias("band"), F.col("k.bk").alias("bk"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        keyed.alias("x")
+        .join(keyed.alias("y"), ["band", "bk"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    prefix_len: int,
+    max_dist: int,
+) -> DataFrame:
+    """Fuzzy string matching (the cheap near-dup path for short fields
+    like buyer/customer names): candidate pairs share the blocking key
+    (``block_cols`` + a ``prefix_len`` name prefix), then exact
+    Levenshtein filters at ``max_dist``.
+
+    Blocking turns the O(n²) all-pairs edit-distance scan into per-block
+    quadratic cost — the standard entity-resolution trade: a pair whose
+    names diverge within the prefix is assumed distinct. Block sizing is
+    the scale knob; the edit-distance evaluation stays JVM-side."""
+    base = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(name_col).alias("nm"),
+        *[F.col(c) for c in block_cols],
+        F.substring(F.col(name_col), 1, prefix_len).alias("__pfx"),
+    )
+    keys = [*block_cols, "__pfx"]
+    a = base.select(
+        F.col("rid").alias("id_a"), F.col("nm").alias("name_a"), *keys
+    )
+    b = base.select(
+        F.col("rid").alias("id_b"), F.col("nm").alias("name_b"), *keys
+    )
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint (Charikar 2002) from token hashes.
 

@@ -27,6 +27,49 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-style pre-tokenization (GPT-2-ish): letter runs, digit runs, and
+# individual punctuation marks become separate subword seeds. A real BPE
+# would merge within these pre-tokens; counting them is the standard
+# cheap proxy for "how many tokens will the tokenizer emit".
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokens via regexp_extract_all — identical in DuckDB."""
+    return F.regexp_extract_all(F.lower(text), F.lit(SUBWORD_PATTERN), 0)
+
+
+def subword_count(text: Column) -> Column:
+    return F.size(subword_tokens(text))
+
+
+# Rabin-Karp polynomial rolling hash over token hashes: base/modulus
+# chosen so every intermediate fits a BIGINT in both engines (acc < M,
+# so acc*B + x < 2^36 — DuckDB errors on BIGINT overflow where the JVM
+# would silently wrap, so staying far under 2^63 is a correctness
+# requirement, not a style choice).
+ROLL_B = 31
+ROLL_M = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    (Rabin-Karp) folded over per-token portable hashes —
+    ``h = (h*B + hash(tok) % M) % M``. Unlike the md5 fingerprint (which
+    normalizes whitespace and hashes one big string), this is computable
+    incrementally and is the building block for shift-resistant chunk
+    fingerprints. Empty docs hash to 0. ``toks`` should be a
+    materialized token-array column."""
+    from multichannel_commerce_data_pipeline_spark.functions import portable_hash32
+
+    fold = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_B + portable_hash32(t, 7) % ROLL_M) % ROLL_M,
+    )
+    return F.when(F.size(toks) > 0, fold).otherwise(F.lit(0).cast("long"))
+
+
 def stopword_ratio(toks: Column) -> Column:
     """Fraction of tokens that are stopwords (0.0 for empty docs)."""
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))

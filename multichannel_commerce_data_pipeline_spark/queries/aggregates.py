@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multichannel_commerce_data_pipeline_spark.functions import dround
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import load
 
@@ -187,4 +188,63 @@ def approx_distinct_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.approx_count_distinct("o_custkey", 0.01).alias("unique_buyers_approx"),
         F.approx_count_distinct("o_orderkey", 0.01).alias("orders_approx"),
+    )
+
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2) AS sum_qty,
+      COUNT(*)                  AS n,
+      GROUPING(l_returnflag, l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 declared extension: explicit GROUPING SETS (detail +
+    per-flag subtotal + grand total in one pass — one shuffle, Spark
+    expands the sets map-side) with the standard GROUPING bitmask to
+    disambiguate produced nulls from data nulls."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+    )
+
+
+@query(
+    "percentile_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(ROUND(CAST((median(l_extendedprice)) AS DECIMAL(38,6)), 2) AS DOUBLE)
+        AS median_price,
+      CAST(ROUND(CAST((quantile_cont(l_extendedprice, 0.90)) AS DECIMAL(38,6)), 2)
+        AS DOUBLE) AS p90_price,
+      CAST(ROUND(CAST((quantile_cont(l_discount, 0.25)) AS DECIMAL(38,6)), 2)
+        AS DOUBLE) AS p25_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 declared extension: exact interpolated percentiles (median /
+    p90 / p25). Spark's percentile == DuckDB's quantile_cont (linear
+    interpolation on the sorted set). Exact percentile is a full-sort
+    aggregate; the 100 TB path swaps in approx_percentile with the same
+    call shape."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.percentile("l_extendedprice", 0.5), 2).alias("median_price"),
+        dround(F.percentile("l_extendedprice", 0.90), 2).alias("p90_price"),
+        dround(F.percentile("l_discount", 0.25), 2).alias("p25_discount"),
     )

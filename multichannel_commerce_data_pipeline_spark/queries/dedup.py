@@ -198,3 +198,86 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distance; one explode + one group-by."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return D.simhash(d, "doc_id", "text", bits=16)
+
+
+def _simhash_pairs_oracle(bits: int, bands: int, max_hamming: int) -> str:
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    return f"""
+    WITH tokx AS (
+      SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents
+    ),
+    h AS (SELECT doc, {oracle_hash64("token", 0)} AS h FROM tokx),
+    votes AS (
+      SELECT doc, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(0, {bits})) AS b) AS bits_
+      GROUP BY doc, b
+    ),
+    sims AS (
+      SELECT doc,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc
+    ),
+    keyed AS (
+      SELECT doc, simhash, b, (simhash >> (b * {rows})) & {mask} AS bk
+      FROM sims, (SELECT unnest(range(0, {bands})) AS b) AS bands_
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,
+             x.simhash AS sa, y.simhash AS sb
+      FROM keyed x JOIN keyed y ON x.b = y.b AND x.bk = y.bk
+      WHERE x.doc < y.doc
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@query("simhash_near_dupes", oracle=_simhash_pairs_oracle(16, 4, 3))
+def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: SimHash near-dup pairs — banded Hamming search (4 bands of 4
+    bits; Hamming ≤ 3 must share a band by pigeonhole, so recall at the
+    bound is exactly 1). Candidates from a band equi-join shipping only
+    (doc, fingerprint) longs, verified with popcount of the XOR."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    return D.simhash_pairs(
+        d, "doc_id", "text", bits=16, bands=4, max_hamming=3
+    )
+
+
+_FUZZY_PREFIX = 16
+_FUZZY_DIST = 2
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey AS rid, c_name AS nm, c_nationkey,
+             substr(c_name, 1, {_FUZZY_PREFIX}) AS pfx
+      FROM customer
+    )
+    SELECT a.rid AS id_a, b.rid AS id_b,
+           levenshtein(a.nm, b.nm) AS edit_dist
+    FROM base a JOIN base b
+      ON a.c_nationkey = b.c_nationkey AND a.pfx = b.pfx AND a.rid < b.rid
+    WHERE levenshtein(a.nm, b.nm) <= {_FUZZY_DIST}
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (cheap path): blocked Levenshtein fuzzy matching on customer
+    names — the buyer-name dedup the reference's wholesale channel would
+    need. Blocking key = (nation, 16-char name prefix); exact edit
+    distance ≤ 2 verifies within blocks, never across the full n²."""
+    c = load(spark, sf_dir, "customer")
+    return D.blocked_levenshtein_pairs(
+        c,
+        "c_custkey",
+        "c_name",
+        ["c_nationkey"],
+        prefix_len=_FUZZY_PREFIX,
+        max_dist=_FUZZY_DIST,
+    )

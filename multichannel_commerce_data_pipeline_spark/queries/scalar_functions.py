@@ -207,3 +207,37 @@ def array_sheet_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("row", 2).cast("int").alias("qty"),
         F.regexp_replace(F.element_at("row", 3), "[$]", "").cast("double").alias("price"),
     ).orderBy("sku")
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT
+      p_partkey,
+      array_to_string(map_keys(MAP(['size', 'retail'],
+                                   [CAST(p_size AS DOUBLE), p_retailprice])), ',')
+        AS attr_keys,
+      map_extract(MAP(['size', 'retail'],
+                      [CAST(p_size AS DOUBLE), p_retailprice]), 'retail')[1]
+        AS retail_attr
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 declared map surface: create_map / map_keys / element_at —
+    typed key-value attributes on a row (the shape EAV-style product
+    attributes take). Keys render as a joined string because map key
+    order is insertion order in both engines."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    m = F.create_map(
+        F.lit("size"),
+        F.col("p_size").cast("double"),
+        F.lit("retail"),
+        F.col("p_retailprice"),
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(F.map_keys(m), ",").alias("attr_keys"),
+        F.element_at(m, F.lit("retail")).alias("retail_attr"),
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multichannel_commerce_data_pipeline_spark.functions import oracle_hash32
 from multichannel_commerce_data_pipeline_spark.operators import text as T
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import load, parallelize_small_scan
@@ -135,4 +136,59 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         T.lang_guess(F.col("text")).alias("guessed_lang"),
+    )
+
+
+@query(
+    "subword_token_count",
+    oracle=rf"""
+    SELECT
+      doc_id,
+      len(regexp_extract_all(lower(text), '\S+')) AS n_words,
+      len(regexp_extract_all(lower(text), '{T.SUBWORD_PATTERN}')) AS n_subwords
+    FROM documents
+    """,
+)
+def subword_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: BPE-ish token counting — GPT-2-style pre-tokens (letter runs
+    / digit runs / single punctuation) next to whitespace words; the
+    per-document 'how many tokens will the tokenizer emit' estimate a
+    training-data pipeline budgets with."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(text).alias("n_words"),
+        T.subword_count(text).alias("n_subwords"),
+    )
+
+
+@query(
+    "rolling_fingerprints",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CASE WHEN len(toks) > 0 THEN
+        list_reduce(
+          list_transform(toks, t -> {oracle_hash32('t', 7)} % {T.ROLL_M}),
+          (acc, x) -> (acc * {T.ROLL_B} + x) % {T.ROLL_M})
+      ELSE 0 END AS roll_fp
+    FROM tok
+    """,
+)
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: Rabin-Karp polynomial rolling-hash fingerprint over token
+    hashes — order-sensitive (unlike the md5-of-normalized-text
+    fingerprint) and incrementally computable, the primitive for
+    shift-resistant chunk dedup. Fold stays JVM-side via F.aggregate;
+    DuckDB's list_reduce (which seeds from the first element) matches
+    because Spark's zero-seeded first step reduces to the same value."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    toked = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    return toked.select(
+        "doc_id", T.rolling_fingerprint(F.col("toks")).alias("roll_fp")
     )

@@ -168,3 +168,54 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
+
+
+def test_simhash_pairs_pigeonhole_recall(spark):
+    # identical docs → hamming 0; pairs must be found via band collision
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally unrelated content words here")],
+        "doc_id INT, text STRING",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in D.simhash_pairs(df, "doc_id", "text").collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_blocked_levenshtein_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "Customer#000000010", 5), (2, "Customer#000000011", 5),
+         (3, "Customer#000000011", 7),  # other block (nation differs)
+         (4, "Wholesale#00000010", 5)],  # prefix differs -> not a candidate
+        "id INT, name STRING, nat INT",
+    )
+    out = {(r.id_a, r.id_b): r.edit_dist
+           for r in D.blocked_levenshtein_pairs(
+               df, "id", "name", ["nat"], prefix_len=16, max_dist=2).collect()}
+    assert out == {(1, 2): 1}
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.text import (
+        rolling_fingerprint,
+        tokens,
+    )
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c"), (4, "")],
+        "id INT, text STRING",
+    )
+    t = df.select("id", tokens(F.col("text")).alias("toks"))
+    fps = {r.id: r.fp
+           for r in t.select("id", rolling_fingerprint(F.col("toks")).alias("fp")).collect()}
+    assert fps[1] == fps[3]          # deterministic
+    assert fps[1] != fps[2]          # order-sensitive (md5 fp would need normalization)
+    assert fps[4] == 0               # empty doc guard
+
+
+def test_subword_tokens_bpe_ish_splits(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.text import subword_tokens
+    df = spark.createDataFrame([(1, "Hello, world-42!")], "id INT, text STRING")
+    got = df.select(subword_tokens(F.col("text")).alias("s")).first().s
+    assert got == ["hello", ",", "world", "-", "42", "!"]
