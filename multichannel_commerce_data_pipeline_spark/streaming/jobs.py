@@ -118,6 +118,72 @@ def stream_bronze_to_silver(
     return query
 
 
+def stream_stateful_running_totals(
+    spark: SparkSession,
+    source: str,
+    bronze_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+) -> StreamingQuery:
+    """Custom stateful streaming operator (X5 × T5):
+    ``applyInPandasWithState`` keeps an explicit per-key running total
+    across micro-batches AND across restarts (state lives in the
+    checkpoint's state store, not in the process).
+
+    Emits one row per key per micro-batch: rows seen in the batch and
+    the all-time running total. This is the operator shape for anything
+    cumulative the built-in aggregates can't express incrementally —
+    running sessions, monotonic counters, per-entity CDC folds. State
+    size is O(keys), independent of stream length; the pandas hook is
+    Arrow-batched, not per-row.
+
+    The sink goes through foreachBatch → parquet append because update
+    output from an arbitrary stateful operator has no direct file-sink
+    mode; at scale foreachBatch is also where the JDBC edge would sit
+    (reference's silver writer, bronze_to_silver_all_sources.py:82-90).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame(
+            {"source": [key[0]], "batch_rows": [n], "total_rows": [total]}
+        )
+
+    conformed = conform_stream(
+        read_bronze_stream(spark, source, bronze_root), source, watermark
+    )
+    totals = (
+        conformed.withColumn("__key", F.lit(source))
+        .groupBy("__key")
+        .applyInPandasWithState(
+            fold,
+            "source STRING, batch_rows BIGINT, total_rows BIGINT",
+            "total BIGINT",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    query = (
+        totals.writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def stream_windowed_counts(
     spark: SparkSession,
     source: str,

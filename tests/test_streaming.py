@@ -180,3 +180,38 @@ def test_kafka_value_roundtrip(spark):
     )
     assert writer is not None
     assert decode_kafka_value is not None
+
+
+def test_stateful_running_totals_survive_restart(spark, tmp_path):
+    """X5 × T5: applyInPandasWithState keeps per-key state in the
+    checkpointed state store — a second drain (new query, same
+    checkpoint) resumes the running total instead of restarting at 0."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_stateful_running_totals,
+    )
+
+    bronze = tmp_path / "bronze"
+    shutil.copytree(FIXTURES / "joor", bronze / "joor")
+
+    def drain():
+        stream_stateful_running_totals(
+            spark,
+            "joor",
+            str(bronze),
+            str(tmp_path / "totals"),
+            str(tmp_path / "ckpt"),
+        )
+        return spark.read.parquet(str(tmp_path / "totals"))
+
+    first = drain()
+    n1 = first.agg(F.max("total_rows")).first()[0]
+    assert n1 == first.agg(F.sum("batch_rows")).first()[0] > 0
+
+    # new data lands; a fresh drain must fold it into the restored state
+    src = bronze / "joor" / "2025" / "06" / "03" / "batch.json"
+    extra = bronze / "joor" / "2025" / "06" / "05"
+    extra.mkdir(parents=True)
+    (extra / "batch.json").write_text(src.read_text().splitlines()[0] + "\n")
+
+    second = drain()
+    assert second.agg(F.max("total_rows")).first()[0] == n1 + 1
