@@ -61,13 +61,24 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Two passes per query: the first (cold) includes Catalyst analysis
+    # + whole-stage-codegen compilation — the headline metric, same
+    # semantics as previous rounds. The second (warm) isolates execution
+    # throughput, the number that scales with data volume; both are
+    # reported.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     print(
         json.dumps(
@@ -76,6 +87,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )

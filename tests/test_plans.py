@@ -1,0 +1,99 @@
+"""Physical-plan shape assertions: the scale properties the engine is
+designed around (broadcast dim joins, predicate pushdown into parquet,
+partial aggregation, no accidental cartesian products) must survive
+refactors — these tests pin the .explain("formatted") output the way
+value tests pin results."""
+
+from __future__ import annotations
+
+import pytest
+
+from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = load_registry()[name].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = _plan(spark, name, sf_dir)
+        return cache[name]
+
+    return get
+
+
+def test_flagship_broadcasts_all_dim_joins(plans):
+    """Geo dims (customer→nation→region) and the orders⋈rollup build
+    side must be broadcast — a sort-merge join on a ≤25-row dim would
+    shuffle the fact table for nothing."""
+    p = plans("exec_daily_kpi")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_flagship_pushes_channel_filter_into_orders_scan(plans):
+    """The 3-priority IN-list must reach the parquet scan (row-group
+    pruning at scale), not sit above the join."""
+    p = plans("exec_daily_kpi")
+    assert "In(o_orderpriority, [1-URGENT,2-HIGH,3-MEDIUM])" in p
+
+
+def test_filter_pushdown_reaches_parquet(plans):
+    p = plans("filter_pushdown")
+    assert "GreaterThan(l_shipdate" in p and "LessThan(l_quantity" in p
+
+
+def test_pricing_summary_partial_aggregation(plans):
+    """Map-side combine: two HashAggregate phases around one exchange —
+    the shuffle carries per-partition partials, not raw rows."""
+    p = plans("pricing_summary")
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum(" in p
+
+
+def test_left_join_enrich_broadcasts_rollup_side(plans):
+    p = plans("left_join_enrich")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_recency_topn_plans_take_ordered(plans):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    top-N + merge), never a global sort."""
+    p = plans("recency_topn")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_scan_prunes_columns(plans):
+    """A narrow projection must not read the full orders schema — the
+    scan's ReadSchema carries only the referenced columns."""
+    p = plans("projection_clean")
+    assert "o_comment" not in p and "o_orderdate" not in p
+    assert "ReadSchema: struct<o_orderkey:bigint" in p
+
+
+def test_cosine_topk_broadcasts_query_side_only(plans):
+    """Brute-force ANN: the tiny query set broadcasts (nested-loop is
+    intended — it IS the all-pairs scoring); the corpus must not
+    shuffle."""
+    p = plans("ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_lsh_dedup_has_no_allpairs_join(plans):
+    """The LSH path must join on band keys (equi-join), never produce a
+    cartesian/nested-loop candidate stage."""
+    p = plans("minhash_lsh_dupes")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
