@@ -248,3 +248,44 @@ def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.percentile("l_extendedprice", 0.90), 2).alias("p90_price"),
         dround(F.percentile("l_discount", 0.25), 2).alias("p25_discount"),
     )
+
+
+@query(
+    "salted_skew_agg",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        AS sum_price,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: only 3 distinct group keys over the whole
+    fact table — a direct group-by reduces on 3 tasks no matter how many
+    executors exist. The salted two-phase plan spreads each key over 16
+    deterministic sub-keys (phase 1 balanced, phase 2 combines 48 tiny
+    partials). Decimal sums keep the combine associative so the result
+    is bit-identical to the oracle's direct GROUP BY."""
+    from multichannel_commerce_data_pipeline_spark.operators.skew import (
+        salted_sum_count,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    out = salted_sum_count(
+        li,
+        ["l_returnflag"],
+        F.col("l_orderkey"),
+        {"sum_qty": dec("l_quantity"), "sum_price": dec("l_extendedprice")},
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).cast("double").alias("sum_qty"),
+        F.round("sum_price", 2).cast("double").alias("sum_price"),
+        "n",
+    )

@@ -100,3 +100,46 @@ def test_serving_table_stats(spark, sf_dir):
         "orders", "lineitem", "events", "documents", "embeddings",
     }
     assert all(v > 0 for v in stats.values())
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed+sorted on the join key →
+    the sort-merge join runs bucket-wise with NO Exchange and NO Sort
+    in the plan — the storage layout that amortizes the silver→gold
+    join shuffle at 100 TB."""
+    from multichannel_commerce_data_pipeline_spark.sources.warehouse import (
+        read_table,
+        write_bucketed,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(
+        li, "bkt_lineitem", str(tmp_path / "li"), ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        o, "bkt_orders", str(tmp_path / "o"), ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_table(spark, "bkt_lineitem").join(
+            read_table(spark, "bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == li.count()  # FK join preserves fact rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
