@@ -1,0 +1,141 @@
+"""Property-based tests (SURVEY §5.5): the conformance layer must be
+TOTAL — never throw, never break its null-default invariants — on
+arbitrary messy cells, and each Spark cleaning expression must agree
+with its DuckDB oracle twin on the same inputs (the twins are what the
+pipeline oracle queries are built from, so any divergence here would
+eventually surface as a flaky correctness gate).
+
+Each hypothesis example is a LIST of cells evaluated in one Spark job
+(batching keeps the suite fast); example counts are capped because a
+Spark round-trip is ~0.3 s, not ~0.3 µs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.pipeline import silver
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+money_cells = st.lists(
+    st.text(alphabet="0123456789.$, ", max_size=18), min_size=1, max_size=50
+)
+percent_cells = st.lists(
+    st.text(alphabet="0123456789.% ", max_size=18), min_size=1, max_size=50
+)
+weight_cells = st.lists(
+    st.builds(
+        lambda n, unit: f"{n} {unit}".strip(),
+        st.text(alphabet="0123456789.", max_size=10),
+        st.sampled_from(["kg", "lbs", "", "oz", "k g"]),
+    ),
+    min_size=1,
+    max_size=50,
+)
+ts_cells = st.lists(
+    st.builds(
+        lambda d, suf: d + suf,
+        st.one_of(
+            st.datetimes().map(lambda t: t.isoformat()),
+            st.text(alphabet="0123456789-:TZ+. ", max_size=25),
+        ),
+        st.sampled_from(["", "Z", "+00:00"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _twin(spark, cells, spark_expr, oracle_expr):
+    """Evaluate a Spark Column and its DuckDB twin over the same cells;
+    return the two value lists (order preserved)."""
+    sdf = spark.createDataFrame([(i, c) for i, c in enumerate(cells)], "i INT, c STRING")
+    got = [
+        r.v for r in sdf.select("i", spark_expr(F.col("c")).alias("v")).orderBy("i").collect()
+    ]
+    pdf = pd.DataFrame({"i": range(len(cells)), "c": cells})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {oracle_expr('c')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    return got, want
+
+
+@SET
+@given(cells=money_cells)
+def test_money_twin_agrees_and_is_total(spark, cells):
+    got, want = _twin(spark, cells, silver.money, silver.oracle_money)
+    assert got == want
+    assert all(v is not None for v in got)  # coalesced to 0.0, never null
+
+
+@SET
+@given(cells=percent_cells)
+def test_percent_twin_agrees(spark, cells):
+    got, want = _twin(spark, cells, silver.percent, silver.oracle_percent)
+    assert got == want
+
+
+@SET
+@given(cells=weight_cells)
+def test_weight_twin_agrees(spark, cells):
+    got, want = _twin(spark, cells, silver.weight_kg, silver.oracle_weight_kg)
+    assert got == want
+
+
+@SET
+@given(cells=ts_cells)
+def test_iso_ts_twin_agrees(spark, cells):
+    got, want = _twin(
+        spark,
+        cells,
+        silver.iso_ts,
+        silver.oracle_iso_ts,
+    )
+    assert got == want
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=12)),  # customer
+            st.text(alphabet="0123456789.$, abc", max_size=15),  # price
+            st.one_of(st.none(), st.integers(-1000, 1000)),  # quantity
+            st.sampled_from(["USD", "usd", "$", "EUR", ""]),  # currency
+            st.text(alphabet="0123456789-:TZ+", max_size=25),  # date
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_conform_joor_is_total(spark, rows):
+    """The full conformer never throws and keeps its invariants on
+    arbitrary input: buyer_name/quantity/unit_price never null,
+    currency upper-cased with '$' folded to USD."""
+    df = spark.createDataFrame(
+        [("J-%d" % i, c, p, q, cur, d, "2025-06-01T00:00:00") for i, (c, p, q, cur, d) in enumerate(rows)],
+        "order_id STRING, customer STRING, price STRING, quantity INT, "
+        "currency STRING, date STRING, bronze_timestamp STRING",
+    )
+    out = silver.conform_joor(df.withColumn("sku", F.lit("SKU-1"))).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.buyer_name is not None
+        assert r.quantity is not None
+        assert r.unit_price is not None
+        assert r.currency is None or r.currency == r.currency.upper()
+        assert r.currency != "$"
