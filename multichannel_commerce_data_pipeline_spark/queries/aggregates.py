@@ -289,3 +289,17 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_price", 2).cast("double").alias("sum_price"),
         "n",
     )
+
+
+@query("approx_percentile_summary", oracle=None)
+def approx_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB companion to percentile_summary: approx_percentile
+    (GK sketch — bounded memory, one pass, mergeable partials) with the
+    same call shape. No SQL oracle: the sketch's result is
+    accuracy-bounded, not bit-defined; tests assert it lands within
+    tolerance of the exact quantiles."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("median_price"),
+        F.approx_percentile("l_extendedprice", 0.90, 10000).alias("p90_price"),
+    )
