@@ -150,3 +150,35 @@ def current_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("weekly_orders"),
         )
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderpriority,
+      NTILE(4)       OVER w AS price_quartile,
+      CAST(ROUND(CAST((PERCENT_RANK() OVER w) AS DECIMAL(38,8)), 4) AS DOUBLE)
+        AS pct_rank,
+      CAST(ROUND(CAST((CUME_DIST() OVER w) AS DECIMAL(38,8)), 4) AS DOUBLE)
+        AS cume
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 declared surface, distribution functions: NTILE /
+    PERCENT_RANK / CUME_DIST per priority segment. The orderkey
+    tie-break makes frame positions — and therefore every distribution
+    value — engine-deterministic."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        dround(F.percent_rank().over(w), 4).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 4).alias("cume"),
+    )
