@@ -42,12 +42,26 @@ def oracle_money(expr: str) -> str:
 
 
 def iso_ts(col: Column) -> Column:
-    """ISO string with mixed 'Z' / '+00:00' / '' suffix → timestamp."""
-    return F.regexp_replace(col, r"(Z|\+00:00)$", "").try_cast("timestamp")
+    """ISO string with mixed 'Z' / '+00:00' / '' suffix → timestamp.
+
+    The cast is gated on a strict ISO date prefix: Spark's bare
+    timestamp cast accepts lone numbers ('0002' → year 2, and year 0
+    values PySpark cannot even collect) where DuckDB returns NULL —
+    found by the hypothesis twin-agreement property. Cells that are not
+    date-shaped are conformance failures and must become NULL in both
+    engines, not engine-dependent garbage."""
+    stripped = F.regexp_replace(col, r"(Z|\+00:00)$", "")
+    return F.when(
+        stripped.rlike(r"^\d{4}-\d{2}-\d{2}"), stripped.try_cast("timestamp")
+    )
 
 
 def oracle_iso_ts(expr: str) -> str:
-    return f"TRY_CAST(regexp_replace({expr}, '(Z|\\+00:00)$', '', 'g') AS TIMESTAMP)"
+    stripped = f"regexp_replace({expr}, '(Z|\\+00:00)$', '', 'g')"
+    return (
+        f"CASE WHEN regexp_matches({stripped}, '^\\d{{4}}-\\d{{2}}-\\d{{2}}') "
+        f"THEN TRY_CAST({stripped} AS TIMESTAMP) END"
+    )
 
 
 def percent(col: Column) -> Column:
