@@ -55,6 +55,7 @@ def load_registry() -> dict[str, Query]:
         scalar_functions,
         sets,
         similarity,
+        sql_surface,
         text,
         time_windows,
         windows,

@@ -97,3 +97,36 @@ def test_lsh_dedup_has_no_allpairs_join(plans):
     p = plans("minhash_lsh_dupes")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style date partitioning (the layout the streaming sink
+    lands, replacing the reference's unprunable {src}/{Y}/{M}/{D} key
+    scheme) must turn a date filter into PartitionFilters — whole
+    directories skipped at planning time, no file content read."""
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "p_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    o.write.mode("overwrite").partitionBy("p_month").parquet(str(tmp_path / "po"))
+    r = spark.read.parquet(str(tmp_path / "po")).filter(F.col("p_month") == "1995-01")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = r._jdf.queryExecution().explainString(mode)
+    import re
+
+    assert "PartitionFilters: [isnotnull(p_month" in plan
+    assert re.search(r"\(p_month#\d+ = 1995-01\)", plan)
+    n_total = spark.read.parquet(str(tmp_path / "po")).count()
+    assert 0 < r.count() < n_total
+
+
+def test_exists_subquery_plans_semi_join(spark, sf_dir, plans):
+    p = plans("sql_exists_subquery")
+    assert "LeftSemi" in p or "SemiJoin" in p
+    p2 = plans("sql_not_exists_subquery")
+    assert "LeftAnti" in p2
