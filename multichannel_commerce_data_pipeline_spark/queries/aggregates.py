@@ -303,3 +303,43 @@ def approx_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", 0.5, 10000).alias("median_price"),
         F.approx_percentile("l_extendedprice", 0.90, 10000).alias("p90_price"),
     )
+
+
+@query(
+    "array_agg_per_group",
+    oracle="""
+    SELECT
+      n_regionkey,
+      list(n_name ORDER BY n_name) AS nations,
+      list(n_nationkey ORDER BY n_nationkey) AS nation_keys
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 declared extension: collection aggregates — per-group arrays
+    made deterministic by sorting (collect_list order is partition-
+    dependent; sort_array pins it, matching the oracle's ORDER BY)."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.sort_array(F.collect_list("n_nationkey")).alias("nation_keys"),
+    )
+
+
+@query(
+    "string_agg_per_group",
+    oracle="""
+    SELECT
+      n_regionkey,
+      string_agg(n_name, '|' ORDER BY n_name) AS nation_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 declared extension: ordered string aggregation
+    (listagg/string_agg shape) via concat_ws over the sorted collected
+    list."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nation_csv")
+    )
