@@ -343,3 +343,54 @@ def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nation_csv")
     )
+
+
+@query(
+    "pivot_revenue",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS F,
+      ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 declared extension: PIVOT — revenue spread over linestatus
+    columns. The pivot values are declared explicitly, which keeps the
+    plan a single pass (Spark needs no extra distinct-values job) and
+    pins the output schema; the oracle is the portable CASE form."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_extendedprice"), 2))
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_returnflag, metric, ROUND(SUM(v), 2) AS total
+    FROM (
+      SELECT l_returnflag, 'price' AS metric, l_extendedprice AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'qty' AS metric, l_quantity AS v FROM lineitem
+    )
+    GROUP BY l_returnflag, metric
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 declared extension: UNPIVOT (melt) — wide metric columns to
+    (metric, value) rows via DataFrame.unpivot, then re-aggregated; the
+    oracle is the portable UNION ALL form."""
+    li = load(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    ).unpivot(["l_returnflag"], ["price", "qty"], "metric", "v")
+    return melted.groupBy("l_returnflag", "metric").agg(
+        F.round(F.sum("v"), 2).alias("total")
+    )

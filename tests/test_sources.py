@@ -143,3 +143,40 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, sf_dir, tmp_path
+):
+    """Idempotent daily re-runs: with partitionOverwriteMode=dynamic an
+    overwrite replaces ONLY the partitions present in the written frame
+    — the reference's rerun-every-60s loop rewrites whole tables; the
+    engine's reruns are partition-scoped."""
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "p_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    dest = str(tmp_path / "gold")
+    o.write.mode("overwrite").partitionBy("p_month").parquet(dest)
+    before = spark.read.parquet(dest)
+    n_total = before.count()
+    n_jan95 = before.filter(F.col("p_month") == "1995-01").count()
+    assert 0 < n_jan95 < n_total
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # re-run lands a corrected January slice: half the rows
+        jan = o.filter(F.col("p_month") == "1995-01").filter(
+            F.col("o_orderkey") % 2 == 0
+        )
+        n_half = jan.count()
+        jan.write.mode("overwrite").partitionBy("p_month").parquet(dest)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    after = spark.read.parquet(dest)
+    assert after.filter(F.col("p_month") == "1995-01").count() == n_half
+    # every other partition untouched
+    assert after.count() == n_total - n_jan95 + n_half
