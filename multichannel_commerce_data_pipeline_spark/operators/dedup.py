@@ -286,6 +286,66 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document in
+    a transitive duplicate group gets the group's minimum doc id as
+    ``cluster_id`` — the keep-one-per-cluster step that turns pairwise
+    near-dup output into an actual dedup decision.
+
+    Iterative min-label propagation: each round, every vertex takes the
+    min of its own label and its neighbors' labels (one join + one
+    group-by per round), converging in O(graph diameter) rounds — dup
+    clusters are near-cliques, so diameter is tiny. Rounds materialize
+    via persist so lineage stays flat (no exponential plan growth), and
+    the loop exits early when a round changes nothing. For planet-scale
+    graphs swap in the large-star/small-star contraction (Kiveris et
+    al.), which needs O(log n) rounds; the per-round plan here is
+    identical in shape.
+
+    Returns (doc, cluster_id) for every doc appearing in ``pairs``.
+    """
+    from pyspark import StorageLevel
+
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.u == labels.doc)
+            .groupBy(F.col("v").alias("ndoc"))
+            .agg(F.min("lbl").alias("nbl"))
+        )
+        proposed = (
+            labels.join(nbr_min, labels.doc == nbr_min.ndoc, "left")
+            .select(
+                "doc",
+                "lbl",
+                F.least(F.col("lbl"), F.coalesce("nbl", "lbl")).alias("new_lbl"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = proposed.filter(F.col("new_lbl") < F.col("lbl")).count()
+        old = labels
+        labels = proposed.select("doc", F.col("new_lbl").alias("lbl"))
+        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        labels.count()
+        old.unpersist()
+        proposed.unpersist()
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("lbl").alias("cluster_id"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

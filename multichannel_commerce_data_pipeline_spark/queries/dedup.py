@@ -248,6 +248,40 @@ def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clusters_oracle() -> str:
+    pair_sql = _minhash_lsh_oracle(16, 8, _THRESHOLD)
+    return f"""
+    WITH RECURSIVE
+    prs AS (SELECT doc_a, doc_b FROM ({pair_sql})),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM prs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc, MIN(v) AS cluster_id FROM reach GROUP BY u
+    """
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 composed: transitive duplicate CLUSTERS over the LSH
+    near-dup pairs — min-label propagation engine-side (the iterative
+    connected-components algorithm; each round one join + one group-by),
+    a recursive transitive closure oracle-side. The cluster id is the
+    group's min doc id, i.e. the deterministic survivor key for
+    keep-one-per-cluster dedup."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD
+    )
+    return D.dedup_clusters(pairs)
+
+
 _FUZZY_PREFIX = 16
 _FUZZY_DIST = 2
 

@@ -219,3 +219,13 @@ def test_subword_tokens_bpe_ish_splits(spark):
     df = spark.createDataFrame([(1, "Hello, world-42!")], "id INT, text STRING")
     got = df.select(subword_tokens(F.col("text")).alias("s")).first().s
     assert got == ["hello", ",", "world", "-", "42", "!"]
+
+
+def test_dedup_clusters_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (7, 9, 0.8)],
+        "doc_a INT, doc_b INT, jaccard DOUBLE",
+    )
+    got = {r.doc: r.cluster_id for r in D.dedup_clusters(pairs).collect()}
+    # 1-2-3 chain collapses transitively; 7/9 separate
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
