@@ -108,6 +108,36 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+# The highest-frequency English character bigrams (standard corpus
+# statistics) — the profile the n-gram scorer matches against.
+EN_BIGRAMS = (
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+)
+
+
+def char_bigrams(clean: Column) -> Column:
+    """Char bigram array of an already-cleaned (lower, letters-only)
+    column reference. Guarded like shingles(): short strings produce an
+    empty array, never a descending sequence."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(clean) - 1),
+        lambda i: clean.substr(i, F.lit(2)),
+    )
+    return F.when(F.length(clean) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def en_bigram_score(bigrams: Column) -> Column:
+    """Fraction of char bigrams that are high-frequency English bigrams
+    — the n-gram-profile language-ID statistic (fastText-style profiles
+    reduce to exactly this shape per language)."""
+    n = F.size(bigrams)
+    hits = F.size(F.filter(bigrams, lambda b: b.isin(*EN_BIGRAMS)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
 def lang_guess(text: Column) -> Column:
     """Tiny deterministic language-ID heuristic (stopword-marker based).
 

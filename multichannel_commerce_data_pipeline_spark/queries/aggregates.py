@@ -394,3 +394,30 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.groupBy("l_returnflag", "metric").agg(
         F.round(F.sum("v"), 2).alias("total")
     )
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT
+      CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+      CAST(floor(l_extendedprice / 10000.0) AS BIGINT) * 10000.0 AS bucket_lo,
+      COUNT(*) AS n,
+      CAST(ROUND(CAST((AVG(l_discount)) AS DECIMAL(38,8)), 4) AS DOUBLE)
+        AS avg_discount
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 declared extension: fixed-width histogram — floor-bucketed
+    price bands with per-band stats. One partial-aggregated group-by;
+    the analytic shape behind every distribution dashboard tile."""
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000.0)
+    return li.groupBy(
+        bucket.alias("bucket"), (bucket * 10000.0).alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.avg("l_discount"), 4).alias("avg_discount"),
+    )

@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multichannel_commerce_data_pipeline_spark.functions import oracle_hash32
+from multichannel_commerce_data_pipeline_spark.functions import (
+    dround,
+    oracle_dround,
+    oracle_hash32,
+)
 from multichannel_commerce_data_pipeline_spark.operators import text as T
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import load, parallelize_small_scan
@@ -191,4 +195,50 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
     return toked.select(
         "doc_id", T.rolling_fingerprint(F.col("toks")).alias("roll_fp")
+    )
+
+
+_EN_IN = ", ".join(f"'{b}'" for b in T.EN_BIGRAMS)
+
+
+@query(
+    "lang_bigram_score",
+    oracle=rf"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             regexp_replace(lower(text), '[^a-z]', '', 'g') AS clean
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(clean) >= 2 THEN
+               list_transform(range(1, length(clean)), i -> substr(clean, i, 2))
+             ELSE [] END AS bg
+      FROM c
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           {oracle_dround(
+               "CASE WHEN len(bg) > 0 THEN "
+               f"len(list_filter(bg, x -> x IN ({_EN_IN}))) / len(bg) "
+               "ELSE 0.0 END", 4)} AS en_score
+    FROM b
+    """,
+)
+def lang_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: character-bigram profile scoring — the real n-gram-heuristic
+    language-ID statistic (per-doc fraction of top-20 English bigrams),
+    computed with JVM array ops over a materialized cleaned column."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    cleaned = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.regexp_replace(F.lower("text"), "[^a-z]", "").alias("clean"),
+    )
+    with_bg = cleaned.select(
+        "doc_id", "labeled_lang", T.char_bigrams(F.col("clean")).alias("bg")
+    )
+    return with_bg.select(
+        "doc_id",
+        "labeled_lang",
+        dround(T.en_bigram_score(F.col("bg")), 4).alias("en_score"),
     )
