@@ -138,6 +138,31 @@ def en_bigram_score(bigrams: Column) -> Column:
     return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
 
 
+def chunk_spans(toks: Column, chunk_tokens: int, stride: int) -> Column:
+    """Array of (start, length) chunk spans over a token array — the
+    context-window chunker of a training-data pipeline: fixed-size
+    windows every ``stride`` tokens (``stride < chunk_tokens`` gives
+    overlap). Every token is covered; the final window is the remainder
+    (shorter, never empty). Empty docs produce zero chunks."""
+    n = F.size(toks)
+    n_chunks = F.when(
+        n > chunk_tokens,
+        F.ceil((n - chunk_tokens) / F.lit(stride).cast("double")) + 1,
+    ).otherwise(F.when(n > 0, F.lit(1)).otherwise(F.lit(0)))
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            (i * stride + 1).alias("start"),
+            F.least(F.lit(chunk_tokens), n - i * stride).alias("len"),
+        ),
+    )
+    # sequence(0, -1) is DESCENDING in Spark, not empty — same guard as
+    # shingles()
+    return F.when(n_chunks > 0, spans).otherwise(
+        F.array().cast("array<struct<start:int,len:int>>")
+    )
+
+
 def lang_guess(text: Column) -> Column:
     """Tiny deterministic language-ID heuristic (stopword-marker based).
 

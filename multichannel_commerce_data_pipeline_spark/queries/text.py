@@ -242,3 +242,58 @@ def lang_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "labeled_lang",
         dround(T.en_bigram_score(F.col("bg")), 4).alias("en_score"),
     )
+
+
+_CHUNK, _STRIDE = 64, 48  # 16-token overlap
+
+
+@query(
+    "chunk_documents",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) > {_CHUNK}
+                  THEN CAST(ceil((len(toks) - {_CHUNK}) / CAST({_STRIDE} AS DOUBLE)) AS BIGINT) + 1
+                  WHEN len(toks) > 0 THEN 1 ELSE 0 END AS n_chunks
+      FROM tok
+    ),
+    exploded AS (
+      SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_idx
+      FROM spans
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(least({_CHUNK}, n - chunk_idx * {_STRIDE}) AS INT) AS n_chunk_tokens,
+           array_to_string(
+             list_slice(toks, chunk_idx * {_STRIDE} + 1,
+                        chunk_idx * {_STRIDE} + least({_CHUNK}, n - chunk_idx * {_STRIDE})),
+             ' ') AS chunk_text
+    FROM exploded
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: context-window chunking — 64-token windows every 48 tokens
+    (16-token overlap), the chunker that turns documents into
+    training-context rows. Spans are computed map-side from the
+    materialized token array; explode is a narrow op, so chunking adds
+    zero shuffles."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    toked = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    spans = toked.select(
+        "doc_id",
+        "toks",
+        F.posexplode(T.chunk_spans(F.col("toks"), _CHUNK, _STRIDE)).alias(
+            "chunk_idx", "span"
+        ),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("span.len").cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("span.start"), F.col("span.len"))
+        ).alias("chunk_text"),
+    )

@@ -229,3 +229,28 @@ def test_dedup_clusters_transitive(spark):
     got = {r.doc: r.cluster_id for r in D.dedup_clusters(pairs).collect()}
     # 1-2-3 chain collapses transitively; 7/9 separate
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_chunk_spans_coverage_and_overlap(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.text import (
+        chunk_spans,
+        tokens,
+    )
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks: 1 chunk
+        (2, " ".join(f"t{i}" for i in range(100))),  # 100 toks: windows of 8/stride 6
+        (3, ""),                                     # empty: no chunks
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    t = df.select("id", tokens(F.col("text")).alias("toks"))
+    got = {
+        r.id: r.spans
+        for r in t.select("id", chunk_spans(F.col("toks"), 8, 6).alias("spans")).collect()
+    }
+    assert [tuple(s) for s in got[1]] == [(1, 8), (7, 4)]  # remainder window
+    assert got[3] == []
+    spans2 = [tuple(s) for s in got[2]]
+    # full coverage: last span ends at token 100; every start advances by stride
+    assert spans2[0] == (1, 8)
+    assert all(b[0] - a[0] == 6 for a, b in zip(spans2, spans2[1:]))
+    assert spans2[-1][0] + spans2[-1][1] - 1 == 100
