@@ -297,3 +297,65 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("toks"), F.col("span.start"), F.col("span.len"))
         ).alias("chunk_text"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    df_t AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(ROUND(CAST((tf.tf * ln(n.n_docs / df_t.df)) AS DECIMAL(38,8)), 4)
+               AS DOUBLE) AS tfidf
+      FROM tf JOIN df_t USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rank FROM (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: TF-IDF top-5 terms per document — term frequency (one
+    doc-term group-by), document frequency (one term group-by; counts
+    rows of the already-distinct doc-term frame, no second distinct),
+    corpus size as a broadcast scalar, keyed row_number for top-k.
+    The salient-keyword extraction step of a corpus summarizer."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            dround(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
