@@ -37,6 +37,34 @@ def deterministic_bucket(key: Column, n_buckets: int = 1000) -> Column:
     return (raw + F.lit(n_buckets)) % F.lit(n_buckets)
 
 
+def stratified_sample(
+    key: Column,
+    strata_col: Column,
+    fractions: dict[str, float],
+    n_buckets: int = 1000,
+) -> Column:
+    """Deterministic stratified sampling — the data-mixing step of a
+    training-data pipeline (up/down-weight sources or languages to hit
+    a target mixture). Each row is kept iff its key's hash bucket falls
+    under its stratum's fraction, so:
+
+    * the sample is reproducible row-for-row (re-runs, engines, and
+      incremental batches agree — unlike ``df.sample``, whose output
+      depends on partitioning),
+    * it is a pure narrow filter: no shuffle, no sort, pushes down to
+      the scan like any predicate,
+    * strata absent from ``fractions`` are dropped (fraction 0.0).
+
+    Returns the filter Column; apply with ``df.filter(...)``.
+    """
+    bucket = deterministic_bucket(key, n_buckets)
+    keep = F.lit(False)
+    for value, frac in fractions.items():
+        threshold = int(round(frac * n_buckets))
+        keep = keep | ((strata_col == value) & (bucket < threshold))
+    return keep
+
+
 def bucketed_choice(
     key: Column,
     choices: Sequence[tuple[str, float]],

@@ -359,3 +359,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "token", "tfidf", "rank")
     )
+
+
+_MIX = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 0.25, "zh": 0.75}
+
+
+def _mix_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.operators.bucketing import (
+        KNUTH_MULTIPLIER,
+    )
+
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN bucket < {int(round(f * 1000))}"
+        for v, f in _MIX.items()
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id, lang, source,
+             ((doc_id * {KNUTH_MULTIPLIER}) % 1000 + 1000) % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM b
+    WHERE CASE {cases} ELSE FALSE END
+    """
+
+
+@query("stratified_sample_mix", oracle=_mix_oracle())
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/data-mixing: deterministic stratified sampling — per-language
+    keep fractions (down-weight en, drop 3/4 of fr, keep all de/es)
+    applied as a pure hash-bucket filter: reproducible row-for-row, no
+    shuffle, pushes down like any predicate. The knob that retargets a
+    corpus mixture without materializing intermediate copies."""
+    from multichannel_commerce_data_pipeline_spark.operators.bucketing import (
+        stratified_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    keep = stratified_sample(F.col("doc_id"), F.col("lang"), _MIX)
+    return d.filter(keep).select("doc_id", "lang", "source")

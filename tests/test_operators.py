@@ -254,3 +254,21 @@ def test_chunk_spans_coverage_and_overlap(spark):
     assert spans2[0] == (1, 8)
     assert all(b[0] - a[0] == 6 for a, b in zip(spans2, spans2[1:]))
     assert spans2[-1][0] + spans2[-1][1] - 1 == 100
+
+
+def test_stratified_sample_marginals_and_determinism(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.bucketing import (
+        stratified_sample,
+    )
+    df = spark.range(0, 20000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    keep = stratified_sample(F.col("id"), F.col("lang"), {"en": 0.5, "fr": 0.1})
+    out = df.filter(keep)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] / 10000 - 0.5) < 0.05
+    assert abs(counts["fr"] / 10000 - 0.1) < 0.03
+    # deterministic: same rows on re-evaluation
+    a = sorted(r.id for r in out.collect())
+    assert a == sorted(r.id for r in out.collect())
