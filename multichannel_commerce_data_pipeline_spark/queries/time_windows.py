@@ -11,7 +11,7 @@ the 2d/1d slide here doubles rows pre-shuffle, which AQE coalesces.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
@@ -131,4 +131,83 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+
+
+@query(
+    "event_gap_detection",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us - prev_us AS gap_us
+    FROM ordered
+    WHERE prev_us IS NOT NULL AND ts_us - prev_us > 1800000000
+    """,
+)
+def event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inactivity gaps > 30 min via lag over the event-time
+    window — the gap detector behind session_window_events, exposed as
+    its own operator (the rows where a new session starts). Epoch
+    microseconds keep the arithmetic exact-integer in both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    return (
+        gapped.filter(
+            F.col("prev_us").isNotNull()
+            & (F.col("ts_us") - F.col("prev_us") > 1_800_000_000)
+        )
+        .select("user_id", "event_id", (F.col("ts_us") - F.col("prev_us")).alias("gap_us"))
+    )
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)     AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END)    AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) FILTER (first_view IS NOT NULL) AS viewed,
+      COUNT(*) FILTER (first_view IS NOT NULL AND first_click > first_view)
+        AS clicked_after_view,
+      COUNT(*) FILTER (first_view IS NOT NULL AND first_click > first_view
+                       AND first_purchase > first_click)
+        AS purchased_after_click
+    FROM per_user
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase) in ONE pass:
+    conditional-min aggregates per user (no self-joins per stage — the
+    naive funnel is k joins of the event table), then ordering
+    predicates count stage survivors."""
+    ev = load(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("viewed"),
+        F.count(F.when(clicked, 1)).alias("clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("purchased_after_click"),
     )
