@@ -182,3 +182,44 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.percent_rank().over(w), 4).alias("pct_rank"),
         dround(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT
+      c_custkey,
+      c_mktsegment,
+      FIRST_VALUE(c_acctbal) OVER (
+        PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_top_bal,
+      LAST_VALUE(c_acctbal) OVER (
+        PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS seg_bottom_bal
+    FROM customer
+    WHERE c_custkey <= 1000
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 declared surface: FIRST_VALUE / LAST_VALUE with explicit
+    row frames (running top / remaining bottom per segment). The
+    custkey tie-break pins frame order so both engines agree row-for-
+    row."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    order = [F.desc("c_acctbal"), F.col("c_custkey")]
+    top = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bottom = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.first("c_acctbal").over(top).alias("seg_top_bal"),
+        F.last("c_acctbal").over(bottom).alias("seg_bottom_bal"),
+    )
