@@ -208,3 +208,69 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, centroid_stride=_IVF_STRIDE, n_probe=_IVF_PROBE,
         id_col="vec_id", vec_col="embedding", k=_K,
     )
+
+
+_QUALITY_SQL = """
+      SELECT doc_id,
+        ROUND(
+          (CASE WHEN len(regexp_extract_all(lower(text), '\\S+'))
+                     BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN len(regexp_extract_all(lower(text), '\\S+')) > 0
+               AND len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                       t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                   / len(regexp_extract_all(lower(text), '\\S+')) >= 0.05
+             THEN 0.3 ELSE 0.0 END)
+          + (CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / length(text)
+             ELSE 0.0 END) * 0.3
+        , 4) AS q
+      FROM documents
+"""
+
+
+def _survivors_oracle() -> str:
+    return f"""
+    WITH quality AS ({_QUALITY_SQL}),
+    pairs AS (SELECT id_a, id_b, cosine FROM ({_near_dup_oracle()}))
+    SELECT
+      CASE WHEN qb.q > qa.q THEN id_a ELSE id_b END AS drop_id,
+      CASE WHEN qb.q > qa.q THEN id_b ELSE id_a END AS keep_id,
+      cosine
+    FROM pairs
+    JOIN quality qa ON qa.doc_id = id_a
+    JOIN quality qb ON qb.doc_id = id_b
+    """
+
+
+@query("near_dup_quality_survivors", oracle=_survivors_oracle())
+def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed dedup decision (X1×X2×X3): for every embedding near-dup
+    pair, keep the higher-quality document (text quality score breaks
+    the tie toward the lower doc id, since pairs are id_a < id_b) and
+    emit the drop/keep decision. The cross-modal step real pipelines
+    run: embedding similarity finds the dupes, text quality decides the
+    survivor. Quality side is a broadcast-friendly two-column frame."""
+    from multichannel_commerce_data_pipeline_spark.operators.text import quality_score
+
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    pairs = S.embedding_near_dup_pairs(
+        e,
+        dim=_NEARDUP_DIM,
+        n_planes=_NEARDUP_PLANES,
+        threshold=_NEARDUP_T,
+        multi_probe=True,
+    )
+    d = load(spark, sf_dir, "documents")
+    q = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    qa = q.select(F.col("doc_id").alias("id_a"), F.col("q").alias("qa"))
+    qb = q.select(F.col("doc_id").alias("id_b"), F.col("q").alias("qb"))
+    keep_b = F.col("qb") > F.col("qa")
+    return (
+        pairs.join(F.broadcast(qa), "id_a")
+        .join(F.broadcast(qb), "id_b")
+        .select(
+            F.when(keep_b, F.col("id_a")).otherwise(F.col("id_b")).alias("drop_id"),
+            F.when(keep_b, F.col("id_b")).otherwise(F.col("id_a")).alias("keep_id"),
+            "cosine",
+        )
+    )
