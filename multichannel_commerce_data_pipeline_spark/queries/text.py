@@ -398,3 +398,68 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     keep = stratified_sample(F.col("doc_id"), F.col("lang"), _MIX)
     return d.filter(keep).select("doc_id", "lang", "source")
+
+
+@query(
+    "corpus_top_terms",
+    oracle=r"""
+    SELECT token, n, rank FROM (
+      SELECT token, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+      FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        FROM documents
+      )
+      GROUP BY token
+    ) WHERE rank <= 20
+    """,
+)
+def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: corpus vocabulary head — exact top-20 terms by frequency
+    (partial-aggregated count, then a single-partition top-k over the
+    already-aggregated term frame; the all-corpus ordering never sorts
+    raw tokens)."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    counts = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("token", "n", "rank")
+    )
+
+
+@query(
+    "corpus_composition",
+    oracle=rf"""
+    SELECT
+      source, lang,
+      COUNT(*) AS docs,
+      SUM(len(regexp_extract_all(lower(text), '\S+'))) AS tokens,
+      SUM(length(text)) AS chars,
+      {oracle_dround(
+          "AVG(CASE WHEN length(text) > 0 THEN "
+          "length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / length(text) "
+          "ELSE 0.0 END)", 4)} AS avg_alpha_ratio
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the corpus card — per (source, language) document/token/char
+    volumes and mean cleanliness, the composition report every dataset
+    release ships and every mixing decision starts from. One
+    partial-aggregated group-by."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(T.token_count(F.col("text"))).alias("tokens"),
+        F.sum(F.length("text")).alias("chars"),
+        dround(F.avg(T.alpha_ratio(F.col("text"))), 4).alias("avg_alpha_ratio"),
+    )
