@@ -81,3 +81,30 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     return c.subtract(o)  # subtract == EXCEPT DISTINCT
+
+
+@query(
+    "union_distinct_parties",
+    oracle="""
+    SELECT party_key, nation_key FROM (
+      SELECT c_custkey AS party_key, c_nationkey AS nation_key FROM customer
+      WHERE c_custkey <= 500
+      UNION
+      SELECT s_suppkey AS party_key, s_nationkey AS nation_key FROM supplier
+    )
+    """,
+)
+def union_distinct_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 declared surface: UNION DISTINCT — customers and suppliers
+    merged into one deduplicated party relation (overlapping keys with
+    equal nation collapse). One shuffle for the distinct; Spark plans
+    partial-aggregate dedup before the exchange."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500).select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"),
+        F.col("s_nationkey").alias("nation_key"),
+    )
+    return c.union(s).distinct()
