@@ -130,3 +130,43 @@ def test_exists_subquery_plans_semi_join(spark, sf_dir, plans):
     assert "LeftSemi" in p or "SemiJoin" in p
     p2 = plans("sql_not_exists_subquery")
     assert "LeftAnti" in p2
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew resilience: a hot key owning 90% of one join side must be
+    split by AQE's skew-join rule at runtime — the final adaptive plan
+    carries the skew=true marker and the query completes with correct
+    row counts instead of one straggler task owning the key."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        # 270k rows of key 0 (matched once) + 30k distinct keys, 1/10 kept
+        assert len(rows) == 275000
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
