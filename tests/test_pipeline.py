@@ -101,3 +101,50 @@ def test_kpi_covers_all_channels(spark):
     assert {r.date_key for r in rows} == {"20250601", "20250602", "20250603"}
     assert all(r.revenue > 0 for r in rows)
     assert all(r.orders > 0 for r in rows)
+
+
+def test_incremental_gold_refresh_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Partition-scoped gold maintenance: a stale gold table (later
+    dates corrupted) plus a refresh of only the affected date_keys must
+    equal a from-scratch rebuild — the reference recomputes all of gold
+    every cycle; the engine touches only the dirty partitions."""
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.pipeline.incremental import (
+        affected_date_keys,
+        refresh_gold_kpi_partitions,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.flagship import (
+        exec_daily_kpi,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    full_dir = str(tmp_path / "gold_full")
+    incr_dir = str(tmp_path / "gold_incr")
+    refresh_gold_kpi_partitions(spark, sf_dir, full_dir)  # ground truth
+
+    # stale state: every 1997+ partition has corrupted revenue
+    kpi = exec_daily_kpi(spark, sf_dir)
+    stale = kpi.withColumn(
+        "revenue",
+        F.when(F.col("date_key") >= "19970101", F.lit(-1.0)).otherwise(
+            F.col("revenue")
+        ),
+    )
+    stale.write.mode("overwrite").partitionBy("date_key").parquet(incr_dir)
+
+    # the "late batch": all 1997+ orders; refresh only their dates
+    late = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1997-01-01"
+    )
+    keys = affected_date_keys(late)
+    assert keys and all(k >= "19970101" for k in keys)
+    refresh_gold_kpi_partitions(spark, sf_dir, incr_dir, keys)
+
+    canon = lambda d: sorted(  # noqa: E731
+        tuple(r)
+        for r in spark.read.parquet(d)
+        .select("date_key", "channel", "country", "region", "revenue", "orders")
+        .collect()
+    )
+    assert canon(incr_dir) == canon(full_dir)
