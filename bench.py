@@ -17,10 +17,11 @@ import sys
 import time
 
 # Cover every operator family: scan+filter, projection arithmetic, join
-# (equi + as-of), group-by/distinct, row windows, time/session windows,
-# set-union composition, incremental scan, text analysis, dedup (exact +
-# LSH + embedding), similarity search (exact + IVF), pandas UDAF,
-# flagship KPI.
+# (equi + as-of + blocked-fuzzy), group-by/distinct (+ skew-salted),
+# row windows, time/session windows, set-union composition, incremental
+# scan, text analysis (quality, TF-IDF, chunking), dedup (exact + LSH +
+# embedding), similarity search (exact + IVF), pandas UDAF, flagship
+# KPI.
 HEADLINE = [
     "exec_daily_kpi",
     "pricing_summary",
@@ -39,6 +40,10 @@ HEADLINE = [
     "pandas_udaf_weighted_avg",
     "embedding_near_dupes",
     "ann_ivf_topk",
+    "tfidf_top_terms",
+    "chunk_documents",
+    "fuzzy_name_pairs",
+    "salted_skew_agg",
 ]
 
 
