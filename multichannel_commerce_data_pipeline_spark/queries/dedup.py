@@ -315,3 +315,45 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_len=_FUZZY_PREFIX,
         max_dist=_FUZZY_DIST,
     )
+
+
+def _dedup_corpus_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    prs AS (SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle(16, 8, _THRESHOLD)})),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM prs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    drops AS (
+      SELECT u AS doc FROM reach GROUP BY u HAVING u <> MIN(v)
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc FROM drops)
+    """
+
+
+@query("dedup_corpus", oracle=_dedup_corpus_oracle())
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terminal dedup artifact: the corpus with every non-survivor
+    of a transitive near-dup cluster removed (survivor = cluster min
+    doc id). Composes LSH pairs → connected components → a broadcast
+    anti-join of the (tiny) drop set against the corpus — the full
+    keep-list pipeline a training-data run ships."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD
+    )
+    clusters = D.dedup_clusters(pairs)
+    drops = clusters.filter(F.col("doc") != F.col("cluster_id")).select(
+        F.col("doc").alias("doc_id")
+    )
+    return load(spark, sf_dir, "documents").join(
+        F.broadcast(drops), "doc_id", "left_anti"
+    ).select("doc_id", "source")
