@@ -312,13 +312,16 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        edges.select(F.col("u").alias("doc"))
-        .distinct()
-        .withColumn("lbl", F.col("doc"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    labels = edges.select(F.col("u").alias("doc")).distinct().withColumn(
+        "lbl", F.col("doc")
     )
-    labels.count()
+    # ONE action per round: the changed-count aggregate both decides
+    # convergence and populates the round's cache (labels is a narrow
+    # view of the persisted frame, so no second materialization job).
+    # The previous round's cache is released one generation behind; the
+    # final round's stays persisted because the returned DataFrame
+    # reads through it.
+    prev: DataFrame | None = None
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.u == labels.doc)
@@ -334,13 +337,16 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = proposed.filter(F.col("new_lbl") < F.col("lbl")).count()
-        old = labels
+        changed = (
+            proposed.agg(
+                F.sum((F.col("new_lbl") < F.col("lbl")).cast("int")).alias("c")
+            ).first()[0]
+            or 0
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = proposed
         labels = proposed.select("doc", F.col("new_lbl").alias("lbl"))
-        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
-        labels.count()
-        old.unpersist()
-        proposed.unpersist()
         if changed == 0:
             break
     return labels.select("doc", F.col("lbl").alias("cluster_id"))
