@@ -184,6 +184,79 @@ def stream_stateful_running_totals(
     return query
 
 
+def stream_orders_with_freight(
+    spark: SparkSession,
+    bronze_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 days",
+    join_window: str = "2 days",
+) -> StreamingQuery:
+    """Stream-stream inner join (the reference's order⟕freight
+    enrichment, silver_to_gold.py:512-516, computed in-flight): wholesale
+    orders joined to freight shipments on the order reference, with
+    watermarks on BOTH sides plus an event-time range constraint so each
+    side's join state is bounded — Spark buffers only rows inside the
+    watermark+window horizon, the requirement for an unbounded-stream
+    join to run forever. Append output emits a pair once both sides have
+    arrived and the watermark has passed."""
+    # each side gets exactly ONE watermark, applied after the rename
+    # (a second withWatermark on a derived column is a redefinition,
+    # which streaming rejects)
+    orders = (
+        CONFORMERS["joor"](
+            flatten_envelope(read_bronze_stream(spark, "joor", bronze_root))
+        )
+        .select(
+            "order_id",
+            "buyer_name",
+            "unit_price",
+            "quantity",
+            F.col("bronze_timestamp").try_cast("timestamp").alias("order_bts"),
+        )
+        .withWatermark("order_bts", watermark)
+    )
+    freight = (
+        CONFORMERS["freight"](
+            flatten_envelope(read_bronze_stream(spark, "freight", bronze_root))
+        )
+        .select(
+            "shipment_id",
+            "order_reference",
+            "cost",
+            "carrier",
+            F.col("bronze_timestamp").try_cast("timestamp").alias("freight_bts"),
+        )
+        .withWatermark("freight_bts", watermark)
+    )
+    joined = orders.join(
+        freight,
+        (F.col("order_id") == F.col("order_reference"))
+        & (
+            F.col("freight_bts")
+            >= F.col("order_bts") - F.expr(f"INTERVAL {join_window}")
+        )
+        & (
+            F.col("freight_bts")
+            <= F.col("order_bts") + F.expr(f"INTERVAL {join_window}")
+        ),
+        "inner",
+    ).select(
+        "order_id", "buyer_name", "unit_price", "quantity",
+        "shipment_id", "cost", "carrier",
+    )
+    query = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def stream_windowed_counts(
     spark: SparkSession,
     source: str,

@@ -215,3 +215,35 @@ def test_stateful_running_totals_survive_restart(spark, tmp_path):
 
     second = drain()
     assert second.agg(F.max("total_rows")).first()[0] == n1 + 1
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with two-sided watermarks: the streamed
+    orders⨝freight result equals the batch join over the same bronze
+    data (every emitted pair exactly once)."""
+    from multichannel_commerce_data_pipeline_spark.pipeline.bronze import (
+        flatten_envelope,
+        read_bronze,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.silver import (
+        conform_freight,
+        conform_joor,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_orders_with_freight,
+    )
+
+    stream_orders_with_freight(
+        spark, str(FIXTURES), str(tmp_path / "joined"), str(tmp_path / "ckpt")
+    )
+    streamed = spark.read.parquet(str(tmp_path / "joined"))
+
+    o = conform_joor(flatten_envelope(read_bronze(spark, "joor")))
+    fr = conform_freight(flatten_envelope(read_bronze(spark, "freight")))
+    batch = o.join(fr, o.order_id == fr.order_reference)
+    assert streamed.count() == batch.count() > 0
+    got = sorted(
+        (r.order_id, r.shipment_id, r.cost) for r in streamed.collect()
+    )
+    want = sorted((r.order_id, r.shipment_id, r.cost) for r in batch.collect())
+    assert got == want
