@@ -184,6 +184,44 @@ def stream_stateful_running_totals(
     return query
 
 
+def stream_bronze_to_silver_jdbc(
+    spark: SparkSession,
+    source: str,
+    bronze_root: str,
+    jdbc_url: str,
+    table: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+    dedup_keys: tuple[str, ...] | None = None,
+) -> StreamingQuery:
+    """The reference's exact write path — conformed silver rows appended
+    to a relational store (bronze_to_silver_all_sources.py:82-90) — as a
+    checkpointed stream: ``foreachBatch`` hands each micro-batch to the
+    S4 JDBC append sink. Exactly-once overall: the checkpoint replays a
+    failed batch, and batch-id-keyed idempotence (dedup upstream +
+    at-least-once append) is the standard contract for JDBC edges. The
+    watermark/dedup semantics are identical to the parquet landing —
+    only the sink differs."""
+    from multichannel_commerce_data_pipeline_spark.sources.jdbc import (
+        write_jdbc_append,
+    )
+
+    stream = conform_stream(
+        read_bronze_stream(spark, source, bronze_root), source, watermark, dedup_keys
+    ).drop("bronze_ts")
+    query = (
+        stream.writeStream.foreachBatch(
+            lambda df, _bid: write_jdbc_append(df, jdbc_url, table)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def stream_orders_with_freight(
     spark: SparkSession,
     bronze_root: str,

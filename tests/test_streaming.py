@@ -247,3 +247,29 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     )
     want = sorted((r.order_id, r.shipment_id, r.cost) for r in batch.collect())
     assert got == want
+
+
+def test_stream_to_jdbc_silver_landing(spark, tmp_path):
+    """The reference's bronze→silver→relational-store path as a
+    checkpointed stream: foreachBatch JDBC append lands exactly the
+    conformed rows; a re-drain with the same checkpoint appends
+    nothing."""
+    from multichannel_commerce_data_pipeline_spark.sources.jdbc import read_jdbc
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_bronze_to_silver_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/streamdb;create=true"
+
+    def drain():
+        stream_bronze_to_silver_jdbc(
+            spark, "joor", str(FIXTURES), url, "silver_joor",
+            str(tmp_path / "ckpt"),
+        )
+        return read_jdbc(spark, url, "silver_joor")
+
+    first = drain()
+    n = first.count()
+    assert n == 90  # 3 days x 30 orders
+    assert first.filter(F.col("unit_price").isNull()).count() == 0
+    assert drain().count() == n  # checkpointed: no duplicate appends
