@@ -223,3 +223,85 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_acctbal").over(top).alias("seg_top_bal"),
         F.last("c_acctbal").over(bottom).alias("seg_bottom_bal"),
     )
+
+
+@query(
+    "customer_rfm",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(o_orderdate), ANY_VALUE(mx)) AS recency_days,
+             COUNT(*) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders, anchor GROUP BY o_custkey
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           NTILE(4) OVER (ORDER BY recency_days DESC, custkey) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency, custkey)         AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary, custkey)          AS m_quartile
+    FROM base
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary per buyer with
+    quartile scores; the classic commerce-marketing rollup the gold
+    star schema exists to serve. One group-by plus global NTILE windows
+    over the (small) per-customer aggregate; the anchor date is
+    max(o_orderdate) so static test data stays deterministic."""
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        o.join(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.desc("recency_days"), "custkey")
+    wf = Window.orderBy("frequency", "custkey")
+    wm = Window.orderBy("monetary", "custkey")
+    return base.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
+
+
+@query(
+    "monthly_revenue_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority AS channel,
+             strftime(date_trunc('month', o_orderdate), '%Y%m') AS month_key,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT channel, month_key, revenue,
+           CAST(ROUND(CAST((
+             (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w * 100
+           ) AS DECIMAL(38,6)), 2) AS DOUBLE) AS pct_change
+    FROM monthly
+    WINDOW w AS (PARTITION BY channel ORDER BY month_key)
+    """,
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend per channel (lag over the
+    aggregated series — the window runs on months × channels rows, not
+    the fact table). The dashboard query behind every trend tile."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("channel"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyyMM").alias(
+            "month_key"
+        ),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.partitionBy("channel").orderBy("month_key")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "channel", "month_key", "revenue",
+        dround((F.col("revenue") - prev) / prev * 100, 2).alias("pct_change"),
+    )
