@@ -272,3 +272,40 @@ def test_stratified_sample_marginals_and_determinism(spark):
     # deterministic: same rows on re-evaluation
     a = sorted(r.id for r in out.collect())
     assert a == sorted(r.id for r in out.collect())
+
+
+def test_asof_join_edge_cases(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("k1", 10, 100.0), ("k1", 20, 200.0), ("k2", 15, 999.0)],
+        "key STRING, rts INT, px DOUBLE",
+    )
+    left = spark.createDataFrame(
+        [("k1", 5, "before-any"), ("k1", 10, "exact-tie"),
+         ("k1", 25, "after-both"), ("k3", 50, "no-right-key")],
+        "key STRING, lts INT, tag STRING",
+    )
+    out = {r.tag: (r.matched_ts, r.px)
+           for r in asof_join(left, right, ["key"], "lts", "rts", ["px"]).collect()}
+    assert out["before-any"] == (None, None)      # no prior right row
+    assert out["exact-tie"] == (10, 100.0)        # right at same ts wins
+    assert out["after-both"] == (20, 200.0)       # latest prior, not first
+    assert out["no-right-key"] == (None, None)    # keys isolate
+
+
+def test_range_join_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.operators.asof import (
+        range_join_broadcast,
+    )
+
+    facts = spark.createDataFrame([(0,), (10,), (19,), (20,), (35,)], "v INT")
+    bands = spark.createDataFrame(
+        [(0, 10, "low"), (10, 20, "mid"), (20, 30, "high")],
+        "lo INT, hi INT, band STRING",
+    )
+    got = {r.v: r.band
+           for r in range_join_broadcast(facts, bands, "v", "lo", "hi").collect()}
+    assert got == {0: "low", 10: "mid", 19: "mid", 20: "high", 35: None}
