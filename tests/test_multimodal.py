@@ -61,3 +61,25 @@ def test_decode_batches_shape(spark, sf_dir):
     # kernel is deterministic
     assert fake_decode_kernel(b"abc") == fake_decode_kernel(b"abc")
     assert fake_decode_kernel(None) == (0, 0)
+
+
+def test_resize_plan_scale_factors(spark):
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.operators.multimodal import (
+        resize_plan,
+    )
+
+    feats = spark.createDataFrame(
+        [(1, 200, 100), (2, 4000, 1000), (3, 512, 512)],
+        "media_id INT, width INT, height INT",
+    )
+    got = {
+        r.media_id: r.scale
+        for r in feats.select(
+            "media_id", resize_plan(feats, 512).alias("scale")
+        ).collect()
+    }
+    assert got[1] == 1.0          # already fits
+    assert got[2] == 512 / 4000   # long side drives the factor
+    assert got[3] == 1.0          # boundary: equal is a fit

@@ -309,3 +309,28 @@ def test_range_join_boundaries(spark):
     got = {r.v: r.band
            for r in range_join_broadcast(facts, bands, "v", "lo", "hi").collect()}
     assert got == {0: "low", 10: "mid", 19: "mid", 20: "high", 35: None}
+
+
+def test_salted_sum_count_is_identical_to_direct_groupby(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.skew import (
+        salted_sum_count,
+    )
+
+    df = spark.range(0, 50000).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("pk"),
+        (F.col("id") * 7 % 1000).cast("decimal(18,6)").alias("amt"),
+    )
+    direct = {
+        (r.g,): (r.s, r.n)
+        for r in df.groupBy("g")
+        .agg(F.sum("amt").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.g,): (r.s, r.n)
+        for r in salted_sum_count(
+            df, ["g"], F.col("pk"), {"s": F.col("amt")}, count_alias="n"
+        ).collect()
+    }
+    assert salted == direct  # decimal combine is associative: bit-identical
