@@ -17,7 +17,7 @@ Reference semantics being re-expressed (file:line into /root/reference):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
@@ -352,3 +352,38 @@ def limit_zero_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     are launched, so at 100 TB this still touches no data."""
     o = load(spark, sf_dir, "orders")
     return o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate").limit(0)
+
+
+@query(
+    "latest_snapshot_per_key",
+    oracle="""
+    SELECT custkey, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate,
+           o_totalprice AS last_totalprice
+    FROM (
+      SELECT o_custkey AS custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def latest_snapshot_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's compacted master topics (master-products /
+    master-buyers, docker-compose.yml:163-164) materialized: latest row
+    per key via a keyed row_number — the log-compaction semantic as a
+    batch view. Deterministic survivor (date then orderkey desc), one
+    shuffle."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        )
+    )
