@@ -310,19 +310,26 @@ def approx_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n_regionkey,
-      list(n_name ORDER BY n_name) AS nations,
-      list(n_nationkey ORDER BY n_nationkey) AS nation_keys
+      array_to_string(list_sort(list(n_name)), ',')
+        AS nations,
+      array_to_string(list_sort(list(CAST(n_nationkey AS VARCHAR))), ',')
+        AS nation_keys
     FROM nation GROUP BY n_regionkey
     """,
 )
 def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4 declared extension: collection aggregates — per-group arrays
     made deterministic by sorting (collect_list order is partition-
-    dependent; sort_array pins it, matching the oracle's ORDER BY)."""
+    dependent; sort_array pins it). Emitted as a joined string rather
+    than array<…> because the driver's pandas canonicalizer can't hash
+    list cells (r2 harness error); array_join keeps the agg semantics
+    hashable on both engines."""
     n = load(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
-        F.sort_array(F.collect_list("n_nationkey")).alias("nation_keys"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("n_nationkey").cast("string"))), ","
+        ).alias("nation_keys"),
     )
 
 

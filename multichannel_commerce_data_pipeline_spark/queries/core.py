@@ -21,9 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
-from multichannel_commerce_data_pipeline_spark.operators.bucketing import deterministic_bucket
+from multichannel_commerce_data_pipeline_spark.operators.bucketing import (
+    deterministic_bucket,
+    oracle_bucket_sql,
+)
 from multichannel_commerce_data_pipeline_spark.queries import query
-from multichannel_commerce_data_pipeline_spark.tables import load
+from multichannel_commerce_data_pipeline_spark.tables import TABLE_NAMES, load
 
 
 @query(
@@ -170,18 +173,20 @@ def in_list_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET = oracle_bucket_sql("o_orderkey", 1000)
+
 @query(
     "deterministic_bucket",
-    oracle="""
+    oracle=f"""
     SELECT
       o_orderkey,
-      ((o_orderkey * 2654435761) % 1000 + 1000) % 1000 AS bucket,
+      {_BUCKET} AS bucket,
       CASE
-        WHEN ((o_orderkey * 2654435761) % 1000 + 1000) % 1000 < 350 THEN 'United States'
-        WHEN ((o_orderkey * 2654435761) % 1000 + 1000) % 1000 < 470 THEN 'United Kingdom'
-        WHEN ((o_orderkey * 2654435761) % 1000 + 1000) % 1000 < 570 THEN 'Germany'
-        WHEN ((o_orderkey * 2654435761) % 1000 + 1000) % 1000 < 650 THEN 'France'
-        WHEN ((o_orderkey * 2654435761) % 1000 + 1000) % 1000 < 720 THEN 'Japan'
+        WHEN {_BUCKET} < 350 THEN 'United States'
+        WHEN {_BUCKET} < 470 THEN 'United Kingdom'
+        WHEN {_BUCKET} < 570 THEN 'Germany'
+        WHEN {_BUCKET} < 650 THEN 'France'
+        WHEN {_BUCKET} < 720 THEN 'Japan'
         ELSE 'Rest of World'
       END AS country
     FROM orders
@@ -387,3 +392,26 @@ def latest_snapshot_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("last_totalprice"),
         )
     )
+
+
+_COUNT_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in TABLE_NAMES
+)
+
+
+@query("table_counts", oracle=_COUNT_ORACLE)
+def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A6: count(*) per table — the reference's GET /api/stats surface
+    (fashion_api_server.py:99-106) as one distributed plan. Each count is
+    a parquet-metadata-only scan (no column read); the 10-way UNION ALL
+    of 1-row aggregates is driver-trivial at any scale."""
+    dfs = [
+        load(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in TABLE_NAMES
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out

@@ -121,6 +121,65 @@ def gold_cm2_wholesale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.cm2(_cm1_wholesale(spark), _silver(spark, "freight"))
 
 
+def _cm1_shopify(spark: SparkSession) -> DataFrame:
+    return gold.cm1(_silver(spark, "shopify"), "shopify", F.col("total_price"))
+
+
+def _oracle_cm1_shopify() -> str:
+    return gold.oracle_cm1(silver.oracle_conform_shopify(), "shopify", "total_price")
+
+
+def _cm1_livestreaming(spark: SparkSession) -> DataFrame:
+    return gold.cm1(
+        _silver(spark, "tiktok"),
+        "livestreaming",
+        F.col("unit_price") * F.col("quantity"),
+    )
+
+
+def _oracle_cm1_livestreaming() -> str:
+    return gold.oracle_cm1(
+        silver.oracle_conform_tiktok(), "livestreaming", "unit_price * quantity"
+    )
+
+
+@query("gold_cm1_shopify", oracle=_oracle_cm1_shopify())
+def gold_cm1_shopify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM1 for the e-commerce channel (silver_to_gold.py:362-430):
+    shopify revenue is the pre-totalled ``total_price`` (not
+    unit_price*quantity) — same wide projection, channel-parameterized."""
+    return _cm1_shopify(spark)
+
+
+@query(
+    "gold_cm2_shopify",
+    oracle=gold.oracle_cm2(_oracle_cm1_shopify(), silver.oracle_conform_freight()),
+)
+def gold_cm2_shopify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM2 for shopify (silver_to_gold.py:554-593): rollup → broadcast
+    freight join → shopify-gateway fee switch → margin arithmetic."""
+    return gold.cm2(_cm1_shopify(spark), _silver(spark, "freight"))
+
+
+@query("gold_cm1_livestreaming", oracle=_oracle_cm1_livestreaming())
+def gold_cm1_livestreaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM1 for the livestreaming channel (silver_to_gold.py:432-497):
+    tiktok revenue = unit_price*quantity on cents→dollars silver."""
+    return _cm1_livestreaming(spark)
+
+
+@query(
+    "gold_cm2_livestreaming",
+    oracle=gold.oracle_cm2(
+        _oracle_cm1_livestreaming(), silver.oracle_conform_freight()
+    ),
+)
+def gold_cm2_livestreaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM2 for livestreaming (silver_to_gold.py:595-632): rollup →
+    broadcast freight join → platform-fee switch → margin arithmetic."""
+    return gold.cm2(_cm1_livestreaming(spark), _silver(spark, "freight"))
+
+
 @query(
     "pipeline_exec_daily_kpi",
     oracle=gold.oracle_exec_daily_kpi(

@@ -65,12 +65,67 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=_K)
 
 
-@query("ann_srp_topk", oracle=None)
+def _plane_sql(p: int, dim: int) -> str:
+    vals = ", ".join(str(c) for c in S._plane(p, dim))
+    return f"[{vals}]::DOUBLE[]"
+
+
+def _sig_sql(vcol: str, n_planes: int, dim: int) -> str:
+    terms = []
+    for p in range(n_planes):
+        dot = _DOT.format(a=vcol, b=_plane_sql(p, dim))
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_SRP_PLANES = 4
+_SRP_DIM = 64
+
+
+def _srp_topk_oracle() -> str:
+    """Exact DuckDB mirror of srp_bucket_topk: the md5 planes are
+    deterministic, so the WHOLE approximate pipeline — signatures,
+    Hamming-1 probes, candidate join, in-bucket exact cosine, top-k —
+    is reproducible in SQL. 'Approximate' means approximate vs the
+    brute-force answer, not nondeterministic."""
+    probes = ", ".join(f"xor(bucket, {2 ** p})" for p in range(_SRP_PLANES))
+    cos = oracle_dround(_COSINE.replace("qv", "p.qv").replace("cv", "s.v"), 4)
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sigged AS (
+      SELECT vec_id, v, {_sig_sql('v', _SRP_PLANES, _SRP_DIM)} AS bucket FROM c
+    ),
+    probed AS (
+      SELECT query_id, qv, unnest([bucket, {probes}]) AS bucket FROM (
+        SELECT vec_id AS query_id, v AS qv, bucket FROM sigged
+        WHERE vec_id < {_N_QUERIES}
+      )
+    ),
+    scored AS (
+      SELECT p.query_id, s.vec_id AS neighbor_id, {cos} AS cosine
+      FROM probed p JOIN sigged s USING (bucket)
+      WHERE p.query_id <> s.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+    """
+
+
+@query("ann_srp_topk", oracle=_srp_topk_oracle())
 def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: SRP-LSH bucketed ANN top-k with multi-probe (Hamming-1
     buckets) — the 100 TB path: candidates come from bucket equi-joins,
-    never all-pairs. Approximate by design, so no SQL oracle; recall vs
-    the exact path is asserted in tests/test_operators.py."""
+    never all-pairs. Approximate vs brute force but fully deterministic
+    (md5 planes), so the entire LSH pipeline has an exact SQL oracle;
+    recall vs the exact path is additionally asserted in
+    tests/test_operators.py."""
     e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     # n_planes tunes bucket granularity against corpus size: 4 planes →
@@ -89,19 +144,6 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEARDUP_PLANES = 6
 _NEARDUP_DIM = 64
 _NEARDUP_T = 0.45
-
-
-def _plane_sql(p: int, dim: int) -> str:
-    vals = ", ".join(str(c) for c in S._plane(p, dim))
-    return f"[{vals}]::DOUBLE[]"
-
-
-def _sig_sql(vcol: str, n_planes: int, dim: int) -> str:
-    terms = []
-    for p in range(n_planes):
-        dot = _DOT.format(a=vcol, b=_plane_sql(p, dim))
-        terms.append(f"CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
 
 
 def _near_dup_oracle() -> str:

@@ -366,7 +366,7 @@ _MIX = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 0.25, "zh": 0.75}
 
 def _mix_oracle() -> str:
     from multichannel_commerce_data_pipeline_spark.operators.bucketing import (
-        KNUTH_MULTIPLIER,
+        oracle_bucket_sql,
     )
 
     cases = " ".join(
@@ -376,7 +376,7 @@ def _mix_oracle() -> str:
     return f"""
     WITH b AS (
       SELECT doc_id, lang, source,
-             ((doc_id * {KNUTH_MULTIPLIER}) % 1000 + 1000) % 1000 AS bucket
+             {oracle_bucket_sql('doc_id', 1000)} AS bucket
       FROM documents
     )
     SELECT doc_id, lang, source FROM b

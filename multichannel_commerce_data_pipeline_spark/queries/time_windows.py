@@ -91,7 +91,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, "value",
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -151,8 +151,10 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inactivity gaps > 30 min via lag over the event-time
     window — the gap detector behind session_window_events, exposed as
-    its own operator (the rows where a new session starts). Epoch
-    microseconds keep the arithmetic exact-integer in both engines."""
+    its own operator (the rows where a new session starts; strict >
+    matches session_window, which merges touching windows, i.e. a gap
+    of exactly the duration stays one session). Epoch microseconds
+    keep the arithmetic exact-integer in both engines."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
@@ -235,13 +237,19 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization ASSIGNMENT (the dual of session_window_events'
     aggregate): every event gets its user-scoped session ordinal via a
-    gap flag (> 30 min silence) and a running sum — one window
+    gap flag (> 30 min silence, matching session_window's merge-on-touch
+    boundary) and a running sum — one window
     partitioning, two passes over it, no joins. This is the labeling
     step downstream per-session features join against."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     gap = us - F.lag(us).over(w)
+    # strict >: Spark's session_window MERGES an event exactly gap
+    # minutes after its predecessor (touching session windows merge;
+    # verified empirically — test_session_boundary_agreement_at_exact_gap),
+    # so the dual flags a new session only when the gap EXCEEDS the
+    # duration.
     new_session = F.when(
         gap.isNull() | (gap > 1_800_000_000), F.lit(1)
     ).otherwise(F.lit(0))

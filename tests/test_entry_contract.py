@@ -46,3 +46,25 @@ def test_every_registered_query_is_callable(spark, sf_dir):
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_checked_window_is_the_intended_first_50():
+    """The driver correctness gate checks only the first 50 registry
+    entries in iteration order (CORRECTNESS_r01/r02). Pin the window:
+    every name in it, in order, with an oracle — so a module reshuffle
+    can't silently evict a query from driver verification."""
+    from multichannel_commerce_data_pipeline_spark.queries import (
+        CHECK_FIRST,
+        load_registry,
+    )
+
+    reg = load_registry()
+    names = list(reg)
+    assert len(CHECK_FIRST) == 50
+    assert names[: len(CHECK_FIRST)] == list(CHECK_FIRST)
+    assert "exec_daily_kpi" in CHECK_FIRST  # flagship stays checked
+    for name in CHECK_FIRST:
+        assert reg[name].oracle, f"{name} occupies a checked slot without an oracle"
+    # no-oracle queries must never occupy a checkable slot
+    for name in names[: len(CHECK_FIRST)]:
+        assert reg[name].oracle is not None
