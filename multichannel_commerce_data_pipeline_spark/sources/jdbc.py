@@ -117,3 +117,67 @@ def write_jdbc_create(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def _table_exists(jconn, table: str) -> bool:
+    """JDBC-metadata table-existence probe (Derby folds unquoted
+    identifiers to upper case; check both)."""
+    md = jconn.getMetaData()
+    for name in (table, table.upper(), table.lower()):
+        rs = md.getTables(None, None, name, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
+
+
+def write_jdbc_idempotent(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batch_id: int,
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Exactly-once JDBC landing for a streaming ``foreachBatch``: rows
+    carry their micro-batch id, and the write is delete-then-append on
+    that id. A crash between the JDBC commit and the checkpoint commit
+    replays the batch — the replay first deletes whatever the dead
+    attempt landed, so the append is idempotent per batch id (the
+    standard exactly-once recipe for non-transactional sinks; plain
+    ``write_jdbc_append`` alone is at-least-once).
+
+    The delete runs on the driver over one JDBC connection — it touches
+    only ``__batch_id = batch_id`` rows (index it in production), then
+    the distributed append proceeds as usual.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    jvm = spark._jvm  # noqa: SLF001 — py4j JDBC access for the driver-side delete
+    jconn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        if _table_exists(jconn, table):
+            st = jconn.createStatement()
+            try:
+                # quoted: Spark's JDBC writer creates the column as the
+                # delimited identifier "__batch_id" (leading underscores
+                # are invalid unquoted in Derby/ANSI)
+                st.executeUpdate(
+                    f'DELETE FROM {table} WHERE "__batch_id" = {int(batch_id)}'
+                )
+            finally:
+                st.close()
+    finally:
+        jconn.close()
+    write_jdbc_append(
+        df.withColumn("__batch_id", F.lit(int(batch_id))),
+        url,
+        table,
+        driver=driver,
+        batch_size=batch_size,
+        properties=properties,
+    )

@@ -196,14 +196,17 @@ def stream_bronze_to_silver_jdbc(
 ) -> StreamingQuery:
     """The reference's exact write path — conformed silver rows appended
     to a relational store (bronze_to_silver_all_sources.py:82-90) — as a
-    checkpointed stream: ``foreachBatch`` hands each micro-batch to the
-    S4 JDBC append sink. Exactly-once overall: the checkpoint replays a
-    failed batch, and batch-id-keyed idempotence (dedup upstream +
-    at-least-once append) is the standard contract for JDBC edges. The
-    watermark/dedup semantics are identical to the parquet landing —
-    only the sink differs."""
+    checkpointed stream. Exactly-once overall: the checkpoint replays a
+    failed batch, and the sink is ``write_jdbc_idempotent`` —
+    delete-then-append keyed on the micro-batch id — so a crash between
+    the JDBC commit and the checkpoint commit cannot duplicate rows
+    (the replay deletes the dead attempt's rows first). Landed rows
+    carry a ``__batch_id`` column; plain at-least-once append is
+    available via ``write_jdbc_append`` for sinks where a lineage
+    column is unacceptable. The watermark/dedup semantics are identical
+    to the parquet landing — only the sink differs."""
     from multichannel_commerce_data_pipeline_spark.sources.jdbc import (
-        write_jdbc_append,
+        write_jdbc_idempotent,
     )
 
     stream = conform_stream(
@@ -211,7 +214,7 @@ def stream_bronze_to_silver_jdbc(
     ).drop("bronze_ts")
     query = (
         stream.writeStream.foreachBatch(
-            lambda df, _bid: write_jdbc_append(df, jdbc_url, table)
+            lambda df, bid: write_jdbc_idempotent(df, jdbc_url, table, bid)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

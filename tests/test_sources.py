@@ -180,3 +180,25 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
     assert after.filter(F.col("p_month") == "1995-01").count() == n_half
     # every other partition untouched
     assert after.count() == n_total - n_jan95 + n_half
+
+
+def test_jdbc_idempotent_replay(spark, tmp_path):
+    """Exactly-once contract: re-landing the SAME batch id (a crash
+    replay) leaves the table unchanged; a NEW batch id appends."""
+    from multichannel_commerce_data_pipeline_spark.sources.jdbc import (
+        read_jdbc,
+        write_jdbc_idempotent,
+    )
+
+    url = _derby_url(tmp_path)
+    df = spark.range(25).withColumnRenamed("id", "k")
+    write_jdbc_idempotent(df, url, "idem_t", batch_id=0)
+    write_jdbc_idempotent(df, url, "idem_t", batch_id=0)  # replay
+    back = read_jdbc(spark, url, "idem_t")
+    assert back.count() == 25
+    assert "__batch_id" in back.columns
+    write_jdbc_idempotent(df, url, "idem_t", batch_id=1)
+    assert read_jdbc(spark, url, "idem_t").count() == 50
+    # replay of batch 1 again: still 50
+    write_jdbc_idempotent(df, url, "idem_t", batch_id=1)
+    assert read_jdbc(spark, url, "idem_t").count() == 50

@@ -273,3 +273,62 @@ def test_stream_to_jdbc_silver_landing(spark, tmp_path):
     assert n == 90  # 3 days x 30 orders
     assert first.filter(F.col("unit_price").isNull()).count() == 0
     assert drain().count() == n  # checkpointed: no duplicate appends
+
+
+def test_kafka_envelope_identity_through_stream(spark, tmp_path):
+    """S7/S8 closure without a broker: rows in the reference's producer
+    message shape {data: <raw record>, stream_timestamp}
+    (kafka_fashion_producer.py:74-86) encoded with encode_kafka_value,
+    landed as a Kafka-record-shaped frame (value/topic/partition/
+    offset), then streamed through decode_kafka_value — the decoded
+    data struct must be bit-identical to what was produced."""
+    from multichannel_commerce_data_pipeline_spark.pipeline.schemas import _RAW
+    from multichannel_commerce_data_pipeline_spark.streaming.kafka import (
+        decode_kafka_value,
+        encode_kafka_value,
+    )
+
+    raw_ddl = f"raw_api_data {_RAW['joor'][0]}"
+    rows = [
+        (("J-1", "Buyer One", "$12.50", 3, "SKU-1", "USD", "2025-06-01"),
+         "2025-06-01T00:00:01"),
+        (("J-2", "Buyer Two", "9.00", 1, "SKU-2", "EUR", "2025-06-02"),
+         "2025-06-02T00:00:02"),
+    ]
+    produced = spark.createDataFrame(
+        rows, f"data {_RAW['joor'][0]}, stream_timestamp STRING"
+    )
+    # producer side: one JSON value per message
+    encoded = encode_kafka_value(produced)
+    assert encoded.columns == ["value"]
+    # land as Kafka-record-shaped JSON files and stream them back
+    kafka_shaped = encoded.select(
+        F.lit("raw-joor").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        "value",
+    )
+    src = tmp_path / "kafka_records"
+    kafka_shaped.write.json(str(src))
+    stream = spark.readStream.schema(
+        "topic STRING, partition INT, offset BIGINT, value STRING"
+    ).json(str(src))
+    decoded = decode_kafka_value(stream, raw_ddl)
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("kafka_identity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT data, stream_timestamp FROM kafka_identity ORDER BY data.order_id"
+    ).collect()
+    want = sorted((r for r in produced.collect()), key=lambda r: r.data.order_id)
+    assert [(r.data, r.stream_timestamp) for r in got] == [
+        (r.data, r.stream_timestamp) for r in want
+    ]
+    meta = spark.sql(
+        "SELECT DISTINCT topic, partition FROM kafka_identity"
+    ).collect()
+    assert [(m.topic, m.partition) for m in meta] == [("raw-joor", 0)]
