@@ -24,7 +24,17 @@ from collections.abc import Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-KNUTH_MULTIPLIER = 2654435761  # 2^32 / golden ratio, fits in int64 products for keys < 3.4e9
+KNUTH_MULTIPLIER = 2654435761  # 2^32 / golden ratio
+# Keys are reduced mod this Mersenne prime BEFORE the multiply so the
+# int64 product is bounded by (2^31-2)*2654435761 ≈ 5.7e18 < 2^63-1:
+# no silent wrap in Spark, no BIGINT-overflow error in DuckDB — the
+# bucket stays bit-identical across engines for the FULL int64 key
+# range (an unreduced key >= ~3.5e9 overflowed the product).
+KEY_REDUCER = 2_147_483_647
+
+
+def _pmod(x: Column, m: int) -> Column:
+    return ((x % F.lit(m)) + F.lit(m)) % F.lit(m)
 
 
 def deterministic_bucket(key: Column, n_buckets: int = 1000) -> Column:
@@ -33,8 +43,18 @@ def deterministic_bucket(key: Column, n_buckets: int = 1000) -> Column:
     Uses plain ``%`` arithmetic (normalized to non-negative) instead of
     xxhash64 so an external SQL engine reproduces it bit-for-bit.
     """
-    raw = (key.cast("long") * F.lit(KNUTH_MULTIPLIER)) % F.lit(n_buckets)
-    return (raw + F.lit(n_buckets)) % F.lit(n_buckets)
+    reduced = _pmod(key.cast("long"), KEY_REDUCER)
+    return _pmod(reduced * F.lit(KNUTH_MULTIPLIER), n_buckets)
+
+
+def oracle_bucket_sql(key_expr: str, n_buckets: int = 1000) -> str:
+    """The exact ANSI-SQL twin of ``deterministic_bucket`` — one source
+    of truth for every oracle that inlines the bucket arithmetic."""
+    reduced = f"(({key_expr} % {KEY_REDUCER} + {KEY_REDUCER}) % {KEY_REDUCER})"
+    return (
+        f"(({reduced} * {KNUTH_MULTIPLIER}) % {n_buckets} + {n_buckets})"
+        f" % {n_buckets}"
+    )
 
 
 def stratified_sample(

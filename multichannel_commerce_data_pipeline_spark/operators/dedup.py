@@ -295,33 +295,29 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Iterative min-label propagation: each round, every vertex takes the
     min of its own label and its neighbors' labels (one join + one
     group-by per round), converging in O(graph diameter) rounds — dup
-    clusters are near-cliques, so diameter is tiny. Rounds materialize
-    via persist so lineage stays flat (no exponential plan growth), and
-    the loop exits early when a round changes nothing. For planet-scale
-    graphs swap in the large-star/small-star contraction (Kiveris et
-    al.), which needs O(log n) rounds; the per-round plan here is
-    identical in shape.
+    clusters are near-cliques, so diameter is tiny. Each round ends in
+    ``localCheckpoint(eager=True)``: the round's plan references the
+    previous labels frame TWICE (directly and through the neighbor-min
+    join), so without truncation the logical plan doubles per round and
+    Catalyst re-analysis goes exponential — persist alone caches data
+    but not the plan (measured: round 7 of a chain took 110 s persisted,
+    ~1 s checkpointed). On a cluster, swap localCheckpoint for reliable
+    ``checkpoint`` if executor loss during the loop must be survivable,
+    and for planet-scale graphs swap in the large-star/small-star
+    contraction (Kiveris et al.), which needs O(log n) rounds; the
+    per-round plan here is identical in shape.
 
     Returns (doc, cluster_id) for every doc appearing in ``pairs``.
     """
-    from pyspark import StorageLevel
-
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("u").alias("doc")).distinct().withColumn(
         "lbl", F.col("doc")
     )
-    # ONE action per round: the changed-count aggregate both decides
-    # convergence and populates the round's cache (labels is a narrow
-    # view of the persisted frame, so no second materialization job).
-    # The previous round's cache is released one generation behind; the
-    # final round's stays persisted because the returned DataFrame
-    # reads through it.
-    prev: DataFrame | None = None
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.u == labels.doc)
@@ -335,7 +331,10 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 "lbl",
                 F.least(F.col("lbl"), F.coalesce("nbl", "lbl")).alias("new_lbl"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            # eager materialization + lineage truncation in one step:
+            # the convergence aggregate below reads the checkpointed
+            # data, and next round's plan starts flat from it
+            .localCheckpoint(eager=True)
         )
         changed = (
             proposed.agg(
@@ -343,12 +342,20 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             ).first()[0]
             or 0
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = proposed
         labels = proposed.select("doc", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
+    else:
+        # Exhausted max_iter with labels still moving: the output would
+        # silently split a cluster whose diameter exceeds max_iter.
+        # Surface it loudly — callers either raise max_iter or swap in
+        # the large-star/small-star O(log n) contraction.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the duplicate graph has "
+            f"a component with diameter > {max_iter}. Increase max_iter "
+            "or use large-star/small-star contraction for such graphs."
+        )
     return labels.select("doc", F.col("lbl").alias("cluster_id"))
 
 

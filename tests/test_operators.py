@@ -334,3 +334,85 @@ def test_salted_sum_count_is_identical_to_direct_groupby(spark):
         ).collect()
     }
     assert salted == direct  # decimal combine is associative: bit-identical
+
+
+def test_deterministic_bucket_large_keys_match_oracle(spark):
+    """Keys >= 3.5e9 overflowed the pre-reduction multiply (Spark wraps
+    silently, DuckDB errors) — the mod-2^31-1 reduction keeps the whole
+    int64 key range bit-identical across engines."""
+    import duckdb
+
+    from multichannel_commerce_data_pipeline_spark.operators.bucketing import (
+        oracle_bucket_sql,
+    )
+
+    keys = [0, 1, 999, 2_147_483_646, 2_147_483_647, 3_500_000_000,
+            9_223_372_036_854_775_807, -5, -3_600_000_000]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: r.b
+        for r in df.select(
+            "k", deterministic_bucket(F.col("k"), 1000).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        (want,) = con.execute(
+            f"SELECT {oracle_bucket_sql(f'CAST({k} AS BIGINT)', 1000)}"
+        ).fetchone()
+        assert got[k] == want, f"key {k}: spark={got[k]} duckdb={want}"
+        assert 0 <= got[k] < 1000
+
+
+def test_session_boundary_agreement_at_exact_gap(spark, tmp_path):
+    """Spark's session_window MERGES an event exactly 30 min after its
+    predecessor (touching windows merge — verified here), so a new
+    session needs gap STRICTLY > duration, and the sessionize /
+    gap-detection duals must use strict > to agree at the boundary."""
+    import datetime as dt
+
+    from multichannel_commerce_data_pipeline_spark.queries.time_windows import (
+        event_gap_detection,
+        event_sessionize,
+        session_window_events,
+    )
+
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    rows = [
+        (1, 100, t0, "view", 1.0),
+        (2, 100, t0 + dt.timedelta(minutes=30), "click", 1.0),  # exact gap: merges
+        (3, 100, t0 + dt.timedelta(minutes=60, seconds=1), "view", 1.0),  # > gap
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    sw = sorted(session_window_events(spark, sf).collect(), key=lambda r: r.session_start)
+    assert len(sw) == 2  # events 1+2 merge (exact gap); event 3 splits (> gap)
+    assert sw[0].n_events == 2 and sw[1].n_events == 1
+    seqs = {r.event_id: r.session_seq for r in event_sessionize(spark, sf).collect()}
+    assert seqs == {1: 1, 2: 1, 3: 2}  # dual agrees at both boundaries
+    gaps = event_gap_detection(spark, sf).collect()
+    assert [(r.event_id, r.gap_us) for r in gaps] == [(3, 1_801_000_000)]
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A chain with diameter > max_iter must FAIL LOUDLY, not return
+    silently split clusters (min-label propagation needs O(diameter)
+    rounds); with enough rounds the same chain collapses to one
+    cluster."""
+    import pytest
+
+    from multichannel_commerce_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=3).collect()
+    ok = dedup_clusters(chain, max_iter=15).collect()
+    assert {r.cluster_id for r in ok} == {0}
+    assert len(ok) == 13
