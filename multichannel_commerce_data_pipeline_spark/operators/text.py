@@ -191,3 +191,74 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", fingerprint(text))
         .withColumn("lang_guess", lang_guess(text))
     )
+
+
+# --- PII redaction -----------------------------------------------------
+# RE2-compatible patterns (no lookaround/backrefs) so Spark's Java regex
+# and DuckDB's RE2 agree character-for-character — the redaction is
+# oracle-checkable.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(?:\+?[0-9]{1,2}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, phone numbers, and IPv4 addresses to typed
+    placeholder tokens — the standard pre-training privacy pass. Pure
+    chained regexp_replace: JVM-side, codegen-friendly, and order-fixed
+    (the pattern order is part of the operator contract, mirrored
+    exactly by the SQL oracle)."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def oracle_redact_pii(expr: str) -> str:
+    """DuckDB twin of :func:`redact_pii` (same patterns, same order,
+    'g' flag matching Spark's replace-all semantics)."""
+    out = expr
+    for pat, token in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{token}', 'g')"
+    return out
+
+
+# --- Gopher-style document quality flags -------------------------------
+# The repetition/shape heuristics from the Gopher corpus-filtering rules
+# (Rae et al. 2021, table A1) that are computable as pure expressions:
+# word count bounds, mean word length bounds, symbol-to-word ratio, and
+# stopword presence. Each flag is independent; the keep decision is
+# their conjunction, so downstream can re-mix thresholds per corpus.
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """Quality flag columns for one document: the caller selects
+    whichever subset it filters on (all JVM-side, one tokenizer pass
+    when materialized via with_text_features discipline)."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+        )
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.size(
+        F.regexp_extract_all(text, F.lit(r"[#\.\{\}\[\]<>\|\\]"), 0)
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    n_stop = F.size(F.array_intersect(toks, F.lit(list(STOPWORDS))))
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "n_stopword_kinds": n_stop,
+        "ok_word_count": (n_words >= 5) & (n_words <= 10_000),
+        "ok_word_len": (mean_wl >= 2.0) & (mean_wl <= 12.0),
+        "ok_symbols": symbol_ratio <= 0.1,
+        "ok_stopwords": n_stop >= 2,
+    }

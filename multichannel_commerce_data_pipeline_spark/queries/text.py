@@ -463,3 +463,88 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("chars"),
         dround(F.avg(T.alpha_ratio(F.col("text"))), 4).alias("avg_alpha_ratio"),
     )
+
+
+# deterministic PII fixture: the synthetic corpus has no real PII, so
+# the query plants one email/phone/IP per doc (derived from doc_id)
+# before scrubbing — the redaction path is exercised on every row and
+# the oracle rebuilds the identical input.
+_PII_SUFFIX_SPARK = (
+    "concat(' contact user', CAST(doc_id AS STRING), '@example.com or "
+    "call 555-867-5309 from 10.1.2.', CAST(doc_id % 256 AS STRING))"
+)
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+      {T.oracle_redact_pii(
+          "(text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+          " or call 555-867-5309 from 10.1.2.' || CAST(doc_id % 256 AS VARCHAR))"
+      )} AS clean_text
+    FROM documents
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/privacy: email/phone/IPv4 scrubbing to typed placeholders —
+    the pre-training privacy pass, as chained JVM-side regexp_replace
+    (RE2-compatible patterns, so DuckDB reproduces the redaction
+    byte-for-byte). Pure narrow map: no shuffle, scales with scan."""
+    d = load(spark, sf_dir, "documents")
+    planted = F.concat(F.col("text"), F.expr(_PII_SUFFIX_SPARK))
+    return d.select("doc_id", T.redact_pii(planted).alias("clean_text"))
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        len(toks) AS n_words,
+        CASE WHEN len(toks) > 0
+             THEN list_reduce(list_transform(toks, t -> CAST(length(t) AS DOUBLE)),
+                              (a, x) -> a + x) / len(toks)
+             ELSE 0.0 END AS mean_word_len_raw,
+        CASE WHEN len(toks) > 0
+             THEN CAST(len(regexp_extract_all(text, '[#\.\{{\}}\[\]<>\|\\\\]'))
+                       AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS symbol_ratio_raw,
+        len(list_distinct(list_filter(toks,
+            t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))) AS n_stopword_kinds
+      FROM t
+    )
+    SELECT doc_id, n_words,
+      {oracle_dround('mean_word_len_raw', 4)} AS mean_word_len,
+      {oracle_dround('symbol_ratio_raw', 4)} AS symbol_ratio,
+      n_stopword_kinds,
+      (n_words >= 5 AND n_words <= 10000) AS ok_word_count,
+      (mean_word_len_raw >= 2.0 AND mean_word_len_raw <= 12.0) AS ok_word_len,
+      (symbol_ratio_raw <= 0.1) AS ok_symbols,
+      (n_stopword_kinds >= 2) AS ok_stopwords
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: Gopher-rule quality flags (Rae et al. 2021 A1 subset) — word
+    count / mean word length / symbol ratio bounds and stopword
+    presence, emitted as independent boolean flags so the keep decision
+    can be re-thresholded per corpus without recomputing features. One
+    tokenizer materialization, zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    flags = T.gopher_flags(F.col("text"))
+    return d.select(
+        "doc_id",
+        flags["n_words"].alias("n_words"),
+        dround(flags["mean_word_len"], 4).alias("mean_word_len"),
+        dround(flags["symbol_ratio"], 4).alias("symbol_ratio"),
+        flags["n_stopword_kinds"].alias("n_stopword_kinds"),
+        flags["ok_word_count"].alias("ok_word_count"),
+        flags["ok_word_len"].alias("ok_word_len"),
+        flags["ok_symbols"].alias("ok_symbols"),
+        flags["ok_stopwords"].alias("ok_stopwords"),
+    )

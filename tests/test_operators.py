@@ -416,3 +416,41 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
     ok = dedup_clusters(chain, max_iter=15).collect()
     assert {r.cluster_id for r in ok} == {0}
     assert len(ok) == 13
+
+
+def test_redact_pii_patterns_and_order(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at john.doe+x@corp.example.org today"),
+        (2, "call +1 (415) 555-2671 or 555-867-5309 now"),
+        (3, "server at 192.168.0.1 responded"),
+        (4, "user@10.0.0.1 is an email, not an IP"),
+        (5, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    got = {r.id: r.t for r in df.select("id", redact_pii(F.col("text")).alias("t")).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == "server at <IP> responded"
+    # numeric-TLD "emails" aren't matched by the email pattern (TLD must
+    # be alphabetic); the embedded IP literal is still scrubbed
+    assert got[4] == "user@<IP> is an email, not an IP"
+    assert got[5] == rows[4][1]
+
+
+def test_gopher_flags_edges(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.text import gopher_flags
+
+    rows = [
+        (1, ""),  # empty: everything fails, no div-by-zero
+        (2, "the cat sat on a mat of cloth and more words here"),  # clean
+        (3, "### {{{ }}} [[[ ]]] <<< >>> ||| #"),  # symbol soup
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    flags = gopher_flags(F.col("text"))
+    out = {r.id: r for r in df.select("id", *[v.alias(k) for k, v in flags.items()]).collect()}
+    assert out[1].n_words == 0 and not out[1].ok_word_count
+    assert out[1].mean_word_len == 0.0 and out[1].symbol_ratio == 0.0
+    assert out[2].ok_word_count and out[2].ok_word_len and out[2].ok_symbols and out[2].ok_stopwords
+    assert not out[3].ok_symbols and not out[3].ok_stopwords
