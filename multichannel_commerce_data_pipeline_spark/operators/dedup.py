@@ -487,3 +487,61 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         bit = F.when(F.col(f"v_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select("doc", fp.cast("long").alias("simhash"))
+
+
+def decontaminate_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+) -> DataFrame:
+    """Benchmark decontamination — flag every training document sharing
+    at least one n-gram with a held-out evaluation set (the hygiene pass
+    run before any pre-training job; n=8..13 word-grams in practice,
+    parameterized here).
+
+    Scale shape: the benchmark side reduces to DISTINCT n-gram strings —
+    tiny (|bench docs| × tokens) — and is broadcast, so the 100 TB train
+    side is one narrow pass: shingle map-side, explode, broadcast-semi-
+    join, per-doc count. The train corpus never shuffles; the only wide
+    op is the final per-doc aggregate of the (rare) contaminated hits.
+
+    Returns (doc, n_contaminated_ngrams) for flagged docs only.
+    """
+    bench_grams = (
+        doc_shingles(benchmark, id_col, text_col, n)
+        .select(F.col("shingle"))
+        .distinct()
+    )
+    train_grams = doc_shingles(train, id_col, text_col, n)
+    hits = train_grams.join(F.broadcast(bench_grams), "shingle")
+    return hits.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_contaminated_ngrams")
+    )
+
+
+def ngram_multiset(toks, n: int):
+    """Word n-grams WITH repeats (:func:`shingles` deduplicates; the
+    repetition metrics below need the multiset). Same short-doc guard."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.slice(toks, 1, 0))
+
+
+def dup_ngram_fraction(grams):
+    """Fraction of within-document n-gram occurrences that are repeats:
+    1 - distinct/total over the doc's n-gram multiset (Gopher's
+    duplicate-n-gram rule). Takes a MATERIALIZED multiset column
+    (project :func:`ngram_multiset` into its own column first — it is
+    referenced three times here, and Spark re-evaluates non-trivial
+    expressions per reference). Pure array math: no shuffle, no UDF."""
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+    ).otherwise(F.lit(0.0))

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.functions import (
+    dround,
     oracle_dround,
     oracle_hash32,
     oracle_hash64,
@@ -357,3 +358,85 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").join(
         F.broadcast(drops), "doc_id", "left_anti"
     ).select("doc_id", "source")
+
+
+_DECON_N = 6
+_BENCH_CUT = 20  # doc_id < 20 plays the held-out benchmark set
+
+
+@query(
+    "benchmark_decontamination",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= {_DECON_N} THEN
+               list_distinct(list_transform(range(1, len(t) - {_DECON_N} + 2),
+                 i -> array_to_string(t[i:i+{_DECON_N}-1], ' ')))
+             ELSE [] END) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {_BENCH_CUT}),
+    hits AS (
+      SELECT grams.doc_id, COUNT(*) AS n_contaminated_ngrams
+      FROM grams JOIN bench USING (g)
+      WHERE grams.doc_id >= {_BENCH_CUT}
+      GROUP BY grams.doc_id
+    )
+    SELECT doc_id AS doc, n_contaminated_ngrams FROM hits
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: flag training docs sharing any {n}-gram with a
+    held-out benchmark slice (docs 0..19 stand in for the eval set) —
+    the hygiene pass run before every pre-training job. The benchmark
+    reduces to a tiny DISTINCT n-gram frame and is broadcast; the train
+    side stays one narrow pass (shingle map-side → broadcast join), so
+    the corpus never shuffles and cost scales with scan + hits."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    bench = d.filter(F.col("doc_id") < _BENCH_CUT)
+    train = d.filter(F.col("doc_id") >= _BENCH_CUT)
+    return D.decontaminate_flags(train, bench, n=_DECON_N)
+
+
+@query(
+    "repetition_quality",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+        CASE WHEN len(t) >= 2 THEN
+          list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        ELSE [] END AS g2,
+        CASE WHEN len(t) >= 3 THEN
+          list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        ELSE [] END AS g3
+      FROM toks
+    )
+    SELECT doc_id,
+      {oracle_dround("CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END", 4)} AS dup_bigram_frac,
+      {oracle_dround("CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END", 4)} AS dup_trigram_frac
+    FROM grams
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher's duplicate-n-gram rules):
+    fraction of bigram/trigram occurrences that are repeats. Staged
+    projections (tokens → multisets → fractions) so each expensive
+    array expression materializes once per row; zero shuffles."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    toked = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    grammed = toked.select(
+        "doc_id",
+        D.ngram_multiset(F.col("toks"), 2).alias("g2"),
+        D.ngram_multiset(F.col("toks"), 3).alias("g3"),
+    )
+    return grammed.select(
+        "doc_id",
+        dround(D.dup_ngram_fraction(F.col("g2")), 4).alias("dup_bigram_frac"),
+        dround(D.dup_ngram_fraction(F.col("g3")), 4).alias("dup_trigram_frac"),
+    )

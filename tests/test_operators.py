@@ -454,3 +454,45 @@ def test_gopher_flags_edges(spark):
     assert out[1].mean_word_len == 0.0 and out[1].symbol_ratio == 0.0
     assert out[2].ok_word_count and out[2].ok_word_len and out[2].ok_symbols and out[2].ok_stopwords
     assert not out[3].ok_symbols and not out[3].ok_stopwords
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows_bench = [(1, bench_text)]
+    rows_train = [
+        (21, "prefix words then alpha beta gamma delta epsilon zeta trailing"),
+        (22, "no overlap with the held out set whatsoever in here"),
+        (23, bench_text),  # verbatim copy: many contaminated 6-grams
+    ]
+    bench = spark.createDataFrame(rows_bench, "doc_id INT, text STRING")
+    train = spark.createDataFrame(rows_train, "doc_id INT, text STRING")
+    got = {
+        r.doc: r.n_contaminated_ngrams
+        for r in D.decontaminate_flags(train, bench, n=6).collect()
+    }
+    assert 21 in got and 23 in got and 22 not in got
+    assert got[23] == 3  # 8 tokens -> 3 distinct 6-grams, all shared
+    assert got[21] == 1  # exactly one 6-gram window overlaps
+
+
+def test_dup_ngram_fraction_values(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.dedup import (
+        dup_ngram_fraction,
+        ngram_multiset,
+    )
+    from multichannel_commerce_data_pipeline_spark.operators.text import tokens
+
+    rows = [
+        (1, "spam spam spam spam spam"),   # bigrams: 4 occurrences, 1 distinct
+        (2, "all words here are unique"),  # no repeats
+        (3, "x"),                          # shorter than n: fraction 0
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    staged = df.select(
+        "id", ngram_multiset(tokens(F.col("text")), 2).alias("g2")
+    )
+    got = {
+        r.id: round(r.f, 4)
+        for r in staged.select("id", dup_ngram_fraction(F.col("g2")).alias("f")).collect()
+    }
+    assert got[1] == 0.75 and got[2] == 0.0 and got[3] == 0.0
