@@ -104,8 +104,12 @@ def exec_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The driver's lineitem parquet is one row group, so the scan (and
     # with it the decimal-heavy partial aggregation) would run as a
     # single task; parallelize_small_scan fans it out and is a no-op on
-    # a real multi-split table.
-    li = parallelize_small_scan(spark, load(spark, sf_dir, "lineitem"))
+    # a real multi-split table. Fanning out BY the rollup key makes the
+    # fan-out exchange satisfy the groupBy's distribution requirement —
+    # one shuffle of the fact rows, not round-robin + hash.
+    li = parallelize_small_scan(
+        spark, load(spark, sf_dir, "lineitem"), by="l_orderkey"
+    )
     o = load(spark, sf_dir, "orders")
 
     # One pass over lineitem computes BOTH rollups: net revenue and the

@@ -47,7 +47,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def parallelize_small_scan(
-    spark: SparkSession, df: DataFrame, min_parts: int | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    min_parts: int | None = None,
+    by: str | None = None,
 ) -> DataFrame:
     """Repartition a scan only if it produced fewer partitions than the
     cluster has cores. Single-file tables (the driver's documents/
@@ -55,10 +58,16 @@ def parallelize_small_scan(
     serializes compute-heavy per-row work (shingling, hashing, dot
     products). At real scale the scan has thousands of splits and this
     is a no-op — the check keeps the extra shuffle out of plans that
-    don't need it."""
+    don't need it.
+
+    ``by``: when the downstream plan aggregates/joins on a key, hash-
+    repartition on it instead of round-robin — the fan-out exchange then
+    *satisfies* the aggregation's distribution requirement, so Catalyst
+    elides the second exchange (one shuffle of the fact rows instead of
+    round-robin + hash; verified in exec_daily_kpi's plan)."""
     target = min_parts or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return df.repartition(target, F.col(by)) if by else df.repartition(target)
     return df
 
 
