@@ -26,7 +26,11 @@ from multichannel_commerce_data_pipeline_spark.operators.bucketing import (
     oracle_bucket_sql,
 )
 from multichannel_commerce_data_pipeline_spark.queries import query
-from multichannel_commerce_data_pipeline_spark.tables import TABLE_NAMES, load
+from multichannel_commerce_data_pipeline_spark.tables import (
+    TABLE_NAMES,
+    load,
+    parallelize_small_scan,
+)
 
 
 @query(
@@ -230,8 +234,12 @@ def arithmetic_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (silver_to_gold.py:336-343,406-414,532-544). Rounding goes through
     a decimal cast (functions.dround) because plain double rounding
     resolves half-cent ties differently per engine — unit_price =
-    extendedprice/quantity hits exact .005 constantly."""
-    li = load(spark, sf_dir, "lineitem")
+    extendedprice/quantity hits exact .005 constantly.
+
+    The 4× decimal-cast rounding is compute-heavy per row, so the scan
+    is fanned out when the file has fewer splits than cores (no-op on a
+    real multi-split table)."""
+    li = parallelize_small_scan(spark, load(spark, sf_dir, "lineitem"))
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.select(
         "l_orderkey",

@@ -112,26 +112,51 @@ def exec_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load(spark, sf_dir, "orders")
 
-    # One pass over lineitem computes BOTH rollups: net revenue and the
-    # conditional freight sum (oracle keeps the reference's two-CTE +
-    # left-join shape; SUM(CASE WHEN) over the same rows is NULL exactly
-    # when the left join misses, so results hash-match). Saves a second
-    # lineitem scan, its shuffle, and the subsequent left join — at
-    # 100 TB that is the difference between one and two full-table
-    # exchanges on the fact table.
-    order_rollup = li.groupBy(F.col("l_orderkey").alias("order_no")).agg(
-        F.round(
-            F.sum(_dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))), 2
-        ).alias("net_revenue"),
-        F.round(
-            F.sum(
-                F.when(
-                    F.col("l_returnflag") == "R",
-                    _dec(F.col("l_quantity")) * F.expr(f"CAST(2.5 AS {_DEC})"),
-                )
-            ),
-            2,
-        ).alias("freight_cost_raw"),
+    # The 3-channel priority filter keeps ~60% of orders, and per-order
+    # rollups are row-independent — so the (filtered) orders join runs
+    # BEFORE the rollup, dropping excluded orders' lineitems ahead of
+    # the decimal aggregation and its shuffle (~40% fewer shuffled
+    # bytes). Grouping on l_orderkey itself (plus the functionally-
+    # dependent carried order attrs) keeps the fan-out exchange
+    # satisfying the groupBy's distribution — still ONE shuffle of the
+    # fact rows. At 100 TB the orders side stops broadcasting and AQE
+    # picks a sort-merge join that reuses the same keyed exchange; the
+    # runtime bloom filter (session default) then prunes lineitem rows
+    # at the scan.
+    o_filtered = o.filter(
+        F.col("o_orderpriority").isin([p for _, p in _CHANNELS])
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+
+    # One pass over the surviving lineitems computes BOTH rollups: net
+    # revenue and the conditional freight sum (oracle keeps the
+    # reference's two-CTE + left-join shape; SUM(CASE WHEN) over the
+    # same rows is NULL exactly when the left join misses, so results
+    # hash-match). Saves a second lineitem scan, its shuffle, and the
+    # subsequent left join — at 100 TB that is the difference between
+    # one and two full-table exchanges on the fact table.
+    order_rollup = (
+        li.join(o_filtered, li.l_orderkey == o_filtered.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_no"),
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))),
+                2,
+            ).alias("net_revenue"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R",
+                        _dec(F.col("l_quantity")) * F.expr(f"CAST(2.5 AS {_DEC})"),
+                    )
+                ),
+                2,
+            ).alias("freight_cost_raw"),
+        )
     )
     geo = (
         load(spark, sf_dir, "customer")
@@ -144,10 +169,9 @@ def exec_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("freight_cost_raw"), F.expr("CAST(0 AS DECIMAL(18,2))")
     )
     cm2 = (
-        o.join(order_rollup, o.o_orderkey == order_rollup.order_no)
-        .join(geo, geo.c_custkey == o.o_custkey)
+        order_rollup.join(geo, geo.c_custkey == F.col("o_custkey"))
         .select(
-            o.o_orderkey.alias("order_no"),
+            "order_no",
             "o_orderdate",
             "o_orderpriority",
             "country",

@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Inject a bloom filter from a selective dimension side into the
+        # fact-table scan of shuffle joins (Spark 3.3+). Near-free at
+        # test scale; at 100 TB it prunes fact rows before the exchange.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("MCDP_DRIVER_MEM", "16g"))
     )

@@ -18,11 +18,17 @@ SF_DIR = "/root/testdata/sf0.001"
 COMMENTARY = {
     "exec_daily_kpi": (
         "Single pass over lineitem computes both the revenue and freight "
-        "rollups (one shuffle on l_orderkey); every dimension join is a "
-        "BroadcastHashJoin; the 3-channel IN-list is pushed into the orders "
-        "parquet scan (PushedFilters) for row-group pruning; the final KPI "
-        "group-by is partially aggregated map-side. No sort-merge join, no "
-        "cartesian stage, no second fact-table exchange."
+        "rollups. The 3-channel IN-list is pushed into the orders parquet "
+        "scan (PushedFilters, row-group pruning at scale) and the filtered "
+        "orders join runs BEFORE the rollup, so excluded orders' lineitems "
+        "never reach the decimal aggregation; the keyed fan-out exchange on "
+        "l_orderkey doubles as the groupBy's distribution — one shuffle of "
+        "the fact rows total, with map-side partial aggregation. Geo dims "
+        "are BroadcastHashJoins; the rollup⋈customer join is statically a "
+        "shuffle join (both sides fact-sized at 100 TB) that AQE converts "
+        "to a broadcast at runtime when small (tests/test_plans.py asserts "
+        "the final adaptive plan). No cartesian stage, no second fact-table "
+        "exchange."
     ),
     "pricing_summary": (
         "Filter pushed to the parquet scan, column-pruned ReadSchema, and a "
