@@ -233,7 +233,17 @@ def ivf_assign(
     vector joins the broadcast centroid set and keeps its
     highest-cosine centroid (argmax via keyed row_number).
 
-    Returns (assignments: vid, v, v_n, cell, ccos; centroids)."""
+    Returns (assignments: vid, v, v_n, cell, ccos; centroids).
+
+    The argmax is a ``max(struct(ccos, -cell, …))`` group-by, NOT a
+    row_number window: the broadcast join emits all C scored rows of a
+    vector inside its source partition, so the partial (map-side)
+    aggregate collapses them to ONE row per vector before the exchange
+    — the shuffle carries N rows, where a window over the scored frame
+    would sort-shuffle N·C rows (fatal at 10⁹ vectors × 10⁴ cells).
+    Tie-break matches the oracle's ORDER BY ccos DESC, cell ASC via the
+    negated-cell struct field; (ccos, -cell) is unique per vector so
+    the max is deterministic."""
     base = _vectorized(embeddings, id_col, vec_col, "vid", "v")
     cents = F.broadcast(
         base.filter(F.col("vid") % centroid_stride == 0).select(
@@ -246,11 +256,25 @@ def ivf_assign(
     scored = base.join(cents).select(
         "vid", "v", "v_n", "cell", dround(sim, 6).alias("ccos")
     )
-    w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.col("cell"))
+    best = F.max(
+        F.struct(
+            F.col("ccos"),
+            (-F.col("cell")).alias("neg_cell"),
+            F.col("cell"),
+            F.col("v"),
+            F.col("v_n"),
+        )
+    ).alias("best")
     assign = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "v", "v_n", "cell", "ccos")
+        scored.groupBy("vid")
+        .agg(best)
+        .select(
+            "vid",
+            F.col("best.v").alias("v"),
+            F.col("best.v_n").alias("v_n"),
+            F.col("best.cell").alias("cell"),
+            F.col("best.ccos").alias("ccos"),
+        )
     )
     return assign, cents
 

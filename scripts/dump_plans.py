@@ -55,7 +55,10 @@ COMMENTARY = {
         "Inverted lists shuffle once on cell id; the probed query side "
         "(|Q| x n_probe rows) broadcasts. Candidate cost is bounded by "
         "probed-cell occupancy — the same plan shape at 10^9 vectors with "
-        "trained centroids."
+        "trained centroids. Cell assignment is a max(struct) group-by, so "
+        "the partial aggregate collapses the N x C scored rows to N "
+        "map-side before the exchange — the old keyed-window argmax "
+        "sort-shuffled the full N x C frame."
     ),
     "incremental_watermark": (
         "The checkpoint high-watermark is a broadcast scalar subquery, not "
