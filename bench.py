@@ -20,8 +20,8 @@ import time
 # (equi + as-of + blocked-fuzzy), group-by/distinct (+ skew-salted),
 # row windows, time/session windows, set-union composition, incremental
 # scan, text analysis (quality, TF-IDF, chunking), dedup (exact + LSH +
-# embedding), similarity search (exact + IVF), pandas UDAF, flagship
-# KPI.
+# embedding), similarity search (exact + IVF), pandas UDAF, training-set
+# prep (sequence packing), flagship KPI.
 HEADLINE = [
     "exec_daily_kpi",
     "pricing_summary",
@@ -44,6 +44,7 @@ HEADLINE = [
     "chunk_documents",
     "fuzzy_name_pairs",
     "salted_skew_agg",
+    "pack_sequences",
 ]
 
 

@@ -1,0 +1,176 @@
+"""Training-set preparation operators: the last mile between a cleaned
+corpus and a token stream the trainer reads (reference has no
+counterpart — this is the LLM-data extension surface, same family as
+operators/dedup.py and operators/text.py).
+
+Four operators, all pure Column expressions (no Python in the row
+path) and all oracle-reproducible (hashes via functions.portable_hash64
+so DuckDB computes bit-identical values):
+
+- ``assign_packs``: greedy token-budget packing of documents into
+  fixed-size training sequences ("packs"), SHARDED so no global sort
+  exists: docs hash into ``n_shards`` independent streams, each stream
+  is packed by a window cumulative sum, and pack boundaries fall at
+  budget multiples of the EXCLUSIVE running total (a doc that straddles
+  a boundary belongs to the pack where it started — deterministic,
+  one-pass, no bin-packing iteration). One shuffle (hash by shard +
+  sort by doc id inside); n_shards scales with the cluster, each
+  window partition is ~corpus/n_shards.
+
+- ``split_assign``: deterministic train/val/test labels from a hash
+  bucket in [0,100) — reproducible membership with exact expected
+  proportions, no sampling state, stable under corpus growth (a doc's
+  split never depends on other docs).
+
+- ``epoch_expand``: source-level oversampling (mixture weighting by
+  integer epochs): each doc is replicated ``epochs(source)`` times with
+  an epoch index, via broadcast-joining the tiny weights table and
+  exploding a sequence — map-side row generation, no shuffle of the
+  corpus at all.
+
+- ``shard_layout``: the deterministic "global shuffle" trainers
+  consume: a hash order key scatters ids uniformly, docs are
+  hash-partitioned into output shards and position-numbered within
+  shard by the key. Deliberately NOT a global row_number (a single
+  total-order window serializes onto one reducer); shard files +
+  in-shard order is exactly the layout data loaders read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.functions import portable_hash64
+
+
+def _pmod(col: Column, m: int) -> Column:
+    return F.pmod(col, F.lit(m))
+
+
+def assign_packs(
+    docs: DataFrame,
+    token_count: Column,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard, pack_id, pack_offset): greedy packing
+    of documents into ~``budget``-token training sequences within
+    ``n_shards`` independent hash shards.
+
+    ``pack_id`` = floor(exclusive-cumsum / budget) over the shard's
+    doc-id order; ``pack_offset`` is the doc's token start inside its
+    pack. Exactly one exchange (hashpartitioning on shard); the window
+    sort is per-shard, so at 100 TB each partition holds corpus/n_shards
+    rows and n_shards is sized to the cluster."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), token_count.cast("long").alias("n_tokens")
+    ).withColumn("shard", _pmod(portable_hash64(F.col("doc_id").cast("string"), seed), n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclusive running total = inclusive window sum minus the row itself
+    # (one window pass; lag-based exclusive frames need a second sort).
+    cum_excl = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_excl")
+    return (
+        base.select("doc_id", "n_tokens", "shard", cum_excl)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "shard",
+            F.floor(F.col("cum_excl") / budget).alias("pack_id"),
+            _pmod(F.col("cum_excl"), budget).alias("pack_offset"),
+        )
+    )
+
+
+def pack_stats(assignments: DataFrame, budget: int = 256) -> DataFrame:
+    """Per-(shard, pack) utilization rollup over :func:`assign_packs`
+    output: doc count, token total, and fill ratio vs the budget. One
+    additional partial-agg shuffle on the (shard, pack_id) key."""
+    return assignments.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: int = 13,
+) -> DataFrame:
+    """(doc_id, bucket, split): deterministic dataset split. The hash
+    bucket is uniform in [0,100); labels are train/val/test by
+    percentile cutoffs. Membership is a pure function of (id, seed) —
+    re-running on a grown corpus never reassigns an old doc."""
+    bucket = _pmod(portable_hash64(F.col(id_col).cast("string"), seed), 100)
+    return docs.select(F.col(id_col).alias("doc_id")).select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def epoch_expand(
+    docs: DataFrame,
+    epochs: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_epochs: int = 1,
+) -> DataFrame:
+    """(doc_id, source, epoch): mixture oversampling — replicate each
+    doc ``epochs[source]`` times (``default_epochs`` for unlisted
+    sources) with a 1-based epoch index. The weights table is a literal
+    broadcast join and the replication is explode(sequence(..)), so the
+    expansion happens map-side inside the scan stage: zero shuffles,
+    output rows = sum over sources of n_docs x epochs."""
+    spark = docs.sparkSession
+    wt = F.broadcast(
+        spark.createDataFrame(
+            [(s, int(e)) for s, e in sorted(epochs.items())], f"{source_col} string, __epochs int"
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+        .join(wt.withColumnRenamed(source_col, "source"), "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.coalesce(F.col("__epochs"), F.lit(default_epochs)))
+            ).alias("epoch"),
+        )
+    )
+
+
+def shard_layout(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """(doc_id, shard, pos): deterministic training-order shuffle. The
+    md5-derived order key scatters ids uniformly; docs land in
+    ``n_shards`` output shards (hash of the order key, so shards are
+    also uniform) and are position-numbered within the shard by key
+    order. One exchange + per-shard sort; no single-reducer global
+    window. Trainers read shards round-robin to see a uniform random
+    permutation."""
+    key = portable_hash64(F.col(id_col).cast("string"), seed)
+    base = docs.select(F.col(id_col).alias("doc_id"), key.alias("__key")).withColumn(
+        "shard", _pmod(F.col("__key"), n_shards)
+    )
+    w = Window.partitionBy("shard").orderBy("__key", "doc_id")
+    # long, not int: a shard's row count at 100 TB legitimately exceeds 2^31
+    return base.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )

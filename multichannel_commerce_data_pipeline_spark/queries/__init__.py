@@ -136,6 +136,7 @@ def load_registry() -> dict[str, Query]:
         sql_surface,
         text,
         time_windows,
+        training_prep,
         windows,
     )
 

@@ -1,0 +1,109 @@
+"""Operator invariants for training-set preparation
+(operators/training_prep.py): packing coverage and boundary semantics,
+split determinism, oversampling counts, shard-layout contiguity — plus
+the plan shapes the 100 TB design claims (map-side epoch expansion,
+single-exchange packing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.operators import training_prep as TP
+from multichannel_commerce_data_pipeline_spark.tables import load
+
+
+def _docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+def test_assign_packs_matches_reference_impl(spark, sf_dir):
+    """Every doc assigned exactly once; pack_id/pack_offset equal a
+    driver-side greedy reference over the same shard/order."""
+    d = _docs(spark, sf_dir).select("doc_id", F.length("text").alias("n"))
+    out = TP.assign_packs(d, F.col("n"), budget=100, n_shards=4).collect()
+    src = {r["doc_id"]: r["n"] for r in d.collect()}
+    assert len(out) == len(src)
+
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in shard_rows:
+            assert r["pack_id"] == cum // 100
+            assert r["pack_offset"] == cum % 100
+            assert 0 <= r["pack_offset"] < 100
+            cum += src[r["doc_id"]]
+
+
+def test_assign_packs_single_exchange(spark, sf_dir):
+    """One hash exchange on shard — the whole packing is a per-shard
+    window; no global sort anywhere in the plan."""
+    d = _docs(spark, sf_dir)
+    df = TP.assign_packs(d, F.size(F.split("text", r"\s+")), budget=256, n_shards=8)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    # one shuffle exchange; rangepartitioning would mean a global sort
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_split_assign_proportions_and_stability(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = TP.split_assign(d).collect()
+    n = len(out)
+    frac = {s: sum(1 for r in out if r["split"] == s) / n for s in ("train", "val", "test")}
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.04 < frac["val"] < 0.16
+    assert 0.04 < frac["test"] < 0.16
+    # membership is a pure function of the id: a filtered re-run agrees
+    sub = TP.split_assign(d.filter(F.col("doc_id") % 3 == 0)).collect()
+    full = {r["doc_id"]: r["split"] for r in out}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub)
+
+
+def test_epoch_expand_counts_and_no_shuffle(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    epochs = {"src0": 3, "src1": 2}
+    out = TP.epoch_expand(d, epochs)
+    per_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    base = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, n in base.items():
+        assert per_src[s] == n * epochs.get(s, 1)
+    # epoch indexes are 1..k per doc
+    k = out.filter(F.col("source") == "src0").groupBy("doc_id").agg(
+        F.count("*").alias("c"), F.min("epoch").alias("lo"), F.max("epoch").alias("hi")
+    )
+    bad = k.filter((F.col("c") != 3) | (F.col("lo") != 1) | (F.col("hi") != 3)).count()
+    assert bad == 0
+    # the expansion is map-side: broadcast join + explode, no exchange
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shard_layout_positions_contiguous(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = TP.shard_layout(d, n_shards=4)
+    assert out.count() == d.count()
+    per_shard = (
+        out.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+        .collect()
+    )
+    for r in per_shard:
+        assert r["lo"] == 1 and r["hi"] == r["n"]
+    # deterministic: same layout on re-run
+    again = TP.shard_layout(d, n_shards=4)
+    assert out.exceptAll(again).count() == 0
