@@ -302,10 +302,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Catalyst re-analysis goes exponential — persist alone caches data
     but not the plan (measured: round 7 of a chain took 110 s persisted,
     ~1 s checkpointed). On a cluster, swap localCheckpoint for reliable
-    ``checkpoint`` if executor loss during the loop must be survivable,
-    and for planet-scale graphs swap in the large-star/small-star
-    contraction (Kiveris et al.), which needs O(log n) rounds; the
-    per-round plan here is identical in shape.
+    ``checkpoint`` if executor loss during the loop must be survivable.
+    If a component's diameter exceeds ``max_iter`` (labels still moving
+    after the loop), the remainder is finished automatically by
+    :func:`star_contract` on the contracted label graph — O(log^2 n)
+    rounds independent of diameter — with a RuntimeWarning.
 
     Returns (doc, cluster_id) for every doc appearing in ``pairs``.
     """
@@ -346,17 +347,116 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     else:
-        # Exhausted max_iter with labels still moving: the output would
-        # silently split a cluster whose diameter exceeds max_iter.
-        # Surface it loudly — callers either raise max_iter or swap in
-        # the large-star/small-star O(log n) contraction.
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); the duplicate graph has "
-            f"a component with diameter > {max_iter}. Increase max_iter "
-            "or use large-star/small-star contraction for such graphs."
+        # Exhausted max_iter with labels still moving: a component's
+        # diameter exceeds max_iter (chain-shaped graph). Finish on the
+        # RESIDUE with the large-star/small-star contraction, which
+        # needs O(log^2 n) rounds regardless of diameter: contract the
+        # edge set to label-space (every label is already the min of a
+        # radius-max_iter ball, so this graph is tiny relative to the
+        # input), star-contract it, and compose doc -> label -> root.
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds ({changed} labels still moving) — a "
+            f"component has diameter > {max_iter}; finishing with "
+            "large-star/small-star contraction on the label residue.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        lu = labels.select(F.col("doc").alias("u"), F.col("lbl").alias("lu"))
+        lv = labels.select(F.col("doc").alias("v"), F.col("lbl").alias("lv"))
+        lbl_edges = (
+            edges.join(lu, "u")
+            .join(lv, "v")
+            .filter(F.col("lu") != F.col("lv"))
+            .select(F.col("lu").alias("doc_a"), F.col("lv").alias("doc_b"))
+        )
+        roots = star_contract(lbl_edges).select(
+            F.col("doc").alias("lbl"), F.col("cluster_id").alias("root")
+        )
+        return (
+            labels.join(roots, "lbl", "left")
+            .select("doc", F.coalesce("root", "lbl").alias("cluster_id"))
         )
     return labels.select("doc", F.col("lbl").alias("cluster_id"))
+
+
+def star_contract(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): converges in O(log^2 n) ROUNDS INDEPENDENT OF GRAPH
+    DIAMETER — the planet-scale path :func:`dedup_clusters` falls back
+    to, and the right default when duplicate chains can be long (e.g.
+    boilerplate gradients where A~B~C~... without A~C).
+
+    Per round, two star operations, each one self-contained shuffle
+    pair (group-by min + join back):
+
+    * large-star: every node connects its LARGER neighbors to the
+      minimum of its closed neighborhood — long chains fold toward
+      local minima from every node at once;
+    * small-star: every node connects its smaller-or-equal neighbors
+      (and itself) to its minimum neighbor — stars flatten so the next
+      large-star sees them as single hops.
+
+    Both operations strictly shrink the edge partial order and never
+    introduce a node below the component minimum, so the fixpoint is a
+    star forest centered at each component's min id — identical labels
+    to min-label propagation. Rounds end in localCheckpoint (same
+    lineage-truncation discipline as :func:`dedup_clusters`; swap for
+    reliable ``checkpoint`` on a cluster when executor loss during the
+    loop must be survivable).
+
+    Returns (doc, cluster_id) for every doc appearing in ``pairs``.
+    """
+    lo, hi = F.least("a", "b"), F.greatest("a", "b")
+    E = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star over the bidirectional neighbor view
+        D = E.union(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = (
+            D.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("mn", F.col("a")).alias("m"))
+        )
+        ls = (
+            D.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the larger-to-smaller orientation
+        Dd = ls.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        m2 = Dd.groupBy("u").agg(F.min("v").alias("m"))
+        E2 = (
+            Dd.join(m2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(lo.alias("a"), hi.alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint when the canonical edge SET is unchanged (both are
+        # distinct frames, so count + one-sided difference suffices)
+        if E2.count() == E.count() and E2.exceptAll(E).limit(1).count() == 0:
+            E = E2
+            break
+        E = E2
+    # fixpoint: a star forest with each root = component min (root < leaf)
+    return (
+        E.select(F.col("b").alias("doc"), F.col("a").alias("cluster_id"))
+        .union(E.select(F.col("a").alias("doc"), F.col("a").alias("cluster_id")))
+        .distinct()
+    )
 
 
 def simhash_pairs(

@@ -283,6 +283,21 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+@query("dedup_clusters_star", oracle=_clusters_oracle())
+def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planet-scale clustering path on the same LSH pairs:
+    large-star/small-star contraction (O(log^2 n) rounds independent of
+    graph diameter — what :func:`operators.dedup.dedup_clusters` falls
+    back to when a component outlives its round budget). Identical
+    labels to min-label propagation, so the oracle is the same
+    recursive transitive closure."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD
+    )
+    return D.star_contract(pairs)
+
+
 _FUZZY_PREFIX = 16
 _FUZZY_DIST = 2
 

@@ -397,11 +397,11 @@ def test_session_boundary_agreement_at_exact_gap(spark, tmp_path):
     assert [(r.event_id, r.gap_us) for r in gaps] == [(3, 1_801_000_000)]
 
 
-def test_dedup_clusters_raises_on_nonconvergence(spark):
-    """A chain with diameter > max_iter must FAIL LOUDLY, not return
-    silently split clusters (min-label propagation needs O(diameter)
-    rounds); with enough rounds the same chain collapses to one
-    cluster."""
+def test_dedup_clusters_falls_back_to_star_on_nonconvergence(spark):
+    """A chain with diameter > max_iter must NOT return silently split
+    clusters: min-label propagation (O(diameter) rounds) hands the
+    residue to large-star/small-star contraction and warns; the result
+    is still the full component with the min id as cluster."""
     import pytest
 
     from multichannel_commerce_data_pipeline_spark.operators.dedup import (
@@ -411,11 +411,52 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(chain, max_iter=3).collect()
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = dedup_clusters(chain, max_iter=3).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == 13
+    # with enough rounds min-label converges on its own — no warning
     ok = dedup_clusters(chain, max_iter=15).collect()
     assert {r.cluster_id for r in ok} == {0}
     assert len(ok) == 13
+
+
+def test_star_contract_matches_union_find(spark):
+    """Large-star/small-star contraction labels every component by its
+    min id — checked against a driver-side union-find on a graph mixing
+    a 60-long chain (diameter way past any label-propagation budget),
+    a clique, an isolated pair, and random edges."""
+    import random
+
+    from multichannel_commerce_data_pipeline_spark.operators.dedup import (
+        star_contract,
+    )
+
+    rng = random.Random(17)
+    edges = [(i, i + 1) for i in range(100, 160)]           # long chain
+    edges += [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique
+    edges += [(900, 901)]                                   # isolated pair
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc: r.cluster_id for r in star_contract(df).collect()}
+    assert got == expected
 
 
 def test_redact_pii_patterns_and_order(spark):
