@@ -163,8 +163,12 @@ def cm2(cm1_df: DataFrame, freight_silver: DataFrame) -> DataFrame:
         "order_no", "buyer_name", "date_key", "country", "region", "channel"
     ).agg(
         F.sum("quantity").alias("total_quantity"),
-        F.sum("net_revenue").alias("net_revenue"),
-        F.sum("cm1_amount").alias("cm1_amount"),
+        # The reference rounds the rollup money sums to 2dp at aggregation
+        # time (silver_to_gold.py:505-508 spark_round(sum(...), 2)); doing
+        # the same also removes accumulation-order sensitivity from the
+        # cross-engine comparison of double sums.
+        dround(F.sum("net_revenue")).alias("net_revenue"),
+        dround(F.sum("cm1_amount")).alias("cm1_amount"),
     )
     build = F.broadcast(
         freight_silver.select(
@@ -179,7 +183,7 @@ def cm2(cm1_df: DataFrame, freight_silver: DataFrame) -> DataFrame:
         FEE_PCT["direct"]
     )
     freight_cost = F.coalesce(F.col("freight_cost_raw"), F.lit(0.0))
-    payment_fee = F.col("net_revenue") * fee_rate
+    payment_fee = dround(F.col("net_revenue") * fee_rate)
     return joined.select(
         "order_no",
         "buyer_name",
@@ -196,7 +200,7 @@ def cm2(cm1_df: DataFrame, freight_silver: DataFrame) -> DataFrame:
         ),
         payment.alias("payment_source"),
         payment_fee.alias("payment_fee"),
-        (
+        dround(
             F.col("cm1_amount") - freight_cost - payment_fee - F.lit(PLATFORM_FEE)
         ).alias("cm2_amount"),
     )
@@ -208,6 +212,7 @@ def oracle_cm2(cm1_sql: str, freight_silver_sql: str) -> str:
         f"CASE WHEN ({payment}) = 'hilldun' THEN CAST({FEE_PCT['hilldun']!r} AS DOUBLE) "
         f"ELSE CAST({FEE_PCT['direct']!r} AS DOUBLE) END"
     )
+    payment_fee = oracle_dround(f"net_revenue * ({fee_rate})")
     return f"""
     SELECT
       order_no, buyer_name, date_key, country, region, channel,
@@ -215,15 +220,16 @@ def oracle_cm2(cm1_sql: str, freight_silver_sql: str) -> str:
       COALESCE(freight_cost_raw, 0.0)                    AS freight_cost,
       COALESCE(freight_status_raw, 'no_shipment')        AS freight_status,
       {payment}                                          AS payment_source,
-      net_revenue * ({fee_rate})                         AS payment_fee,
-      cm1_amount - COALESCE(freight_cost_raw, 0.0)
-        - net_revenue * ({fee_rate})
-        - CAST({PLATFORM_FEE!r} AS DOUBLE)               AS cm2_amount
+      {payment_fee}                                      AS payment_fee,
+      {oracle_dround(
+        f"cm1_amount - COALESCE(freight_cost_raw, 0.0) - ({payment_fee}) "
+        f"- CAST({PLATFORM_FEE!r} AS DOUBLE)"
+      )}                                                 AS cm2_amount
     FROM (
       SELECT order_no, buyer_name, date_key, country, region, channel,
-             SUM(quantity)     AS total_quantity,
-             SUM(net_revenue)  AS net_revenue,
-             SUM(cm1_amount)   AS cm1_amount
+             CAST(SUM(quantity) AS BIGINT)          AS total_quantity,
+             {oracle_dround("SUM(net_revenue)")}    AS net_revenue,
+             {oracle_dround("SUM(cm1_amount)")}     AS cm1_amount
       FROM ({cm1_sql})
       GROUP BY order_no, buyer_name, date_key, country, region, channel
     ) rolled

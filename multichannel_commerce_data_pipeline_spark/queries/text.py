@@ -441,8 +441,8 @@ def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       source, lang,
       COUNT(*) AS docs,
-      SUM(len(regexp_extract_all(lower(text), '\S+'))) AS tokens,
-      SUM(length(text)) AS chars,
+      CAST(SUM(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS tokens,
+      CAST(SUM(length(text)) AS BIGINT) AS chars,
       {oracle_dround(
           "AVG(CASE WHEN length(text) > 0 THEN "
           "length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / length(text) "

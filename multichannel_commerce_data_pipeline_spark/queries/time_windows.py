@@ -19,6 +19,15 @@ from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import load
 
 
+def _epoch_us(ts):
+    """Epoch microseconds of a timestamp column regardless of whether the
+    parquet scan surfaced it as TIMESTAMP or TIMESTAMP_NTZ (Spark 4 infers
+    NTZ for non-UTC-adjusted parquet). unix_micros only accepts LTZ; the
+    cast interprets NTZ wall time in the session zone, which session.py
+    pins to UTC — matching DuckDB's epoch_us(TIMESTAMP) exactly."""
+    return F.unix_micros(ts.cast("timestamp_ltz"))
+
+
 @query(
     "tumbling_daily_events",
     oracle=f"""
@@ -157,7 +166,7 @@ def event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the arithmetic exact-integer in both engines."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = _epoch_us(F.col("ts"))
     gapped = ev.select(
         "user_id",
         "event_id",
@@ -227,10 +236,13 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
-           SUM(new_session) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_seq
+           -- CAST: DuckDB SUM(int) yields HUGEINT, which pandas renders as
+           -- float64 and breaks the cross-engine value hash vs Spark bigint.
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW)
+                AS BIGINT) AS session_seq
     FROM flagged
     """,
 )
@@ -243,7 +255,7 @@ def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     step downstream per-session features join against."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = _epoch_us(F.col("ts"))
     gap = us - F.lag(us).over(w)
     # strict >: Spark's session_window MERGES an event exactly gap
     # minutes after its predecessor (touching session windows merge;

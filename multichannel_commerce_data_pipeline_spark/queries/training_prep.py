@@ -29,10 +29,12 @@ _PACK_BASE = rf"""
       FROM documents
     ),
     cum AS (
+      -- CAST: DuckDB's SUM(BIGINT) window yields HUGEINT, which pandas
+      -- renders as float64 and breaks the driver hash vs Spark's bigint.
       SELECT doc_id, n_tokens, shard,
-             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-               AS cum_excl
+               AS BIGINT) AS cum_excl
       FROM base
     ),
     packed AS (
@@ -64,7 +66,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT shard, pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n_tokens) AS pack_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
     FROM packed GROUP BY shard, pack_id
     """,
 )

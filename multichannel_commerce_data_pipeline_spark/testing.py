@@ -52,10 +52,21 @@ def compare(sdf, con: duckdb.DuckDBPyConnection, oracle: str) -> list[str]:
     mismatch descriptions (empty = match)."""
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
-    ores = con.execute(oracle)
-    ocols = [d[0] for d in ores.description]
-    orows = ores.fetchall()
+    rel = con.sql(oracle)
+    ocols = list(rel.columns)
+    otypes = [str(t) for t in rel.types]
+    orows = rel.fetchall()
     problems: list[str] = []
+    # The driver canonicalizes through pandas, where DuckDB HUGEINT
+    # becomes float64 while Spark emits int64 — a guaranteed hash
+    # mismatch even when every value is identical. fetchall() hides this
+    # (int128 -> Python int), so check the declared types explicitly.
+    for c, t in zip(ocols, otypes):
+        if t in ("HUGEINT", "UHUGEINT"):
+            problems.append(
+                f"oracle column {c!r} is {t} (pandas float64 in the driver); "
+                f"wrap it in CAST(... AS BIGINT)"
+            )
     if len(srows) != len(orows):
         problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
     if sorted(scols) != sorted(ocols):
