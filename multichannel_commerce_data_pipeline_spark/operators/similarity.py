@@ -188,7 +188,14 @@ def embedding_near_dup_pairs(
     the same cosine either way, so dropDuplicates then shuffles only the
     tiny above-threshold (id_a, id_b, cosine) rows instead of full
     vector payloads (at dim d the difference is ~16d bytes per
-    candidate)."""
+    candidate).
+
+    The signed frame feeds BOTH join sides and is deliberately NOT
+    persisted: measured under the bench protocol, cache population costs
+    more than recomputing the scan + n_planes O(d) dot products per side
+    (2.5s vs 1.2s warm at sf0.1), and at corpus scale the second pass is
+    cheap map-side work while a corpus-sized cache competes with the
+    shuffle for executor memory."""
     base = _vectorized(embeddings, id_col, vec_col, "vid", "v").select(
         "vid", "v", "v_n", srp_signature(F.col("v"), n_planes, dim).alias("bucket")
     )

@@ -175,19 +175,43 @@ def global_max_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_kpi", oracle=None)
+@query(
+    "approx_distinct_kpi",
+    oracle="""
+    SELECT
+      o_orderpriority                AS channel,
+      ROUND(SUM(o_totalprice), 2)    AS revenue,
+      TRUE                           AS buyers_within_tol,
+      TRUE                           AS orders_within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def approx_distinct_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 at-scale variant: the exec_daily_kpi aggregate with
     approx_count_distinct (HyperLogLog++, rsd=1%) replacing the exact
     two-phase expand — the 100 TB path promised alongside
-    distinct_ratio_kpi. One single-pass partial aggregate instead of an
-    Expand + double shuffle; no oracle because DuckDB's HLL sketches
-    produce different estimates (driver records rows-only check)."""
+    distinct_ratio_kpi. The sketch estimate is accuracy-bounded, not
+    bit-defined, so the driver-checkable surface asserts the bound:
+    each estimate must land within 5x the configured rsd of the exact
+    count (computed in the same pass), and the oracle pins that
+    assertion to TRUE. A sketch regression now turns the row red
+    instead of hiding behind a rows-only check."""
     o = load(spark, sf_dir, "orders")
+    tol = 0.05  # 5 x rsd=1% — beyond ±5 sigma for HLL++
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(approx - exact) <= exact * F.lit(tol)
+    )
     return o.groupBy(F.col("o_orderpriority").alias("channel")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        F.approx_count_distinct("o_custkey", 0.01).alias("unique_buyers_approx"),
-        F.approx_count_distinct("o_orderkey", 0.01).alias("orders_approx"),
+        within(
+            F.approx_count_distinct("o_custkey", 0.01),
+            F.count_distinct(F.col("o_custkey")),
+        ).alias("buyers_within_tol"),
+        within(
+            F.approx_count_distinct("o_orderkey", 0.01),
+            F.count_distinct(F.col("o_orderkey")),
+        ).alias("orders_within_tol"),
     )
 
 
@@ -291,17 +315,37 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentile_summary", oracle=None)
+@query(
+    "approx_percentile_summary",
+    oracle="""
+    SELECT l_returnflag,
+           TRUE AS median_within_tol,
+           TRUE AS p90_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB companion to percentile_summary: approx_percentile
     (GK sketch — bounded memory, one pass, mergeable partials) with the
-    same call shape. No SQL oracle: the sketch's result is
-    accuracy-bounded, not bit-defined; tests assert it lands within
-    tolerance of the exact quantiles."""
+    same call shape. The sketch result is accuracy-bounded, not
+    bit-defined, so the driver-checkable surface asserts the bound
+    in-query — each estimate within 2% relative error of the exact
+    interpolated quantile computed in the same aggregate — and the
+    oracle pins the assertion to TRUE per group."""
     li = load(spark, sf_dir, "lineitem")
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(approx - exact) <= F.abs(exact) * F.lit(0.02)
+    )
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("median_price"),
-        F.approx_percentile("l_extendedprice", 0.90, 10000).alias("p90_price"),
+        within(
+            F.approx_percentile("l_extendedprice", 0.5, 10000),
+            F.percentile("l_extendedprice", 0.5),
+        ).alias("median_within_tol"),
+        within(
+            F.approx_percentile("l_extendedprice", 0.90, 10000),
+            F.percentile("l_extendedprice", 0.90),
+        ).alias("p90_within_tol"),
     )
 
 

@@ -1,0 +1,83 @@
+"""Warehouse-layout query: the bucketed co-located join made
+driver-visible. write_bucketed persists customer and orders bucketed on
+the join key, then the rollup joins them exchange-free (the storage
+investment the silver→gold star schema repays at 100 TB — every
+subsequent equi-join on the bucketed key skips both shuffles).
+
+tests/test_sources.py asserts the join plan has no Exchange/Sort; this
+query proves the values survive the layout round-trip end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.queries import query
+from multichannel_commerce_data_pipeline_spark.sources.warehouse import (
+    read_table,
+    write_bucketed,
+)
+from multichannel_commerce_data_pipeline_spark.tables import load
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write customer/orders bucketed on custkey once per (session,
+    sf_dir); re-runs reuse the existing tables. Table names carry an
+    sf_dir digest so scale factors never collide."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cust_t, ord_t = f"customer_b_{tag}", f"orders_b_{tag}"
+    if spark.catalog.tableExists(cust_t) and spark.catalog.tableExists(ord_t):
+        return cust_t, ord_t
+    base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag
+    write_bucketed(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        cust_t,
+        str(base / "customer"),
+        ["c_custkey"],
+        n_buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        ord_t,
+        str(base / "orders"),
+        ["o_custkey"],
+        n_buckets=8,
+        sort_cols=["o_custkey"],
+    )
+    return cust_t, ord_t
+
+
+@query(
+    "bucketed_join_rollup",
+    oracle="""
+    SELECT c.c_nationkey                       AS nationkey,
+           COUNT(*)                            AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2)       AS total_spend
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order rollup over the BUCKETED warehouse copies of
+    customer and orders: both sides bucketed+sorted on the join key, so
+    the equi-join is bucket-wise — no Exchange, no per-task Sort on
+    either input (plan asserted in tests/test_sources.py). The only
+    shuffle in the whole query is the final 25-key aggregate. This is
+    the reference's repeated fact-on-order_no join pattern
+    (silver_to_gold.py:512-516) expressed as a storage layout."""
+    cust_t, ord_t = _ensure_bucketed(spark, sf_dir)
+    c, o = read_table(spark, cust_t), read_table(spark, ord_t)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
