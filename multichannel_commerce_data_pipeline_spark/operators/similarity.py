@@ -227,6 +227,40 @@ def embedding_near_dup_pairs(
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the storage path that turns 4 bytes/dim into 1 at 100 TB corpus
+    scale. scale = max|x|/127; q_i = floor(x_i/scale + 0.5) (explicit
+    half-up-toward-+inf so Spark and any SQL engine agree — F.round on
+    doubles is HALF_UP on the decimal rendering while DuckDB rounds
+    half-to-even). Pure map-side Column work: no shuffle, no UDF.
+
+    Returns (id, q: array<int>, scale, dequant_cos) where dequant_cos
+    is the cosine between the original vector and its quantized form
+    (scale cancels), the per-row quality metric a pipeline thresholds
+    on before committing to the compressed layout."""
+    v = _as_double(F.col(vec_col))
+    base = embeddings.select(F.col(id_col).alias("id"), v.alias("v")).select(
+        "id",
+        "v",
+        (
+            F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+    )
+    quantized = base.select("id", "v", "scale", q.alias("q"))
+    qd = F.transform(F.col("q"), lambda x: x.cast("double"))
+    cos = _dot(F.col("v"), qd) / (_norm(F.col("v")) * _norm(qd))
+    return quantized.select("id", "q", "scale", cos.alias("dequant_cos"))
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroid_stride: int,

@@ -89,10 +89,13 @@ CHECK_FIRST: tuple[str, ...] = (
     "gold_cm2_livestreaming",
     "corpus_composition",
     "event_sessionize",
-    # newly oracle-paired this round
+    # newly oracle-paired / added this round
     "approx_distinct_kpi",
     "approx_percentile_summary",
     "bucketed_join_rollup",
+    "embedding_quantize_int8",
+    "doc_length_histogram",
+    "source_mixture_weights",
     # canaries whose plans/oracles changed this round
     "pipeline_exec_daily_kpi",
     "event_gap_detection",
@@ -110,10 +113,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "exact_dedup_docs",
     "minhash_lsh_dupes",
     "dedup_clusters",
-    "filter_pushdown",
-    "deterministic_bucket",
     "incremental_watermark",
-    "latest_snapshot_per_key",
 )
 
 

@@ -316,3 +316,54 @@ def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM c
+    ),
+    quant AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> floor(x / scale + 0.5)) AS q
+      FROM s
+    )
+    SELECT vec_id,
+           scale,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+           {oracle_dround(
+               _DOT.format(a='v', b='q')
+               + ' / (' + _NORM.format(a='v') + ' * ' + _NORM.format(a='q') + ')',
+               6,
+           )} AS dequant_cos
+    FROM quant
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding storage compression (X2 at 100 TB): symmetric per-
+    vector int8 quantization — scale, the L1 mass of the quantized
+    codes, and the dequantization cosine (original vs quantized
+    direction; scale cancels) that a pipeline thresholds on before
+    committing the corpus to the 4x-smaller layout. Pure map-side
+    Column arithmetic, zero shuffles, and fully deterministic, so the
+    whole compression step has an exact SQL oracle (arrays stay
+    internal — the driver's canonicalizer hashes scalar outputs only)."""
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    out = S.quantize_int8(e, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "scale",
+        F.aggregate(
+            F.col("q"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.abs(x).cast("long"),
+        ).alias("q_l1"),
+        S.dround(F.col("dequant_cos"), 6).alias("dequant_cos"),
+    )

@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multichannel_commerce_data_pipeline_spark.functions import oracle_hash64
+from multichannel_commerce_data_pipeline_spark.functions import (
+    oracle_dround,
+    oracle_hash64,
+)
 from multichannel_commerce_data_pipeline_spark.operators import text as T
 from multichannel_commerce_data_pipeline_spark.operators import training_prep as TP
 from multichannel_commerce_data_pipeline_spark.queries import query
@@ -147,3 +150,96 @@ def training_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout data loaders actually read)."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return TP.shard_layout(d, n_shards=16)
+
+
+@query(
+    "doc_length_histogram",
+    oracle=r"""
+    WITH t AS (
+      SELECT CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(FLOOR(n_tokens / 64) * 64 AS BIGINT) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT)                  AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)             AS bucket_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing diagnostics: token-length histogram in 64-token buckets
+    — the distribution that decides the pack budget (a budget far above
+    the p99 doc length wastes context; far below it truncates). One
+    partial-aggregated group-by on a derived integer key; at corpus
+    scale the bucket cardinality stays tiny no matter how many docs."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    n_tokens = F.size(T.tokens(F.col("text"))).cast("long")
+    return (
+        d.select(n_tokens.alias("n_tokens"))
+        .groupBy(
+            (F.floor(F.col("n_tokens") / 64) * 64)
+            .cast("long")
+            .alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bucket_tokens"),
+        )
+    )
+
+
+@query(
+    "source_mixture_weights",
+    oracle=rf"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT)
+               AS total_tokens,
+             {oracle_dround(
+                 "AVG(CASE WHEN length(text) > 0 THEN "
+                 "length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) "
+                 "/ length(text) ELSE 0.0 END)", 4)} AS avg_quality
+      FROM documents
+      GROUP BY source
+    ),
+    weighted AS (
+      SELECT *, {oracle_dround("sqrt(total_tokens) * avg_quality", 6)} AS weight
+      FROM per_source
+    )
+    SELECT source, n_docs, total_tokens, avg_quality, weight,
+           {oracle_dround("weight / SUM(weight) OVER ()", 6)} AS mix_share
+    FROM weighted
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted mixture design: per-source sampling shares
+    proportional to sqrt(token mass) x mean quality — the sublinear
+    size scaling keeps one giant crawl source from drowning curated
+    sources, the quality term boosts clean ones. The share column is
+    what epoch_expand's weights table gets derived from. One group-by
+    plus a broadcast-sized window over the handful of source rows;
+    weights round through dround before the global normalization so the
+    cross-engine share is accumulation-order-safe. The normalizer is a
+    broadcast scalar join, not a global window — no single-partition
+    stage even if the source count grows."""
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text"))).cast("long")).alias("total_tokens"),
+        dround(F.avg(T.alpha_ratio(F.col("text"))), 4).alias("avg_quality"),
+    )
+    weighted = per_source.withColumn(
+        "weight", dround(F.sqrt(F.col("total_tokens")) * F.col("avg_quality"), 6)
+    )
+    total = weighted.agg(F.sum("weight").alias("total_weight"))
+    return weighted.join(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_quality",
+        "weight",
+        dround(F.col("weight") / F.col("total_weight"), 6).alias("mix_share"),
+    )

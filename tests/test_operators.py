@@ -537,3 +537,31 @@ def test_dup_ngram_fraction_values(spark):
         for r in staged.select("id", dup_ngram_fraction(F.col("g2")).alias("f")).collect()
     }
     assert got[1] == 0.75 and got[2] == 0.0 and got[3] == 0.0
+
+
+def test_quantize_int8_codes_in_range_and_faithful(spark, sf_dir):
+    """int8 quantization: codes within [-127, 127], the max-|x|
+    component hits exactly +/-127, and the dequantized direction stays
+    within 1% of the original (64-dim, well-conditioned vectors)."""
+    from multichannel_commerce_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    out = quantize_int8(e).persist()
+    stats = out.select(
+        F.array_min("q").alias("lo"),
+        F.array_max("q").alias("hi"),
+        "dequant_cos",
+    ).collect()
+    assert stats, "no rows"
+    for r in stats:
+        assert -127 <= r["lo"] and r["hi"] <= 127
+        assert r["dequant_cos"] > 0.99
+    # every vector's largest-magnitude component maps to +/-127
+    extremes = out.filter(
+        (F.array_max("q") != 127) & (F.array_min("q") != -127)
+    ).count()
+    assert extremes == 0
+    out.unpersist()
