@@ -96,6 +96,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "embedding_quantize_int8",
     "doc_length_histogram",
     "source_mixture_weights",
+    "interval_join_views_purchases",
     # canaries whose plans/oracles changed this round
     "pipeline_exec_daily_kpi",
     "event_gap_detection",
@@ -108,7 +109,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "asof_join_latest_order",
     "range_join_value_bands",
     "broadcast_dim_join",
-    "semi_join",
     "anti_join",
     "exact_dedup_docs",
     "minhash_lsh_dupes",

@@ -278,3 +278,54 @@ def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("new_session").over(run).alias("session_seq"),
     )
+
+
+@query(
+    "interval_join_views_purchases",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, epoch_us(ts) AS vts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.view_id, p.purchase_id,
+           p.pts - v.vts AS gap_us
+    FROM v JOIN p ON v.user_id = p.user_id
+    WHERE p.pts >= v.vts AND p.pts <= v.vts + 1800000000
+    """,
+)
+def interval_join_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join — the BATCH TWIN of the stream-stream
+    watermarked join (streaming/jobs.py stream_orders_with_freight,
+    whose stream≡batch equivalence tests/test_streaming.py asserts):
+    every purchase within 30 minutes after a view by the same user. One
+    equi-join on user_id with the time bound as a post-join range
+    predicate; in the streaming form the same bound is what lets Spark
+    expire both sides' state. Epoch-microsecond arithmetic keeps the
+    gap exact-integer in both engines."""
+    ev = load(spark, sf_dir, "events")
+    us = _epoch_us(F.col("ts"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), us.alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("pts"),
+    )
+    return (
+        v.join(p, v.user_id == p.p_user_id)
+        .filter(
+            (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.lit(1_800_000_000))
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.col("pts") - F.col("vts")).alias("gap_us"),
+        )
+    )
