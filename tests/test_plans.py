@@ -188,3 +188,26 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_quantize_int8_is_shuffle_free(plans):
+    """int8 quantization is pure map-side Column work: the only allowed
+    Exchange is parallelize_small_scan's round-robin spread of the
+    single-row-group parquet — a hash or range partitioning would mean
+    the compression path started paying a semantic shuffle it never
+    needs."""
+    p = plans("embedding_quantize_int8")
+    assert "hashpartitioning" not in p
+    assert "rangepartitioning" not in p
+
+
+def test_interval_join_is_equi_not_cartesian(plans):
+    """The event-time interval join must hash/sort-join on user_id with
+    the time bound as a post-join predicate — a BroadcastNestedLoop or
+    Cartesian plan would do |views| x |purchases| work at every scale."""
+    p = plans("interval_join_views_purchases")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
