@@ -332,3 +332,60 @@ def stream_windowed_counts(
     )
     query.awaitTermination()
     return query
+
+
+def stream_gold_cm2_refresh(
+    spark: SparkSession,
+    bronze_root: str,
+    silver_dir: str,
+    gold_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+) -> StreamingQuery:
+    """The reference's gold cadence loop (silver_to_gold.py re-run every
+    300 s against the whole silver store) as a checkpointed stream:
+    each micro-batch (a) lands the new conformed wholesale silver rows —
+    exactly-once via the checkpoint — then (b) rebuilds the CM2
+    order-margin gold table from the FULL accumulated silver store and
+    atomically overwrites the gold view. Deploying swaps
+    Trigger.AvailableNow for ``processingTime="300 seconds"`` and the
+    semantics match the reference's cycle exactly, minus its
+    recompute-everything-from-Postgres read amplification: silver is an
+    append-only parquet log here, so each refresh reads one columnar
+    store, not a JDBC roundtrip.
+
+    Gold stays a full recompute (not an incremental upsert) because CM2
+    is an order-grain rollup joined to late-arriving freight rows — the
+    reference resolves that by recomputation on cadence, and at 100 TB
+    the right split is exactly this: streaming exactly-once landing,
+    batch-style declarative gold the optimizer can broadcast/reorder."""
+    from multichannel_commerce_data_pipeline_spark.pipeline import gold
+
+    conformed = conform_stream(
+        read_bronze_stream(spark, "joor", bronze_root), "joor", watermark
+    ).drop("bronze_ts")
+    freight = CONFORMERS["freight"](
+        flatten_envelope(
+            spark.read.schema(spark_envelope_ddl("freight")).json(
+                bronze_glob("freight", bronze_root)
+            )
+        )
+    )
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(silver_dir)
+        silver_all = batch_df.sparkSession.read.parquet(silver_dir)
+        cm1_df = gold.cm1(
+            silver_all, "wholesale", F.col("unit_price") * F.col("quantity")
+        )
+        gold.cm2(cm1_df, freight).write.mode("overwrite").parquet(gold_dir)
+
+    query = (
+        conformed.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -332,3 +332,47 @@ def test_kafka_envelope_identity_through_stream(spark, tmp_path):
         "SELECT DISTINCT topic, partition FROM kafka_identity"
     ).collect()
     assert [(m.topic, m.partition) for m in meta] == [("raw-joor", 0)]
+
+
+def test_stream_gold_cm2_refresh_matches_batch(spark, tmp_path):
+    """The gold cadence loop as a stream: after draining the fixtures,
+    the streamed gold CM2 table equals the batch CM2 built from batch
+    silver, and a re-drain with the same checkpoint (no new data)
+    leaves gold unchanged."""
+    from multichannel_commerce_data_pipeline_spark.pipeline import gold
+    from multichannel_commerce_data_pipeline_spark.pipeline.bronze import (
+        flatten_envelope,
+        read_bronze,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.silver import (
+        conform_freight,
+        conform_joor,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_gold_cm2_refresh,
+    )
+
+    silver_dir = str(tmp_path / "silver")
+    gold_dir = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_gold_cm2_refresh(spark, str(FIXTURES), silver_dir, gold_dir, ckpt)
+    streamed = spark.read.parquet(gold_dir)
+
+    batch_cm1 = gold.cm1(
+        conform_joor(flatten_envelope(read_bronze(spark, "joor"))),
+        "wholesale",
+        F.col("unit_price") * F.col("quantity"),
+    )
+    batch = gold.cm2(
+        batch_cm1, conform_freight(flatten_envelope(read_bronze(spark, "freight")))
+    )
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+    # restart idempotence: nothing new to process -> gold unchanged
+    stream_gold_cm2_refresh(spark, str(FIXTURES), silver_dir, gold_dir, ckpt)
+    again = spark.read.parquet(gold_dir)
+    assert again.count() == batch.count()
+    assert again.exceptAll(batch).count() == 0
