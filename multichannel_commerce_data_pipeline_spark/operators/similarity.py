@@ -365,3 +365,63 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroid_stride: int = 50,
+    threshold: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-flavored cluster-level dedup (Abbas et al. 2023):
+    vectors cluster to their nearest deterministic centroid
+    (ivf_assign); within each cell the exemplar — the member closest to
+    the centroid, vid tie-break — is kept, and every other member is
+    dropped iff its cosine to the exemplar reaches the threshold.
+
+    vs pairwise near-dup (embedding_near_dup_pairs): one exemplar
+    comparison per vector instead of per-bucket quadratic candidates —
+    O(N) similarity work after clustering, the property that makes
+    semantic dedup tractable where pairwise radii explode. Plan: the
+    ivf_assign shuffle, one groupBy(cell) argmax whose partial
+    aggregate collapses map-side, then the (corpus/stride)-row exemplar
+    frame broadcast back — the corpus itself never reshuffles for the
+    comparison.
+
+    Returns (id, cell, exemplar_id, cos_to_exemplar, keep)."""
+    assign, _ = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
+    exemplar = F.max(
+        F.struct(
+            F.col("ccos"),
+            (-F.col("vid")).alias("neg_vid"),
+            F.col("vid"),
+            F.col("v"),
+            F.col("v_n"),
+        )
+    ).alias("e")
+    ex = (
+        assign.groupBy("cell")
+        .agg(exemplar)
+        .select(
+            "cell",
+            F.col("e.vid").alias("exemplar_id"),
+            F.col("e.v").alias("ev"),
+            F.col("e.v_n").alias("ev_n"),
+        )
+    )
+    sim = _dot(F.col("v"), F.col("ev")) / (F.col("v_n") * F.col("ev_n"))
+    return (
+        assign.join(F.broadcast(ex), "cell")
+        .select(
+            F.col("vid").alias("id"),
+            "cell",
+            "exemplar_id",
+            dround(sim, 4).alias("cos_to_exemplar"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("id") == F.col("exemplar_id"))
+            | (F.col("cos_to_exemplar") < F.lit(threshold)),
+        )
+    )

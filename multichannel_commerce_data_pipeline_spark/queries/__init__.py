@@ -97,6 +97,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "doc_length_histogram",
     "source_mixture_weights",
     "interval_join_views_purchases",
+    "embedding_semantic_dedup",
     # canaries whose plans/oracles changed this round
     "pipeline_exec_daily_kpi",
     "event_gap_detection",
@@ -109,7 +110,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "asof_join_latest_order",
     "range_join_value_bands",
     "broadcast_dim_join",
-    "anti_join",
     "exact_dedup_docs",
     "minhash_lsh_dupes",
     "dedup_clusters",

@@ -367,3 +367,62 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         S.dround(F.col("dequant_cos"), 6).alias("dequant_cos"),
     )
+
+
+_SEMDEDUP_T = 0.6
+
+
+def _semantic_dedup_oracle() -> str:
+    cos = lambda a, b: _COSINE.replace("qv", a).replace("cv", b)  # noqa: E731
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id % {_IVF_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vid, v, cell, ccos FROM (
+        SELECT c.vec_id AS vid, c.v AS v, t.cell,
+               {oracle_dround(cos('c.v', 't.cv'), 6)} AS ccos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {oracle_dround(cos('c.v', 't.cv'), 6)} DESC, t.cell
+               ) AS rn
+        FROM c, cents t
+      ) WHERE rn = 1
+    ),
+    ex AS (
+      SELECT cell, vid AS exemplar_id, v AS ev FROM (
+        SELECT cell, vid, v,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                                  ORDER BY ccos DESC, vid) AS rn
+        FROM assign
+      ) WHERE rn = 1
+    )
+    SELECT a.vid AS id, a.cell, ex.exemplar_id,
+           {oracle_dround(cos('a.v', 'ex.ev'), 4)} AS cos_to_exemplar,
+           (a.vid = ex.exemplar_id
+            OR {oracle_dround(cos('a.v', 'ex.ev'), 4)} < {_SEMDEDUP_T}) AS keep
+    FROM assign a JOIN ex USING (cell)
+    """
+
+
+@query("embedding_semantic_dedup", oracle=_semantic_dedup_oracle())
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level semantic dedup (X2, SemDeDup-flavored): cluster to
+    deterministic centroids, keep each cell's exemplar, drop members
+    whose cosine to the exemplar reaches the threshold — one exemplar
+    comparison per vector after clustering instead of per-bucket
+    quadratic pairs. Fully deterministic, so the whole decision —
+    clustering, exemplar election, drop verdicts — has an exact SQL
+    oracle."""
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    return S.semantic_dedup(
+        e,
+        centroid_stride=_IVF_STRIDE,
+        threshold=_SEMDEDUP_T,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
