@@ -98,6 +98,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "source_mixture_weights",
     "interval_join_views_purchases",
     "embedding_semantic_dedup",
+    "dq_profile_silver",
     # canaries whose plans/oracles changed this round
     "pipeline_exec_daily_kpi",
     "event_gap_detection",
@@ -109,7 +110,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "pivot_revenue",
     "asof_join_latest_order",
     "range_join_value_bands",
-    "broadcast_dim_join",
     "exact_dedup_docs",
     "minhash_lsh_dupes",
     "dedup_clusters",

@@ -234,3 +234,45 @@ def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: generated date dimension with date parts — replaces the
     reference's single hard-coded literal row (silver_to_gold.py:634-641)."""
     return gold.dim_date(spark, "2025-06-01", "2025-06-03")
+
+
+@query(
+    "dq_profile_silver",
+    oracle=f"""
+    SELECT
+      COUNT(*)                                             AS rows_total,
+      CAST(SUM(CASE WHEN order_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS nulls_order_id,
+      CAST(SUM(CASE WHEN unit_price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS nulls_unit_price,
+      COUNT(DISTINCT buyer_name)                           AS n_buyers,
+      MIN(order_ts)                                        AS first_order_ts,
+      MAX(order_ts)                                        AS last_order_ts,
+      CAST(SUM(CASE WHEN quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_nonpositive_qty,
+      CAST(SUM(CASE WHEN unit_price < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_negative_price
+    FROM ({silver.oracle_conform_joor()})
+    """,
+)
+def dq_profile_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7's batch surface, driver-checkable: the data-quality profile of
+    the conformed wholesale silver — row count, per-key null counts,
+    buyer cardinality, event-time bounds, domain violations (quantity,
+    price). These are exactly the metric expressions pipeline/quality.py
+    attaches via df.observe in the streaming path (zero-extra-scan
+    accumulation there); as a standalone profile they run as ONE partial
+    aggregate over the frame. The alert layer (quality.alerts)
+    thresholds this row."""
+    s = _silver(spark, "joor")
+    nulls = lambda c: F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")  # noqa: E731
+    return s.agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        nulls("order_id"),
+        nulls("unit_price"),
+        F.countDistinct("buyer_name").alias("n_buyers"),
+        F.min("order_ts").alias("first_order_ts"),
+        F.max("order_ts").alias("last_order_ts"),
+        F.sum((F.col("quantity") <= 0).cast("long")).alias("n_nonpositive_qty"),
+        F.sum((F.col("unit_price") < 0).cast("long")).alias("n_negative_price"),
+    )
