@@ -1,11 +1,14 @@
 """Similarity-search queries over the `embeddings` table (X2).
 
-The exact brute-force path is oracle-checked against a DuckDB
-re-implementation whose float arithmetic mirrors Spark's fold order
-exactly (list_reduce starts from the first element; Spark's aggregate
-starts from 0.0 — identical for doubles). The SRP-LSH ANN path is
-registered without an oracle (approximate by design); its recall against
-the exact path is asserted in tests/.
+Every path — exact brute-force, SRP-LSH multi-probe, IVF, near-dup
+pairs, semantic dedup, int8 quantization — is oracle-checked against a
+DuckDB re-implementation whose float arithmetic mirrors Spark's fold
+order exactly (list_reduce starts from the first element; Spark's
+aggregate starts from 0.0 — identical for doubles). The LSH/IVF paths
+are approximate only vs the brute-force answer: their md5-derived
+planes/centroids are deterministic, so the entire candidate pipeline is
+SQL-reproducible; recall vs the exact path is additionally asserted in
+tests/.
 """
 
 from __future__ import annotations

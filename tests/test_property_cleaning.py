@@ -139,3 +139,43 @@ def test_conform_joor_is_total(spark, rows):
         assert r.unit_price is not None
         assert r.currency is None or r.currency == r.currency.upper()
         assert r.currency != "$"
+
+
+vectors = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=2,
+        max_size=16,
+    ).filter(lambda v: any(abs(x) > 1e-3 for x in v)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SET
+@given(vecs=vectors)
+def test_quantize_int8_properties(spark, vecs):
+    """Property: for ANY non-degenerate float vector, int8 quantization
+    keeps codes in [-127, 127], maps the max-|x| component to ±127, and
+    never throws — the totality the compression path needs before it
+    runs over a 100 TB corpus it has not seen."""
+    from multichannel_commerce_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    rows = quantize_int8(df).select(
+        F.array_min("q").alias("lo"), F.array_max("q").alias("hi")
+    ).collect()
+    assert len(rows) == len(vecs)
+    for r in rows:
+        assert -127 <= r["lo"] <= r["hi"] <= 127
+        assert r["hi"] == 127 or r["lo"] == -127
