@@ -174,3 +174,35 @@ def shard_layout(
     return base.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+def split_long_docs(
+    docs: DataFrame,
+    token_count: Column,
+    budget: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, seg_id, seg_tokens): documents longer than the pack
+    budget split into ceil(n/budget) segments — every segment but the
+    last carries exactly ``budget`` tokens, the last carries the
+    remainder (zero-token docs keep one empty segment so no document
+    silently vanishes). This is the step real pretraining pipelines run
+    BEFORE packing: without it a 100k-token document either truncates
+    or forces a pack larger than the context window.
+
+    explode(sequence(...)) generates segments map-side inside the scan
+    stage — zero shuffles, and the downstream packer sees only
+    bounded-size rows."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), token_count.cast("long").alias("n_tokens")
+    )
+    n_segs = F.greatest(F.ceil(F.col("n_tokens") / F.lit(float(budget))), F.lit(1))
+    seg = F.explode(F.sequence(F.lit(0).cast("long"), n_segs - 1)).alias("seg_id")
+    return base.select("doc_id", "n_tokens", seg).select(
+        "doc_id",
+        "seg_id",
+        F.least(
+            F.lit(budget).cast("long"),
+            F.col("n_tokens") - F.col("seg_id") * budget,
+        ).alias("seg_tokens"),
+    )

@@ -99,6 +99,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "interval_join_views_purchases",
     "embedding_semantic_dedup",
     "dq_profile_silver",
+    "doc_segment_split",
     # canaries whose plans/oracles changed this round
     "pipeline_exec_daily_kpi",
     "event_gap_detection",
@@ -109,7 +110,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "salted_skew_agg",
     "pivot_revenue",
     "asof_join_latest_order",
-    "range_join_value_bands",
     "exact_dedup_docs",
     "minhash_lsh_dupes",
     "dedup_clusters",

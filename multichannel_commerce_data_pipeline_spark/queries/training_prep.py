@@ -243,3 +243,34 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         dround(F.col("weight") / F.col("total_weight"), 6).alias("mix_share"),
     )
+
+
+@query(
+    "doc_segment_split",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(
+             0, CAST(GREATEST(CEIL(n_tokens / 256.0), 1) AS BIGINT) - 1
+           )) AS BIGINT) AS seg_id,
+           LEAST(256, n_tokens - CAST(unnest(generate_series(
+             0, CAST(GREATEST(CEIL(n_tokens / 256.0), 1) AS BIGINT) - 1
+           )) AS BIGINT) * 256) AS seg_tokens
+    FROM t
+    """,
+)
+def doc_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-budget document segmentation (the pre-packing step): docs
+    split into 256-token segments map-side via explode(sequence) — the
+    companion to pack_sequences that guarantees no row the packer sees
+    exceeds the context budget. Zero shuffles; zero-token docs keep one
+    empty segment (nothing silently vanishes)."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    return TP.split_long_docs(
+        d, F.size(T.tokens(F.col("text"))), budget=256
+    )
