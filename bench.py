@@ -46,6 +46,8 @@ HEADLINE = [
     "salted_skew_agg",
     "pack_sequences",
     "bucketed_join_rollup",
+    "embedding_semantic_dedup",
+    "doc_segment_split",
 ]
 
 

@@ -262,3 +262,22 @@ def gopher_flags(text: Column) -> dict[str, Column]:
         "ok_symbols": symbol_ratio <= 0.1,
         "ok_stopwords": n_stop >= 2,
     }
+
+
+def oracle_quality_score(toks_expr: str, text_expr: str) -> str:
+    """DuckDB twin of :func:`quality_score` as a SQL fragment over a
+    token-list expression and the raw text expression (the inline
+    original lives in queries/text.py text_quality_filter's oracle —
+    keep the two in lockstep with this helper when composing new
+    oracles)."""
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    t, x = toks_expr, text_expr
+    return (
+        f"ROUND((CASE WHEN len({t}) BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END)"
+        f" + (CASE WHEN len({t}) > 0"
+        f"      AND len(list_filter({t}, tk -> tk IN ({stop_in}))) / len({t}) >= 0.05"
+        f"    THEN 0.3 ELSE 0.0 END)"
+        f" + (CASE WHEN length({x}) > 0"
+        f"    THEN length(regexp_replace({x}, '[^A-Za-z ]', '', 'g')) / length({x})"
+        f"    ELSE 0.0 END) * 0.3, 4)"
+    )

@@ -55,21 +55,29 @@ def assign_packs(
     n_shards: int = 8,
     id_col: str = "doc_id",
     seed: int = 7,
+    extra_partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, n_tokens, shard, pack_id, pack_offset): greedy packing
-    of documents into ~``budget``-token training sequences within
-    ``n_shards`` independent hash shards.
+    """(doc_id, *extra, n_tokens, shard, pack_id, pack_offset): greedy
+    packing of documents into ~``budget``-token training sequences
+    within ``n_shards`` independent hash shards.
 
     ``pack_id`` = floor(exclusive-cumsum / budget) over the shard's
     doc-id order; ``pack_offset`` is the doc's token start inside its
     pack. Exactly one exchange (hashpartitioning on shard); the window
     sort is per-shard, so at 100 TB each partition holds corpus/n_shards
-    rows and n_shards is sized to the cluster."""
+    rows and n_shards is sized to the cluster.
+
+    ``extra_partition_cols`` scope packing to finer streams (e.g. the
+    train/val/test split label, so no pack ever mixes splits — the
+    contamination guarantee a packed eval set needs)."""
+    extra = list(extra_partition_cols)
     base = docs.select(
-        F.col(id_col).alias("doc_id"), token_count.cast("long").alias("n_tokens")
+        F.col(id_col).alias("doc_id"),
+        *extra,
+        token_count.cast("long").alias("n_tokens"),
     ).withColumn("shard", _pmod(portable_hash64(F.col("doc_id").cast("string"), seed), n_shards))
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*extra, "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -77,9 +85,10 @@ def assign_packs(
     # (one window pass; lag-based exclusive frames need a second sort).
     cum_excl = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_excl")
     return (
-        base.select("doc_id", "n_tokens", "shard", cum_excl)
+        base.select("doc_id", *extra, "n_tokens", "shard", cum_excl)
         .select(
             "doc_id",
+            *extra,
             "n_tokens",
             "shard",
             F.floor(F.col("cum_excl") / budget).alias("pack_id"),

@@ -100,6 +100,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "embedding_semantic_dedup",
     "dq_profile_silver",
     "doc_segment_split",
+    "corpus_prepare",
     # canaries whose plans/oracles changed this round
     "pipeline_exec_daily_kpi",
     "event_gap_detection",
@@ -108,7 +109,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "rollup_hierarchy",
     "percentile_summary",
     "salted_skew_agg",
-    "pivot_revenue",
     "asof_join_latest_order",
     "exact_dedup_docs",
     "minhash_lsh_dupes",

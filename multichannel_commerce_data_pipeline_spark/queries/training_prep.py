@@ -274,3 +274,90 @@ def doc_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.split_long_docs(
         d, F.size(T.tokens(F.col("text"))), budget=256
     )
+
+
+def _corpus_prepare_oracle() -> str:
+    quality = T.oracle_quality_score(
+        "regexp_extract_all(lower(text), '\\S+')", "text"
+    )
+    return rf"""
+    WITH kept AS (
+      SELECT doc_id, text FROM documents
+      WHERE {quality} >= 0.5
+    ),
+    uniq AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                 ORDER BY doc_id
+               ) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    lab AS (
+      SELECT doc_id, text,
+             CASE WHEN {_ID_HASH(13)} % 100 < 80 THEN 'train'
+                  WHEN {_ID_HASH(13)} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM uniq
+    ),
+    base AS (
+      SELECT doc_id, split,
+             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+               AS n_tokens,
+             {_ID_HASH(7)} % 8 AS shard
+      FROM lab
+    ),
+    cum AS (
+      SELECT doc_id, split, n_tokens, shard,
+             CAST(SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS cum_excl
+      FROM base
+    )
+    SELECT doc_id, split, n_tokens, shard,
+           CAST(FLOOR(cum_excl / 256) AS BIGINT) AS pack_id,
+           cum_excl % 256 AS pack_offset
+    FROM cum
+    """
+
+
+@query("corpus_prepare", oracle=_corpus_prepare_oracle())
+def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in ONE declarative DAG —
+    quality filter (>= 0.5 composite score) → exact dedup (one survivor
+    per content fingerprint, min doc_id) → deterministic 80/10/10 split
+    → per-(split, shard) sequence packing, so no pack ever mixes train
+    and eval documents (the contamination guarantee). Every stage is an
+    already-oracle-proven operator; composing them stays three
+    exchanges total (dedup fingerprint window, pack window, and the
+    scan spread) because split and shard are pure hash functions of
+    doc_id — no joins anywhere."""
+    from multichannel_commerce_data_pipeline_spark.operators.dedup import exact_dedup
+
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    kept = d.select("doc_id", "text").filter(
+        T.quality_score(F.col("text")) >= 0.5
+    )
+    uniq = exact_dedup(
+        kept.withColumn("f", T.fingerprint(F.col("text"))), ["f"], "doc_id"
+    ).drop("f")
+    # split is a pure hash of doc_id (split_assign's exact expression) —
+    # computed inline so the composition needs no join at all
+    from multichannel_commerce_data_pipeline_spark.functions import portable_hash64
+
+    bucket = F.pmod(portable_hash64(F.col("doc_id").cast("string"), 13), F.lit(100))
+    labeled = uniq.withColumn(
+        "split",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    return TP.assign_packs(
+        labeled,
+        F.size(T.tokens(F.col("text"))),
+        budget=256,
+        n_shards=8,
+        extra_partition_cols=("split",),
+    ).select("doc_id", "split", "n_tokens", "shard", "pack_id", "pack_offset")
