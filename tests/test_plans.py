@@ -211,3 +211,24 @@ def test_interval_join_is_equi_not_cartesian(plans):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     )
+
+
+def test_corpus_prepare_is_join_free_with_two_hash_exchanges(plans):
+    """The composed corpus pipeline (filter -> dedup -> split -> pack)
+    must stay join-free — split and shard are pure hash functions of
+    doc_id — and shuffle exactly twice: the dedup fingerprint window
+    and the (split, shard) pack window. A third hashpartitioning or any
+    join node means a pure-function label started materializing as a
+    join."""
+    import re
+
+    p = plans("corpus_prepare")
+    for j in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert j not in p
+    assert len(re.findall(r"hashpartitioning", p)) == 2
