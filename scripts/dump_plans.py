@@ -99,6 +99,35 @@ COMMENTARY = {
         "sample-order dependence, pushes down like any filter, and "
         "re-runs reproduce the identical sample row-for-row."
     ),
+    "corpus_prepare": (
+        "The composed training-data pipeline (quality filter -> exact "
+        "dedup -> split -> per-(split, shard) packing) is JOIN-FREE: "
+        "split and shard are pure hash functions of doc_id, so the whole "
+        "DAG shuffles exactly twice (dedup fingerprint window, pack "
+        "window) no matter the corpus size."
+    ),
+    "embedding_semantic_dedup": (
+        "Cluster-level semantic dedup: the ivf_assign argmax collapses "
+        "map-side before its one exchange, the per-cell exemplar election "
+        "is a second partial-agg exchange, and the exemplar frame "
+        "(corpus/stride rows) broadcasts back — the corpus itself never "
+        "reshuffles for the similarity comparison."
+    ),
+    "embedding_quantize_int8": (
+        "int8 compression is a straight-line map plan: scale, codes, L1 "
+        "mass and dequant cosine all evaluate inside one projection chain "
+        "over the scan — zero semantic shuffles at any corpus size."
+    ),
+    "bucketed_join_rollup": (
+        "Both sides read from bucketed+sorted warehouse tables. At this "
+        "tiny SF the customer side falls under the broadcast threshold, "
+        "so the plan below shows a BroadcastHashJoin (also exchange-free "
+        "for the fact side); with broadcast disabled the same tables join "
+        "bucket-wise with NO exchange and NO per-task sort — asserted in "
+        "tests/test_sources.py. Either way the only shuffle is the final "
+        "25-key aggregate, which is what the storage layout buys at "
+        "100 TB."
+    ),
 }
 
 
