@@ -101,12 +101,12 @@ CHECK_FIRST: tuple[str, ...] = (
     "dq_profile_silver",
     "doc_segment_split",
     "corpus_prepare",
+    "jdbc_roundtrip_rollup",
     # canaries whose plans/oracles changed this round
     "pipeline_exec_daily_kpi",
     "event_gap_detection",
     # regression canaries: r2/r3 greens sampled across families
     "pricing_summary",
-    "rollup_hierarchy",
     "percentile_summary",
     "salted_skew_agg",
     "asof_join_latest_order",

@@ -81,3 +81,41 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
         )
     )
+
+
+@query(
+    "jdbc_roundtrip_rollup",
+    oracle="""
+    SELECT n_regionkey                    AS regionkey,
+           COUNT(*)                       AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4 made driver-checkable: the nation dim writes to an
+    embedded Derby database through the JDBC append sink, reads back
+    through the declared JDBC scan (same JdbcRelationProvider path any
+    server URL uses — Catalyst pushes the projection into the remote
+    SQL), and rolls up per region. The oracle aggregates the source
+    parquet directly, so a value drift anywhere in the write→read cycle
+    turns the row red. A fresh per-call database sidesteps Derby's
+    single-JVM lock."""
+    from multichannel_commerce_data_pipeline_spark.sources.jdbc import (
+        read_jdbc,
+        write_jdbc_append,
+    )
+
+    db = Path(tempfile.mkdtemp(prefix="mcdp_jdbc_")) / "roundtripdb"
+    url = f"jdbc:derby:{db};create=true"
+    write_jdbc_append(
+        load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey"),
+        url,
+        "nation_rt",
+    )
+    back = read_jdbc(spark, url, "nation_rt")
+    return back.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
