@@ -48,6 +48,7 @@ HEADLINE = [
     "bucketed_join_rollup",
     "embedding_semantic_dedup",
     "doc_segment_split",
+    "corpus_prepare",
 ]
 
 

@@ -215,3 +215,27 @@ def split_long_docs(
             F.col("n_tokens") - F.col("seg_id") * budget,
         ).alias("seg_tokens"),
     )
+
+
+def write_training_shards(
+    layout: DataFrame,
+    out_dir: str,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a :func:`shard_layout` (or :func:`assign_packs`)
+    frame as the directory layout data loaders read: one partition
+    directory per shard, rows sorted by their in-shard position within
+    each file. ``partitionBy`` routes rows to shard directories;
+    ``sortWithinPartitions`` orders them before the writer streams, so
+    a loader doing a straight sequential read of a shard file sees
+    training order without any sort of its own. repartition on shard
+    first so each shard directory is written by exactly one task — one
+    file per shard, the layout contract."""
+    sort_col = "pos" if "pos" in layout.columns else "pack_id"
+    (
+        layout.repartition("shard")
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

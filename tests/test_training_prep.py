@@ -107,3 +107,29 @@ def test_shard_layout_positions_contiguous(spark, sf_dir):
     # deterministic: same layout on re-run
     again = TP.shard_layout(d, n_shards=4)
     assert out.exceptAll(again).count() == 0
+
+
+def test_write_training_shards_roundtrip_preserves_order(spark, sf_dir, tmp_path):
+    """The materialized shard layout must read back complete, and a
+    sequential read of each shard directory must already be in training
+    order (pos ascending) — the contract loaders rely on instead of
+    sorting."""
+    d = _docs(spark, sf_dir)
+    layout = TP.shard_layout(d, n_shards=4)
+    out = str(tmp_path / "shards")
+    TP.write_training_shards(layout, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == layout.count()
+    assert back.exceptAll(layout.select(back.columns)).count() == 0
+    # per shard: the file's physical row order IS pos order
+    import glob
+
+    for shard_dir in sorted(glob.glob(f"{out}/shard=*")):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        files = glob.glob(f"{shard_dir}/*.parquet")
+        assert len(files) == 1  # one task wrote the whole shard
+        pdf = pq.read_table(files[0]).to_pandas()
+        assert list(pdf["pos"]) == sorted(pdf["pos"])
