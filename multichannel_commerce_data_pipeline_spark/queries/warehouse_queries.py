@@ -94,17 +94,20 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3+S4 made driver-checkable: the nation dim writes to an
-    embedded Derby database through the JDBC append sink, reads back
-    through the declared JDBC scan (same JdbcRelationProvider path any
-    server URL uses — Catalyst pushes the projection into the remote
-    SQL), and rolls up per region. The oracle aggregates the source
-    parquet directly, so a value drift anywhere in the write→read cycle
-    turns the row red. A fresh per-call database sidesteps Derby's
-    single-JVM lock."""
+    """S3+S4+S5 made driver-checkable in one write→read→write→read
+    cycle: the nation dim writes to an embedded Derby database through
+    the APPEND sink (S4), reads back through the declared JDBC scan
+    (S3 — same JdbcRelationProvider path any server URL uses; Catalyst
+    pushes the projection into the remote SQL), rolls up per region,
+    lands the rollup through the CREATE-options sink (S5, the
+    reference's DDL-bootstrap write), and the final result is the S5
+    table read back. The oracle aggregates the source parquet directly,
+    so a value drift anywhere in either cycle turns the row red. A
+    fresh per-call database sidesteps Derby's single-JVM lock."""
     from multichannel_commerce_data_pipeline_spark.sources.jdbc import (
         read_jdbc,
         write_jdbc_append,
+        write_jdbc_create,
     )
 
     db = Path(tempfile.mkdtemp(prefix="mcdp_jdbc_")) / "roundtripdb"
@@ -115,7 +118,9 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation_rt",
     )
     back = read_jdbc(spark, url, "nation_rt")
-    return back.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+    rolled = back.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
         F.count(F.lit(1)).alias("n_nations"),
         F.sum("n_nationkey").alias("key_sum"),
     )
+    write_jdbc_create(rolled, url, "region_rollup", overwrite=True, truncate=False)
+    return read_jdbc(spark, url, "region_rollup")
