@@ -565,3 +565,43 @@ def test_quantize_int8_codes_in_range_and_faithful(spark, sf_dir):
     ).count()
     assert extremes == 0
     out.unpersist()
+
+
+def test_semantic_dedup_drops_planted_near_identical_vector(spark):
+    """Plant a vector nearly identical to an existing one (same IVF
+    cell by construction): the clone must lose the exemplar election to
+    its original (higher centroid affinity or id tie-break) and be
+    marked keep=false; orthogonal members of other cells stay kept."""
+    import math
+
+    from multichannel_commerce_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 8
+    base = [1.0] * dim
+    clone = [1.0] * (dim - 1) + [1.001]  # cosine ~0.99999 to base
+    ortho = [1.0, -1.0] * (dim // 2)     # cosine 0 to base
+    rows = [
+        (0, base),    # id 0: centroid (stride 2 -> ids 0, 2 are centroids)
+        (1, clone),   # same cell as 0, nearly identical
+        (2, ortho),   # its own centroid/cell
+        (3, [float(i) for i in range(1, dim + 1)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {
+        r["id"]: r.asDict()
+        for r in semantic_dedup(df, centroid_stride=2, threshold=0.9).collect()
+    }
+    assert len(out) == 4
+    # the clone shares cell 0 with the base and exceeds the threshold
+    assert out[1]["cell"] == out[0]["cell"]
+    assert out[1]["cos_to_exemplar"] >= 0.9
+    assert out[1]["keep"] is False
+    # every cell's exemplar keeps itself
+    for r in out.values():
+        if r["id"] == r["exemplar_id"]:
+            assert r["keep"] is True
+    # the orthogonal vector is not dropped for cell 0's sake
+    assert out[2]["keep"] is True
+    assert math.isclose(out[0]["cos_to_exemplar"], 1.0, abs_tol=1e-6)
