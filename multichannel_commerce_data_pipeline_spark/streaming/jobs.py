@@ -389,3 +389,45 @@ def stream_gold_cm2_refresh(
     )
     query.awaitTermination()
     return query
+
+
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under a path via the Hadoop FileSystem API — works
+    on any filesystem Spark can reach (local, HDFS, s3a), which is what
+    sizing a compaction needs."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_landing(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    partition_col: str = "p_date",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Small-file compaction for a date-partitioned streaming landing —
+    the maintenance job every file-sink stream eventually needs: each
+    micro-batch writes shuffle-partition-many files per date, and a
+    year of 60s triggers leaves millions of kilobyte files that drown
+    a scan in open() calls.
+
+    One declarative pass: repartition on the partition column (all of a
+    date's rows converge on one task) and cap physical file size with
+    ``maxRecordsPerFile`` derived from the observed bytes-per-row, so a
+    hot date still splits into ~target_bytes files instead of one
+    giant one. Output keeps the same partition layout, so readers and
+    partition pruning are unaffected."""
+    df = spark.read.parquet(in_dir)
+    total = max(dir_bytes(spark, in_dir), 1)
+    n_rows = max(df.count(), 1)
+    rows_per_file = max(int(target_bytes / max(total / n_rows, 1)), 1)
+    (
+        df.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy(partition_col)
+        .parquet(out_dir)
+    )

@@ -376,3 +376,51 @@ def test_stream_gold_cm2_refresh_matches_batch(spark, tmp_path):
     again = spark.read.parquet(gold_dir)
     assert again.count() == batch.count()
     assert again.exceptAll(batch).count() == 0
+
+
+def test_compact_landing_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction over a date-partitioned landing: row-for-row equal,
+    same partition directories, strictly fewer data files. The
+    fragmented input simulates what 60s micro-batches leave behind —
+    several small appends per date."""
+    import glob
+
+    from multichannel_commerce_data_pipeline_spark.pipeline.bronze import (
+        flatten_envelope,
+        read_bronze,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.silver import conform_joor
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        compact_landing,
+    )
+
+    silver = str(tmp_path / "silver")
+    conformed = (
+        conform_joor(flatten_envelope(read_bronze(spark, "joor")))
+        .withColumn("bronze_ts", F.col("bronze_timestamp").try_cast("timestamp"))
+        .withColumn("p_date", F.to_date("bronze_ts"))
+    )
+    # four "micro-batches", 3 tasks each -> many small files per date
+    for chunk in range(4):
+        (
+            conformed.filter(F.crc32(F.col("order_id")) % 4 == chunk)
+            .repartition(3)
+            .write.mode("append")
+            .partitionBy("p_date")
+            .parquet(silver)
+        )
+    n_files = lambda d: len(glob.glob(f"{d}/p_date=*/*.parquet"))  # noqa: E731
+    before = spark.read.parquet(silver)
+    assert n_files(silver) > len(
+        glob.glob(f"{silver}/p_date=*")
+    ), "fragmented landing should have multiple files per date"
+
+    out = str(tmp_path / "compacted")
+    compact_landing(spark, silver, out)
+    after = spark.read.parquet(out)
+    assert after.count() == before.count()
+    assert after.exceptAll(before.select(after.columns)).count() == 0
+    assert sorted(
+        p.rsplit("/", 1)[-1] for p in glob.glob(f"{out}/p_date=*")
+    ) == sorted(p.rsplit("/", 1)[-1] for p in glob.glob(f"{silver}/p_date=*"))
+    assert n_files(out) < n_files(silver)
