@@ -3,9 +3,9 @@ corpus and a token stream the trainer reads (reference has no
 counterpart — this is the LLM-data extension surface, same family as
 operators/dedup.py and operators/text.py).
 
-Four operators, all pure Column expressions (no Python in the row
-path) and all oracle-reproducible (hashes via functions.portable_hash64
-so DuckDB computes bit-identical values):
+All operators are pure Column expressions (no Python in the row path)
+and oracle-reproducible (hashes via functions.portable_hash64 so DuckDB
+computes bit-identical values). The core five:
 
 - ``assign_packs``: greedy token-budget packing of documents into
   fixed-size training sequences ("packs"), SHARDED so no global sort
@@ -34,6 +34,11 @@ so DuckDB computes bit-identical values):
   shard by the key. Deliberately NOT a global row_number (a single
   total-order window serializes onto one reducer); shard files +
   in-shard order is exactly the layout data loaders read.
+
+Plus the edges of the surface: ``split_long_docs`` (over-budget
+document segmentation ahead of packing, map-side explode) and
+``write_training_shards`` (materializes a layout as one sorted file
+per shard directory — the on-disk contract loaders actually read).
 """
 
 from __future__ import annotations
