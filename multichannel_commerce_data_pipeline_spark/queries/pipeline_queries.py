@@ -246,8 +246,8 @@ def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CASE WHEN unit_price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                                                            AS nulls_unit_price,
       COUNT(DISTINCT buyer_name)                           AS n_buyers,
-      MIN(order_ts)                                        AS first_order_ts,
-      MAX(order_ts)                                        AS last_order_ts,
+      strftime(MIN(order_ts), '%Y-%m-%d %H:%M:%S')         AS first_order_wall,
+      strftime(MAX(order_ts), '%Y-%m-%d %H:%M:%S')         AS last_order_wall,
       CAST(SUM(CASE WHEN quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
                                                            AS n_nonpositive_qty,
       CAST(SUM(CASE WHEN unit_price < 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -271,8 +271,16 @@ def dq_profile_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls("order_id"),
         nulls("unit_price"),
         F.countDistinct("buyer_name").alias("n_buyers"),
-        F.min("order_ts").alias("first_order_ts"),
-        F.max("order_ts").alias("last_order_ts"),
+        # WALL time strings, not raw timestamps or epochs: the silver
+        # conformance normalizes away UTC offsets, so the parsed value's
+        # wall clock is the session-timezone-independent invariant
+        # (cast-in renders back out in the same zone)
+        F.date_format(F.min("order_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_order_wall"
+        ),
+        F.date_format(F.max("order_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_order_wall"
+        ),
         F.sum((F.col("quantity") <= 0).cast("long")).alias("n_nonpositive_qty"),
         F.sum((F.col("unit_price") < 0).cast("long")).alias("n_negative_price"),
     )
