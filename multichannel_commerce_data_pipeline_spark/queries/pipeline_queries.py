@@ -8,6 +8,16 @@ These run on the fixture corpus, not the sf tables — the point is the
 reference's own pipeline semantics (bronze_to_silver_all_sources.py,
 silver_to_gold.py, scripts/sql/.sql) verified end to end; scale behavior
 is benchmarked by the sf-table queries.
+
+Environmental assumption (audited 2026-08 under a forced
+America/New_York session): the silver conformers parse MIXED-suffix ISO
+timestamps — for offset-carrying strings Spark keeps the true epoch, so
+queries that emit those timestamps (or date keys derived from them)
+render differently under a non-UTC session while the tz-less DuckDB
+oracles do not move. The driver's session is UTC (every one of these
+queries is driver-green), and session.py pins UTC for all repo-created
+sessions; if the driver environment ever changes zone, route emitted
+timestamps through wall-time strings the way dq_profile_silver does.
 """
 
 from __future__ import annotations
