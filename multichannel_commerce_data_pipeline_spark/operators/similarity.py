@@ -242,7 +242,13 @@ def quantize_int8(
     Returns (id, q: array<int>, scale, dequant_cos) where dequant_cos
     is the cosine between the original vector and its quantized form
     (scale cancels), the per-row quality metric a pipeline thresholds
-    on before committing to the compressed layout."""
+    on before committing to the compressed layout.
+
+    Total over ALL inputs, including the all-zero vector: scale = 0
+    would make x/scale NaN with engine-dependent rendering, so the
+    zero-scale branch pins codes to all-zero and dequant_cos to NULL
+    (cosine against a zero vector is undefined) — a 100 TB corpus WILL
+    contain zeroed embeddings from upstream failures."""
     v = _as_double(F.col(vec_col))
     base = embeddings.select(F.col(id_col).alias("id"), v.alias("v")).select(
         "id",
@@ -251,13 +257,20 @@ def quantize_int8(
             F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
         ).alias("scale"),
     )
-    q = F.transform(
-        F.col("v"),
-        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+    zero = F.col("scale") == F.lit(0.0)
+    q = F.when(
+        zero, F.transform(F.col("v"), lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        )
     )
     quantized = base.select("id", "v", "scale", q.alias("q"))
     qd = F.transform(F.col("q"), lambda x: x.cast("double"))
-    cos = _dot(F.col("v"), qd) / (_norm(F.col("v")) * _norm(qd))
+    cos = F.when(zero, F.lit(None).cast("double")).otherwise(
+        _dot(F.col("v"), qd) / (_norm(F.col("v")) * _norm(qd))
+    )
     return quantized.select("id", "q", "scale", cos.alias("dequant_cos"))
 
 

@@ -231,15 +231,24 @@ def write_training_shards(
     frame as the directory layout data loaders read: one partition
     directory per shard, rows sorted by their in-shard position within
     each file. ``partitionBy`` routes rows to shard directories;
-    ``sortWithinPartitions`` orders them before the writer streams, so
-    a loader doing a straight sequential read of a shard file sees
-    training order without any sort of its own. repartition on shard
-    first so each shard directory is written by exactly one task — one
-    file per shard, the layout contract."""
+    ``sortWithinPartitions("shard", pos)`` orders them before the
+    writer streams, so a loader doing a straight sequential read of a
+    shard file sees training order without any sort of its own.
+    repartition on shard first so each shard directory is written by
+    exactly one task — one file per shard, the layout contract.
+
+    The sort leads with the partition column because a dynamic-partition
+    writer REQUIRES its input ordered on the partition columns and
+    inserts its own Sort above any input that is not: sorting by pos
+    alone would leave the in-file-order contract riding on that
+    inserted sort being stable, an implementation detail (spill merges
+    need not preserve it). Leading with shard satisfies the writer's
+    required ordering directly — no extra sort is inserted and
+    (shard, pos) order is explicit in the plan."""
     sort_col = "pos" if "pos" in layout.columns else "pack_id"
     (
         layout.repartition("shard")
-        .sortWithinPartitions(sort_col)
+        .sortWithinPartitions("shard", sort_col)
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(out_dir)

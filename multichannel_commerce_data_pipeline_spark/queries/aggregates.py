@@ -188,15 +188,20 @@ def global_max_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def approx_distinct_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 at-scale variant: the exec_daily_kpi aggregate with
-    approx_count_distinct (HyperLogLog++, rsd=1%) replacing the exact
-    two-phase expand — the 100 TB path promised alongside
-    distinct_ratio_kpi. The sketch estimate is accuracy-bounded, not
+    """A5 at-scale variant: approx_count_distinct (HyperLogLog++,
+    rsd=1%) — map-side-mergeable sketches instead of the exact
+    two-phase expand. The sketch estimate is accuracy-bounded, not
     bit-defined, so the driver-checkable surface asserts the bound:
     each estimate must land within 5x the configured rsd of the exact
-    count (computed in the same pass), and the oracle pins that
-    assertion to TRUE. A sketch regression now turns the row red
-    instead of hiding behind a rows-only check."""
+    count, and the oracle pins that assertion to TRUE.
+
+    NOTE: computing the exact count_distincts alongside the sketches is
+    a VALIDATION HARNESS, and it costs this checked query the
+    single-pass plan (the exact distincts bring back the Expand +
+    second shuffle). The production 100 TB shape is the sketch-only
+    aggregate — drop the two count_distinct columns and the plan
+    collapses to one partial-aggregate pass; here correctness evidence
+    is worth the extra shuffle at sf0.01."""
     o = load(spark, sf_dir, "orders")
     tol = 0.05  # 5 x rsd=1% — beyond ±5 sigma for HLL++
     within = lambda approx, exact: (  # noqa: E731

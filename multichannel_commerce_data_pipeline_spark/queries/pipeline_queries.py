@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multichannel_commerce_data_pipeline_spark.functions import (
+    dround,
+    oracle_dround,
+)
 from multichannel_commerce_data_pipeline_spark.pipeline import gold, silver
 from multichannel_commerce_data_pipeline_spark.pipeline.bronze import (
     flatten_envelope,
@@ -244,6 +248,55 @@ def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: generated date dimension with date parts — replaces the
     reference's single hard-coded literal row (silver_to_gold.py:634-641)."""
     return gold.dim_date(spark, "2025-06-01", "2025-06-03")
+
+
+@query(
+    "stream_landing_rollup",
+    oracle=f"""
+    SELECT
+      strftime(CAST(bronze_timestamp AS TIMESTAMP), '%Y-%m-%d') AS p_date,
+      COUNT(*)                                                  AS rows_landed,
+      COUNT(DISTINCT order_id)                                  AS n_orders,
+      {oracle_dround("SUM(unit_price * quantity)", 2)}          AS revenue
+    FROM ({silver.oracle_conform_joor()})
+    GROUP BY 1
+    """,
+)
+def stream_landing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2+T6 made driver-checkable the way dq_profile_silver did T7:
+    run the REAL Structured Streaming bronze→silver job
+    (streaming/jobs.stream_bronze_to_silver — checkpointed file source,
+    watermark, date-partitioned parquet sink) with Trigger.AvailableNow
+    into a fresh temp landing, then read the landed partitions back and
+    roll them up per partition date. The oracle is the BATCH conformance
+    SQL over the same bronze fixtures, so the row is green only if the
+    streaming path (checkpoint commit protocol, envelope flatten inside
+    a micro-batch, partitioned sink layout) lands exactly the rows the
+    batch path computes — the stream-equals-batch equivalence
+    (tests/test_streaming.py) promoted to driver evidence. p_date groups
+    on the PARTITION COLUMN read back from the directory layout, so a
+    sink-layout regression (T6) also turns the row red.
+    bronze_timestamp is a tz-less wall-clock string in the fixtures,
+    making the date grouping session-timezone independent. Reference
+    behavior replaced: bronze_to_silver_all_sources.py:9-17,93-94 (60 s
+    poll loop + high-watermark file)."""
+    import tempfile
+
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_bronze_to_silver,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mcdp_stream_landing_")
+    silver_dir, ckpt = f"{tmp}/silver", f"{tmp}/ckpt"
+    stream_bronze_to_silver(spark, "joor", None, silver_dir, ckpt)
+    landed = spark.read.parquet(silver_dir)
+    return landed.groupBy(
+        F.date_format("p_date", "yyyy-MM-dd").alias("p_date")
+    ).agg(
+        F.count(F.lit(1)).alias("rows_landed"),
+        F.count_distinct("order_id").alias("n_orders"),
+        dround(F.sum(F.col("unit_price") * F.col("quantity")), 2).alias("revenue"),
+    )
 
 
 @query(

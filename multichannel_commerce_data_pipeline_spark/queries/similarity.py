@@ -335,17 +335,20 @@ def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     quant AS (
       SELECT vec_id, v, scale,
-             list_transform(v, x -> floor(x / scale + 0.5)) AS q
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(v, x -> floor(x / scale + 0.5))
+             END AS q
       FROM s
     )
     SELECT vec_id,
            scale,
            CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
-           {oracle_dround(
+           CASE WHEN scale = 0 THEN NULL ELSE {oracle_dround(
                _DOT.format(a='v', b='q')
                + ' / (' + _NORM.format(a='v') + ' * ' + _NORM.format(a='q') + ')',
                6,
-           )} AS dequant_cos
+           )} END AS dequant_cos
     FROM quant
     """,
 )

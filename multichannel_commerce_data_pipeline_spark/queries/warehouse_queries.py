@@ -28,12 +28,29 @@ from multichannel_commerce_data_pipeline_spark.tables import load
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write customer/orders bucketed on custkey once per (session,
     sf_dir); re-runs reuse the existing tables. Table names carry an
-    sf_dir digest so scale factors never collide."""
+    sf_dir digest so scale factors never collide.
+
+    The catalog entry alone is not trusted: the backing data lives
+    under the system temp dir, which can be cleaned mid-session (or
+    written by a concurrent session), leaving a catalog row that points
+    at missing/partial files. Reuse requires BOTH the catalog entry and
+    parquet files on disk; on any mismatch the tables are dropped and
+    rewritten."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     cust_t, ord_t = f"customer_b_{tag}", f"orders_b_{tag}"
-    if spark.catalog.tableExists(cust_t) and spark.catalog.tableExists(ord_t):
-        return cust_t, ord_t
     base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag
+
+    def intact(table: str, path: Path) -> bool:
+        return (
+            spark.catalog.tableExists(table)
+            and path.is_dir()
+            and any(path.glob("*.parquet"))
+        )
+
+    if intact(cust_t, base / "customer") and intact(ord_t, base / "orders"):
+        return cust_t, ord_t
+    for t in (cust_t, ord_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     write_bucketed(
         load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
         cust_t,

@@ -334,6 +334,23 @@ def stream_windowed_counts(
     return query
 
 
+def land_micro_batch(
+    batch_df: DataFrame, silver_dir: str, batch_id: int
+) -> DataFrame:
+    """Idempotent foreachBatch landing. foreachBatch is at-least-once:
+    a crash after the sink write but before the checkpoint commit
+    replays the whole micro-batch with the SAME batch_id. Appending
+    would duplicate those rows forever; writing each micro-batch to its
+    own ``batch-<id>`` subdirectory with overwrite makes the replay
+    converge to the same files instead. Returns the full accumulated
+    silver store (recursive read across the batch subdirectories)."""
+    batch_df.write.mode("overwrite").parquet(f"{silver_dir}/batch-{batch_id}")
+    return (
+        batch_df.sparkSession.read.option("recursiveFileLookup", "true")
+        .parquet(silver_dir)
+    )
+
+
 def stream_gold_cm2_refresh(
     spark: SparkSession,
     bronze_root: str,
@@ -344,10 +361,15 @@ def stream_gold_cm2_refresh(
 ) -> StreamingQuery:
     """The reference's gold cadence loop (silver_to_gold.py re-run every
     300 s against the whole silver store) as a checkpointed stream:
-    each micro-batch (a) lands the new conformed wholesale silver rows —
-    exactly-once via the checkpoint — then (b) rebuilds the CM2
-    order-margin gold table from the FULL accumulated silver store and
-    atomically overwrites the gold view. Deploying swaps
+    each micro-batch (a) lands the new conformed wholesale silver rows
+    idempotently — foreachBatch is at-least-once, so a crash between
+    the sink write and the checkpoint commit replays the batch; the
+    landing absorbs the replay by writing each micro-batch to its own
+    ``batch-<id>`` subdirectory with overwrite, making the replayed
+    write a no-op-equivalent instead of a permanent duplicate — then
+    (b) rebuilds the CM2 order-margin gold table from the FULL
+    accumulated silver store and atomically overwrites the gold view.
+    Deploying swaps
     Trigger.AvailableNow for ``processingTime="300 seconds"`` and the
     semantics match the reference's cycle exactly, minus its
     recompute-everything-from-Postgres read amplification: silver is an
@@ -373,8 +395,7 @@ def stream_gold_cm2_refresh(
     )
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(silver_dir)
-        silver_all = batch_df.sparkSession.read.parquet(silver_dir)
+        silver_all = land_micro_batch(batch_df, silver_dir, batch_id)
         cm1_df = gold.cm1(
             silver_all, "wholesale", F.col("unit_price") * F.col("quantity")
         )

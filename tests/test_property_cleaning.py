@@ -152,7 +152,7 @@ vectors = st.lists(
         ),
         min_size=2,
         max_size=16,
-    ).filter(lambda v: any(abs(x) > 1e-3 for x in v)),
+    ),
     min_size=1,
     max_size=20,
 )
@@ -161,10 +161,12 @@ vectors = st.lists(
 @SET
 @given(vecs=vectors)
 def test_quantize_int8_properties(spark, vecs):
-    """Property: for ANY non-degenerate float vector, int8 quantization
-    keeps codes in [-127, 127], maps the max-|x| component to ±127, and
-    never throws — the totality the compression path needs before it
-    runs over a 100 TB corpus it has not seen."""
+    """Property: for ANY float vector — including the all-zero one —
+    int8 quantization keeps codes in [-127, 127], maps the max-|x|
+    component to ±127 (zero-scale rows pin to all-zero codes with a
+    NULL dequant_cos instead of NaN), and never throws — the totality
+    the compression path needs before it runs over a 100 TB corpus it
+    has not seen."""
     from multichannel_commerce_data_pipeline_spark.operators.similarity import (
         quantize_int8,
     )
@@ -173,9 +175,17 @@ def test_quantize_int8_properties(spark, vecs):
         [(i, v) for i, v in enumerate(vecs)], "vec_id LONG, embedding ARRAY<FLOAT>"
     )
     rows = quantize_int8(df).select(
-        F.array_min("q").alias("lo"), F.array_max("q").alias("hi")
+        "scale",
+        "dequant_cos",
+        F.array_min("q").alias("lo"),
+        F.array_max("q").alias("hi"),
     ).collect()
     assert len(rows) == len(vecs)
     for r in rows:
         assert -127 <= r["lo"] <= r["hi"] <= 127
-        assert r["hi"] == 127 or r["lo"] == -127
+        if r["scale"] == 0.0:
+            assert r["lo"] == r["hi"] == 0
+            assert r["dequant_cos"] is None
+        else:
+            assert r["hi"] == 127 or r["lo"] == -127
+            assert r["dequant_cos"] is not None

@@ -378,6 +378,29 @@ def test_stream_gold_cm2_refresh_matches_batch(spark, tmp_path):
     assert again.exceptAll(batch).count() == 0
 
 
+def test_land_micro_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the sink write
+    and the checkpoint commit re-delivers the micro-batch with the SAME
+    batch_id. The batch_id-keyed overwrite landing must converge — a
+    replayed batch leaves the silver store byte-identical, never
+    duplicated."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        land_micro_batch,
+    )
+
+    silver = str(tmp_path / "silver")
+    b0 = spark.range(10).withColumn("v", F.col("id") * 2)
+    land_micro_batch(b0, silver, 0)
+    # simulated mid-batch failure: same batch_id delivered again
+    replay = land_micro_batch(b0, silver, 0)
+    assert replay.count() == 10
+    # next batch accumulates on top, still no duplication of batch 0
+    b1 = spark.range(10, 15).withColumn("v", F.col("id") * 2)
+    total = land_micro_batch(b1, silver, 1)
+    assert total.count() == 15
+    assert total.select(F.count_distinct("id")).first()[0] == 15
+
+
 def test_compact_landing_reduces_files_preserves_rows(spark, tmp_path):
     """Compaction over a date-partitioned landing: row-for-row equal,
     same partition directories, strictly fewer data files. The
