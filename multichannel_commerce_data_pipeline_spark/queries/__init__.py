@@ -43,77 +43,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registry entries (observed in CORRECTNESS_r01/r02: the checked set is
 # exactly registry positions 1-50 in iteration order). Ordering is
 # therefore part of the driver contract, not cosmetics. CHECK_FIRST
-# pins the checked window explicitly. Round 4: the 22 queries that have
-# never had a driver row (training prep, text tail, window tail, pandas
-# tail, funnel/sets/dedup stragglers), the 5 r3 reds re-checked after
-# the HUGEINT oracle fix, the 3 newly-oracled queries (approx sketches
-# with in-query bound assertions, bucketed warehouse join), 2 canaries
-# whose plans changed this round, and 18 r2/r3 greens as regression
-# canaries. After this window every registered query has had a driver
-# row; the tail stays guarded by local scripts/check.py over the full
-# registry.
+# pins the checked window explicitly.
+#
+# STANDING ROTATION POLICY (since round 5): every registered query has
+# had a driver-green row, so the window's job is keeping that evidence
+# fresh. Each round the window holds, in priority order: (1) the
+# flagship, always; (2) every query added or whose code/oracle changed
+# this round; (3) the queries with the OLDEST latest driver row, oldest
+# first, until the 50 slots are full. Invariant: no query's latest
+# driver row is ever more than two rounds old. The unchecked tail stays
+# guarded by local scripts/check.py over the full registry.
+#
+# Round 5 window: the 38 queries whose only driver row is r2 (two
+# rounds of shared-helper churn in functions.py/tables.py unguarded by
+# driver evidence), the 5 queries added/changed this round, and 6
+# r3-vintage fills across the silver/gold/ANN families.
 CHECK_FIRST: tuple[str, ...] = (
-    # flagship (entry() smoke — keep in the checked window)
+    # flagship (entry() smoke - keep in the checked window)
     "exec_daily_kpi",
-    # never driver-checked: training-set prep (X6)
-    "pack_sequences",
-    "pack_utilization",
-    "dataset_split",
-    "source_epoch_expand",
-    "training_shard_layout",
-    # never driver-checked: text-suite tail (X3)
-    "pii_redaction",
-    "gopher_quality_flags",
-    "benchmark_decontamination",
-    "repetition_quality",
-    "subword_token_count",
-    "rolling_fingerprints",
-    "lang_bigram_score",
-    "corpus_top_terms",
-    # never driver-checked: window-function tail (W — the SURVEY-named
-    # lag/lead, first/last, distribution surfaces)
-    "window_lag_lead",
-    "window_first_last",
-    "window_distribution",
-    # never driver-checked: pandas UDF surface tail (X5)
-    "pandas_apply_zscore",
-    "pandas_map_batches",
-    # never driver-checked: stragglers
-    "date_dimensions",
-    "union_distinct_parties",
-    "event_funnel",
-    "dedup_clusters_star",
-    # r3 reds re-checked after the HUGEINT/rounding oracle fix
-    "gold_cm2_wholesale",
-    "gold_cm2_shopify",
-    "gold_cm2_livestreaming",
-    "corpus_composition",
-    "event_sessionize",
-    # newly oracle-paired / added this round
-    "approx_distinct_kpi",
-    "approx_percentile_summary",
-    "bucketed_join_rollup",
+    # added or code-changed this round
+    "stream_landing_rollup",
     "embedding_quantize_int8",
-    "doc_length_histogram",
-    "source_mixture_weights",
-    "interval_join_views_purchases",
-    "embedding_semantic_dedup",
-    "dq_profile_silver",
-    "doc_segment_split",
-    "corpus_prepare",
-    "jdbc_roundtrip_rollup",
-    # canaries whose plans/oracles changed this round
-    "pipeline_exec_daily_kpi",
-    "event_gap_detection",
-    # regression canaries: r2/r3 greens sampled across families
-    "pricing_summary",
-    "percentile_summary",
-    "salted_skew_agg",
-    "asof_join_latest_order",
-    "exact_dedup_docs",
+    "bucketed_join_rollup",
+    "pack_sequences",
     "minhash_lsh_dupes",
-    "dedup_clusters",
-    "incremental_watermark",
+    # latest driver row is r2: core/projection family
+    "projection_clean",
+    "filter_pushdown",
+    "literal_columns",
+    "arithmetic_margin",
+    "case_when_bands",
+    "regex_predicate",
+    "in_list_rollup",
+    "deterministic_bucket",
+    "local_table_constructor",
+    "recency_topn",
+    "limit_zero_schema",
+    "global_max_checkpoint",
+    # latest driver row is r2: joins
+    "left_join_enrich",
+    "broadcast_dim_join",
+    "semi_join",
+    "anti_join",
+    "range_join",
+    "range_join_value_bands",
+    "latest_snapshot_per_key",
+    # latest driver row is r2: aggregates
+    "order_rollup_constant",
+    "distinct_ratio_kpi",
+    "cube_agg",
+    "grouping_sets_agg",
+    "rollup_hierarchy",
+    "pivot_revenue",
+    "unpivot_metrics",
+    "price_histogram",
+    "string_agg_per_group",
+    # latest driver row is r2: dedup/similarity
+    "dedup_corpus",
+    "jaccard_near_dupes",
+    "fuzzy_name_pairs",
+    "simhash_fingerprints",
+    "simhash_near_dupes",
+    # latest driver row is r2: multimodal + pandas surface
+    "multimodal_binary_stats",
+    "multimodal_decode_features",
+    "multimodal_frame_plan",
+    "pandas_scalar_tokens",
+    "pandas_udaf_weighted_avg",
+    # r3-vintage fills: medallion + ANN + text canaries
+    "silver_conform_joor",
+    "gold_cm1_wholesale",
+    "pipeline_bronze_scan",
+    "ann_ivf_topk",
+    "embedding_near_dupes",
+    "tfidf_top_terms",
 )
 
 
