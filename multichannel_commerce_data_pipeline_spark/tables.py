@@ -64,11 +64,61 @@ def parallelize_small_scan(
     repartition on it instead of round-robin — the fan-out exchange then
     *satisfies* the aggregation's distribution requirement, so Catalyst
     elides the second exchange (one shuffle of the fact rows instead of
-    round-robin + hash; verified in exec_daily_kpi's plan)."""
+    round-robin + hash; verified in exec_daily_kpi's plan).
+
+    The partition count is ESTIMATED from the scan's file listing
+    (Spark's own maxSplitBytes bin-packing formula) instead of
+    ``df.rdd.getNumPartitions()``: touching ``.rdd`` forces physical
+    planning of the whole frame on the driver (~80 ms per call, and the
+    only RDD-API touch in the package). Files that can't be stat'ed
+    (non-local filesystems) are treated as a large scan — the at-scale
+    case, where this helper must be a no-op anyway."""
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _estimate_scan_partitions(spark, df) < target:
         return df.repartition(target, F.col(by)) if by else df.repartition(target)
     return df
+
+
+def _size_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "134217728b",
+    "128m", "128MB") into bytes."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    mult, num = 1, raw
+    for suffix in ("kb", "mb", "gb", "k", "m", "g", "b"):
+        if raw.endswith(suffix):
+            mult, num = units[suffix[0]], raw[: -len(suffix)]
+            break
+    try:
+        return int(num) * mult
+    except ValueError:
+        return default
+
+
+def _estimate_scan_partitions(spark: SparkSession, df: DataFrame) -> int:
+    """Estimate how many partitions a file scan produces, from the file
+    listing alone: Spark packs split chunks of maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, total/parallelism))
+    into partitions, so the count is ~ceil(padded-total / split).
+    Returns a large number when sizes are unknowable (remote fs) so
+    callers treat the scan as already parallel."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 1 << 30
+    local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
+    if not files or len(local) < len(files):
+        return 1 << 30
+    try:
+        sizes = [os.path.getsize(f) for f in local]
+    except OSError:
+        return 1 << 30
+    open_cost = _size_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    max_bytes = _size_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    total = sum(s + open_cost for s in sizes)
+    parallelism = spark.sparkContext.defaultParallelism
+    split = min(max_bytes, max(open_cost, total // max(parallelism, 1)))
+    return max(1, -(-total // max(split, 1)))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
