@@ -166,10 +166,17 @@ def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash + banded LSH candidate generation (k=16, 8 bands of
     2), exact-Jaccard verified — the sub-quadratic near-dup path. Band
     keys are the raw minhash value pairs, so DuckDB reproduces the
-    candidate set exactly."""
+    candidate set exactly.
+
+    persist=False here: at bench scale cache population costs more than
+    recomputing the md5 signature pass (measured 0.98 s vs 1.31 s warm
+    at sf0.1 — the same result embedding_near_dup_pairs measured), and
+    AQE reuses the band self-join's exchange either way. The operator's
+    default stays True, the right call once the corpus no longer
+    rescans in milliseconds."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(
-        d, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD
+        d, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD, persist=False
     )
 
 

@@ -25,7 +25,7 @@ from multichannel_commerce_data_pipeline_spark.sources.warehouse import (
 from multichannel_commerce_data_pipeline_spark.tables import load
 
 
-def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write customer/orders bucketed on custkey once per (session,
     sf_dir); re-runs reuse the existing tables. Table names carry an
     sf_dir digest so scale factors never collide.
@@ -88,7 +88,7 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle in the whole query is the final 25-key aggregate. This is
     the reference's repeated fact-on-order_no join pattern
     (silver_to_gold.py:512-516) expressed as a storage layout."""
-    cust_t, ord_t = _ensure_bucketed(spark, sf_dir)
+    cust_t, ord_t = ensure_bucketed(spark, sf_dir)
     c, o = read_table(spark, cust_t), read_table(spark, ord_t)
     return (
         c.join(o, c.c_custkey == o.o_custkey)
