@@ -290,7 +290,9 @@ def minhash_lsh_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 20, stats: dict | None = None
+) -> DataFrame:
     """Connected components over near-duplicate pairs: every document in
     a transitive duplicate group gets the group's minimum doc id as
     ``cluster_id`` — the keep-one-per-cluster step that turns pairwise
@@ -313,6 +315,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     rounds independent of diameter — with a RuntimeWarning.
 
     Returns (doc, cluster_id) for every doc appearing in ``pairs``.
+    ``stats``, when given, is filled with {"rounds", "fallback"} —
+    rounds-to-convergence observability for scale probes and production
+    monitoring (a rounds spike means the duplicate graph grew chains).
     """
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = (
@@ -323,7 +328,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.select(F.col("u").alias("doc")).distinct().withColumn(
         "lbl", F.col("doc")
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges.u == labels.doc)
             .groupBy(F.col("v").alias("ndoc"))
@@ -376,17 +383,27 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .filter(F.col("lu") != F.col("lv"))
             .select(F.col("lu").alias("doc_a"), F.col("lv").alias("doc_b"))
         )
-        roots = star_contract(lbl_edges).select(
+        star_stats: dict = {}
+        roots = star_contract(lbl_edges, stats=star_stats).select(
             F.col("doc").alias("lbl"), F.col("cluster_id").alias("root")
         )
+        if stats is not None:
+            stats.update(
+                rounds=rounds, fallback=True,
+                star_rounds=star_stats.get("rounds"),
+            )
         return (
             labels.join(roots, "lbl", "left")
             .select("doc", F.coalesce("root", "lbl").alias("cluster_id"))
         )
+    if stats is not None:
+        stats.update(rounds=rounds, fallback=False)
     return labels.select("doc", F.col("lbl").alias("cluster_id"))
 
 
-def star_contract(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def star_contract(
+    pairs: DataFrame, max_iter: int = 30, stats: dict | None = None
+) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond"): converges in O(log^2 n) ROUNDS INDEPENDENT OF GRAPH
@@ -413,6 +430,8 @@ def star_contract(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     loop must be survivable).
 
     Returns (doc, cluster_id) for every doc appearing in ``pairs``.
+    ``stats``, when given, is filled with {"rounds"} used to reach the
+    fixpoint.
     """
     lo, hi = F.least("a", "b"), F.greatest("a", "b")
     E = (
@@ -422,7 +441,9 @@ def star_contract(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star over the bidirectional neighbor view
         D = E.union(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
         m = (
@@ -455,6 +476,8 @@ def star_contract(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             E = E2
             break
         E = E2
+    if stats is not None:
+        stats.update(rounds=rounds)
     # fixpoint: a star forest with each root = component min (root < leaf)
     return (
         E.select(F.col("b").alias("doc"), F.col("a").alias("cluster_id"))

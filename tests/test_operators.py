@@ -421,6 +421,44 @@ def test_dedup_clusters_falls_back_to_star_on_nonconvergence(spark):
     assert len(ok) == 13
 
 
+def test_fallback_equals_star_contract_on_scaled_chain(spark):
+    """The non-convergence fallback path (label-prop residue handed to
+    star contraction) must produce EXACTLY the assignment star_contract
+    computes on the raw graph — checked on a planted graph 40x the
+    small fixture: a 500-node chain (diameter >> any propagation
+    budget) plus 60 disjoint 4-cliques, built with spark.range so the
+    fixture scales without a driver-side edge list."""
+    import pytest
+
+    from multichannel_commerce_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        star_contract,
+    )
+
+    chain = spark.range(500).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    base = F.lit(1_000_000) + F.col("id") * 4
+    cliques = spark.range(60).select(
+        F.explode(
+            F.array(*[F.array(base + i, base + j)
+                      for i in range(4) for j in range(i + 1, 4)])
+        ).alias("e")
+    ).select(F.col("e")[0].alias("doc_a"), F.col("e")[1].alias("doc_b"))
+    pairs = chain.union(cliques).localCheckpoint()
+
+    stats: dict = {}
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        via_fallback = dedup_clusters(pairs, max_iter=3, stats=stats)
+    assert stats["fallback"] and stats["rounds"] == 3
+    got = {r.doc: r.cluster_id for r in via_fallback.collect()}
+    want = {r.doc: r.cluster_id for r in star_contract(pairs).collect()}
+    assert got == want
+    # 61 components, each labeled by its min id
+    assert len(set(got.values())) == 61
+    assert sum(1 for v in got.values() if v == 0) == 501
+
+
 def test_star_contract_matches_union_find(spark):
     """Large-star/small-star contraction labels every component by its
     min id — checked against a driver-side union-find on a graph mixing
