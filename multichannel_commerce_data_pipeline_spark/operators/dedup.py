@@ -220,11 +220,11 @@ def minhash_lsh_pairs(
     The compact per-doc frame (``persist``, default on) is a few longs
     per shingle plus k slots — orders of magnitude smaller than the
     corpus; MEMORY_AND_DISK so a 100 TB run degrades to disk instead of
-    recomputing the md5 pass for the verification branch. At small
-    scale the trade inverts: cache population costs more than the
-    recompute (measured 1.31 s persist vs 0.98 s warm at sf0.1
-    local[32], AQE reusing the band self-join exchange either way), so
-    pass ``persist=False`` when the corpus rescans in milliseconds.
+    recomputing the md5 pass for the verification branch — measured
+    1.5 s persisted vs 5.3 s unpersisted warm at sf0.1 local[32] in a
+    clean JVM. (When A/B-ing this flag, use fresh sessions: a prior
+    persisted run's InMemoryRelation stays in the CacheManager and
+    plan-matches the unpersisted query, hiding the recompute.)
 
     Two distinct shingles colliding on the 60-bit h1 within one doc
     would perturb the intersection count (~2⁻⁶⁰ per pair); the oracle

@@ -168,15 +168,16 @@ def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys are the raw minhash value pairs, so DuckDB reproduces the
     candidate set exactly.
 
-    persist=False here: at bench scale cache population costs more than
-    recomputing the md5 signature pass (measured 0.98 s vs 1.31 s warm
-    at sf0.1 — the same result embedding_near_dup_pairs measured), and
-    AQE reuses the band self-join's exchange either way. The operator's
-    default stays True, the right call once the corpus no longer
-    rescans in milliseconds."""
+    persist stays at the default True: without the cached signature
+    frame the md5 pass recomputes for every plan branch — measured
+    5.3 s vs 1.5 s warm at sf0.1 in a clean JVM. (An earlier profile
+    suggesting the opposite was contaminated: a prior persist=True run
+    in the same session leaves its InMemoryRelation in the
+    CacheManager, which plan-matches the unpersisted query and hides
+    the recompute. A/B persist flags in fresh sessions only.)"""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(
-        d, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD, persist=False
+        d, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD
     )
 
 
