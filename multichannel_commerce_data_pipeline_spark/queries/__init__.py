@@ -63,6 +63,8 @@ CHECK_FIRST: tuple[str, ...] = (
     "exec_daily_kpi",
     # added or code-changed this round
     "stream_landing_rollup",
+    "stream_gold_refresh_rollup",
+    "udtf_sentence_split",
     "embedding_quantize_int8",
     "bucketed_join_rollup",
     "pack_sequences",
@@ -111,12 +113,11 @@ CHECK_FIRST: tuple[str, ...] = (
     "pandas_scalar_tokens",
     "pandas_udaf_weighted_avg",
     # r3-vintage fills: medallion + ANN + text canaries
+    # (silver_conform_joor transitively exercises the bronze scan)
     "silver_conform_joor",
     "gold_cm1_wholesale",
-    "pipeline_bronze_scan",
     "ann_ivf_topk",
     "embedding_near_dupes",
-    "tfidf_top_terms",
 )
 
 

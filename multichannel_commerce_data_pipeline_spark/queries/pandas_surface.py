@@ -39,6 +39,46 @@ def pandas_scalar_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_sentence_split",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id,
+             regexp_split_to_array(text, '[.!?]+\\s+') AS arr
+      FROM documents
+      WHERE len(trim(text)) > 0
+    )
+    SELECT p.doc_id,
+           CAST(i AS INTEGER)  AS sent_idx,
+           arr[i]              AS sentence
+    FROM parts p, UNNEST(generate_series(1, len(arr))) AS t(i)
+    WHERE len(trim(arr[i])) > 0
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 UDTF: the table-function Python shape — one document row
+    expands to N (sent_idx, sentence) rows through a LATERAL join
+    against the registered Python UDTF (Arrow transport, no shuffle;
+    operators/udtf_ops.py). The oracle is the equivalent declarative
+    regex split, proving the imperative kernel computes exactly what
+    explode(split(...)) would — the parity bar any Python escape hatch
+    must clear before it earns a place in a pipeline."""
+    from multichannel_commerce_data_pipeline_spark.operators.udtf_ops import (
+        SplitSentences,
+    )
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    ).createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM udtf_docs_v d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+@query(
     "pandas_udaf_weighted_avg",
     oracle=f"""
     SELECT

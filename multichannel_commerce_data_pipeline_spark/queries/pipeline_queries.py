@@ -300,6 +300,53 @@ def stream_landing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_gold_refresh_rollup",
+    oracle=f"""
+    SELECT date_key,
+           COUNT(*)                               AS n_orders,
+           CAST(SUM(total_quantity) AS BIGINT)    AS total_qty,
+           {oracle_dround("SUM(net_revenue)")}    AS revenue,
+           {oracle_dround("SUM(cm2_amount)")}     AS cm2
+    FROM ({gold.oracle_cm2(
+        _oracle_cm1_wholesale(), silver.oracle_conform_freight()
+    )})
+    GROUP BY date_key
+    """,
+)
+def stream_gold_refresh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gold CADENCE path (T1's silver->gold 300 s loop) made
+    driver-checkable, completing what stream_landing_rollup did for the
+    bronze->silver leg: run the real checkpointed gold-refresh stream
+    (streaming/jobs.stream_gold_cm2_refresh — idempotent batch_id-keyed
+    silver landing, full CM2 rebuild per micro-batch) with
+    Trigger.AvailableNow into fresh temp dirs, read the refreshed gold
+    table back, and roll it up per date_key. The oracle is the BATCH
+    CM1->CM2 SQL over the same bronze fixtures, so the row is green only
+    if the streamed gold equals the batch-computed gold to the cent —
+    the test_stream_gold_cm2_refresh_matches_batch equivalence promoted
+    to driver evidence. Reference behavior replaced:
+    silver_to_gold.py re-run on cadence (Dockerfile.silver-to-gold CMD
+    loop), minus its recompute-from-Postgres read amplification."""
+    import tempfile
+
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_gold_cm2_refresh,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mcdp_gold_refresh_")
+    stream_gold_cm2_refresh(
+        spark, None, f"{tmp}/silver", f"{tmp}/gold", f"{tmp}/ckpt"
+    )
+    g = spark.read.parquet(f"{tmp}/gold")
+    return g.groupBy("date_key").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("total_quantity").alias("total_qty"),
+        dround(F.sum("net_revenue")).alias("revenue"),
+        dround(F.sum("cm2_amount")).alias("cm2"),
+    )
+
+
+@query(
     "dq_profile_silver",
     oracle=f"""
     SELECT

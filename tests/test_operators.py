@@ -497,6 +497,32 @@ def test_star_contract_matches_union_find(spark):
     assert got == expected
 
 
+def test_udtf_sentence_split_edges(spark):
+    """UDTF protocol edges: NULL text yields nothing, punctuation-free
+    text is one sentence, leading/doubled terminators never emit empty
+    fragments, and indexes stay 1-based over the UNfiltered enumeration
+    (so they match the oracle's array positions)."""
+    from multichannel_commerce_data_pipeline_spark.operators.udtf_ops import (
+        SplitSentences,
+    )
+
+    spark.udtf.register("split_sentences_t", SplitSentences)
+    spark.createDataFrame(
+        [(1, "One. Two! Three"), (2, "no punctuation"), (3, None), (4, "!! Lead. ")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("udtf_edge_v")
+    rows = spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence "
+        "FROM udtf_edge_v d, LATERAL split_sentences_t(d.text) s"
+    ).collect()
+    got = {(r.doc_id, r.sent_idx): r.sentence for r in rows}
+    assert got == {
+        (1, 1): "One", (1, 2): "Two", (1, 3): "Three",
+        (2, 1): "no punctuation",
+        (4, 2): "Lead",  # idx 1 was the empty pre-terminator fragment
+    }
+
+
 def test_redact_pii_patterns_and_order(spark):
     from multichannel_commerce_data_pipeline_spark.operators.text import redact_pii
 
