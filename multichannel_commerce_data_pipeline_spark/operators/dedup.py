@@ -37,6 +37,75 @@ def exact_dedup(df: DataFrame, keys: list[str], tiebreak: str) -> DataFrame:
     )
 
 
+def passage_dedup(
+    df: DataFrame, id_col: str, text_col: str, passage_words: int = 10
+) -> DataFrame:
+    """Passage-level exact dedup — the distributable form of
+    exact-substring training-data dedup (Lee et al. 2022,
+    arXiv:2107.06499, which uses a suffix array; suffix arrays don't
+    shard, fixed-width passages do). Each document is cut into
+    non-overlapping ``passage_words``-word passages; only the globally
+    FIRST occurrence of each distinct passage (min ``id_col``, then min
+    position) survives, and every document is rebuilt from its
+    surviving passages. Removes the boilerplate/mirror passages that
+    doc-level dedup can never see.
+
+    100 TB shape — the duplicate decision never shuffles text:
+      1. a narrow ``(doc, pidx, md5(passage))`` frame is projected
+         map-side (the passage string itself stays in the scan stage);
+      2. one keyed window over the 16-byte digest ranks occurrences —
+         the shuffle carries ~40-byte rows, not kilobyte passages;
+      3. surviving indices fold per doc (second narrow shuffle) and
+         join back to the original row on the id, where the cleaned
+         text is rebuilt map-side by re-slicing the word array.
+    md5 stands in for the passage string (collision odds ~2^-128 per
+    pair); the DuckDB oracle partitions on the passage string itself —
+    identical semantics absent a collision. A document whose every
+    passage first appeared elsewhere survives with empty text, so the
+    operator is total over the corpus.
+
+    Returns (id_col, n_passages, n_kept, n_dropped, clean_text).
+    """
+    w_words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc"), w_words.alias("__ws"))
+    n_passages = F.ceil(F.size("__ws") / F.lit(passage_words)).cast("long")
+
+    def passage_at(k):
+        return F.concat_ws(
+            " ", F.slice(F.col("__ws"), k * passage_words + 1, passage_words)
+        )
+
+    narrow = base.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_passages.cast("int") - 1),
+                lambda k: F.md5(passage_at(k)),
+            )
+        ).alias("pidx", "pdigest"),
+    )
+    first = Window.partitionBy("pdigest").orderBy("doc", "pidx")
+    kept_idx = (
+        narrow.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list("pidx")).alias("__kept"))
+    )
+    kept = F.coalesce(F.col("__kept"), F.array().cast("array<int>"))
+    return (
+        base.join(kept_idx, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            n_passages.alias("n_passages"),
+            F.size(kept).cast("long").alias("n_kept"),
+            (n_passages - F.size(kept)).cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(kept, passage_at), " "
+            ).alias("clean_text"),
+        )
+    )
+
+
 def shingles(toks_col, n: int = 3):
     """Distinct word n-gram shingles from a *materialized* token-array
     column.

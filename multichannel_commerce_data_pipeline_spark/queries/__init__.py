@@ -62,6 +62,7 @@ CHECK_FIRST: tuple[str, ...] = (
     # flagship (entry() smoke - keep in the checked window)
     "exec_daily_kpi",
     # added or code-changed this round
+    "passage_dedup_docs",
     "stream_landing_rollup",
     "stream_gold_refresh_rollup",
     "udtf_sentence_split",
@@ -117,7 +118,6 @@ CHECK_FIRST: tuple[str, ...] = (
     "silver_conform_joor",
     "gold_cm1_wholesale",
     "ann_ivf_topk",
-    "embedding_near_dupes",
 )
 
 

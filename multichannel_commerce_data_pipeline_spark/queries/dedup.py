@@ -463,3 +463,51 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(D.dup_ngram_fraction(F.col("g2")), 4).alias("dup_bigram_frac"),
         dround(D.dup_ngram_fraction(F.col("g3")), 4).alias("dup_trigram_frac"),
     )
+
+
+@query(
+    "passage_dedup_docs",
+    oracle=r"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS k
+      FROM ws
+    ),
+    pass AS (
+      SELECT doc_id, k AS pidx,
+             array_to_string(list_slice(w, k * 10 + 1, k * 10 + 10), ' ')
+               AS passage
+      FROM idx
+    ),
+    ranked AS (
+      SELECT doc_id, pidx, passage,
+             ROW_NUMBER() OVER (PARTITION BY passage
+                                ORDER BY doc_id, pidx) AS rn
+      FROM pass
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(passage, ' ' ORDER BY pidx) AS clean_text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           CAST(ceil(len(ws.w) / 10.0) AS BIGINT) AS n_passages,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(ceil(len(ws.w) / 10.0) AS BIGINT)
+             - CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM ws LEFT JOIN agg USING (doc_id)
+    """,
+)
+def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+: passage-level exact dedup (Lee et al. 2022 style) — remove
+    every repeated 10-word passage corpus-wide except its first
+    occurrence, rebuilding each document from its survivors. Catches
+    the cross-document boilerplate that doc-level fingerprint dedup
+    (exact_dedup_docs) cannot. The dedup decision shuffles only
+    (doc, pidx, md5) triples; text never leaves the map side."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    return D.passage_dedup(d, "doc_id", "text", passage_words=10)

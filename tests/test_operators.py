@@ -669,3 +669,37 @@ def test_semantic_dedup_drops_planted_near_identical_vector(spark):
     # the orthogonal vector is not dropped for cell 0's sake
     assert out[2]["keep"] is True
     assert math.isclose(out[0]["cos_to_exemplar"], 1.0, abs_tol=1e-6)
+
+
+def test_passage_dedup_planted_boilerplate(spark):
+    # 10-word passages; doc 0 owns the boilerplate, docs 1-2 repeat it.
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"c{i}" for i in range(7))  # short tail passage
+    df = spark.createDataFrame(
+        [
+            (0, boiler + " " + uniq_a),
+            (1, boiler + " " + uniq_b),
+            (2, boiler),  # nothing survives: emptied, not dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.passage_dedup(df, "doc_id", "text", 10).collect()
+    }
+    assert out[0].clean_text == boiler + " " + uniq_a
+    assert out[0].n_kept == 2 and out[0].n_dropped == 0
+    assert out[1].clean_text == uniq_b  # boilerplate stripped, tail kept
+    assert out[1].n_kept == 1 and out[1].n_dropped == 1
+    assert out[2].clean_text == "" and out[2].n_kept == 0
+    assert out[2].n_passages == 1 and out[2].n_dropped == 1
+
+
+def test_passage_dedup_within_document_repeat(spark):
+    # the SAME doc repeating a passage keeps only the first occurrence
+    p = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(7, p + " " + p)], "doc_id long, text string")
+    row = D.passage_dedup(df, "doc_id", "text", 10).first()
+    assert row.n_passages == 2 and row.n_kept == 1
+    assert row.clean_text == p
