@@ -63,6 +63,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "exec_daily_kpi",
     # added or code-changed this round
     "passage_dedup_docs",
+    "ann_recall_at_k",
     "stream_landing_rollup",
     "stream_gold_refresh_rollup",
     "udtf_sentence_split",
@@ -113,11 +114,13 @@ CHECK_FIRST: tuple[str, ...] = (
     "multimodal_frame_plan",
     "pandas_scalar_tokens",
     "pandas_udaf_weighted_avg",
-    # r3-vintage fills: medallion + ANN + text canaries
-    # (silver_conform_joor transitively exercises the bronze scan)
+    # r3-vintage fills: medallion canaries
+    # (silver_conform_joor transitively exercises the bronze scan;
+    # ann_recall_at_k above transitively runs BOTH ann_cosine_topk and
+    # ann_ivf_topk with identical parameters, so the ANN family keeps
+    # fresh driver evidence without separate slots)
     "silver_conform_joor",
     "gold_cm1_wholesale",
-    "ann_ivf_topk",
 )
 
 

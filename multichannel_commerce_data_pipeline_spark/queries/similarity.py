@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multichannel_commerce_data_pipeline_spark.functions import oracle_dround
+from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
 from multichannel_commerce_data_pipeline_spark.operators import similarity as S
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import load, parallelize_small_scan
@@ -36,9 +36,7 @@ _COSINE = (
 )
 
 
-@query(
-    "ann_cosine_topk",
-    oracle=f"""
+_COSINE_TOPK_ORACLE = f"""
     WITH c AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -57,8 +55,10 @@ _COSINE = (
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {_K}
-    """,
-)
+    """
+
+
+@query("ann_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: exact brute-force cosine top-k — the ANN correctness
     baseline. Query set broadcast; corpus streams through one narrow
@@ -252,6 +252,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         e, q, centroid_stride=_IVF_STRIDE, n_probe=_IVF_PROBE,
         id_col="vec_id", vec_col="embedding", k=_K,
+    )
+
+
+def _recall_oracle() -> str:
+    return f"""
+    WITH exact AS ({_COSINE_TOPK_ORACLE}),
+    approx AS ({_ivf_oracle()}),
+    hits AS (
+      SELECT e.query_id, COUNT(a.neighbor_id) AS n_hits
+      FROM exact e LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           {oracle_dround(f"n_hits / {_K}.0", 4)} AS recall_at_k
+    FROM hits
+    """
+
+
+@query("ann_recall_at_k", oracle=_recall_oracle())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: ANN quality gate — recall@k of the IVF index against the
+    brute-force cosine answer, per query. This is the tuning loop for
+    ``n_probe``/centroid count: at corpus scale you run it on a SAMPLED
+    query set (here the same 8-query set both registered paths use), so
+    the brute-force side costs |sample|·N streamed narrow — the corpus
+    itself is never joined all-pairs and never reshuffled. Both ANN
+    paths are deterministic (md5 centroids), so even recall is
+    oracle-reproducible."""
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    exact = S.cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=_K)
+    approx = S.ivf_topk(
+        e, q, centroid_stride=_IVF_STRIDE, n_probe=_IVF_PROBE,
+        id_col="vec_id", vec_col="embedding", k=_K,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            dround(F.col("n_hits") / F.lit(float(_K)), 4).alias("recall_at_k"),
+        )
     )
 
 

@@ -703,3 +703,13 @@ def test_passage_dedup_within_document_repeat(spark):
     row = D.passage_dedup(df, "doc_id", "text", 10).first()
     assert row.n_passages == 2 and row.n_kept == 1
     assert row.clean_text == p
+
+
+def test_ann_recall_query_shape_and_bounds(spark, sf_dir):
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    rows = load_registry()["ann_recall_at_k"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8  # one row per sampled query vector
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert abs(r.recall_at_k - r.n_hits / 10.0) < 1e-9
