@@ -64,6 +64,7 @@ CHECK_FIRST: tuple[str, ...] = (
     # added or code-changed this round
     "passage_dedup_docs",
     "ann_recall_at_k",
+    "scd2_user_status",
     "stream_landing_rollup",
     "stream_gold_refresh_rollup",
     "udtf_sentence_split",
@@ -120,7 +121,6 @@ CHECK_FIRST: tuple[str, ...] = (
     # ann_ivf_topk with identical parameters, so the ANN family keeps
     # fresh driver evidence without separate slots)
     "silver_conform_joor",
-    "gold_cm1_wholesale",
 )
 
 

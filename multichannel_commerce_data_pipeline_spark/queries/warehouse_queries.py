@@ -141,3 +141,78 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_jdbc_create(rolled, url, "region_rollup", overwrite=True, truncate=False)
     return read_jdbc(spark, url, "region_rollup")
+
+
+@query(
+    "scd2_user_status",
+    oracle=r"""
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type AS status,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    daily AS (SELECT user_id, day, status FROM obs WHERE rn = 1),
+    runs AS (
+      SELECT user_id, day, status,
+             CASE WHEN lag(1) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+                    OR status IS DISTINCT FROM
+                       lag(status) OVER (PARTITION BY user_id ORDER BY day)
+                  THEN 1 ELSE 0 END AS chg
+      FROM daily
+    ),
+    islands AS (
+      SELECT user_id, day, status,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM runs
+    ),
+    hist AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version,
+             MIN(status) AS status, MIN(day) AS effective_from,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM islands GROUP BY user_id, version
+    )
+    SELECT user_id, version, status, effective_from,
+           lead(effective_from) OVER w AS effective_to,
+           (lead(effective_from) OVER w IS NULL) AS is_current, n_obs
+    FROM hist WINDOW w AS (PARTITION BY user_id ORDER BY version)
+    """,
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history from the event stream: each user's
+    last event_type per day is the day's observed "status" snapshot;
+    consecutive same-status days collapse into versioned history rows
+    with effective_from/effective_to/is_current. Replaces the
+    reference's overwrite-per-loop dimension refresh
+    (silver_to_gold.py) with the history-preserving warehouse form.
+
+    Plan: one explicit hash exchange on user_id up front, which
+    satisfies the (user_id, day) snapshot window, the SCD island
+    windows, AND the (user_id, version) aggregate — the entire history
+    build is a single shuffle of the observation stream."""
+    from pyspark.sql import Window
+
+    from multichannel_commerce_data_pipeline_spark.operators.scd import scd2_history
+
+    ev = load(spark, sf_dir, "events").repartition("user_id")
+    daily = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            F.col("event_type").alias("status"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "day").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "day", "status")
+    )
+    return scd2_history(daily, "user_id", "status", "day")

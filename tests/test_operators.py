@@ -713,3 +713,29 @@ def test_ann_recall_query_shape_and_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits <= 10
         assert abs(r.recall_at_k - r.n_hits / 10.0) < 1e-9
+
+
+def test_scd2_history_runs_versions_and_currency(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.scd import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "bronze"),
+            (1, 20, "bronze"),   # same run
+            (1, 30, "gold"),     # new run
+            (1, 40, "bronze"),   # bronze AGAIN -> third run, not merged
+            (2, 10, None),       # null attr run
+            (2, 20, None),       # null == null (null-safe): same run
+            (2, 30, "silver"),
+        ],
+        "k long, t long, a string",
+    )
+    rows = {(r.k, r.version): r for r in scd2_history(df, "k", "a", "t").collect()}
+    assert len(rows) == 5
+    assert rows[(1, 1)].a == "bronze" and rows[(1, 1)].effective_to == 30
+    assert rows[(1, 2)].a == "gold" and rows[(1, 2)].n_obs == 1
+    assert rows[(1, 3)].a == "bronze" and rows[(1, 3)].is_current
+    assert rows[(2, 1)].a is None and rows[(2, 1)].n_obs == 2
+    assert rows[(2, 2)].a == "silver" and rows[(2, 2)].is_current
+    # exactly one current row per key
+    assert sum(1 for r in rows.values() if r.is_current) == 2

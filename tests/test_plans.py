@@ -232,3 +232,16 @@ def test_corpus_prepare_is_join_free_with_two_hash_exchanges(plans):
     ):
         assert j not in p
     assert len(re.findall(r"hashpartitioning", p)) == 2
+
+
+def test_scd2_history_is_single_shuffle(plans):
+    """The whole SCD2 build — daily snapshot window, island windows,
+    (key, version) aggregate — must reuse ONE hash exchange on user_id:
+    HashPartitioning(user_id) satisfies every downstream clustering
+    requirement, so EnsureRequirements adds sorts only."""
+    import re
+
+    plan = plans("scd2_user_status")
+    assert len(re.findall(r"hashpartitioning", plan)) == 1
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
