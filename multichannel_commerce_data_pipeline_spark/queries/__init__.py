@@ -65,6 +65,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "passage_dedup_docs",
     "ann_recall_at_k",
     "scd2_user_status",
+    "merge_upsert_customers",
     "stream_landing_rollup",
     "stream_gold_refresh_rollup",
     "udtf_sentence_split",
@@ -115,12 +116,13 @@ CHECK_FIRST: tuple[str, ...] = (
     "multimodal_frame_plan",
     "pandas_scalar_tokens",
     "pandas_udaf_weighted_avg",
-    # r3-vintage fills: medallion canaries
-    # (silver_conform_joor transitively exercises the bronze scan;
-    # ann_recall_at_k above transitively runs BOTH ann_cosine_topk and
-    # ann_ivf_topk with identical parameters, so the ANN family keeps
-    # fresh driver evidence without separate slots)
-    "silver_conform_joor",
+    # No spare fill slots this round: the four new queries
+    # (passage_dedup_docs, ann_recall_at_k, scd2_user_status,
+    # merge_upsert_customers) took them. ann_recall_at_k transitively
+    # runs BOTH ann_cosine_topk and ann_ivf_topk with identical
+    # parameters, so the ANN family keeps fresh driver evidence without
+    # separate slots; the r3-vintage silver/gold rows hit their
+    # two-round staleness bound at r5 and rotate in at r6.
 )
 
 

@@ -216,3 +216,78 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "day", "status")
     )
     return scd2_history(daily, "user_id", "status", "day")
+
+
+@query(
+    "merge_upsert_customers",
+    oracle=r"""
+    WITH latest AS (
+      SELECT o_custkey, o_totalprice, o_orderstatus FROM (
+        SELECT o_custkey, o_totalprice, o_orderstatus,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                 AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ),
+    updates AS (
+      SELECT o_custkey AS c_custkey, 'ACTIVE' AS c_mktsegment,
+             o_totalprice AS c_acctbal,
+             (o_orderstatus = 'F') AS is_delete
+      FROM latest
+    ),
+    unioned AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, FALSE AS is_delete, 0 AS prio
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal, is_delete, 1 FROM updates
+    ),
+    winner AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                     ORDER BY prio DESC) AS rn
+        FROM unioned
+      ) WHERE rn = 1
+    )
+    SELECT c_custkey, c_mktsegment,
+           CAST(ROUND(CAST(c_acctbal AS DECIMAL(38,6)), 2) AS DOUBLE)
+             AS c_acctbal
+    FROM winner WHERE NOT is_delete
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics driver query: each customer's newest order is an
+    update batch — finalized ('F') customers are deleted, open ones get
+    their segment/balance replaced, customers with no orders pass
+    through, all via operators/merge.py merge_upsert (UNION ALL + one
+    keyed window; never a full outer join)."""
+    from pyspark.sql import Window
+
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+    from multichannel_commerce_data_pipeline_spark.operators.merge import merge_upsert
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    latest = (
+        load(spark, sf_dir, "orders")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.desc("o_orderdate"), F.desc("o_orderkey")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    updates = latest.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.lit("ACTIVE").alias("c_mktsegment"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        (F.col("o_orderstatus") == "F").alias("is_delete"),
+    )
+    merged = merge_upsert(cust, updates, ["c_custkey"], delete_col="is_delete")
+    return merged.select(
+        "c_custkey", "c_mktsegment", dround(F.col("c_acctbal"), 2).alias("c_acctbal")
+    )

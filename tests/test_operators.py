@@ -739,3 +739,36 @@ def test_scd2_history_runs_versions_and_currency(spark):
     assert rows[(2, 2)].a == "silver" and rows[(2, 2)].is_current
     # exactly one current row per key
     assert sum(1 for r in rows.values() if r.is_current) == 2
+
+
+def test_merge_upsert_insert_update_delete_passthrough(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 22.0, False), (3, "c", 0.0, True), (4, "d", 40.0, False)],
+        "k long, name string, bal double, del boolean",
+    )
+    out = {r.k: r for r in merge_upsert(base, updates, ["k"], "del").collect()}
+    assert set(out) == {1, 2, 4}          # 3 deleted
+    assert out[1].name == "a"             # untouched base passes through
+    assert out[2].name == "b2" and out[2].bal == 22.0  # updated wins
+    assert out[4].name == "d"             # new key inserted
+    # output schema is exactly the base schema (no merge bookkeeping)
+    assert merge_upsert(base, updates, ["k"], "del").columns == base.columns
+
+
+def test_merge_upsert_without_delete_col(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    updates = spark.createDataFrame([(1, 9.0), (2, 2.0)], "k long, v double")
+    out = {r.k: r.v for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert out == {1: 9.0, 2: 2.0}
