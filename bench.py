@@ -49,6 +49,11 @@ HEADLINE = [
     "embedding_semantic_dedup",
     "doc_segment_split",
     "corpus_prepare",
+    "passage_dedup_docs",
+    "scd2_user_status",
+    "merge_upsert_customers",
+    # ann_recall_at_k is deliberately NOT here: it is the composition of
+    # ann_cosine_topk + ann_ivf_topk, both already timed above.
 ]
 
 

@@ -28,6 +28,7 @@ def scd2_history(
     attr_col: str,
     ts_col: str,
     tiebreak_col: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Collapse an observation stream into SCD Type 2 history rows.
 
@@ -36,7 +37,11 @@ def scd2_history(
     row with a 1-based ``version``, ``effective_from`` = its first
     observation time, ``effective_to`` = the next run's start (NULL for
     the open run) and ``is_current``. ``tiebreak_col`` makes the
-    observation order total when timestamps can tie.
+    observation order total when timestamps can tie. ``weight_col``
+    (default: every observation counts 1) lets a single row stand in
+    for several collapsed observations — the hook :func:`scd2_apply`
+    uses to seed an incremental rebuild with the open run's
+    accumulated ``n_obs``.
 
     Returns (key, version, attr, effective_from, effective_to,
     is_current, n_obs).
@@ -58,10 +63,13 @@ def scd2_history(
         "version",
         F.sum(changed).over(w_obs.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    n_obs = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    )
     hist = runs.groupBy(key_col, "version").agg(
         F.min(attr_col).alias(attr_col),
         F.min(ts_col).alias("effective_from"),
-        F.count(F.lit(1)).alias("n_obs"),
+        n_obs.alias("n_obs"),
     )
     w_ver = Window.partitionBy(key_col).orderBy("version")
     eff_to = F.lead("effective_from").over(w_ver)
@@ -73,4 +81,64 @@ def scd2_history(
         eff_to.alias("effective_to"),
         eff_to.isNull().alias("is_current"),
         F.col("n_obs").cast("long").alias("n_obs"),
+    )
+
+
+def scd2_apply(
+    hist: DataFrame,
+    new_obs: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Incrementally fold a batch of NEW observations into an existing
+    SCD2 history — the daily warehouse refresh. Produces exactly what
+    :func:`scd2_history` over (old ∪ new) observations would, without
+    re-reading the old observation stream: at 100 TB the history table
+    is ~runs-sized (≪ observations) and only keys present in the batch
+    are touched, so the refresh cost scales with the BATCH, not the
+    accumulated history.
+
+    Contract: every new observation's ``ts_col`` must be strictly later
+    than the history's build horizon (the standard append-only feed; a
+    late arrival inside the closed history requires the full rebuild).
+
+    Mechanics: each touched key's OPEN run re-enters the islands
+    machinery as one seed observation at its ``effective_from``,
+    weighted by its accumulated ``n_obs`` (so a continued run extends
+    rather than restarts); the rebuilt tail's versions are offset by
+    the key's closed-run count; closed rows and untouched keys pass
+    through verbatim. Three keyed shuffles, all on ``key_col`` and all
+    over runs/batch-sized frames.
+    """
+    cur = hist.filter(F.col("is_current"))
+    touched = new_obs.select(key_col).distinct()
+    seeds = cur.join(touched, key_col, "left_semi").select(
+        key_col,
+        attr_col,
+        F.col("effective_from").alias(ts_col),
+        F.col("n_obs").alias("__w"),
+    )
+    batch = new_obs.select(
+        key_col, attr_col, ts_col, F.lit(1).cast("long").alias("__w")
+    )
+    rebuilt = scd2_history(
+        seeds.unionByName(batch),
+        key_col,
+        attr_col,
+        ts_col,
+        weight_col="__w",
+    )
+    offsets = cur.select(key_col, (F.col("version") - 1).alias("__off"))
+    rebuilt = (
+        rebuilt.join(offsets, key_col, "left")
+        .withColumn(
+            "version", F.col("version") + F.coalesce(F.col("__off"), F.lit(0))
+        )
+        .drop("__off")
+    )
+    closed = hist.filter(~F.col("is_current"))
+    untouched_cur = cur.join(touched, key_col, "left_anti")
+    return closed.unionByName(untouched_cur).unionByName(
+        rebuilt.select(*hist.columns)
     )

@@ -64,7 +64,10 @@ CHECK_FIRST: tuple[str, ...] = (
     # added or code-changed this round
     "passage_dedup_docs",
     "ann_recall_at_k",
-    "scd2_user_status",
+    # scd2_incremental_refresh shares the full-rebuild oracle AND
+    # transitively runs scd2_history + the daily-snapshot helper, so
+    # scd2_user_status needs no separate slot.
+    "scd2_incremental_refresh",
     "merge_upsert_customers",
     "stream_landing_rollup",
     "stream_gold_refresh_rollup",

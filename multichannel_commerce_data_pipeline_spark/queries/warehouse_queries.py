@@ -143,9 +143,11 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jdbc(spark, url, "region_rollup")
 
 
-@query(
-    "scd2_user_status",
-    oracle=r"""
+# Full-rebuild SCD2 SQL over the whole event stream. Shared verbatim by
+# scd2_user_status AND scd2_incremental_refresh: the incremental path's
+# oracle IS the full rebuild — that equality is the entire correctness
+# claim of incremental maintenance.
+_SCD2_FULL_SQL = r"""
     WITH obs AS (
       SELECT user_id, CAST(ts AS DATE) AS day, event_type AS status,
              ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
@@ -177,26 +179,16 @@ def jdbc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(effective_from) OVER w AS effective_to,
            (lead(effective_from) OVER w IS NULL) AS is_current, n_obs
     FROM hist WINDOW w AS (PARTITION BY user_id ORDER BY version)
-    """,
-)
-def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type 2 dimension history from the event stream: each user's
-    last event_type per day is the day's observed "status" snapshot;
-    consecutive same-status days collapse into versioned history rows
-    with effective_from/effective_to/is_current. Replaces the
-    reference's overwrite-per-loop dimension refresh
-    (silver_to_gold.py) with the history-preserving warehouse form.
+    """
 
-    Plan: one explicit hash exchange on user_id up front, which
-    satisfies the (user_id, day) snapshot window, the SCD island
-    windows, AND the (user_id, version) aggregate — the entire history
-    build is a single shuffle of the observation stream."""
+
+def _daily_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, day, status): each user's LAST event_type per day —
+    the daily dimension snapshot both SCD2 queries consume."""
     from pyspark.sql import Window
 
-    from multichannel_commerce_data_pipeline_spark.operators.scd import scd2_history
-
     ev = load(spark, sf_dir, "events").repartition("user_id")
-    daily = (
+    return (
         ev.select(
             "user_id",
             F.to_date("ts").alias("day"),
@@ -215,7 +207,50 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "day", "status")
     )
-    return scd2_history(daily, "user_id", "status", "day")
+
+
+@query("scd2_user_status", oracle=_SCD2_FULL_SQL)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history from the event stream: each user's
+    last event_type per day is the day's observed "status" snapshot;
+    consecutive same-status days collapse into versioned history rows
+    with effective_from/effective_to/is_current. Replaces the
+    reference's overwrite-per-loop dimension refresh
+    (silver_to_gold.py) with the history-preserving warehouse form.
+
+    Plan: one explicit hash exchange on user_id up front, which
+    satisfies the (user_id, day) snapshot window, the SCD island
+    windows, AND the (user_id, version) aggregate — the entire history
+    build is a single shuffle of the observation stream."""
+    from multichannel_commerce_data_pipeline_spark.operators.scd import scd2_history
+
+    return scd2_history(_daily_status(spark, sf_dir), "user_id", "status", "day")
+
+
+@query("scd2_incremental_refresh", oracle=_SCD2_FULL_SQL)
+def scd2_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance, proven against the full rebuild:
+    history is built from observations through Jan 22, then the final
+    week arrives as a daily batch folded in with operators/scd.py
+    scd2_apply — seeds each touched key's open run (weighted by its
+    accumulated n_obs), rebuilds only the tail, offsets versions by the
+    closed-run count, passes closed rows and untouched keys through.
+    The oracle is the FULL-rebuild SQL over all observations — the
+    refresh is only green if incremental ≡ rebuild, row for row. At
+    scale this is the daily dimension refresh whose cost tracks the
+    batch, not the accumulated stream."""
+    from multichannel_commerce_data_pipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    daily = _daily_status(spark, sf_dir)
+    cutoff = F.lit("2024-01-22").cast("date")
+    hist = scd2_history(
+        daily.filter(F.col("day") <= cutoff), "user_id", "status", "day"
+    )
+    batch = daily.filter(F.col("day") > cutoff)
+    return scd2_apply(hist, batch, "user_id", "status", "day")
 
 
 @query(

@@ -772,3 +772,32 @@ def test_merge_upsert_without_delete_col(spark):
     updates = spark.createDataFrame([(1, 9.0), (2, 2.0)], "k long, v double")
     out = {r.k: r.v for r in merge_upsert(base, updates, ["k"]).collect()}
     assert out == {1: 9.0, 2: 2.0}
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    from multichannel_commerce_data_pipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    # keys: 1 continues its open run, 2 changes attr, 3 untouched,
+    # 4 brand-new in the batch
+    old = [(1, 10, "a"), (1, 20, "a"), (1, 30, "b"),
+           (2, 10, "x"), (3, 10, "z")]
+    new = [(1, 40, "b"), (1, 50, "c"),
+           (2, 40, "y"), (4, 40, "q")]
+    old_df = spark.createDataFrame(old, "k long, t long, a string")
+    new_df = spark.createDataFrame(new, "k long, t long, a string")
+    full = scd2_history(
+        old_df.unionByName(new_df), "k", "a", "t"
+    ).collect()
+    inc = scd2_apply(
+        scd2_history(old_df, "k", "a", "t"), new_df, "k", "a", "t"
+    ).collect()
+    key = lambda r: (r.k, r.version)  # noqa: E731
+    assert sorted(map(tuple, full), key=str) == sorted(map(tuple, inc), key=str)
+    by = {key(r): r for r in inc}
+    assert by[(1, 2)].n_obs == 2 and by[(1, 2)].a == "b"  # extended run
+    assert by[(1, 3)].a == "c" and by[(1, 3)].is_current
+    assert by[(3, 1)].is_current                          # untouched
+    assert by[(4, 1)].a == "q" and by[(4, 1)].version == 1  # new key
