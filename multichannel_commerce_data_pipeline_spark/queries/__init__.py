@@ -119,13 +119,15 @@ CHECK_FIRST: tuple[str, ...] = (
     "multimodal_frame_plan",
     "pandas_scalar_tokens",
     "pandas_udaf_weighted_avg",
-    # No spare fill slots this round: the four new queries
-    # (passage_dedup_docs, ann_recall_at_k, scd2_user_status,
+    # No spare fill slots this round: the r5 flagship additions
+    # (passage_dedup_docs, ann_recall_at_k, scd2_incremental_refresh,
     # merge_upsert_customers) took them. ann_recall_at_k transitively
     # runs BOTH ann_cosine_topk and ann_ivf_topk with identical
     # parameters, so the ANN family keeps fresh driver evidence without
     # separate slots; the r3-vintage silver/gold rows hit their
-    # two-round staleness bound at r5 and rotate in at r6.
+    # two-round staleness bound at r5 and rotate in at r6, as do the
+    # late-r5 additions (scd2_user_status, regional_supplier_revenue,
+    # bpe_pair_counts — local check.py green this round).
 )
 
 

@@ -141,3 +141,63 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(
         p, (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size)
     ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity")
+
+
+@query(
+    "regional_supplier_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN orders   o ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation   n ON c.c_nationkey = n.n_nationkey
+    JOIN region   r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic six-table local-supplier revenue query (TPC-H Q5
+    shape): customer⋈orders⋈lineitem⋈supplier with the
+    same-nation condition, rolled up per nation within one region for
+    one year. Exercises Catalyst's join planning end-to-end: the date
+    range and region filter push into the scans, region/nation/supplier
+    /customer broadcast, and the only repartition-scale shuffles are
+    the orders⋈lineitem equi-join and the 25-key aggregate. Revenue
+    sums through DECIMAL so the result is addition-order-independent
+    across engines. Declared surface SURVEY.md §2.3/§2.4."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(38,6)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

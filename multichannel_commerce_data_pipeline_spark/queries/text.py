@@ -548,3 +548,64 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         flags["ok_symbols"].alias("ok_symbols"),
         flags["ok_stopwords"].alias("ok_stopwords"),
     )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(
+               CASE WHEN len(t) >= 2 THEN
+                 list_transform(range(1, len(t)),
+                                i -> t[i] || ' ' || t[i + 1])
+               ELSE [] END
+             ) AS pair
+      FROM toks
+    ),
+    counted AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_occurrences, rank FROM (
+      SELECT pair, n_occurrences,
+             ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+      FROM counted
+    ) WHERE rank <= 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: the inner loop of BPE tokenizer training — corpus-wide
+    counts of adjacent token pairs, ranked; the top pair is the next
+    merge a BPE trainer would take. Pairs are built map-side with
+    zip_with over two slices of the materialized token array (no
+    token-level explode of wide rows — only the pair strings shuffle
+    into a partial-aggregated count), and the top-50 is a
+    TakeOrderedAndProject, never a global sort."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    toked = d.select(T.tokens(F.col("text")).alias("t"))
+    pairs = toked.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.slice("t", 1, 0))
+        ).alias("pair")
+    )
+    from pyspark.sql import Window
+
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    # top-50 via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps, never a full sort); the rank window then runs over ≤50
+    # rows, so its single partition is bounded, not corpus-sized.
+    top = counted.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(50)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w))

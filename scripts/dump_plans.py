@@ -128,6 +128,44 @@ COMMENTARY = {
         "25-key aggregate, which is what the storage layout buys at "
         "100 TB."
     ),
+    "passage_dedup_docs": (
+        "The duplicate decision never shuffles document text: a narrow "
+        "(doc, pidx, md5) frame is projected map-side, ONE keyed window "
+        "over the 16-byte digest ranks occurrences, surviving indices "
+        "fold per doc, and the cleaned text is rebuilt map-side after "
+        "the doc-id join by re-slicing the word array that never left "
+        "the scan stage."
+    ),
+    "scd2_user_status": (
+        "One explicit hash exchange on user_id satisfies the "
+        "(user_id, day) snapshot window, the gaps-and-islands windows, "
+        "AND the (user_id, version) aggregate — EnsureRequirements adds "
+        "only partition-local sorts. Exactly one hashpartitioning, no "
+        "range exchange, no join (asserted in tests/test_plans.py)."
+    ),
+    "scd2_incremental_refresh": (
+        "The refresh reads the OLD history (runs-sized) plus the new "
+        "batch, never the accumulated observation stream: seeds for "
+        "touched keys come from a semi-join of current rows against the "
+        "batch keyset, the islands machinery re-runs on seed+batch only, "
+        "and closed/untouched rows union through untouched. Its oracle "
+        "is the full-rebuild SQL, so the green row proves incremental "
+        "maintenance equals rebuild."
+    ),
+    "merge_upsert_customers": (
+        "MERGE as UNION ALL + one keyed window: base and updates shuffle "
+        "once on the key and the highest-priority row survives — no full "
+        "outer join (which would shuffle both sides AND null-fight the "
+        "matched/unmatched combinations). The update side here is itself "
+        "a keyed window over orders reusing the same exchange pattern."
+    ),
+    "ann_recall_at_k": (
+        "Both ANN paths (brute-force and IVF) stream the corpus narrow "
+        "with the 8-query side broadcast; the recall join then matches "
+        "two k-row-per-query frames — negligible. At scale the sampled "
+        "query set keeps the exact side tractable; the corpus is never "
+        "joined all-pairs."
+    ),
 }
 
 

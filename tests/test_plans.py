@@ -245,3 +245,17 @@ def test_scd2_history_is_single_shuffle(plans):
     assert len(re.findall(r"hashpartitioning", plan)) == 1
     assert "rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_regional_revenue_pushes_filters_and_broadcasts_dims(plans):
+    """Q5 shape: the date range must reach the orders parquet scan and
+    the region filter its scan (row-group pruning at scale); region/
+    nation/supplier/customer are broadcast at this SF so the only
+    repartition-scale exchanges are the fact join and the final
+    aggregate."""
+    plan = plans("regional_supplier_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed)
+    assert any("r_name" in l for l in pushed)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
