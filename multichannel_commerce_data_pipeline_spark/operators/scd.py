@@ -110,6 +110,16 @@ def scd2_apply(
     the key's closed-run count; closed rows and untouched keys pass
     through verbatim. Three keyed shuffles, all on ``key_col`` and all
     over runs/batch-sized frames.
+
+    Chain applies across refreshes by MATERIALIZING the history between
+    batches (write the table, or ``localCheckpoint`` in-session) — the
+    production shape anyway, since the refresh's output is the stored
+    dimension. Stacking several applies lazily in one plan both
+    re-plans the whole chain per action and can trip AQE's
+    union-over-sort-merge-join partition coalescing (observed
+    intermittently on Spark 4.1:
+    "Can't zip RDDs with unequal numbers of partitions");
+    tests/test_operators.py covers the materialized chain.
     """
     cur = hist.filter(F.col("is_current"))
     touched = new_obs.select(key_col).distinct()

@@ -68,7 +68,10 @@ CHECK_FIRST: tuple[str, ...] = (
     # transitively runs scd2_history + the daily-snapshot helper, so
     # scd2_user_status needs no separate slot.
     "scd2_incremental_refresh",
-    "merge_upsert_customers",
+    # stream_merge_rollup shares merge_upsert_customers' oracle and
+    # transitively runs merge_upsert PLUS the streaming snapshot chain
+    # — strictly more coverage for the same slot
+    "stream_merge_rollup",
     "stream_landing_rollup",
     "stream_gold_refresh_rollup",
     "udtf_sentence_split",

@@ -246,9 +246,12 @@ def scd2_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = _daily_status(spark, sf_dir)
     cutoff = F.lit("2024-01-22").cast("date")
+    # materialized, as the stored dimension would be between refreshes
+    # (scd2_apply docstring: a lazy history feeding the apply re-plans
+    # the build and can trip AQE's union/SMJ coalescing)
     hist = scd2_history(
         daily.filter(F.col("day") <= cutoff), "user_id", "status", "day"
-    )
+    ).localCheckpoint(eager=True)
     batch = daily.filter(F.col("day") > cutoff)
     return scd2_apply(hist, batch, "user_id", "status", "day")
 
@@ -324,5 +327,107 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = merge_upsert(cust, updates, ["c_custkey"], delete_col="is_delete")
     return merged.select(
+        "c_custkey", "c_mktsegment", dround(F.col("c_acctbal"), 2).alias("c_acctbal")
+    )
+
+
+# The streaming-merge driver query reuses merge_upsert_customers'
+# oracle VERBATIM: green means the checkpointed streaming MERGE lands
+# exactly the batch merge's rows — streaming ≡ batch, driver-proven.
+_MERGE_ORACLE = r"""
+    WITH latest AS (
+      SELECT o_custkey, o_totalprice, o_orderstatus FROM (
+        SELECT o_custkey, o_totalprice, o_orderstatus,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                 AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ),
+    updates AS (
+      SELECT o_custkey AS c_custkey, 'ACTIVE' AS c_mktsegment,
+             o_totalprice AS c_acctbal,
+             (o_orderstatus = 'F') AS is_delete
+      FROM latest
+    ),
+    unioned AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, FALSE AS is_delete, 0 AS prio
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal, is_delete, 1 FROM updates
+    ),
+    winner AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                     ORDER BY prio DESC) AS rn
+        FROM unioned
+      ) WHERE rn = 1
+    )
+    SELECT c_custkey, c_mktsegment,
+           CAST(ROUND(CAST(c_acctbal AS DECIMAL(38,6)), 2) AS DOUBLE)
+             AS c_acctbal
+    FROM winner WHERE NOT is_delete
+    """
+
+
+@query("stream_merge_rollup", oracle=_MERGE_ORACLE)
+def stream_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 streaming form made driver-checkable: the customer base
+    arrives as micro-batch 1 and the latest-order update batch (with
+    deletes) as micro-batch 2 of streaming/jobs.stream_merge_snapshot —
+    two checkpointed AvailableNow drains, so batch order is by
+    construction, with the latest-wins snapshot re-landed
+    copy-on-write per batch under a _LATEST pointer. The oracle is the
+    BATCH merge SQL (merge_upsert_customers'), promoting the streaming
+    upsert's equivalence to driver evidence."""
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_merge_snapshot,
+        stream_merge_snapshot,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mcdp_stream_merge_")
+    upd, snap, ckpt = f"{tmp}/updates", f"{tmp}/snap", f"{tmp}/ckpt"
+    schema = (
+        "c_custkey long, c_mktsegment string, c_acctbal double,"
+        " is_delete boolean"
+    )
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.lit(False).alias("is_delete"),
+    )
+    base.coalesce(1).write.mode("overwrite").json(f"{upd}/b0")
+    stream_merge_snapshot(
+        spark, f"{upd}/*", schema, snap, ckpt,
+        ["c_custkey"], "c_custkey", delete_col="is_delete",
+    )
+
+    from pyspark.sql import Window
+
+    latest = (
+        load(spark, sf_dir, "orders")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.desc("o_orderdate"), F.desc("o_orderkey")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.lit("ACTIVE").alias("c_mktsegment"),
+            F.col("o_totalprice").alias("c_acctbal"),
+            (F.col("o_orderstatus") == "F").alias("is_delete"),
+        )
+    )
+    latest.coalesce(1).write.mode("overwrite").json(f"{upd}/b1")
+    stream_merge_snapshot(
+        spark, f"{upd}/*", schema, snap, ckpt,
+        ["c_custkey"], "c_custkey", delete_col="is_delete",
+    )
+    return read_merge_snapshot(spark, snap).select(
         "c_custkey", "c_mktsegment", dround(F.col("c_acctbal"), 2).alias("c_acctbal")
     )

@@ -28,6 +28,7 @@ per watermark window — not by stream length.
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -452,3 +453,82 @@ def compact_landing(
         .partitionBy(partition_col)
         .parquet(out_dir)
     )
+
+
+def stream_merge_snapshot(
+    spark: SparkSession,
+    updates_dir: str,
+    update_schema: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+):
+    """Streaming MERGE: maintain a latest-wins keyed snapshot from a
+    stream of updates (the continuously-maintained materialized view
+    the reference approximates with polling overwrite loops).
+
+    Each micro-batch is reduced to one row per key (newest ``seq_col``
+    wins — foreachBatch hands a bounded DataFrame, so the keyed window
+    is batch-sized), then merged into the previous snapshot with
+    operators/merge.py merge_upsert. The result lands in a
+    ``snap-<batch_id>`` directory with overwrite + a _LATEST pointer
+    written AFTER the snapshot: a replayed batch (foreachBatch is
+    at-least-once) rewrites the same directory and re-points the same
+    pointer — convergent, so the chain is restart-idempotent. Old
+    snapshots are the rollback/vacuum surface.
+
+    At scale each merge shuffles snapshot+batch once on the key; with
+    the snapshot bucketed on the key the exchange drops to the batch
+    side only. Returns the finished query; read the result with
+    :func:`read_merge_snapshot`.
+    """
+    from pyspark.sql import Window
+
+    from multichannel_commerce_data_pipeline_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+        newest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        sess = batch_df.sparkSession
+        latest = Path(snapshot_dir) / "_LATEST"
+        if latest.exists():
+            base = sess.read.parquet(
+                str(Path(snapshot_dir) / latest.read_text().strip())
+            )
+        else:
+            base = sess.createDataFrame([], newest.drop(delete_col).schema
+                                        if delete_col else newest.schema)
+        merged = merge_upsert(base, newest, keys, delete_col=delete_col)
+        merged.write.mode("overwrite").parquet(
+            f"{snapshot_dir}/snap-{batch_id}"
+        )
+        latest.parent.mkdir(parents=True, exist_ok=True)
+        latest.write_text(f"snap-{batch_id}")
+
+    stream = (
+        spark.readStream.schema(update_schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(updates_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def read_merge_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Read the snapshot the _LATEST pointer names."""
+    latest = (Path(snapshot_dir) / "_LATEST").read_text().strip()
+    return spark.read.parquet(str(Path(snapshot_dir) / latest))

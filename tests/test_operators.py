@@ -801,3 +801,36 @@ def test_scd2_apply_equals_full_rebuild(spark):
     assert by[(1, 3)].a == "c" and by[(1, 3)].is_current
     assert by[(3, 1)].is_current                          # untouched
     assert by[(4, 1)].a == "q" and by[(4, 1)].version == 1  # new key
+
+
+def test_scd2_apply_folds_multiple_batches(spark):
+    """Chaining scd2_apply over N sequential batches must equal one
+    full rebuild — the associativity that makes the daily refresh safe
+    to run forever."""
+    from multichannel_commerce_data_pipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    batches = [
+        [(1, 10, "a"), (2, 10, "x")],
+        [(1, 20, "a"), (3, 20, "z")],
+        [(1, 30, "b"), (2, 30, "x"), (3, 30, "w")],
+        [(1, 40, "a"), (4, 40, "new")],
+    ]
+    dfs = [
+        spark.createDataFrame(b, "k long, t long, a string") for b in batches
+    ]
+    hist = scd2_history(dfs[0], "k", "a", "t")
+    for b in dfs[1:]:
+        # materialize between refreshes — the production shape (the
+        # stored dimension IS the materialization); see scd2_apply's
+        # docstring for why a deep lazy chain is wrong anyway
+        hist = scd2_apply(hist.localCheckpoint(eager=True), b, "k", "a", "t")
+    all_obs = dfs[0]
+    for b in dfs[1:]:
+        all_obs = all_obs.unionByName(b)
+    full = scd2_history(all_obs, "k", "a", "t")
+    assert sorted(map(tuple, hist.collect()), key=str) == sorted(
+        map(tuple, full.collect()), key=str
+    )

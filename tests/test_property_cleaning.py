@@ -189,3 +189,39 @@ def test_quantize_int8_properties(spark, vecs):
         else:
             assert r["hi"] == 127 or r["lo"] == -127
             assert r["dequant_cos"] is not None
+
+
+# ---- merge_upsert model check ------------------------------------------
+# Random base/update batches vs a three-line Python reference model:
+# updates override base per key, deletes drop the key, new keys insert.
+
+_keys = st.integers(min_value=0, max_value=9)
+_base_rows = st.dictionaries(_keys, st.integers(0, 100), max_size=8)
+_update_rows = st.dictionaries(
+    _keys, st.tuples(st.integers(0, 100), st.booleans()), max_size=8
+)
+
+
+@SET
+@given(base=_base_rows, updates=_update_rows)
+def test_merge_upsert_matches_reference_model(spark, base, updates):
+    from multichannel_commerce_data_pipeline_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    expected = dict(base)
+    for k, (v, dele) in updates.items():
+        if dele:
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+
+    b = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    u = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in updates.items()] or [(None, None, None)],
+        "k int, v int, del boolean",
+    ).filter(F.col("k").isNotNull())
+    got = {r.k: r.v for r in merge_upsert(b, u, ["k"], "del").collect()}
+    assert got == expected

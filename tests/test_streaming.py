@@ -447,3 +447,60 @@ def test_compact_landing_reduces_files_preserves_rows(spark, tmp_path):
         p.rsplit("/", 1)[-1] for p in glob.glob(f"{out}/p_date=*")
     ) == sorted(p.rsplit("/", 1)[-1] for p in glob.glob(f"{silver}/p_date=*"))
     assert n_files(out) < n_files(silver)
+
+
+def test_stream_merge_snapshot_maintains_latest_wins_view(spark, tmp_path):
+    """Streaming MERGE (X9 streaming form): keyed updates arriving over
+    several micro-batches maintain a latest-wins snapshot with deletes;
+    the final snapshot equals the batch merge of all updates, and a
+    re-drain with the same checkpoint changes nothing."""
+    import json as _json
+
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_merge_snapshot,
+        stream_merge_snapshot,
+    )
+
+    updates = tmp_path / "updates"
+    updates.mkdir()
+    # batch 1: two inserts; batch 2: update k=1, delete k=2, insert k=3
+    (updates / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"k": 1, "v": "a", "seq": 10, "del": False},
+                {"k": 2, "v": "b", "seq": 11, "del": False},
+            ]
+        )
+    )
+    (updates / "b2.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"k": 1, "v": "a2", "seq": 20, "del": False},
+                {"k": 1, "v": "STALE", "seq": 15, "del": False},
+                {"k": 2, "v": "b", "seq": 21, "del": True},
+                {"k": 3, "v": "c", "seq": 22, "del": False},
+            ]
+        )
+    )
+    schema = "k long, v string, seq long, del boolean"
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    stream_merge_snapshot(
+        spark, str(updates), schema, snap, ckpt, ["k"], "seq", delete_col="del"
+    )
+    out = {r.k: r for r in read_merge_snapshot(spark, snap).collect()}
+    # NOTE: file order between b1/b2 is lexicographic in the file
+    # source, so b1 precedes b2; k=1 updated, k=2 deleted, k=3 inserted
+    assert set(out) == {1, 3}
+    assert out[1].v == "a2" and out[1].seq == 20
+    assert out[3].v == "c"
+    # restart with same checkpoint: no new data, snapshot unchanged
+    before = (tmp_path / "snap" / "_LATEST").read_text()
+    stream_merge_snapshot(
+        spark, str(updates), schema, snap, ckpt, ["k"], "seq", delete_col="del"
+    )
+    assert (tmp_path / "snap" / "_LATEST").read_text() == before
+    out2 = {r.k: (r.v, r.seq) for r in read_merge_snapshot(spark, snap).collect()}
+    assert out2 == {k: (r.v, r.seq) for k, r in out.items()}
