@@ -532,3 +532,25 @@ def read_merge_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """Read the snapshot the _LATEST pointer names."""
     latest = (Path(snapshot_dir) / "_LATEST").read_text().strip()
     return spark.read.parquet(str(Path(snapshot_dir) / latest))
+
+
+def vacuum_merge_snapshots(snapshot_dir: str, keep: int = 2) -> list[str]:
+    """Drop all but the newest ``keep`` snapshots of a
+    :func:`stream_merge_snapshot` chain (never the one ``_LATEST``
+    points at). Copy-on-write merge leaves one directory per batch as
+    its rollback surface; this is the retention step that bounds that
+    surface, the same job Delta's VACUUM does for its file graveyard.
+    Returns the removed snapshot names (for the audit log)."""
+    import shutil
+
+    root = Path(snapshot_dir)
+    latest = (root / "_LATEST").read_text().strip()
+    snaps = sorted(
+        (p.name for p in root.iterdir() if p.name.startswith("snap-")),
+        key=lambda n: int(n.split("-")[1]),
+    )
+    keep_set = set(snaps[-keep:]) | {latest}
+    removed = [n for n in snaps if n not in keep_set]
+    for n in removed:
+        shutil.rmtree(root / n)
+    return removed

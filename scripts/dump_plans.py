@@ -144,7 +144,9 @@ COMMENTARY = {
         "range exchange, no join (asserted in tests/test_plans.py)."
     ),
     "scd2_incremental_refresh": (
-        "The refresh reads the OLD history (runs-sized) plus the new "
+        "The refresh reads the OLD history (runs-sized, MATERIALIZED — "
+        "in production the stored dimension, here a localCheckpoint; "
+        "the plan below shows it as an ExistingRDD scan) plus the new "
         "batch, never the accumulated observation stream: seeds for "
         "touched keys come from a semi-join of current rows against the "
         "batch keyset, the islands machinery re-runs on seed+batch only, "

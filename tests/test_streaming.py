@@ -504,3 +504,30 @@ def test_stream_merge_snapshot_maintains_latest_wins_view(spark, tmp_path):
     assert (tmp_path / "snap" / "_LATEST").read_text() == before
     out2 = {r.k: (r.v, r.seq) for r in read_merge_snapshot(spark, snap).collect()}
     assert out2 == {k: (r.v, r.seq) for k, r in out.items()}
+
+
+def test_vacuum_merge_snapshots_keeps_latest(spark, tmp_path):
+    import json as _json
+
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_merge_snapshot,
+        stream_merge_snapshot,
+        vacuum_merge_snapshots,
+    )
+
+    updates = tmp_path / "updates"
+    updates.mkdir()
+    for i in range(4):  # 4 files -> 4 micro-batches -> 4 snapshots
+        (updates / f"b{i}.json").write_text(
+            _json.dumps({"k": i, "v": f"v{i}", "seq": i, "del": False})
+        )
+    snap, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    stream_merge_snapshot(
+        spark, str(updates), "k long, v string, seq long, del boolean",
+        snap, ckpt, ["k"], "seq", delete_col="del",
+    )
+    removed = vacuum_merge_snapshots(snap, keep=2)
+    assert removed == ["snap-0", "snap-1"]
+    left = sorted(p.name for p in (tmp_path / "snap").iterdir())
+    assert left == ["_LATEST", "snap-2", "snap-3"]
+    assert read_merge_snapshot(spark, snap).count() == 4  # view intact
