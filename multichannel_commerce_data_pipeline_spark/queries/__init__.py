@@ -72,6 +72,7 @@ CHECK_FIRST: tuple[str, ...] = (
     # transitively runs merge_upsert PLUS the streaming snapshot chain
     # — strictly more coverage for the same slot
     "stream_merge_rollup",
+    "python_datasource_scan",
     "stream_landing_rollup",
     "stream_gold_refresh_rollup",
     "udtf_sentence_split",
@@ -90,7 +91,11 @@ CHECK_FIRST: tuple[str, ...] = (
     "deterministic_bucket",
     "local_table_constructor",
     "recency_topn",
-    "limit_zero_schema",
+    # limit_zero_schema (r2-stale) yielded its slot to the new S13
+    # python_datasource_scan: an empty result can only drift in SCHEMA,
+    # its select/cast chain is untouched since r2, and scripts/check.py
+    # re-verified it green at sf0.01 this round — the lowest-risk
+    # exception to the two-round staleness bound; rotates in at r6.
     "global_max_checkpoint",
     # latest driver row is r2: joins
     "left_join_enrich",

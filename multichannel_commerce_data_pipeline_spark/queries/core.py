@@ -423,3 +423,41 @@ def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionAll(d)
     return out
+
+
+_PYDS_ROWS = 2000
+
+
+@query(
+    "python_datasource_scan",
+    oracle=f"""
+    SELECT i                        AS order_id,
+           CASE {oracle_bucket_sql('i', 3)}
+             WHEN 0 THEN 'wholesale'
+             WHEN 1 THEN 'shopify'
+             ELSE 'livestreaming' END AS channel,
+           ({oracle_bucket_sql('i', 10000)}) / 100.0 AS amount
+    FROM range({_PYDS_ROWS}) t(i)
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S+ (Spark-4 Python Data Source API): a custom
+    ``pyspark.sql.datasource`` connector scanned as a real relation —
+    8 InputPartitions generated executor-side, no driver
+    materialization. Row content is a pure function of the row id
+    (portable Knuth bucket), so the DuckDB oracle reproduces the WHOLE
+    connector output value-for-value: the driver row being green
+    certifies the connector contract (schema, partitioning, per-row
+    generation), not just that it runs. Reference behavior replaced:
+    the hand-rolled HTTP→Kafka relay feed (kafka_fashion_producer.py)
+    re-expressed as a planner-visible source."""
+    from multichannel_commerce_data_pipeline_spark.sources.pydatasource import (
+        register,
+    )
+
+    register(spark)
+    return (
+        spark.read.format("synthetic_orders")
+        .option("rows", str(_PYDS_ROWS))
+        .load()
+    )
