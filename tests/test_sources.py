@@ -229,3 +229,44 @@ def test_python_datasource_partition_parallel_scan(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, df.collect()))
     assert a == b
+
+
+def test_python_datasource_streaming_equals_batch(spark, tmp_path):
+    """The streaming form of the custom connector drains the same 120
+    rows the batch scan produces, across multiple micro-batches, with a
+    checkpoint; a second drain with the same checkpoint adds nothing
+    (the capped offset stopped advancing)."""
+    from multichannel_commerce_data_pipeline_spark.sources.pydatasource import (
+        register,
+    )
+
+    register(spark)
+
+    def drain():
+        # processAllAvailable, not availableNow: a Simple stream reader
+        # has no latestOffset, so availableNow would stop at the one
+        # prefetched batch; processAllAvailable keeps triggering until
+        # the capped offset stops advancing.
+        q = (
+            spark.readStream.format("synthetic_orders")
+            .option("rows", "120")
+            .option("batch_size", "50")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    streamed = drain()
+    batch = (
+        spark.read.format("synthetic_orders").option("rows", "120").load()
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert drain().count() == 120  # re-drain: no duplicates
