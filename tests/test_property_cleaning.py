@@ -225,3 +225,49 @@ def test_merge_upsert_matches_reference_model(spark, base, updates):
     ).filter(F.col("k").isNotNull())
     got = {r.k: r.v for r in merge_upsert(b, u, ["k"], "del").collect()}
     assert got == expected
+
+
+# ---- scd2_history model check ------------------------------------------
+# Random observation streams vs a direct Python run-length model.
+
+_obs_streams = st.lists(
+    st.tuples(
+        st.integers(0, 3),                        # key
+        st.integers(0, 20),                       # ts
+        st.sampled_from(["a", "b", None]),        # attr (incl. NULL runs)
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),             # total order per key
+)
+
+
+@SET
+@given(obs=_obs_streams)
+def test_scd2_history_matches_reference_model(spark, obs):
+    from multichannel_commerce_data_pipeline_spark.operators.scd import (
+        scd2_history,
+    )
+
+    expected = {}
+    by_key = {}
+    for k, t, a in sorted(obs):
+        by_key.setdefault(k, []).append((t, a))
+    for k, seq in by_key.items():
+        runs = []
+        for t, a in seq:
+            if runs and runs[-1]["a"] == a:
+                runs[-1]["n"] += 1
+            else:
+                runs.append({"a": a, "from": t, "n": 1})
+        for v, r in enumerate(runs, start=1):
+            eff_to = runs[v]["from"] if v < len(runs) else None
+            expected[(k, v)] = (r["a"], r["from"], eff_to, eff_to is None, r["n"])
+
+    df = spark.createDataFrame(obs, "k int, t int, a string")
+    got = {
+        (r.k, r.version): (r.a, r.effective_from, r.effective_to,
+                           r.is_current, r.n_obs)
+        for r in scd2_history(df, "k", "a", "t").collect()
+    }
+    assert got == expected
