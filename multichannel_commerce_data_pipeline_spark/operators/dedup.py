@@ -53,16 +53,23 @@ def passage_dedup(
     100 TB shape — the duplicate decision never shuffles text:
       1. a narrow ``(doc, pidx, md5(passage))`` frame is projected
          map-side (the passage string itself stays in the scan stage);
-      2. one keyed window over the 16-byte digest ranks occurrences —
-         the shuffle carries ~40-byte rows, not kilobyte passages;
+      2. the survivor per digest is ``min(struct(doc, pidx))`` via a
+         hash aggregate, NOT a row_number window: partial aggregation
+         reduces every mapper's copies of a digest to ONE candidate
+         before the shuffle, so a boilerplate passage repeated a
+         billion times costs each mapper one row instead of sending
+         all copies to a single straggler reducer (the skew case a
+         keyed window cannot partial-aggregate away), and the shuffle
+         carries ~40-byte rows, not kilobyte passages;
       3. surviving indices fold per doc (second narrow shuffle) and
          join back to the original row on the id, where the cleaned
          text is rebuilt map-side by re-slicing the word array.
     md5 stands in for the passage string (collision odds ~2^-128 per
     pair); the DuckDB oracle partitions on the passage string itself —
-    identical semantics absent a collision. A document whose every
-    passage first appeared elsewhere survives with empty text, so the
-    operator is total over the corpus.
+    identical semantics absent a collision (struct comparison is
+    lexicographic, so min(struct) picks exactly row_number's first).
+    A document whose every passage first appeared elsewhere survives
+    with empty text, so the operator is total over the corpus.
 
     Returns (id_col, n_passages, n_kept, n_dropped, clean_text).
     """
@@ -84,10 +91,11 @@ def passage_dedup(
             )
         ).alias("pidx", "pdigest"),
     )
-    first = Window.partitionBy("pdigest").orderBy("doc", "pidx")
+    survivors = narrow.groupBy("pdigest").agg(
+        F.min(F.struct("doc", "pidx")).alias("__s")
+    )
     kept_idx = (
-        narrow.withColumn("__rn", F.row_number().over(first))
-        .filter(F.col("__rn") == 1)
+        survivors.select(F.col("__s.doc").alias("doc"), F.col("__s.pidx").alias("pidx"))
         .groupBy("doc")
         .agg(F.sort_array(F.collect_list("pidx")).alias("__kept"))
     )

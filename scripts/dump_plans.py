@@ -130,9 +130,13 @@ COMMENTARY = {
     ),
     "passage_dedup_docs": (
         "The duplicate decision never shuffles document text: a narrow "
-        "(doc, pidx, md5) frame is projected map-side, ONE keyed window "
-        "over the 16-byte digest ranks occurrences, surviving indices "
-        "fold per doc, and the cleaned text is rebuilt map-side after "
+        "(doc, pidx, md5) frame is projected map-side and the per-digest "
+        "survivor is min(struct(doc, pidx)) through a TWO-PHASE hash "
+        "aggregate — partial_min reduces every mapper's copies of a "
+        "boilerplate digest to one candidate before the shuffle, the "
+        "skew case a keyed row_number window cannot partial-aggregate "
+        "away (plan-pinned in tests/test_plans.py). Surviving indices "
+        "fold per doc and the cleaned text is rebuilt map-side after "
         "the doc-id join by re-slicing the word array that never left "
         "the scan stage."
     ),

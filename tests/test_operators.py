@@ -834,3 +834,22 @@ def test_scd2_apply_folds_multiple_batches(spark):
     assert sorted(map(tuple, hist.collect()), key=str) == sorted(
         map(tuple, full.collect()), key=str
     )
+
+
+def test_passage_dedup_hot_boilerplate_passage(spark):
+    """Skew shape: ONE passage shared by every document (the 100 TB
+    boilerplate case the partial-aggregated survivor is designed for).
+    Only doc 0 keeps it; every doc keeps its unique tail."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = [(d, boiler + f" unique{d}") for d in range(200)]
+    out = {
+        r.doc_id: r
+        for r in D.passage_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"), "doc_id", "text", 10
+        ).collect()
+    }
+    assert len(out) == 200
+    assert out[0].clean_text == boiler + " unique0"
+    for d in range(1, 200):
+        assert out[d].clean_text == f"unique{d}", d
+        assert out[d].n_dropped == 1

@@ -259,3 +259,13 @@ def test_regional_revenue_pushes_filters_and_broadcasts_dims(plans):
     assert any("r_name" in l for l in pushed)
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_passage_dedup_survivor_is_partial_aggregated(plans):
+    """The per-digest survivor must be a two-phase aggregate
+    (partial_min map-side), NOT a keyed row_number window: partial
+    aggregation is what makes a billion-copy boilerplate passage cost
+    each mapper one row instead of funneling every copy into one
+    reducer. A Window node over pdigest here is the skew regression."""
+    p = plans("passage_dedup_docs")
+    assert "partial_min(struct(doc" in p
