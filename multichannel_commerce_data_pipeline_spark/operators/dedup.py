@@ -27,13 +27,26 @@ from multichannel_commerce_data_pipeline_spark.operators.text import tokens
 
 def exact_dedup(df: DataFrame, keys: list[str], tiebreak: str) -> DataFrame:
     """Keep exactly one row per key combination — the row with the
-    smallest ``tiebreak`` value, so the choice is deterministic (unlike
-    dropDuplicates, whose survivor depends on physical order)."""
-    w = Window.partitionBy(*keys).orderBy(F.col(tiebreak))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    smallest ``tiebreak`` value (ties broken by the remaining columns,
+    lexicographically), so the choice is deterministic — unlike
+    dropDuplicates, whose survivor depends on physical order.
+
+    Survivor selection is ``min(struct(tiebreak, rest))`` through a
+    two-phase hash aggregate, not a keyed row_number window: partial
+    aggregation collapses every mapper's copies of a key to ONE
+    candidate before the shuffle, so the 100 TB worst case — one
+    boilerplate document duplicated a billion times, all copies
+    hashing to a single reducer — dies map-side. Same exchange count
+    as the window form (one hash partitioning on the keys), pinned for
+    the composed pipeline in tests/test_plans.py."""
+    others = [c for c in df.columns if c not in keys and c != tiebreak]
+    packed = F.struct(tiebreak, *others)
+    surv = df.groupBy(*keys).agg(F.min(packed).alias("__s"))
+    return surv.select(
+        *[
+            F.col(f"__s.{c}").alias(c) if c not in keys else F.col(c)
+            for c in df.columns
+        ]
     )
 
 

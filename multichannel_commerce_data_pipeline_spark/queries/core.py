@@ -383,21 +383,23 @@ def limit_zero_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 def latest_snapshot_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's compacted master topics (master-products /
     master-buyers, docker-compose.yml:163-164) materialized: latest row
-    per key via a keyed row_number — the log-compaction semantic as a
-    batch view. Deterministic survivor (date then orderkey desc), one
-    shuffle."""
+    per key — the log-compaction semantic as a batch view. Survivor =
+    max(struct(date, orderkey, ...)) through a two-phase hash
+    aggregate: partial aggregation reduces each mapper's rows per key
+    to one candidate before the shuffle, so a hot key (one buyer with
+    a billion events in the compacted log) never funnels its copies
+    into a single reducer the way a keyed row_number would.
+    Deterministic survivor (date then orderkey desc), one shuffle."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
+    packed = F.struct("o_orderdate", "o_orderkey", "o_totalprice")
     return (
-        o.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        o.groupBy("o_custkey")
+        .agg(F.max(packed).alias("__s"))
         .select(
             F.col("o_custkey").alias("custkey"),
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_orderdate").alias("last_orderdate"),
-            F.col("o_totalprice").alias("last_totalprice"),
+            F.col("__s.o_orderkey").alias("last_orderkey"),
+            F.col("__s.o_orderdate").alias("last_orderdate"),
+            F.col("__s.o_totalprice").alias("last_totalprice"),
         )
     )
 
