@@ -7,10 +7,12 @@ keyed updates lands on a base snapshot — update rows replace same-key
 base rows, new keys insert, flagged keys delete — producing the next
 snapshot copy-on-write.
 
-100 TB shape: implemented as UNION ALL + one keyed window, NOT a full
-outer join — one hash exchange of base+updates instead of two join
-shuffles, no null-fighting over matched/unmatched combinations, and
-multiple update batches compose by stacking priorities. The updates
+100 TB shape: implemented as UNION ALL + one partial-aggregated keyed
+max(struct) — NOT a full outer join (two join shuffles plus
+null-fighting over matched/unmatched combinations) and NOT a keyed
+row_number window (no map-side combine, so a hot key funnels every
+copy into one reducer). One hash exchange of base+updates, skew dying
+map-side, and multiple update batches compose by stacking priorities. The updates
 side is usually ≪ base; the exchange cost is dominated by re-shuffling
 base, which is exactly the copy-on-write floor (every MERGE engine,
 Delta/Iceberg included, rewrites the touched base files — here the
@@ -21,7 +23,7 @@ HashPartitioning(key) already holds on read).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -52,9 +54,19 @@ def merge_upsert(
     unioned = b.withColumn("__prio", F.lit(0)).unionByName(
         u.withColumn("__prio", F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy(F.desc("__prio"))
-    return (
-        unioned.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & ~F.col(delete_col))
-        .select(*cols)
+    # Winner = max(struct(prio, ...)) through a two-phase hash
+    # aggregate rather than a keyed row_number window: partial
+    # aggregation reduces each mapper's rows per key to one candidate
+    # before the shuffle, so even a contract-violating hot key (many
+    # update rows for one key) collapses map-side instead of funneling
+    # into a single reducer.
+    others = [c for c in cols if c not in keys] + [delete_col]
+    surv = unioned.groupBy(*keys).agg(
+        F.max(F.struct("__prio", *others)).alias("__s")
+    )
+    return surv.filter(~F.col(f"__s.{delete_col}")).select(
+        *[
+            F.col(c) if c in keys else F.col(f"__s.{c}").alias(c)
+            for c in cols
+        ]
     )

@@ -159,11 +159,13 @@ COMMENTARY = {
         "maintenance equals rebuild."
     ),
     "merge_upsert_customers": (
-        "MERGE as UNION ALL + one keyed window: base and updates shuffle "
-        "once on the key and the highest-priority row survives — no full "
-        "outer join (which would shuffle both sides AND null-fight the "
-        "matched/unmatched combinations). The update side here is itself "
-        "a keyed window over orders reusing the same exchange pattern."
+        "MERGE as UNION ALL + one partial-aggregated keyed max(struct): "
+        "base and updates shuffle once on the key and the "
+        "highest-priority candidate survives, with map-side combine "
+        "collapsing hot keys before the exchange — no full outer join "
+        "(which would shuffle both sides AND null-fight the "
+        "matched/unmatched combinations), no skew-prone keyed window. "
+        "The update side here is itself a keyed window over orders."
     ),
     "ann_recall_at_k": (
         "Both ANN paths (brute-force and IVF) stream the corpus narrow "
