@@ -298,7 +298,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     update batch — finalized ('F') customers are deleted, open ones get
     their segment/balance replaced, customers with no orders pass
     through, all via operators/merge.py merge_upsert (UNION ALL + one
-    keyed window; never a full outer join)."""
+    partial-aggregated keyed max(struct); never a full outer join)."""
     from pyspark.sql import Window
 
     from multichannel_commerce_data_pipeline_spark.functions import dround
