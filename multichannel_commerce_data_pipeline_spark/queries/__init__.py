@@ -150,6 +150,7 @@ def load_registry() -> dict[str, Query]:
         core,
         dedup,
         flagship,
+        importance,
         joins,
         multimodal_queries,
         pandas_surface,

@@ -1,0 +1,214 @@
+"""Driver-checkable queries for the hashed-feature curation models
+(operators/importance.py): DSIR importance weights and hashed
+naive-Bayes language classification over the ``documents`` table.
+
+Both queries fit their model in-engine (bounded-bucket profile
+aggregate, ≤ D·k rows collected to the driver) and return a scoring
+plan that is PURE MAP-SIDE — the only exchange in the returned
+DataFrame's plan is the round-robin fan-out ``parallelize_small_scan``
+adds for the driver's single-row-group parquet (a no-op at real scale,
+where the scan already has thousands of splits); no hash/shuffle
+exchange anywhere (asserted in tests/test_plans.py). The oracle SQL
+re-derives the identical model inside DuckDB: md5 bucket hashing,
+double→DECIMAL(38,10)→ROUND-6 quantized log-probs, exact DECIMAL
+sums — so the driver's hash compare proves the whole train+score path,
+not just the scoring fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.operators import importance as I
+from multichannel_commerce_data_pipeline_spark.queries import query
+from multichannel_commerce_data_pipeline_spark.tables import (
+    load,
+    parallelize_small_scan,
+)
+
+_D = I.N_BUCKETS
+_SEED = I.HASH_SEED
+_TARGET_LANG = "en"
+
+# Shared oracle CTEs: tokenize -> unigram+bigram features -> bucket ids.
+# Mirrors operators/importance.py feature_buckets exactly (same md5
+# seed, same % fold, bigrams joined with a single space).
+_BUCKET_CTES = rf"""
+    tok AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, lang,
+             list_transform(
+               list_concat(
+                 toks,
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i + 1])),
+               f -> CAST(('0x' || substr(md5(concat('{_SEED}:', f)), 1, 8))
+                         AS BIGINT) % {_D}) AS bs
+      FROM tok
+    ),
+    ex AS (SELECT doc_id, lang, unnest(bs) AS b FROM bk)
+"""
+
+# Quantized log-prob: the dround convention at scale 6 —
+# double -> DECIMAL(38,10) (nearest, ties impossible) -> HALF_UP round.
+def _quant(expr: str) -> str:
+    return (
+        f"CAST(ROUND(CAST(({expr}) AS DECIMAL(38,10)), 6) AS DECIMAL(28,6))"
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=rf"""
+    WITH {_BUCKET_CTES},
+    prof AS (
+      SELECT b,
+             COUNT(*) AS raw_cnt,
+             SUM(CASE WHEN lang = '{_TARGET_LANG}' THEN 1 ELSE 0 END) AS tgt_cnt
+      FROM ex GROUP BY b
+    ),
+    tot AS (
+      SELECT SUM(raw_cnt) AS r_tot, SUM(tgt_cnt) AS t_tot FROM prof
+    ),
+    ratios AS (
+      SELECT b,
+             {_quant(
+                 f"ln((CAST(tgt_cnt + 1 AS DOUBLE) / CAST(t_tot + {_D} AS DOUBLE))"
+                 f" / (CAST(raw_cnt + 1 AS DOUBLE) / CAST(r_tot + {_D} AS DOUBLE)))"
+             )} AS lw
+      FROM prof, tot
+    ),
+    score AS (
+      SELECT e.doc_id, SUM(r.lw) AS s
+      FROM ex e JOIN ratios r ON e.b = r.b
+      GROUP BY e.doc_id
+    )
+    SELECT bk.doc_id, bk.lang, len(bk.bs) AS n_feat,
+           CAST(s.s AS DOUBLE) AS dsir_logw
+    FROM bk JOIN score s ON s.doc_id = bk.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X6: DSIR importance weighting (Xie et al. 2023) — per-document
+    hashed-n-gram log-likelihood ratio of the target distribution
+    (lang='en' docs) vs the raw corpus, with add-one smoothing.
+    Documents with the highest weight are the ones importance resampling
+    keeps when curating a 100 TB raw crawl toward a target domain.
+
+    Two bounded passes: (1) fit — explode + group-by over ≤D buckets
+    (map-side partial aggregate; the exchange carries O(D·partitions)
+    rows) and collect the D-row profile; (2) score — a map-side DECIMAL
+    fold over each doc's bucket array against the broadcast ratio map;
+    the returned plan has no hash exchange, only the small-scan
+    round-robin fan-out (tests/test_plans.py)."""
+    d = parallelize_small_scan(
+        spark, load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    with_b = d.select(
+        "doc_id", "lang", I.feature_buckets(F.col("text")).alias("bs")
+    )
+    prof = I.bucket_class_profile(with_b, "bs", "lang").collect()
+    ratios = I.dsir_log_ratios(prof, _TARGET_LANG)
+    return with_b.select(
+        "doc_id",
+        "lang",
+        F.size("bs").alias("n_feat"),
+        I.score_buckets(F.col("bs"), ratios).cast("double").alias("dsir_logw"),
+    )
+
+
+@query(
+    "nb_lang_posterior",
+    oracle=rf"""
+    WITH {_BUCKET_CTES},
+    prof AS (
+      SELECT lang AS cls, b, COUNT(*) AS cnt FROM ex GROUP BY 1, 2
+    ),
+    cls_tot AS (
+      SELECT cls, SUM(cnt) AS tot FROM prof GROUP BY cls
+    ),
+    csize AS (
+      SELECT lang AS cls, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    priors AS (
+      SELECT cls,
+             {_quant(
+                 "ln(CAST(n AS DOUBLE)"
+                 " / CAST((SELECT SUM(n) FROM csize) AS DOUBLE))"
+             )} AS lp
+      FROM csize
+    ),
+    lls AS (
+      SELECT t.cls, u.b,
+             {_quant(
+                 f"ln(CAST(COALESCE(p.cnt, 0) + 1 AS DOUBLE)"
+                 f" / CAST(t.tot + {_D} AS DOUBLE))"
+             )} AS ll
+      FROM cls_tot t
+      CROSS JOIN (SELECT DISTINCT b FROM prof) u
+      LEFT JOIN prof p ON p.cls = t.cls AND p.b = u.b
+    ),
+    sc AS (
+      SELECT e.doc_id, l.cls, SUM(l.ll) AS s
+      FROM ex e JOIN lls l ON e.b = l.b
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT sc.doc_id, sc.cls, pr.lp + sc.s AS logp,
+             ROW_NUMBER() OVER (
+               PARTITION BY sc.doc_id
+               ORDER BY pr.lp + sc.s DESC, sc.cls DESC) AS rn
+      FROM sc JOIN priors pr ON pr.cls = sc.cls
+    )
+    SELECT bk.doc_id, bk.lang, r.cls AS pred_lang,
+           CAST(r.logp AS DOUBLE) AS best_logp
+    FROM bk JOIN ranked r ON r.doc_id = bk.doc_id AND r.rn = 1
+    """,
+)
+def nb_lang_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: hashed naive-Bayes language classifier, trained and served
+    in-engine — the stand-in for the fastText-style filters real
+    curation pipelines run over every document. Class-conditional
+    bucket profiles + log priors are fitted in one bounded aggregate
+    (≤ D·k rows collected); each document is then scored against every
+    class with a map-side DECIMAL fold and the argmax posterior is
+    taken via ``array_max`` over (score, class) structs — tie-break =
+    lexicographically larger class, mirrored in the oracle's ORDER BY
+    score DESC, cls DESC. Scoring plan: no hash exchange, only the
+    small-scan round-robin fan-out."""
+    d = parallelize_small_scan(
+        spark, load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    with_b = d.select(
+        "doc_id", "lang", I.feature_buckets(F.col("text")).alias("bs")
+    )
+    prof = I.bucket_class_profile(with_b, "bs", "lang").collect()
+    sizes = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    priors, lls = I.nb_log_model(prof, sizes)
+    per_class = F.array(
+        *[
+            F.struct(
+                I.score_buckets(
+                    F.col("bs"),
+                    {b: lp for (c, b), lp in lls.items() if c == cls},
+                    base=priors[cls],
+                ).alias("s"),
+                F.lit(cls).alias("c"),
+            )
+            for cls in sorted(sizes)
+        ]
+    )
+    best = F.array_max(per_class)
+    return with_b.select(
+        "doc_id",
+        "lang",
+        best["c"].alias("pred_lang"),
+        best["s"].cast("double").alias("best_logp"),
+    )

@@ -853,3 +853,99 @@ def test_passage_dedup_hot_boilerplate_passage(spark):
     for d in range(1, 200):
         assert out[d].clean_text == f"unique{d}", d
         assert out[d].n_dropped == 1
+
+
+def test_dsir_log_ratios_match_python_reference(spark):
+    """Fit DSIR on a planted 4-doc corpus and check the per-doc weights
+    against an independent pure-Python computation over the SAME
+    feature space (unigrams+bigrams, hashed buckets, add-one
+    smoothing). Target docs share the 'good' vocabulary, so they must
+    outweigh the raw-only docs."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from multichannel_commerce_data_pipeline_spark.operators import importance as I
+
+    docs = [
+        (0, "t", "good clean text good clean"),
+        (1, "t", "good clean prose"),
+        (2, "r", "junk spam junk spam junk"),
+        (3, "r", "spam junk noise"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, cls string, text string")
+    with_b = df.select(
+        "doc_id", "cls", I.feature_buckets(F.col("text")).alias("bs")
+    )
+    prof = I.bucket_class_profile(with_b, "bs", "cls").collect()
+    ratios = I.dsir_log_ratios(prof, "t")
+    got = {
+        r["doc_id"]: Decimal(str(r["w"]))
+        for r in with_b.select(
+            "doc_id", I.score_buckets(F.col("bs"), ratios).alias("w")
+        ).collect()
+    }
+
+    def py_bucket(f):
+        h = int(hashlib.md5(f"{I.HASH_SEED}:{f}".encode()).hexdigest()[:8], 16)
+        return h % I.N_BUCKETS
+
+    def py_feats(text):
+        toks = text.lower().split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    tgt, raw = {}, {}
+    for _, cls, text in docs:
+        for b in map(py_bucket, py_feats(text)):
+            raw[b] = raw.get(b, 0) + 1
+            if cls == "t":
+                tgt[b] = tgt.get(b, 0) + 1
+    t_tot, r_tot = sum(tgt.values()), sum(raw.values())
+    D_ = I.N_BUCKETS
+    lw = {
+        b: I.quantize_logprob(
+            math.log(
+                ((tgt.get(b, 0) + 1) / (t_tot + D_)) / ((raw[b] + 1) / (r_tot + D_))
+            )
+        )
+        for b in raw
+    }
+    for doc_id, _, text in docs:
+        want = sum((lw[py_bucket(f)] for f in py_feats(text)), Decimal(0))
+        assert got[doc_id] == want, doc_id
+    assert min(got[0], got[1]) > max(got[2], got[3])
+
+
+def test_nb_posterior_recovers_planted_classes(spark):
+    """Hashed NB trained on a separable planted corpus must classify
+    every training doc correctly (two disjoint vocabularies), and its
+    argmax tie-break must be deterministic."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry  # noqa: F401
+    from multichannel_commerce_data_pipeline_spark.operators import importance as I
+
+    rows = [(i, "a", "alpha beta gamma delta") for i in range(6)] + [
+        (i + 6, "b", "omega psi chi phi") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    with_b = df.select(
+        "doc_id", "lang", I.feature_buckets(F.col("text")).alias("bs")
+    )
+    prof = I.bucket_class_profile(with_b, "bs", "lang").collect()
+    sizes = {r["lang"]: 6 for r in df.select("lang").distinct().collect()}
+    priors, lls = I.nb_log_model(prof, sizes)
+    per_class = F.array(
+        *[
+            F.struct(
+                I.score_buckets(
+                    F.col("bs"),
+                    {b: lp for (c, b), lp in lls.items() if c == cls},
+                    base=priors[cls],
+                ).alias("s"),
+                F.lit(cls).alias("c"),
+            )
+            for cls in sorted(sizes)
+        ]
+    )
+    out = with_b.select("doc_id", "lang", F.array_max(per_class)["c"].alias("pred"))
+    for r in out.collect():
+        assert r.pred == r.lang, (r.doc_id, r.lang, r.pred)

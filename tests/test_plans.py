@@ -269,3 +269,17 @@ def test_passage_dedup_survivor_is_partial_aggregated(plans):
     reducer. A Window node over pdigest here is the skew regression."""
     p = plans("passage_dedup_docs")
     assert "partial_min(struct(doc" in p
+
+
+def test_importance_scoring_plans_are_map_side(plans):
+    """DSIR / NB scoring must be a pure map-side fold against the
+    broadcast model literal: the model was fitted and collected at
+    query-build time, so the RETURNED plan may contain only
+    parallelize_small_scan's round-robin spread — a hash or range
+    partitioning here would mean scoring started shuffling the corpus,
+    which is exactly what the bounded-bucket design exists to avoid."""
+    for name in ("dsir_importance_weights", "nb_lang_posterior"):
+        p = plans(name)
+        assert "hashpartitioning" not in p, name
+        assert "rangepartitioning" not in p, name
+        assert "Join" not in p, name
