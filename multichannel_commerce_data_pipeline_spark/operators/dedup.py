@@ -380,6 +380,102 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3
+) -> DataFrame:
+    """(doc, n_sh, h1a, mh_0..mh_{k-1}) — the per-document MinHash
+    signature frame an incremental dedup deployment PERSISTS as its
+    index table (partitioned/bucketed so each ingest batch's band join
+    prunes to the buckets it touches). Entirely map-side to compute;
+    identical signature math to :func:`minhash_lsh_pairs`."""
+    hashed = _km_hash_arrays(doc_shingle_arrays(df, id_col, text_col, n))
+    return hashed.select(
+        "doc",
+        "n_sh",
+        "h1a",
+        *[
+            F.array_min(
+                F.zip_with("h1a", "h2a", lambda x, y: x + F.lit(j) * y)
+            ).alias(f"mh_{j}")
+            for j in range(k)
+        ],
+    )
+
+
+def _band_keys(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc, band, bh) band keys exploded from a signature frame — the
+    LSH join key: bh is the raw r-tuple of minhash values (value
+    equality IS band collision, oracle-reproducible)."""
+    rows = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+
+def minhash_lsh_probe(
+    index_sig: DataFrame,
+    batch_sig: DataFrame,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW batch of documents
+    against an existing signature index WITHOUT re-pairing the corpus.
+
+    This is the shape that makes continuous ingest tractable at 100 TB:
+    the corpus index is computed once (``minhash_lsh_index``, persisted
+    and bucketed by band key at deployment), and each arriving batch
+    pays only |batch| signature work + a band-key join that touches the
+    index buckets the batch collides with — never an index self-join,
+    never a corpus rescan. With the index table bucketed on (band, bh)
+    only the batch side shuffles.
+
+    Candidates are (new_doc, index_doc) band collisions, verified with
+    the exact shingle-hash Jaccard (``array_intersect`` on the compact
+    h1a arrays — same verification as :func:`minhash_lsh_pairs`).
+    Returns (new_doc, dup_of, jaccard) for every pair ≥ threshold.
+
+    Within-batch duplicates are deliberately out of scope here: a full
+    ingest step runs :func:`minhash_lsh_pairs` over the (small) batch
+    for those, then appends the batch's signatures to the index.
+    """
+    bk_new = _band_keys(batch_sig, k, bands).withColumnRenamed("doc", "new_doc")
+    bk_idx = _band_keys(index_sig, k, bands).withColumnRenamed("doc", "idx_doc")
+    cand = (
+        bk_new.join(bk_idx, ["band", "bh"])
+        .select("new_doc", "idx_doc")
+        .distinct()
+    )
+    a = batch_sig.select(
+        F.col("doc").alias("new_doc"),
+        F.col("n_sh").alias("n_a"),
+        F.col("h1a").alias("ha"),
+    )
+    b = index_sig.select(
+        F.col("doc").alias("idx_doc"),
+        F.col("n_sh").alias("n_b"),
+        F.col("h1a").alias("hb"),
+    )
+    shared = (
+        cand.join(a, "new_doc")
+        .join(b, "idx_doc")
+        .withColumn("shared", F.size(F.array_intersect("ha", "hb")))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", dround(jac, 4))
+        .filter(jac >= threshold)
+        .select(F.col("new_doc"), F.col("idx_doc").alias("dup_of"), "jaccard")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame, max_iter: int = 20, stats: dict | None = None
 ) -> DataFrame:

@@ -108,7 +108,10 @@ def jaccard_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_oracle(k: int, bands: int, threshold: float) -> str:
+def _mh_keyed_ctes(k: int, bands: int) -> str:
+    """Shared oracle CTE chain: shingle md5s -> KM hash pair -> k
+    minhash slots -> exploded (doc, band, band-key) rows. Used by both
+    the self-join (corpus) and probe-vs-index (incremental) oracles."""
     rows = k // bands
     mins = ",\n        ".join(
         f"MIN(h1 + {j} * h2) AS mh_{j}" for j in range(k)
@@ -117,8 +120,7 @@ def _minhash_lsh_oracle(k: int, bands: int, threshold: float) -> str:
         f"WHEN {b} THEN [{', '.join(f'mh_{b * rows + r}' for r in range(rows))}]"
         for b in range(bands)
     )
-    return f"""
-    WITH {_SHINGLE_CTES},
+    return f"""{_SHINGLE_CTES},
     hx AS (
       SELECT doc, n_sh, md5(concat('1:', shingle)) AS hex FROM ex
     ),
@@ -140,7 +142,12 @@ def _minhash_lsh_oracle(k: int, bands: int, threshold: float) -> str:
           {band_cases}
         END AS bh
       FROM mh, (SELECT unnest(range(0, {bands})) AS b) AS bands_
-    ),
+    )"""
+
+
+def _minhash_lsh_oracle(k: int, bands: int, threshold: float) -> str:
+    return f"""
+    WITH {_mh_keyed_ctes(k, bands)},
     cand AS (
       SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
       FROM keyed x JOIN keyed y ON x.b = y.b AND x.bh = y.bh
@@ -179,6 +186,47 @@ def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         d, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD
     )
+
+
+def _incremental_lsh_oracle(k: int, bands: int, threshold: float) -> str:
+    return f"""
+    WITH {_mh_keyed_ctes(k, bands)},
+    cand AS (
+      SELECT DISTINCT x.doc AS new_doc, y.doc AS dup_of
+      FROM keyed x JOIN keyed y ON x.b = y.b AND x.bh = y.bh
+      WHERE x.doc % 2 = 1 AND y.doc % 2 = 0
+    ),
+    shared_cte AS (
+      SELECT c.new_doc, c.dup_of, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS shared
+      FROM cand c
+      JOIN hashed a ON a.doc = c.new_doc
+      JOIN hashed b ON b.doc = c.dup_of AND b.h1 = a.h1
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT new_doc, dup_of, {oracle_dround(_JACCARD, 4)} AS jaccard
+    FROM shared_cte
+    WHERE {_JACCARD} >= {threshold}
+    """
+
+
+@query("incremental_lsh_dedup", oracle=_incremental_lsh_oracle(16, 8, _THRESHOLD))
+def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: incremental near-dup detection — a NEW ingest batch (odd
+    doc_ids) probed against the EXISTING corpus signature index (even
+    doc_ids) via band-key join, never an index self-join or corpus
+    rescan. This is how continuous ingest deduplicates against a
+    100 TB corpus: the index (``minhash_lsh_index``) is persisted and
+    bucketed by band key at deployment, so each batch pays only its own
+    signature pass plus a join that prunes to the collided buckets;
+    here both sides are derived in-plan from the parity split so the
+    oracle can re-create the exact same state."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    idx = D.minhash_lsh_index(corpus, "doc_id", "text", k=16, n=3)
+    new_sig = D.minhash_lsh_index(batch, "doc_id", "text", k=16, n=3)
+    return D.minhash_lsh_probe(idx, new_sig, k=16, bands=8, threshold=_THRESHOLD)
 
 
 def _simhash_oracle(bits: int) -> str:

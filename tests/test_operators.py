@@ -949,3 +949,22 @@ def test_nb_posterior_recovers_planted_classes(spark):
     out = with_b.select("doc_id", "lang", F.array_max(per_class)["c"].alias("pred"))
     for r in out.collect():
         assert r.pred == r.lang, (r.doc_id, r.lang, r.pred)
+
+
+def test_incremental_lsh_probe_flags_only_batch_vs_index(spark):
+    """A new batch probed against the index flags batch→corpus
+    near-dups but NOT corpus→corpus or batch→batch pairs (those belong
+    to the index build / within-batch pass). Planted: doc 101 copies
+    corpus doc 0; docs 103 and 105 copy each other but nothing in the
+    corpus."""
+    base = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"x{i}" for i in range(40))
+    corpus = [(0, base), (2, other)]
+    batch = [(101, base + " tail"), (103, "q " + other.replace("x", "y")),
+             (105, "q " + other.replace("x", "y"))]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    idx = D.minhash_lsh_index(mk(corpus), "doc_id", "text", k=16, n=3)
+    sig = D.minhash_lsh_index(mk(batch), "doc_id", "text", k=16, n=3)
+    out = D.minhash_lsh_probe(idx, sig, k=16, bands=8, threshold=0.5).collect()
+    assert {(r.new_doc, r.dup_of) for r in out} == {(101, 0)}
+    assert all(r.jaccard >= 0.5 for r in out)
