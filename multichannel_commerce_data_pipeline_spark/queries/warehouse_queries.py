@@ -431,3 +431,50 @@ def stream_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_merge_snapshot(spark, snap).select(
         "c_custkey", "c_mktsegment", dround(F.col("c_acctbal"), 2).alias("c_acctbal")
     )
+
+
+@query(
+    "file_format_roundtrip",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def file_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-surface: columnar + text file formats made driver-checkable in
+    one chain — lineitem columns write to ORC (Spark's native vectorized
+    ORC sink), read back through the ORC scan, roll up, and the rollup
+    round-trips through a headered CSV with an explicit read schema
+    (the messy-ingest format of the reference's sheet exports,
+    bronze_to_silver_all_sources.py source list). The oracle aggregates
+    the source parquet directly, so a fidelity break in either format's
+    write or read path (type coercion, header handling, decimal
+    rendering) turns the row red. Sums are DECIMAL end-to-end —
+    order-independent, so the compare is exact across engines.
+
+    Scale note: both sinks inherit Spark's per-partition parallel file
+    write; the ORC scan, like parquet, supports predicate pushdown and
+    column pruning at 100 TB. CSV is row-oriented glue for small
+    exports, not a fact-table format — the query uses it only for the
+    25-row rollup."""
+    tmp = tempfile.mkdtemp(prefix="mcdp_fmt_")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    li.write.mode("overwrite").orc(f"{tmp}/li_orc")
+    back = spark.read.orc(f"{tmp}/li_orc")
+    rolled = back.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+    )
+    rolled.write.mode("overwrite").option("header", True).csv(f"{tmp}/rollup_csv")
+    return spark.read.schema(
+        "returnflag string, linestatus string, n_rows bigint, sum_qty decimal(38,2)"
+    ).option("header", True).csv(f"{tmp}/rollup_csv")
