@@ -274,6 +274,135 @@ def quantize_int8(
     return quantized.select("id", "q", "scale", cos.alias("dequant_cos"))
 
 
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): the vector is split
+    into ``m`` subspaces and each subvector is replaced by the id of
+    its nearest codebook centroid — dim·4 bytes become m·log2(k) bits,
+    the storage layout under billion-scale ANN indexes (IVF-PQ).
+
+    Deterministic flavor matching :func:`ivf_assign`: the codebook for
+    every subspace is the stride-sampled corpus vectors
+    ``vec_id ∈ {0, stride, …, (k-1)·stride}`` sliced per subspace (a
+    fixed pseudo-random sample; swap in k-means-trained codebooks at
+    deployment — the encode plan is identical). The codebook is
+    collected to the driver (k vectors — the bounded-collect pattern)
+    and embedded as array literals, so ENCODING IS PURE MAP-SIDE: no
+    join, no shuffle, every row emits its m codes in one narrow pass —
+    the plan a 100 TB encode job needs (asserted in tests/test_plans.py).
+
+    Nearest is ⁠argmin L2, computed as argmax of
+    ``round(dot(sub, c) − ‖c‖²/2, 6)`` (the ‖sub‖² term is constant per
+    row and cancels); the 6-dp round + min-code tie-break makes the
+    argmax oracle-reproducible. ``‖c‖²`` is folded on the driver in
+    left-to-right order — the same fold order as the oracle's
+    ``list_reduce`` and the engine's ``aggregate``, so all three agree
+    bit-for-bit.
+
+    Returns (id, codes: array<int>, recon_cos) — recon_cos is the
+    cosine between the vector and its codebook reconstruction (the
+    per-row quality guard, like int8's dequant_cos; NULL for zero
+    vectors). Per-subspace dots are materialized in their own
+    projection before the argmax structs reference them (CollapseProject
+    keeps non-cheap duplicated expressions staged, so each of the m·k
+    dots evaluates once)."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cent_rows = sorted(
+        base.filter(
+            (F.col("id") % stride == 0) & (F.col("id") < k * stride)
+        ).collect(),
+        key=lambda r: r["id"],
+    )
+    if len(cent_rows) != k:
+        raise ValueError(
+            f"codebook needs ids 0,{stride},..,{(k - 1) * stride}; "
+            f"found {len(cent_rows)}"
+        )
+    dim = len(cent_rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    # csub[s][j]: subvector of centroid j in subspace s; cn2[s][j]: its
+    # squared norm, left-fold order (matches list_reduce / aggregate).
+    csub = [
+        [list(r["v"][s * d_sub : (s + 1) * d_sub]) for r in cent_rows]
+        for s in range(m)
+    ]
+
+    def _fold_sq(xs: list) -> float:
+        acc = 0.0
+        for x in xs:
+            acc += x * x
+        return acc
+
+    cn2 = [[_fold_sq(sub) for sub in row] for row in csub]
+
+    with_subs = base.select(
+        "id",
+        "v",
+        _norm(F.col("v")).alias("vnorm"),
+        *[
+            F.slice("v", s * d_sub + 1, d_sub).alias(f"sub_{s}")
+            for s in range(m)
+        ],
+    )
+    with_dots = with_subs.select(
+        "id",
+        "vnorm",
+        *[
+            _dot(F.col(f"sub_{s}"), F.lit(csub[s][j])).alias(f"d_{s}_{j}")
+            for s in range(m)
+            for j in range(k)
+        ],
+    )
+    bests = [
+        F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        dround(
+                            F.col(f"d_{s}_{j}") - F.lit(0.5 * cn2[s][j]), 6
+                        ).alias("score"),
+                        F.lit(-j).alias("neg"),
+                        F.lit(j).alias("code"),
+                        F.col(f"d_{s}_{j}").alias("dot"),
+                        F.lit(cn2[s][j]).alias("cn2"),
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias(f"best_{s}")
+        for s in range(m)
+    ]
+    picked = with_dots.select("id", "vnorm", *bests)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dotsum = fold(F.array(*[F.col(f"best_{s}.dot") for s in range(m)]))
+    cn2sum = fold(F.array(*[F.col(f"best_{s}.cn2") for s in range(m)]))
+    staged = picked.select(
+        "id",
+        F.array(*[F.col(f"best_{s}.code") for s in range(m)]).alias("codes"),
+        "vnorm",
+        dotsum.alias("dotsum"),
+        cn2sum.alias("cn2sum"),
+    )
+    recon = F.when(
+        (F.col("vnorm") == 0) | (F.col("cn2sum") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        dround(F.col("dotsum") / (F.col("vnorm") * F.sqrt(F.col("cn2sum"))), 4)
+    )
+    return staged.select("id", "codes", recon.alias("recon_cos"))
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroid_stride: int,

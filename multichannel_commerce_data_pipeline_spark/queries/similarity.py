@@ -478,3 +478,77 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
     )
+
+
+_PQ_M, _PQ_K, _PQ_STRIDE = 8, 16, 25
+
+
+def _pq_oracle() -> str:
+    d = 64 // _PQ_M
+    sub_v = f"list_slice(x.v, sp.s * {d} + 1, sp.s * {d} + {d})"
+    sub_c = f"list_slice(cen.cv, sp.s * {d} + 1, sp.s * {d} + {d})"
+    dot = _DOT.format(a=sub_v, b=sub_c)
+    cn2 = (
+        f"list_reduce(list_transform({sub_c}, x -> x * x), "
+        "(acc, x) -> acc + x)"
+    )
+    vnorm = _NORM.format(a="v")
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT CAST(vec_id // {_PQ_STRIDE} AS INT) AS code, v AS cv
+      FROM c
+      WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_K * _PQ_STRIDE}
+    ),
+    sp AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    pieces AS (
+      SELECT x.vec_id, sp.s, cen.code,
+             {dot} AS dot,
+             {cn2} AS cn2
+      FROM c x CROSS JOIN sp CROSS JOIN cents cen
+    ),
+    scored AS (
+      SELECT vec_id, s, code, dot, cn2,
+             {oracle_dround("dot - 0.5 * cn2", 6)} AS score
+      FROM pieces
+    ),
+    best AS (
+      SELECT vec_id, s, code, dot, cn2 FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, s ORDER BY score DESC, code) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT vec_id,
+             list(code ORDER BY s) AS codes,
+             list_reduce(list(dot ORDER BY s), (acc, x) -> acc + x) AS dotsum,
+             list_reduce(list(cn2 ORDER BY s), (acc, x) -> acc + x) AS cn2sum
+      FROM best GROUP BY vec_id
+    ),
+    vn AS (SELECT vec_id, {vnorm} AS vnorm FROM c)
+    SELECT a.vec_id AS id, a.codes,
+           CASE WHEN vn.vnorm = 0 OR a.cn2sum = 0 THEN NULL
+                ELSE {oracle_dround("a.dotsum / (vn.vnorm * sqrt(a.cn2sum))", 4)}
+           END AS recon_cos
+    FROM agg a JOIN vn USING (vec_id)
+    """
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: product quantization (Jégou et al. 2011) of the embedding
+    column — 64 float dims become 8 four-bit codes, the storage layout
+    under IVF-PQ billion-scale indexes. Codebooks are the deterministic
+    stride sample (swap in k-means at deployment); the encode plan is
+    PURE MAP-SIDE — codebook collected once, no join, no shuffle
+    (tests/test_plans.py). recon_cos is the per-row reconstruction
+    quality guard, mirroring int8's dequant_cos."""
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    return S.pq_encode(
+        e, m=_PQ_M, k=_PQ_K, stride=_PQ_STRIDE,
+        id_col="vec_id", vec_col="embedding",
+    )

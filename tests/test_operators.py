@@ -968,3 +968,20 @@ def test_incremental_lsh_probe_flags_only_batch_vs_index(spark):
     out = D.minhash_lsh_probe(idx, sig, k=16, bands=8, threshold=0.5).collect()
     assert {(r.new_doc, r.dup_of) for r in out} == {(101, 0)}
     assert all(r.jaccard >= 0.5 for r in out)
+
+
+def test_pq_codebook_vectors_self_encode(spark, sf_dir):
+    """Every stride-sampled codebook vector must encode to its own code
+    in every subspace (score = dot(s,c) - |c|^2/2 is uniquely maximized
+    at c = s) and reconstruct exactly (recon_cos == 1.0); other vectors
+    get valid code ranges and a sane quality guard."""
+    e = load(spark, sf_dir, "embeddings")
+    out = {r.id: r for r in S.pq_encode(e, m=8, k=16, stride=25).collect()}
+    for j in range(16):
+        r = out[j * 25]
+        assert list(r.codes) == [j] * 8, (j, r.codes)
+        assert r.recon_cos == 1.0
+    for r in out.values():
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+        assert r.recon_cos is None or -1.0 <= r.recon_cos <= 1.0

@@ -283,3 +283,14 @@ def test_importance_scoring_plans_are_map_side(plans):
         assert "hashpartitioning" not in p, name
         assert "rangepartitioning" not in p, name
         assert "Join" not in p, name
+
+
+def test_pq_encode_is_map_side(plans):
+    """PQ encoding embeds the collected codebook as literals, so the
+    plan must be shuffle-free map work (only the small-scan round-robin
+    fan-out): a join or hash exchange would mean the encode path
+    started paying per-row codebook lookups it was designed to avoid."""
+    p = plans("embedding_pq_codes")
+    assert "hashpartitioning" not in p
+    assert "rangepartitioning" not in p
+    assert "Join" not in p
