@@ -274,6 +274,90 @@ def quantize_int8(
     return quantized.select("id", "q", "scale", cos.alias("dequant_cos"))
 
 
+def _pq_codebook(
+    base: DataFrame, m: int, k: int, stride: int
+) -> tuple[list, list]:
+    """Collect the deterministic stride-sampled codebook from a
+    (id, v) frame: csub[s][j] is centroid j's subvector in subspace s,
+    cn2[s][j] its squared norm folded LEFT-TO-RIGHT on the driver —
+    the same fold order as the oracle's list_reduce and the engine's
+    aggregate, so all three agree bit-for-bit."""
+    cent_rows = sorted(
+        base.filter(
+            (F.col("id") % stride == 0) & (F.col("id") < k * stride)
+        ).collect(),
+        key=lambda r: r["id"],
+    )
+    if len(cent_rows) != k:
+        raise ValueError(
+            f"codebook needs ids 0,{stride},..,{(k - 1) * stride}; "
+            f"found {len(cent_rows)}"
+        )
+    dim = len(cent_rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    csub = [
+        [list(r["v"][s * d_sub : (s + 1) * d_sub]) for r in cent_rows]
+        for s in range(m)
+    ]
+
+    def _fold_sq(xs: list) -> float:
+        acc = 0.0
+        for x in xs:
+            acc += x * x
+        return acc
+
+    return csub, [[_fold_sq(sub) for sub in row] for row in csub]
+
+
+def _pq_pick_best(
+    frame: DataFrame, keep: list[str], vcol: str, csub: list, cn2: list
+) -> DataFrame:
+    """Three staged projections adding best_0..best_{m-1} argmax structs
+    (score, neg, code, dot, cn2) to ``frame``: subvector slices, then
+    the m·k dots in their own projection (CollapseProject keeps
+    non-cheap duplicated expressions staged, so each dot evaluates
+    once), then the per-subspace array_max."""
+    m, k = len(csub), len(csub[0])
+    d_sub = len(csub[0][0])
+    with_subs = frame.select(
+        *keep,
+        *[
+            F.slice(vcol, s * d_sub + 1, d_sub).alias(f"sub_{s}")
+            for s in range(m)
+        ],
+    )
+    with_dots = with_subs.select(
+        *keep,
+        *[
+            _dot(F.col(f"sub_{s}"), F.lit(csub[s][j])).alias(f"d_{s}_{j}")
+            for s in range(m)
+            for j in range(k)
+        ],
+    )
+    bests = [
+        F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        dround(
+                            F.col(f"d_{s}_{j}") - F.lit(0.5 * cn2[s][j]), 6
+                        ).alias("score"),
+                        F.lit(-j).alias("neg"),
+                        F.lit(j).alias("code"),
+                        F.col(f"d_{s}_{j}").alias("dot"),
+                        F.lit(cn2[s][j]).alias("cn2"),
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias(f"best_{s}")
+        for s in range(m)
+    ]
+    return with_dots.select(*keep, *bests)
+
+
 def pq_encode(
     embeddings: DataFrame,
     m: int = 8,
@@ -315,74 +399,11 @@ def pq_encode(
     base = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    cent_rows = sorted(
-        base.filter(
-            (F.col("id") % stride == 0) & (F.col("id") < k * stride)
-        ).collect(),
-        key=lambda r: r["id"],
+    csub, cn2 = _pq_codebook(base, m, k, stride)
+    picked = _pq_pick_best(
+        base.withColumn("vnorm", _norm(F.col("v"))), ["id", "vnorm"], "v",
+        csub, cn2,
     )
-    if len(cent_rows) != k:
-        raise ValueError(
-            f"codebook needs ids 0,{stride},..,{(k - 1) * stride}; "
-            f"found {len(cent_rows)}"
-        )
-    dim = len(cent_rows[0]["v"])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d_sub = dim // m
-    # csub[s][j]: subvector of centroid j in subspace s; cn2[s][j]: its
-    # squared norm, left-fold order (matches list_reduce / aggregate).
-    csub = [
-        [list(r["v"][s * d_sub : (s + 1) * d_sub]) for r in cent_rows]
-        for s in range(m)
-    ]
-
-    def _fold_sq(xs: list) -> float:
-        acc = 0.0
-        for x in xs:
-            acc += x * x
-        return acc
-
-    cn2 = [[_fold_sq(sub) for sub in row] for row in csub]
-
-    with_subs = base.select(
-        "id",
-        "v",
-        _norm(F.col("v")).alias("vnorm"),
-        *[
-            F.slice("v", s * d_sub + 1, d_sub).alias(f"sub_{s}")
-            for s in range(m)
-        ],
-    )
-    with_dots = with_subs.select(
-        "id",
-        "vnorm",
-        *[
-            _dot(F.col(f"sub_{s}"), F.lit(csub[s][j])).alias(f"d_{s}_{j}")
-            for s in range(m)
-            for j in range(k)
-        ],
-    )
-    bests = [
-        F.array_max(
-            F.array(
-                *[
-                    F.struct(
-                        dround(
-                            F.col(f"d_{s}_{j}") - F.lit(0.5 * cn2[s][j]), 6
-                        ).alias("score"),
-                        F.lit(-j).alias("neg"),
-                        F.lit(j).alias("code"),
-                        F.col(f"d_{s}_{j}").alias("dot"),
-                        F.lit(cn2[s][j]).alias("cn2"),
-                    )
-                    for j in range(k)
-                ]
-            )
-        ).alias(f"best_{s}")
-        for s in range(m)
-    ]
-    picked = with_dots.select("id", "vnorm", *bests)
     fold = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0.0), lambda acc, x: acc + x
     )
@@ -401,6 +422,133 @@ def pq_encode(
         dround(F.col("dotsum") / (F.col("vnorm") * F.sqrt(F.col("cn2sum"))), 4)
     )
     return staged.select("id", "codes", recon.alias("recon_cos"))
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroid_stride: int = 50,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    code_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ ANN search (Jégou et al. 2011): the corpus is
+    inverted-listed under coarse centroids (:func:`ivf_assign`) and
+    each vector is stored as its m PQ codes; queries probe their
+    ``n_probe`` nearest cells and rank candidates by ASYMMETRIC
+    DISTANCE COMPUTATION — the query's exact subvectors dotted against
+    each candidate's RECONSTRUCTED codebook subvectors, looked up by
+    code.
+
+    Why this matters at 10⁹+ vectors: the candidate join carries
+    ``(id, cell, codes)`` — m small ints per vector instead of dim·4
+    bytes of floats — so the inverted lists that shuffle/store/serve
+    are ~dim·4/m smaller than IVF-flat (32× here), which is the entire
+    reason IVF-PQ is the billion-scale layout. The scored cosine is an
+    approximation whose error is exactly the PQ reconstruction error
+    (pq_encode's recon_cos guard measures it per row).
+
+    ADC here is expressed per subspace as
+    ``dot(q_sub_s, csub[s][code_s])`` with the centroid subvectors
+    embedded as one array-of-arrays literal per subspace and the code
+    as a dynamic ``element_at`` index — all JVM Column work, no UDF.
+    approx_cos = Σ_s dot / (‖q‖ · sqrt(Σ_s ‖c_code‖²)), dround(4).
+
+    Returns (query_id, neighbor_id, adc_cos, rank)."""
+    assign, _cents = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    csub, cn2 = _pq_codebook(base, m, k_codes, code_stride)
+    picked = _pq_pick_best(
+        assign.select(F.col("vid"), F.col("cell"), F.col("v")),
+        ["vid", "cell"],
+        "v",
+        csub,
+        cn2,
+    )
+    corpus_codes = picked.select(
+        F.col("vid").alias("neighbor_id"),
+        "cell",
+        F.array(*[F.col(f"best_{s}.code") for s in range(m)]).alias("codes"),
+    )
+    # Probe selection: identical to ivf_topk (cosine to coarse
+    # centroids, top n_probe cells per query).
+    qbase = _vectorized(queries, id_col, vec_col, "query_id", "qv")
+    cents = F.broadcast(
+        base.filter(F.col("id") % centroid_stride == 0)
+        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
+        .withColumn("cv_n", _norm(F.col("cv")))
+    )
+    qsim = _dot(F.col("qv"), F.col("cv")) / (F.col("qv_n") * F.col("cv_n"))
+    qcells = qbase.join(cents).select(
+        "query_id", "qv", "qv_n", "cell", dround(qsim, 6).alias("qcos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.col("cell"))
+    probes = (
+        qcells.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "qv_n", "cell")
+    )
+    d_sub = len(csub[0][0])
+    cand = (
+        corpus_codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv_n",
+            "codes",
+            *[
+                F.slice("qv", s * d_sub + 1, d_sub).alias(f"qs_{s}")
+                for s in range(m)
+            ],
+        )
+    )
+    # ADC terms in their own projection (one evaluation each), then the
+    # ordered left-fold sums — the same fold order as the oracle.
+    terms = cand.select(
+        "query_id",
+        "neighbor_id",
+        "qv_n",
+        *[
+            _dot(
+                F.col(f"qs_{s}"),
+                F.element_at(
+                    F.lit(csub[s]), F.element_at("codes", s + 1) + F.lit(1)
+                ),
+            ).alias(f"t_{s}")
+            for s in range(m)
+        ],
+        *[
+            F.element_at(
+                F.lit(cn2[s]), F.element_at("codes", s + 1) + F.lit(1)
+            ).alias(f"c_{s}")
+            for s in range(m)
+        ],
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    tsum = fold(F.array(*[F.col(f"t_{s}") for s in range(m)]))
+    csum = fold(F.array(*[F.col(f"c_{s}") for s in range(m)]))
+    scored = terms.select(
+        "query_id",
+        "neighbor_id",
+        dround(tsum / (F.col("qv_n") * F.sqrt(csum)), 4).alias("adc_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cos", "rank")
+    )
 
 
 def ivf_assign(

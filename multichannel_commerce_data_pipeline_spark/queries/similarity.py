@@ -552,3 +552,120 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, m=_PQ_M, k=_PQ_K, stride=_PQ_STRIDE,
         id_col="vec_id", vec_col="embedding",
     )
+
+
+def _ivfpq_oracle() -> str:
+    d = 64 // _PQ_M
+    cos = lambda a, b: _COSINE.replace("qv", a).replace("cv", b)  # noqa: E731
+    sub_v = f"list_slice(x.v, sp.s * {d} + 1, sp.s * {d} + {d})"
+    sub_c = f"list_slice(cen.cv, sp.s * {d} + 1, sp.s * {d} + {d})"
+    dot = _DOT.format(a=sub_v, b=sub_c)
+    cn2 = (
+        f"list_reduce(list_transform({sub_c}, x -> x * x), "
+        "(acc, x) -> acc + x)"
+    )
+    adc_dot = _DOT.format(
+        a=f"list_slice(p.qv, b.s * {d} + 1, b.s * {d} + {d})",
+        b=f"list_slice(pc.cv, b.s * {d} + 1, b.s * {d} + {d})",
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id % {_IVF_STRIDE} = 0
+    ),
+    pqc AS (
+      SELECT CAST(vec_id // {_PQ_STRIDE} AS INT) AS code, v AS cv
+      FROM c
+      WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_K * _PQ_STRIDE}
+    ),
+    sp AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    assign AS (
+      SELECT vid, cell FROM (
+        SELECT c.vec_id AS vid, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {oracle_dround(cos('c.v', 't.cv'), 6)} DESC, t.cell
+               ) AS rn
+        FROM c, cents t
+      ) WHERE rn = 1
+    ),
+    pieces AS (
+      SELECT x.vec_id, sp.s, cen.code,
+             {dot} AS dot,
+             {cn2} AS cn2
+      FROM c x CROSS JOIN sp CROSS JOIN pqc cen
+    ),
+    bestc AS (
+      SELECT vec_id, s, code, cn2 FROM (
+        SELECT vec_id, s, code, cn2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, s
+                 ORDER BY {oracle_dround("dot - 0.5 * cn2", 6)} DESC, code
+               ) AS rn
+        FROM pieces
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {oracle_dround(cos('q.v', 't.cv'), 6)} DESC, t.cell
+               ) AS rn
+        FROM c q, cents t WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {_IVF_PROBE}
+    ),
+    terms AS (
+      SELECT p.query_id, a.vid, b.s,
+             {adc_dot} AS t,
+             b.cn2 AS c2
+      FROM assign a
+      JOIN probes p USING (cell)
+      JOIN bestc b ON b.vec_id = a.vid
+      JOIN pqc pc ON pc.code = b.code
+      WHERE p.query_id <> a.vid
+    ),
+    agg2 AS (
+      SELECT query_id, vid,
+             list_reduce(list(t ORDER BY s), (acc, x) -> acc + x) AS tsum,
+             list_reduce(list(c2 ORDER BY s), (acc, x) -> acc + x) AS csum
+      FROM terms GROUP BY 1, 2
+    ),
+    qn AS (
+      SELECT vec_id AS query_id, {_NORM.format(a='v')} AS qn
+      FROM c WHERE vec_id < {_N_QUERIES}
+    ),
+    scored2 AS (
+      SELECT a2.query_id, a2.vid AS neighbor_id,
+             {oracle_dround("a2.tsum / (qn.qn * sqrt(a2.csum))", 4)} AS adc_cos
+      FROM agg2 a2 JOIN qn USING (query_id)
+    )
+    SELECT query_id, neighbor_id, adc_cos, rank FROM (
+      SELECT query_id, neighbor_id, adc_cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_cos DESC, neighbor_id) AS rank
+      FROM scored2
+    ) WHERE rank <= {_K}
+    """
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+X7: IVF-PQ ANN search — the inverted lists carry m=8 4-bit
+    codes per vector instead of 64 floats (32x smaller shuffle/storage,
+    the billion-scale index layout), and candidates are ranked by
+    asymmetric distance against the query's exact subvectors. Composes
+    the deterministic coarse quantizer (ann_ivf_topk) with the PQ
+    codebook (embedding_pq_codes); the whole pipeline — assignment,
+    encoding, probing, ADC — is SQL-reproducible."""
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivfpq_topk(
+        e, q,
+        centroid_stride=_IVF_STRIDE, n_probe=_IVF_PROBE,
+        m=_PQ_M, k_codes=_PQ_K, code_stride=_PQ_STRIDE,
+        id_col="vec_id", vec_col="embedding", k=_K,
+    )
