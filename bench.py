@@ -52,8 +52,14 @@ HEADLINE = [
     "passage_dedup_docs",
     "scd2_user_status",
     "merge_upsert_customers",
+    "dsir_importance_weights",
+    "incremental_lsh_dedup",
+    "embedding_pq_codes",
+    "ann_ivfpq_topk",
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
+    # nb_lang_posterior shares dsir's fit+score machinery; the jdbc/orc/
+    # csv round-trips are IO coverage, not throughput queries.
 ]
 
 

@@ -174,6 +174,40 @@ COMMENTARY = {
         "query set keeps the exact side tractable; the corpus is never "
         "joined all-pairs."
     ),
+    "dsir_importance_weights": (
+        "The returned scoring plan is pure map work: bucket hashing, the "
+        "broadcast ratio-map literal, and a DECIMAL fold — no hash or "
+        "range exchange anywhere (the only Exchange is the bench-scale "
+        "round-robin fan-out of the single-row-group parquet). The model "
+        "fit ran as a separate bounded job at query-build time: one "
+        "explode + group-by over <=128 bucket keys, fully "
+        "partial-aggregated, then a 128-row collect. A 100 TB corpus is "
+        "scored in one narrow pass."
+    ),
+    "incremental_lsh_dedup": (
+        "The batch side probes the index via an equi-join on band keys — "
+        "no index self-join, no corpus rescan; verification joins the "
+        "compact (n_sh, h1a) frames by id. At deployment the index is a "
+        "persisted table bucketed on the band key, so only the arriving "
+        "batch shuffles; here both sides derive from the parity split so "
+        "the oracle reproduces the exact state."
+    ),
+    "embedding_pq_codes": (
+        "Codebook collected once (16 rows), embedded as literals; the "
+        "encode is three stacked projections (subvector slices, the 128 "
+        "dots each evaluated once, per-subspace argmax structs) with no "
+        "join and no hash/range exchange — a 100 TB encode job is one "
+        "narrow pass writing 8 bytes per vector."
+    ),
+    "ann_ivfpq_topk": (
+        "One keyed shuffle (the coarse argmax assignment, partial-"
+        "aggregated so N rows move, never N*cells); the candidate join "
+        "broadcasts the probed queries and carries (id, cell, codes) — "
+        "8 small ints per corpus vector instead of 64 floats, which is "
+        "the 32x inverted-list compression that makes IVF-PQ the "
+        "billion-scale layout. ADC terms are JVM Column folds against "
+        "the codebook literals."
+    ),
 }
 
 
