@@ -478,3 +478,57 @@ def file_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "returnflag string, linestatus string, n_rows bigint, sum_qty decimal(38,2)"
     ).option("header", True).csv(f"{tmp}/rollup_csv")
+
+
+def ensure_date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write events date-partitioned (``day=YYYY-MM-DD/`` directories)
+    once per (session, sf_dir), mirroring ensure_bucketed's
+    trust-but-verify reuse: the path must exist AND contain partition
+    directories, else it is rewritten. This is the landing layout the
+    streaming jobs produce continuously; here it is materialized from
+    the batch table so the pruning query is self-contained."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "events_by_day"
+    if not (base.is_dir() and any(base.glob("day=*"))):
+        ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+        ev.write.mode("overwrite").partitionBy("day").parquet(str(base))
+    return str(base)
+
+
+@query(
+    "partitioned_scan_prune",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1, 2
+    """,
+)
+def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S-surface: date-partitioned lake layout + PARTITION-PRUNED
+    scan — the single biggest 100 TB scan lever after column pruning.
+    Events are laid out as ``day=.../`` partitions (the layout the
+    streaming landing writes continuously); a one-week rollup then
+    reads ONLY the seven matching directories — the day predicate
+    resolves at planning time against directory names
+    (PartitionFilters, asserted in tests/test_plans.py), so 23 of 30
+    days are never opened, let alone decoded. The oracle computes the
+    same rollup from the unpartitioned source, proving the layout
+    round-trip preserves values (timestamp→date partition derivation
+    included). Sums are DECIMAL — order-independent, exact compare."""
+    base = ensure_date_partitioned_events(spark, sf_dir)
+    back = spark.read.parquet(base)
+    return (
+        back.filter(
+            F.col("day").between(F.lit("2024-01-08"), F.lit("2024-01-14"))
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
+        )
+    )

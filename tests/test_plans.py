@@ -294,3 +294,14 @@ def test_pq_encode_is_map_side(plans):
     assert "hashpartitioning" not in p
     assert "rangepartitioning" not in p
     assert "Join" not in p
+
+
+def test_partitioned_scan_prunes_by_day(plans):
+    """The one-week rollup over the date-partitioned layout must prune
+    at PLANNING time: the day bounds appear as PartitionFilters on the
+    file scan (directory-level pruning — 23 of 30 days never opened),
+    NOT as a post-scan Filter over all partitions."""
+    p = plans("partitioned_scan_prune")
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf, p
+    assert any("day" in l and "2024-01-08" in l for l in pf), pf
