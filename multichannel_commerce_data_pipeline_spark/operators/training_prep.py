@@ -253,3 +253,87 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+def bpe_train(
+    words: DataFrame,
+    word_col: str,
+    cnt_col: str,
+    n_merges: int,
+) -> list[tuple[int, str, str]]:
+    """Train ``n_merges`` BPE merges (Sennrich et al. 2016) over a
+    (word, count) vocabulary frame, entirely in-engine: each round
+    counts adjacent symbol pairs weighted by word frequency (one
+    bounded aggregate — pair keys are vocabulary-sized, fully
+    partial-aggregated), takes the most frequent pair (ties broken
+    lexicographically), and applies the merge greedily left-to-right
+    to every word. Returns the learned merge list
+    ``[(step, "a b", "ab"), …]`` — the model, like IVF centroids, is
+    driver-sized by construction.
+
+    Scale shape: the corpus is reduced ONCE to the distinct-pre-token
+    frequency table (the standard trainer state — bounded by
+    vocabulary, not corpus size), so each merge round costs one
+    aggregate over ~vocab rows regardless of corpus bytes. Words are
+    represented as sentinel-spaced symbol strings (``" l o w "``) and
+    a merge is a single literal ``replace(" a b " → " ab ")`` — both
+    Spark and any SQL engine scan left-to-right without overlap, which
+    IS greedy BPE application, so every round is oracle-reproducible.
+
+    Each round's state is re-persisted and the previous round's cache
+    dropped: the plan on top of the cache stays one replace deep, so
+    round cost is flat (the dedup_clusters plan-growth lesson)."""
+    from pyspark import StorageLevel
+
+    sep = F.concat(
+        F.lit(" "),
+        F.concat_ws(
+            " ", F.regexp_extract_all(F.col(word_col), F.lit("."), 0)
+        ),
+        F.lit(" "),
+    )
+    state = words.select(sep.alias("ws"), F.col(cnt_col).alias("cnt")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    state.count()
+    merges: list[tuple[int, str, str]] = []
+    try:
+        for step in range(n_merges):
+            syms = state.select(
+                F.split(F.trim("ws"), " ").alias("sy"), "cnt"
+            )
+            n1 = F.greatest(F.size("sy") - F.lit(1), F.lit(0))
+            pairs = syms.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("sy", 1, n1),
+                        F.slice("sy", 2, n1),
+                        lambda a, b: F.concat(a, F.lit(" "), b),
+                    )
+                ).alias("pr"),
+                "cnt",
+            )
+            best = (
+                pairs.groupBy("pr")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), F.col("pr"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair = best[0]["pr"]
+            merged = pair.replace(" ", "")
+            merges.append((step, pair, merged))
+            nxt = state.select(
+                F.replace(
+                    F.col("ws"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+                ).alias("ws"),
+                "cnt",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return merges

@@ -361,3 +361,79 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=8,
         extra_partition_cols=("split",),
     ).select("doc_id", "split", "n_tokens", "shard", "pack_id", "pack_offset")
+
+
+_BPE_MERGES = 8
+
+
+def _bpe_train_oracle(n: int) -> str:
+    """Unrolled n-round BPE trainer in DuckDB: the oracle builder emits
+    one (pair-count, argmax, merge-apply) CTE block per round, chained
+    — the SQL re-runs the ENTIRE iterative training, so the driver's
+    hash compare proves every round's argmax and greedy application,
+    not just the final table. Greedy merge = literal replace on the
+    sentinel-spaced symbol string, identical left-to-right
+    non-overlapping semantics in both engines."""
+    sy = "string_split(trim(ws), ' ')"
+    blocks = [
+        rf"""w0 AS (
+      SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS ws,
+             cnt
+      FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(lower(text),
+                        '{T.SUBWORD_PATTERN}')) AS w
+          FROM documents
+        ) GROUP BY w
+      )
+    )"""
+    ]
+    for i in range(n):
+        blocks.append(
+            f"""p{i} AS (
+      SELECT pr, SUM(cnt) AS c FROM (
+        SELECT unnest(list_transform(range(1, len({sy})),
+                      j -> {sy}[j] || ' ' || {sy}[j + 1])) AS pr, cnt
+        FROM w{i}
+      ) GROUP BY pr
+    )"""
+        )
+        blocks.append(
+            f"b{i} AS (SELECT pr FROM p{i} ORDER BY c DESC, pr LIMIT 1)"
+        )
+        blocks.append(
+            f"""w{i + 1} AS (
+      SELECT replace(ws, ' ' || b.pr || ' ', ' ' || replace(b.pr, ' ', '') || ' ')
+               AS ws, cnt
+      FROM w{i}, b{i} b
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step, pr AS pair, "
+        f"replace(pr, ' ', '') AS merged FROM b{i}"
+        for i in range(n)
+    )
+    return "WITH " + ",\n    ".join(blocks) + "\n    " + union
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle(_BPE_MERGES))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: BPE tokenizer TRAINING in-engine (Sennrich et al. 2016) —
+    eight full merge rounds over the corpus's subword pre-tokens, each
+    round one bounded pair-count aggregate + a greedy corpus-wide merge
+    apply. The corpus reduces once to the distinct-pre-token frequency
+    table, so round cost is bounded by vocabulary, not corpus bytes —
+    at 100 TB the trainer touches the raw text exactly once. The
+    returned merge table IS the model (driver-sized, like IVF
+    centroids); the oracle unrolls all eight rounds in SQL, so
+    driver-green proves the whole iterative computation."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(T.subword_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = TP.bpe_train(words, "w", "cnt", _BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string"
+    )

@@ -133,3 +133,19 @@ def test_write_training_shards_roundtrip_preserves_order(spark, sf_dir, tmp_path
         assert len(files) == 1  # one task wrote the whole shard
         pdf = pq.read_table(files[0]).to_pandas()
         assert list(pdf["pos"]) == sorted(pdf["pos"])
+
+
+def test_bpe_train_learns_textbook_merges(spark):
+    """The canonical BPE example (hug/pug/pun/bun/hugs with frequencies)
+    must learn exactly (u g) -> (u n) -> (h ug), with greedy
+    application feeding each later round."""
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        bpe_train,
+    )
+
+    words = spark.createDataFrame(
+        [("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4), ("hugs", 5)],
+        "w string, cnt long",
+    )
+    merges = bpe_train(words, "w", "cnt", 3)
+    assert merges == [(0, "u g", "ug"), (1, "u n", "un"), (2, "h ug", "hug")]
