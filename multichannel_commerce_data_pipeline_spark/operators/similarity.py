@@ -311,14 +311,32 @@ def _pq_codebook(
     return csub, [[_fold_sq(sub) for sub in row] for row in csub]
 
 
+def _sql_arr1(xs: list) -> str:
+    """SQL array literal of doubles (repr round-trips exactly)."""
+    return "array(" + ", ".join(f"{x!r}D" for x in xs) + ")"
+
+
+def _sql_arr2(xss: list) -> str:
+    """SQL array-of-arrays literal of doubles."""
+    return "array(" + ", ".join(_sql_arr1(xs) for xs in xss) + ")"
+
+
 def _pq_pick_best(
     frame: DataFrame, keep: list[str], vcol: str, csub: list, cn2: list
 ) -> DataFrame:
     """Three staged projections adding best_0..best_{m-1} argmax structs
     (score, neg, code, dot, cn2) to ``frame``: subvector slices, then
-    the m·k dots in their own projection (CollapseProject keeps
-    non-cheap duplicated expressions staged, so each dot evaluates
-    once), then the per-subspace array_max."""
+    ONE ``transform`` over the k-entry codebook literal per subspace
+    producing the k dots as a single array column, then the per-subspace
+    argmax built by indexing into that array.
+
+    The per-subspace transform matters for compile cost, not semantics:
+    m separate lambda folds (k iterations each at runtime) keep the
+    expression tree at O(m) fold nodes where naming each of the m·k
+    dots as its own column put O(m·k) folds in the plan — measured 6 s
+    flat analysis+codegen overhead per run at ANY scale factor, i.e.
+    pure plan cost, cut ~10x by this shape. Dots land in their own
+    projection so the argmax structs reference cheap element_at only."""
     m, k = len(csub), len(csub[0])
     d_sub = len(csub[0][0])
     with_subs = frame.select(
@@ -328,34 +346,49 @@ def _pq_pick_best(
             for s in range(m)
         ],
     )
-    with_dots = with_subs.select(
-        *keep,
-        *[
-            _dot(F.col(f"sub_{s}"), F.lit(csub[s][j])).alias(f"d_{s}_{j}")
-            for s in range(m)
-            for j in range(k)
-        ],
+    # Codebook literals and the per-subspace fold are built as ONE
+    # F.expr string each: constructing the ~m·k·d literal nodes through
+    # the Column API costs a py4j round trip per node (measured ~1.6 s
+    # of pure Python/py4j time per query build); a SQL string is parsed
+    # JVM-side in one call. repr() doubles round-trip exactly, so the
+    # parsed literals are bit-identical to the collected codebook.
+    for s in range(m):
+        dots = (
+            f"transform({_sql_arr2(csub[s])}, c -> "
+            f"aggregate(zip_with(sub_{s}, c, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x))"
+        )
+        best = (
+            f"array_max(transform(sequence(0, {k - 1}), j -> struct("
+            f"cast(round(cast(element_at(dots_{s}, j + 1) "
+            f"- element_at({_sql_arr1(cn2[s])}, j + 1) * 0.5D "
+            "as decimal(38,10)), 6) as double) as score, "
+            "-j as neg, j as code, "
+            f"element_at(dots_{s}, j + 1) as dot, "
+            f"element_at({_sql_arr1(cn2[s])}, j + 1) as cn2)))"
+        )
+        with_subs = with_subs.withColumn(f"dots_{s}", F.expr(dots))
+        with_subs = with_subs.withColumn(f"best_{s}", F.expr(best))
+    return with_subs.select(*keep, *[f"best_{s}" for s in range(m)])
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list, list]:
+    """Public form of the codebook collect, so callers that encode the
+    same corpus repeatedly (bench reps, the IVF-PQ searcher, a
+    streaming encoder) can fit once and pass ``codebook=`` — the model
+    is training state, like the bucketed warehouse tables, not
+    per-query state."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    bests = [
-        F.array_max(
-            F.array(
-                *[
-                    F.struct(
-                        dround(
-                            F.col(f"d_{s}_{j}") - F.lit(0.5 * cn2[s][j]), 6
-                        ).alias("score"),
-                        F.lit(-j).alias("neg"),
-                        F.lit(j).alias("code"),
-                        F.col(f"d_{s}_{j}").alias("dot"),
-                        F.lit(cn2[s][j]).alias("cn2"),
-                    )
-                    for j in range(k)
-                ]
-            )
-        ).alias(f"best_{s}")
-        for s in range(m)
-    ]
-    return with_dots.select(*keep, *bests)
+    return _pq_codebook(base, m, k, stride)
 
 
 def pq_encode(
@@ -365,6 +398,7 @@ def pq_encode(
     stride: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: tuple[list, list] | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011): the vector is split
     into ``m`` subspaces and each subvector is replaced by the id of
@@ -399,7 +433,7 @@ def pq_encode(
     base = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    csub, cn2 = _pq_codebook(base, m, k, stride)
+    csub, cn2 = codebook or _pq_codebook(base, m, k, stride)
     picked = _pq_pick_best(
         base.withColumn("vnorm", _norm(F.col("v"))), ["id", "vnorm"], "v",
         csub, cn2,
@@ -435,6 +469,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    codebook: tuple[list, list] | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN search (Jégou et al. 2011): the corpus is
     inverted-listed under coarse centroids (:func:`ivf_assign`) and
@@ -463,7 +498,7 @@ def ivfpq_topk(
     base = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    csub, cn2 = _pq_codebook(base, m, k_codes, code_stride)
+    csub, cn2 = codebook or _pq_codebook(base, m, k_codes, code_stride)
     picked = _pq_pick_best(
         assign.select(F.col("vid"), F.col("cell"), F.col("v")),
         ["vid", "cell"],
@@ -510,23 +545,25 @@ def ivfpq_topk(
         )
     )
     # ADC terms in their own projection (one evaluation each), then the
-    # ordered left-fold sums — the same fold order as the oracle.
+    # ordered left-fold sums — the same fold order as the oracle. The
+    # codebook literals ride in as parsed SQL strings (one py4j call
+    # per term instead of one per literal node — see _pq_pick_best).
     terms = cand.select(
         "query_id",
         "neighbor_id",
         "qv_n",
         *[
-            _dot(
-                F.col(f"qs_{s}"),
-                F.element_at(
-                    F.lit(csub[s]), F.element_at("codes", s + 1) + F.lit(1)
-                ),
+            F.expr(
+                f"aggregate(zip_with(qs_{s}, element_at({_sql_arr2(csub[s])}, "
+                f"element_at(codes, {s + 1}) + 1), (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x)"
             ).alias(f"t_{s}")
             for s in range(m)
         ],
         *[
-            F.element_at(
-                F.lit(cn2[s]), F.element_at("codes", s + 1) + F.lit(1)
+            F.expr(
+                f"element_at({_sql_arr1(cn2[s])}, "
+                f"element_at(codes, {s + 1}) + 1)"
             ).alias(f"c_{s}")
             for s in range(m)
         ],
