@@ -159,14 +159,15 @@ def nb_log_model(
 
 
 def _decimal_map(pairs: dict) -> Column:
-    """Broadcast map literal bucket -> DECIMAL(28,6) log-prob. Built as
-    map_from_arrays of two array literals (one expression each — the
-    codegen-safe literal shape established for SRP planes)."""
+    """Broadcast map literal bucket -> DECIMAL(28,6) log-prob, parsed
+    JVM-side from ONE SQL string: building D entries through the Column
+    API costs a py4j round trip per literal node (the PQ lesson —
+    operators/similarity.py _pq_pick_best), where one expr string is a
+    single call."""
     ks = sorted(pairs)
-    return F.map_from_arrays(
-        F.array(*[F.lit(int(k)).cast("bigint") for k in ks]),
-        F.array(*[F.lit(str(pairs[k])).cast("decimal(28,6)") for k in ks]),
-    )
+    keys = ", ".join(f"{int(k)}L" for k in ks)
+    vals = ", ".join(f"CAST('{pairs[k]}' AS DECIMAL(28,6))" for k in ks)
+    return F.expr(f"map_from_arrays(array({keys}), array({vals}))")
 
 
 def score_buckets(buckets: Column, model: dict, base: Decimal | None = None) -> Column:
