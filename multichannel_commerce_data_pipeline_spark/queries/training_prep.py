@@ -437,3 +437,110 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, pair string, merged string"
     )
+
+
+# Learned-merge cache per sf_dir: training state (the PQ-codebook
+# pattern). bpe_train is 8 driver-coordinated rounds; refitting it on
+# every query build would re-run all 8 aggregates.
+_BPE_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _BPE_CACHE:
+        d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+        words = (
+            d.select(F.explode(T.subword_tokens(F.col("text"))).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        _BPE_CACHE[sf_dir] = TP.bpe_train(words, "w", "cnt", _BPE_MERGES)
+    return _BPE_CACHE[sf_dir]
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_apply_oracle(n: int) -> str:
+    """The apply-side oracle re-derives the merges with the SAME
+    unrolled trainer CTEs as bpe_train_merges, then applies them to
+    every document's pre-tokens as n chained replaces — train and
+    apply both proven in one hash compare."""
+    train = _bpe_train_oracle(n)
+    ctes = train[len("WITH ") : train.rindex("SELECT CAST(0 AS INT)")]
+    ctes = ctes.rstrip().rstrip(",")
+    # strip the trailing merge-table UNION (everything after the last
+    # w{n} block) and keep only the CTE chain
+    apply_blocks = [
+        rf"""dt AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                     '{T.SUBWORD_PATTERN}')) AS w
+      FROM documents
+    ),
+    a0 AS (
+      SELECT doc_id,
+             ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
+               AS ws
+      FROM dt
+    )"""
+    ]
+    for i in range(n):
+        apply_blocks.append(
+            f"""a{i + 1} AS (
+      SELECT doc_id,
+             replace(ws, ' ' || b.pr || ' ',
+                     ' ' || replace(b.pr, ' ', '') || ' ') AS ws
+      FROM a{i}, b{i} b
+    )"""
+        )
+    return (
+        "WITH "
+        + ctes
+        + ",\n    "
+        + ",\n    ".join(apply_blocks)
+        + f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+           CAST(SUM(len(string_split(trim(ws), ' '))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM a{n}
+    GROUP BY doc_id
+    """
+    )
+
+
+@query("bpe_segment_stats", oracle=_bpe_apply_oracle(_BPE_MERGES))
+def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: apply the TRAINED BPE merges back to the corpus — per
+    document, the pre-token count and the post-merge token count (the
+    number the trainer's data loader actually budgets). Serving is one
+    narrow map pass: each pre-token is segmented by the 8-deep literal
+    replace chain built from the learned merges (parsed from one SQL
+    string), symbols counted per token and summed per doc inside
+    ``transform``/``aggregate`` — no explode, no shuffle beyond the
+    small-scan fan-out. The oracle re-derives the merges AND the
+    application, so train+apply are proven together."""
+    merges = _bpe_merges(spark, sf_dir)
+    d = parallelize_small_scan(
+        spark, load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    spaced = (
+        "concat(' ', array_join(regexp_extract_all(t, '.', 0), ' '), ' ')"
+    )
+    chain = spaced
+    for _, pair, merged in merges:
+        chain = (
+            f"replace({chain}, {_sql_quote(' ' + pair + ' ')}, "
+            f"{_sql_quote(' ' + merged + ' ')})"
+        )
+    toks = d.select(
+        "doc_id", T.subword_tokens(F.col("text")).alias("tk")
+    )
+    return toks.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_pretokens"),
+        F.expr(
+            f"aggregate(transform(tk, t -> "
+            f"size(split(trim({chain}), ' '))), 0L, (acc, x) -> acc + x)"
+        ).alias("n_bpe_tokens"),
+    )
