@@ -544,3 +544,125 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"size(split(trim({chain}), ' '))), 0L, (acc, x) -> acc + x)"
         ).alias("n_bpe_tokens"),
     )
+
+
+def _corpus_curated_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.queries import importance as IQ
+
+    ratio = (
+        f"ln((CAST(tgt_cnt + 1 AS DOUBLE) / CAST(t_tot + {IQ._D} AS DOUBLE))"
+        f" / (CAST(raw_cnt + 1 AS DOUBLE) / CAST(r_tot + {IQ._D} AS DOUBLE)))"
+    )
+    return rf"""
+    WITH {IQ._BUCKET_CTES},
+    prof AS (
+      SELECT b,
+             COUNT(*) AS raw_cnt,
+             SUM(CASE WHEN lang = '{IQ._TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS tgt_cnt
+      FROM ex GROUP BY b
+    ),
+    tot AS (SELECT SUM(raw_cnt) AS r_tot, SUM(tgt_cnt) AS t_tot FROM prof),
+    ratios AS (SELECT b, {IQ._quant(ratio)} AS lw FROM prof, tot),
+    score AS (
+      SELECT e.doc_id, SUM(r.lw) AS s
+      FROM ex e JOIN ratios r ON e.b = r.b GROUP BY e.doc_id
+    ),
+    sel AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN score s ON s.doc_id = d.doc_id
+      WHERE s.s > 0
+    ),
+    uniq AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                 ORDER BY doc_id
+               ) AS rn
+        FROM sel
+      ) WHERE rn = 1
+    ),
+    lab AS (
+      SELECT doc_id, text,
+             CASE WHEN {_ID_HASH(13)} % 100 < 80 THEN 'train'
+                  WHEN {_ID_HASH(13)} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM uniq
+    ),
+    base AS (
+      SELECT doc_id, split,
+             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+               AS n_tokens,
+             {_ID_HASH(7)} % 8 AS shard
+      FROM lab
+    ),
+    cum AS (
+      SELECT doc_id, split, n_tokens, shard,
+             CAST(SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS cum_excl
+      FROM base
+    )
+    SELECT doc_id, split, n_tokens, shard,
+           CAST(FLOOR(cum_excl / 256) AS BIGINT) AS pack_id,
+           cum_excl % 256 AS pack_offset
+    FROM cum
+    """
+
+
+@query("corpus_prepare_curated", oracle=_corpus_curated_oracle())
+def corpus_prepare_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6×X3: the composed pipeline with MODEL-BASED curation — document
+    selection by DSIR importance weight (keep docs more target-like
+    than the raw corpus, lw > 0) instead of the heuristic quality
+    score, then exact dedup → deterministic split → per-(split, shard)
+    packing. The selection stage is the zero-shuffle scoring fold
+    (model fitted once, cached per sf_dir), so swapping the heuristic
+    for a learned model adds NOTHING to the shuffle count: the whole
+    curated pipeline still moves data twice (dedup survivor, pack
+    window). The oracle re-derives model, selection, and every
+    downstream stage in one SQL chain. Decimal threshold compare is
+    exact in both engines."""
+    from multichannel_commerce_data_pipeline_spark.operators.dedup import exact_dedup
+    from multichannel_commerce_data_pipeline_spark.queries import importance as IQ
+    from multichannel_commerce_data_pipeline_spark.operators import importance as I
+    from multichannel_commerce_data_pipeline_spark.functions import portable_hash64
+
+    d = parallelize_small_scan(
+        spark, load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    with_b = d.withColumn("bs", I.feature_buckets(F.col("text")))
+    ratios = IQ._cached(
+        "dsir", sf_dir,
+        lambda: I.dsir_log_ratios(
+            I.bucket_class_profile(
+                with_b.select("doc_id", "lang", "bs"), "bs", "lang"
+            ).collect(),
+            IQ._TARGET_LANG,
+        ),
+    )
+    sel = (
+        with_b.withColumn("lw", I.score_buckets(F.col("bs"), ratios))
+        .filter(F.col("lw") > 0)
+        .select("doc_id", "text")
+    )
+    uniq = exact_dedup(
+        sel.withColumn("f", T.fingerprint(F.col("text"))), ["f"], "doc_id"
+    ).drop("f")
+    bucket = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string"), 13), F.lit(100)
+    )
+    labeled = uniq.withColumn(
+        "split",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    return TP.assign_packs(
+        labeled,
+        F.size(T.tokens(F.col("text"))),
+        budget=256,
+        n_shards=8,
+        extra_partition_cols=("split",),
+    ).select("doc_id", "split", "n_tokens", "shard", "pack_id", "pack_offset")
