@@ -56,6 +56,8 @@ HEADLINE = [
     "incremental_lsh_dedup",
     "embedding_pq_codes",
     "ann_ivfpq_topk",
+    "bpe_segment_stats",
+    "corpus_prepare_curated",
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
     # nb_lang_posterior shares dsir's fit+score machinery; the jdbc/orc/

@@ -1,7 +1,7 @@
-"""Similarity search over embedding columns (SURVEY.md §2.10 X2;
-BASELINE north star).
+"""Similarity search and embedding storage over embedding columns
+(SURVEY.md §2.10 X2/X7; BASELINE north star).
 
-Two paths:
+Search paths:
   - brute-force cosine top-k: exact baseline. The query set is broadcast
     (it is small by construction); candidates stream through a single
     narrow stage — no shuffle of the corpus. O(|Q|·N·d) flops via
@@ -11,6 +11,15 @@ Two paths:
     ``n_planes``-bit signature from sign(v·plane); candidates share a
     signature bucket. Planes are derived deterministically from md5 so
     runs are reproducible without a stored model.
+  - IVF (coarse-quantized inverted lists) and IVF-PQ (inverted lists of
+    product-quantization codes, asymmetric-distance ranking) — the
+    billion-scale layouts; plus cluster-level semantic dedup.
+
+Storage paths (X7): symmetric int8 quantization (``quantize_int8``) and
+product quantization (``pq_encode``) — both pure map-side with per-row
+reconstruction-quality guards. All codebooks/centroids are
+deterministic stride samples so every decision is oracle-reproducible;
+swap in trained models at deployment with identical plans.
 
 Expression discipline (the dim-factor costs): the double-cast of the
 vector and its L2 norm are materialized ONCE per row in a stacked

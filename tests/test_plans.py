@@ -305,3 +305,45 @@ def test_partitioned_scan_prunes_by_day(plans):
     pf = [l for l in p.splitlines() if "PartitionFilters" in l]
     assert pf, p
     assert any("day" in l and "2024-01-08" in l for l in pf), pf
+
+
+def test_corpus_prepare_curated_keeps_two_exchanges(plans):
+    """Swapping the heuristic quality filter for the DSIR scoring fold
+    must NOT change the pipeline's shuffle count: the model is a
+    broadcast literal, so the curated pipeline still has exactly the
+    dedup-survivor and pack-window hash exchanges and no join."""
+    import re
+
+    p = plans("corpus_prepare_curated")
+    for j in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert j not in p
+    assert len(re.findall(r"hashpartitioning", p)) == 2
+
+
+def test_bpe_segment_stats_is_map_side(plans):
+    """Applying the learned merges is a literal replace chain inside
+    transform/aggregate — one narrow pass, no explode of pre-tokens,
+    no hash/range exchange, no join."""
+    p = plans("bpe_segment_stats")
+    assert "hashpartitioning" not in p
+    assert "rangepartitioning" not in p
+    assert "Join" not in p
+    assert "Generate" not in p  # no explode
+
+
+def test_incremental_lsh_probe_has_no_index_self_join(plans):
+    """The incremental dedup plan joins batch band keys against index
+    band keys and verifies by id — candidate generation must be equi
+    joins (no cartesian/nested-loop), and the exact-Jaccard verify must
+    reuse the persisted signature frames (InMemoryRelation), not
+    re-shingle the corpus."""
+    p = plans("incremental_lsh_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p
