@@ -1,7 +1,7 @@
 """Hashed-feature importance weighting and classification for
 training-data curation (SURVEY.md §2.10 X3/X6 extension surface).
 
-Two model families over the same bounded feature space:
+Three model families over the same bounded feature space:
 
 - DSIR-style importance weights (Xie et al. 2023, "Data Selection for
   Language Models via Importance Resampling"): hashed n-gram bag-of-words
@@ -9,6 +9,9 @@ Two model families over the same bounded feature space:
 - Hashed naive-Bayes classification (the in-engine stand-in for the
   fastText-style quality/language filters used by C4/CCNet/RefinedWeb):
   class-conditional bucket profiles + log priors, argmax posterior.
+- Hashed bigram language model (the KenLM-perplexity stand-in CCNet
+  filters on): smoothed ln P(word|context) over D² bucket pairs,
+  per-document average log-prob and perplexity.
 
 Scale design (the whole point): features are hashed into a FIXED number
 of buckets ``D``, so the trained model is a bounded table regardless of
@@ -187,3 +190,42 @@ def score_buckets(buckets: Column, model: dict, base: Decimal | None = None) -> 
         init,
         lambda acc, b: (acc + F.element_at(m, b)).cast("decimal(38,6)"),
     )
+
+
+def bigram_bucket_keys(
+    text: Column, n_buckets: int, seed: int
+) -> Column:
+    """array<bigint> of hashed (context, word) bigram keys
+    ``bucket(tok[i-1]) * D + bucket(tok[i])`` — the sufficient
+    statistics stream for the hashed bigram language model. One key per
+    adjacent token position; entirely map-side. D² total key space, so
+    the fitted model stays a bounded table at any corpus size."""
+    toks = tokens(text)
+    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    b = lambda c: portable_hash32(c, seed) % n_buckets  # noqa: E731
+    return F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, w: b(a) * F.lit(n_buckets) + b(w),
+    )
+
+
+def lm_log_probs(
+    profile_rows: list, n_buckets: int
+) -> dict[int, Decimal]:
+    """key -> quantized ln P(word | context) with add-one smoothing
+    from collected (key, cnt) bigram-bucket counts:
+    P = (cnt + 1) / (ctx_total + D), ctx_total = Σ counts sharing the
+    key's context bucket. The hashed stand-in for a KenLM-style
+    perplexity filter's model table."""
+    cnt = {r["key"]: r["cnt"] for r in profile_rows}
+    ctx_tot: dict[int, int] = {}
+    for k, c in cnt.items():
+        cb = k // n_buckets
+        ctx_tot[cb] = ctx_tot.get(cb, 0) + c
+    return {
+        k: quantize_logprob(
+            math.log((c + 1) / (ctx_tot[k // n_buckets] + n_buckets))
+        )
+        for k, c in cnt.items()
+    }

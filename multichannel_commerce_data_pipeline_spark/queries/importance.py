@@ -234,3 +234,91 @@ def nb_lang_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["c"].alias("pred_lang"),
         best["s"].cast("double").alias("best_logp"),
     )
+
+
+_LM_D = 64
+_LM_SEED = 11
+
+
+@query(
+    "lm_perplexity_score",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks)),
+               i -> (CAST(('0x' || substr(md5(concat('{_LM_SEED}:', toks[i])), 1, 8))
+                          AS BIGINT) % {_LM_D}) * {_LM_D}
+                    + CAST(('0x' || substr(md5(concat('{_LM_SEED}:', toks[i + 1])), 1, 8))
+                           AS BIGINT) % {_LM_D}) AS ks
+      FROM tok
+    ),
+    pr AS (SELECT doc_id, unnest(ks) AS key FROM keyed),
+    prof AS (SELECT key, COUNT(*) AS cnt FROM pr GROUP BY key),
+    ctx AS (SELECT key // {_LM_D} AS cb, SUM(cnt) AS tot FROM prof GROUP BY 1),
+    lp AS (
+      SELECT key,
+             {_quant(
+                 f"ln(CAST(cnt + 1 AS DOUBLE)"
+                 f" / CAST(tot + {_LM_D} AS DOUBLE))"
+             )} AS l
+      FROM prof JOIN ctx ON prof.key // {_LM_D} = ctx.cb
+    ),
+    sc AS (
+      SELECT pr.doc_id, SUM(lp.l) AS s, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM pr JOIN lp USING (key) GROUP BY pr.doc_id
+    )
+    SELECT doc_id, nb AS n_bigrams,
+           {_quant("CAST(s AS DOUBLE) / nb")} AS avg_logp,
+           CAST(ROUND(CAST(exp(-(CAST(s AS DOUBLE) / nb)) AS DECIMAL(38,8)), 4)
+                AS DOUBLE) AS ppl
+    FROM sc
+    """,
+)
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: hashed bigram language-model perplexity — the in-engine
+    stand-in for CCNet's KenLM quality filter (docs with high
+    perplexity under an in-domain LM are the ones a curation pipeline
+    drops or down-weights). The model is smoothed ln P(word|context)
+    over D²=4096 hashed bucket pairs: fitted in one bounded aggregate
+    (explode + group-by over ≤D² keys, collected), then every document
+    is scored map-side — a DECIMAL fold of looked-up log-probs over its
+    bigram keys, divided by its bigram count, with ppl = exp(−avg).
+    Scoring plan: no hash exchange, only the small-scan fan-out."""
+    d = parallelize_small_scan(
+        spark, load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    with_k = d.select(
+        "doc_id",
+        I.bigram_bucket_keys(F.col("text"), _LM_D, _LM_SEED).alias("ks"),
+    )
+    model = _cached(
+        "lm", sf_dir,
+        lambda: I.lm_log_probs(
+            with_k.select(F.explode("ks").alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect(),
+            _LM_D,
+        ),
+    )
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+
+    staged = with_k.filter(F.size("ks") > 0).select(
+        "doc_id",
+        F.size("ks").cast("long").alias("n_bigrams"),
+        I.score_buckets(F.col("ks"), model).alias("s"),
+    )
+    avg_raw = F.col("s").cast("double") / F.col("n_bigrams")
+    staged = staged.withColumn("avg_raw", avg_raw)
+    return staged.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("avg_raw").cast("decimal(38,10)"), 6)
+        .cast("decimal(28,6)")
+        .alias("avg_logp"),
+        dround(F.exp(-F.col("avg_raw")), 4).alias("ppl"),
+    )

@@ -1013,3 +1013,38 @@ def test_ivfpq_topk_shape_and_recall_overlap(spark, sf_dir):
         exact = {r.neighbor_id for r in flat if r.query_id == qid}
         overlaps.append(len(mine & exact) / max(len(exact), 1))
     assert sum(overlaps) / len(overlaps) >= 0.1, overlaps
+
+
+def test_lm_perplexity_prefers_predictable_text(spark):
+    """A hashed bigram LM fitted on a corpus dominated by one repeated
+    pattern must assign the predictable documents lower perplexity than
+    the one-off word salad. (The curation semantics: drop/down-weight
+    high-ppl docs.)"""
+    from decimal import Decimal
+
+    from multichannel_commerce_data_pipeline_spark.operators import importance as I
+
+    rows = [(i, "the cat sat on the mat " * 4) for i in range(9)] + [
+        (9, "zq xv plk wmb rrq hzt jkl vbn")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with_k = df.select(
+        "doc_id", I.bigram_bucket_keys(F.col("text"), 64, 11).alias("ks")
+    )
+    model = I.lm_log_probs(
+        with_k.select(F.explode("ks").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect(),
+        64,
+    )
+    out = {
+        r.doc_id: Decimal(str(r.s)) / r.nb
+        for r in with_k.select(
+            "doc_id",
+            F.size("ks").alias("nb"),
+            I.score_buckets(F.col("ks"), model).alias("s"),
+        ).collect()
+    }
+    predictable = [out[i] for i in range(9)]
+    assert max(predictable) > out[9] + 1  # >1 nat/bigram better
