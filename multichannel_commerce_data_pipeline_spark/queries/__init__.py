@@ -141,8 +141,10 @@ CHECK_FIRST: tuple[str, ...] = (
     # fresh driver evidence without separate slots; the r3-vintage
     # silver/gold rows hit their two-round staleness bound at r5 and
     # rotate in at r6, as do the r5 additions that didn't fit
-    # (scd2_user_status, regional_supplier_revenue, bpe_pair_counts —
-    # all local check.py green this round).
+    # (scd2_user_status, regional_supplier_revenue, bpe_pair_counts,
+    # bpe_train_merges, bpe_segment_stats, partitioned_scan_prune,
+    # corpus_prepare_curated, lm_perplexity_score — all local check.py
+    # green this round).
 )
 
 

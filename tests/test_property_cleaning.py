@@ -271,3 +271,76 @@ def test_scd2_history_matches_reference_model(spark, obs):
         for r in scd2_history(df, "k", "a", "t").collect()
     }
     assert got == expected
+
+
+# ---- BPE trainer vs pure-Python reference --------------------------------
+
+_bpe_words = st.lists(
+    st.tuples(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=20),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _py_bpe(word_counts: list[tuple[str, int]], n_merges: int):
+    """Reference BPE trainer: straightforward dict/tuple implementation
+    with the engine's exact semantics — pair counts weighted by word
+    frequency (every adjacency, including overlaps), argmax with
+    lexicographic tie-break on the space-joined pair, greedy
+    left-to-right merge application."""
+    state = [(tuple(w), c) for w, c in word_counts]
+    merges = []
+    for step in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in state:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        # tie-break: highest count, then lexicographically SMALLEST
+        # space-joined pair STRING (exactly what the engine orders by)
+        top = max(counts.values())
+        a, b = min(
+            (p for p, c in counts.items() if c == top),
+            key=lambda p: f"{p[0]} {p[1]}",
+        )
+        merges.append((step, f"{a} {b}", a + b))
+        new_state = []
+        for syms, c in state:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state.append((tuple(out), c))
+        state = new_state
+    return merges
+
+
+@given(words=_bpe_words)
+@SET
+def test_bpe_train_matches_python_reference(spark, words):
+    """The in-engine trainer must produce EXACTLY the reference merges
+    on arbitrary small vocabularies — same argmax, same lexicographic
+    tie-break, same greedy overlap handling ('aaa' + merge (a,a) ->
+    (aa, a))."""
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        bpe_train,
+    )
+
+    # aggregate duplicate words (the engine trains on a distinct-word
+    # frequency frame)
+    agg: dict[str, int] = {}
+    for w, c in words:
+        agg[w] = agg.get(w, 0) + c
+    wl = sorted(agg.items())
+    df = spark.createDataFrame(wl, "w string, cnt long")
+    got = bpe_train(df, "w", "cnt", 3)
+    want = _py_bpe(wl, 3)
+    assert got == want, (wl, got, want)
