@@ -534,6 +534,22 @@ def read_merge_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     return spark.read.parquet(str(Path(snapshot_dir) / latest))
 
 
+def read_merge_snapshot_as_of(
+    spark: SparkSession, snapshot_dir: str, batch_id: int
+) -> DataFrame:
+    """Time travel: read the snapshot AS OF a specific batch, ignoring
+    _LATEST. Copy-on-write keeps each batch's full ``snap-<id>``
+    directory immutable until vacuum reclaims it, so historical reads
+    are plain parquet scans of the named version — no log replay."""
+    path = Path(snapshot_dir) / f"snap-{batch_id}"
+    if not path.is_dir():
+        raise FileNotFoundError(
+            f"snapshot snap-{batch_id} not present under {snapshot_dir} "
+            "(vacuumed or never committed)"
+        )
+    return spark.read.parquet(str(path))
+
+
 def vacuum_merge_snapshots(snapshot_dir: str, keep: int = 2) -> list[str]:
     """Drop all but the newest ``keep`` snapshots of a
     :func:`stream_merge_snapshot` chain (never the one ``_LATEST``
