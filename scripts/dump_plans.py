@@ -193,11 +193,33 @@ COMMENTARY = {
         "the oracle reproduces the exact state."
     ),
     "embedding_pq_codes": (
-        "Codebook collected once (16 rows), embedded as literals; the "
-        "encode is three stacked projections (subvector slices, the 128 "
-        "dots each evaluated once, per-subspace argmax structs) with no "
-        "join and no hash/range exchange — a 100 TB encode job is one "
-        "narrow pass writing 8 bytes per vector."
+        "Codebook collected once (16 rows, cached per sf_dir) and parsed "
+        "into the plan as one SQL array literal per subspace; the encode "
+        "is three stacked projections (subvector slices, ONE transform "
+        "fold per subspace producing all 16 dots as an array, argmax by "
+        "element_at) with no join and no hash/range exchange — a 100 TB "
+        "encode job is one narrow pass writing 8 bytes per vector. The "
+        "one-fold-per-subspace shape also keeps plan analysis O(m), not "
+        "O(m*k) (measured 6s of flat per-build cost before)."
+    ),
+    "lm_perplexity_score": (
+        "Bigram-LM scoring is the same zero-shuffle shape as DSIR: the "
+        "D^2-bucket model is fitted by one bounded aggregate (collected, "
+        "cached), and each document folds looked-up log-probs over its "
+        "bigram keys map-side — the plan has no hash exchange, no join."
+    ),
+    "bpe_segment_stats": (
+        "The learned merges become an 8-deep literal replace chain "
+        "applied inside transform/aggregate per pre-token — one narrow "
+        "pass, no explode (no Generate node), no exchange; tokenizer "
+        "APPLY costs the same as any map-side scan at 100 TB."
+    ),
+    "corpus_prepare_curated": (
+        "Model-based selection costs zero shuffles: the DSIR fold "
+        "replaces the heuristic quality predicate as a map-side filter, "
+        "so the curated pipeline keeps corpus_prepare's exact shape — "
+        "two hash exchanges (dedup survivor, pack window), no join "
+        "(plan-pinned in tests/test_plans.py)."
     ),
     "ann_ivfpq_topk": (
         "One keyed shuffle (the coarse argmax assignment, partial-"
