@@ -329,3 +329,170 @@ def interval_join_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("pts") - F.col("vts")).alias("gap_us"),
         )
     )
+
+
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH tv AS (
+      SELECT user_id, MIN(ts) AS t
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    tc AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN tv ON tv.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > tv.t
+      GROUP BY e.user_id
+    ),
+    tp AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN tc ON tc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > tc.t
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM tv) AS nv,
+             (SELECT COUNT(*) FROM tc) AS nc,
+             (SELECT COUNT(*) FROM tp) AS np
+    )
+    SELECT 1 AS step, 'view' AS event_type, CAST(nv AS BIGINT) AS n_users,
+           CAST(1.0 AS DOUBLE) AS pct_of_top FROM counts
+    UNION ALL
+    SELECT 2, 'click', CAST(nc AS BIGINT),
+           CAST(ROUND(CAST(CAST(nc AS DOUBLE) / nv AS DECIMAL(38,8)), 4)
+                AS DOUBLE) FROM counts
+    UNION ALL
+    SELECT 3, 'purchase', CAST(np AS BIGINT),
+           CAST(ROUND(CAST(CAST(np AS DOUBLE) / nv AS DECIMAL(38,8)), 4)
+                AS DOUBLE) FROM counts
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commerce funnel analysis: users completing view → click →
+    purchase IN ORDER (each later step strictly after the user's first
+    completion of the previous step), with per-step conversion rates.
+    Strictly stronger than `event_funnel`'s global-first-timestamps
+    comparison: a user whose only-counted click happened before their
+    first view still converts here if ANY later click exists — the
+    re-anchored semantics real funnel tools implement. The reference's
+    dashboards poll per-channel rollups; a funnel is the first thing
+    an analyst asks of the same events.
+
+    Plan: ONE shuffle of events (group-by user collecting (ts, type)
+    structs — per-user event counts are bounded in practice, the
+    standard sessionization assumption), then the whole ordered-step
+    logic is array folds over the collected struct array: first view =
+    array_min of the filtered array, first click AFTER it via a
+    filtered min with the previous step's timestamp in scope
+    (materialized in stacked projections), and one global aggregate for
+    the three counts. The oracle computes the identical semantics with
+    staged joins — same minima, same counts."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("evs")
+    )
+    first_of = lambda arr, typ: F.array_min(  # noqa: E731
+        F.transform(
+            F.filter(arr, lambda e: e["event_type"] == typ),
+            lambda e: e["ts"],
+        )
+    )
+    after = lambda arr, typ, t0: F.array_min(  # noqa: E731
+        F.transform(
+            F.filter(
+                arr,
+                lambda e: (e["event_type"] == typ) & (e["ts"] > t0),
+            ),
+            lambda e: e["ts"],
+        )
+    )
+    s1 = per_user.select(
+        "evs", first_of(F.col("evs"), "view").alias("tv")
+    )
+    s2 = s1.select(
+        "evs", "tv", after(F.col("evs"), "click", F.col("tv")).alias("tc")
+    )
+    s3 = s2.select(
+        "tv", "tc", after(F.col("evs"), "purchase", F.col("tc")).alias("tp")
+    )
+    counts = s3.agg(
+        F.count("tv").alias("nv"),
+        F.count("tc").alias("nc"),
+        F.count("tp").alias("np"),
+    )
+    pct = lambda n: dround(n.cast("double") / F.col("nv"), 4)  # noqa: E731
+    rows = F.array(
+        F.struct(
+            F.lit(1).alias("step"),
+            F.lit("view").alias("event_type"),
+            F.col("nv").alias("n_users"),
+            F.lit(1.0).alias("pct_of_top"),
+        ),
+        F.struct(
+            F.lit(2).alias("step"),
+            F.lit("click").alias("event_type"),
+            F.col("nc").alias("n_users"),
+            pct(F.col("nc")).alias("pct_of_top"),
+        ),
+        F.struct(
+            F.lit(3).alias("step"),
+            F.lit("purchase").alias("event_type"),
+            F.col("np").alias("n_users"),
+            pct(F.col("np")).alias("pct_of_top"),
+        ),
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, w.week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM cohort c JOIN wk w ON w.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commerce cohort retention: users grouped by first-active week,
+    counted in each subsequent week they return — the retention
+    triangle every commerce dashboard ships. Both engines truncate to
+    Monday-start weeks, so offsets are exact multiples of 7 days.
+
+    Plan: distinct (user, week) is one partial-aggregated shuffle; the
+    per-user cohort week is a second keyed aggregate on the SAME
+    user_id distribution (no re-exchange); the cohort⋈activity join is
+    keyed on user_id too, so at 100 TB the whole triangle is one
+    logical repartition by user plus the final small (cohort, offset)
+    rollup. Weeks per user are bounded, never the event count."""
+    ev = load(spark, sf_dir, "events")
+    wk = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts").cast("timestamp_ltz"))
+            .cast("date")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
