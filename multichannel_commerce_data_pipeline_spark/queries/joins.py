@@ -201,3 +201,92 @@ def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@query(
+    "copurchase_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in at
+    least 2 orders — the counting core of association-rule / frequent-
+    itemset mining (the "customers also bought" primitive). Pair
+    generation is an equi self-join on the order key, so cost is
+    Σ_order |items|² with |items| bounded (~7 in TPC-H, max 13 here) —
+    per-basket quadratic, NEVER corpus-quadratic; at 100 TB the join
+    co-partitions on l_orderkey (one shuffle each side) and the pair
+    count is a partial-aggregated rollup. The same df-cap reasoning as
+    jaccard_pairs applies if a pathological mega-basket appears."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "decayed_popularity",
+    oracle="""
+    WITH scored AS (
+      SELECT l_partkey,
+             exp(-0.01 * date_diff('day', CAST(l_shipdate AS DATE),
+                                   DATE '1998-12-01')) AS w
+      FROM lineitem
+    )
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_sales,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(w AS DECIMAL(38,10)), 6)
+                                    AS DECIMAL(28,6))) AS DECIMAL(38,8)), 4)
+                AS DOUBLE) AS decayed_score
+    FROM scored GROUP BY l_partkey
+    """,
+)
+def decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted popularity: per part, Σ exp(−λ·age_days)
+    anchored at the corpus's last ship month — the freshness-aware
+    ranking signal recommendation and trending feeds use instead of raw
+    counts. Each row's weight quantizes to DECIMAL(28,6) BEFORE the sum
+    (the model-quantization convention), so the aggregate is exact and
+    order-independent in both engines; the group-by is one
+    partial-aggregated shuffle over part keys."""
+    li = load(spark, sf_dir, "lineitem")
+    age = F.datediff(
+        F.lit("1998-12-01").cast("date"), F.col("l_shipdate").cast("date")
+    )
+    w = F.exp(F.lit(-0.01) * age)
+    wq = F.round(w.cast("decimal(38,10)"), 6).cast("decimal(28,6)")
+    return (
+        li.select("l_partkey", wq.alias("wq"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            F.round(F.sum("wq").cast("decimal(38,8)"), 4)
+            .cast("double")
+            .alias("decayed_score"),
+        )
+    )
