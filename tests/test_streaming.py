@@ -531,3 +531,48 @@ def test_vacuum_merge_snapshots_keeps_latest(spark, tmp_path):
     left = sorted(p.name for p in (tmp_path / "snap").iterdir())
     assert left == ["_LATEST", "snap-2", "snap-3"]
     assert read_merge_snapshot(spark, snap).count() == 4  # view intact
+
+
+def test_snapshot_time_travel_versions_and_vacuum_guard(spark, tmp_path):
+    """Each committed snap-<id> stays readable and immutable after later
+    batches; reading a vacuumed (or never-committed) version raises a
+    clear error instead of silently serving _LATEST."""
+    import pytest
+
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_merge_snapshot_as_of,
+        stream_merge_snapshot,
+        vacuum_merge_snapshots,
+    )
+
+    upd, snap, ckpt = (
+        str(tmp_path / "upd"),
+        str(tmp_path / "snap"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = "k long, v string"
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1).write.json(
+        f"{upd}/b0"
+    )
+    stream_merge_snapshot(spark, f"{upd}/*", schema, snap, ckpt, ["k"], "k")
+    spark.createDataFrame([(2, "B"), (3, "c")], schema).coalesce(1).write.json(
+        f"{upd}/b1"
+    )
+    stream_merge_snapshot(spark, f"{upd}/*", schema, snap, ckpt, ["k"], "k")
+    spark.createDataFrame([(4, "d")], schema).coalesce(1).write.json(
+        f"{upd}/b2"
+    )
+    stream_merge_snapshot(spark, f"{upd}/*", schema, snap, ckpt, ["k"], "k")
+
+    v0 = {(r.k, r.v) for r in read_merge_snapshot_as_of(spark, snap, 0).collect()}
+    v1 = {(r.k, r.v) for r in read_merge_snapshot_as_of(spark, snap, 1).collect()}
+    v2 = {(r.k, r.v) for r in read_merge_snapshot_as_of(spark, snap, 2).collect()}
+    assert v0 == {(1, "a"), (2, "b")}
+    assert v1 == {(1, "a"), (2, "B"), (3, "c")}
+    assert v2 == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+    removed = vacuum_merge_snapshots(snap, keep=2)
+    assert removed == ["snap-0"]
+    with pytest.raises(FileNotFoundError, match="snap-0"):
+        read_merge_snapshot_as_of(spark, snap, 0)
+    assert {(r.k, r.v) for r in read_merge_snapshot_as_of(spark, snap, 1).collect()} == v1
