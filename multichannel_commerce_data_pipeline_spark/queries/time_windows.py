@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
+from multichannel_commerce_data_pipeline_spark.functions import (
+    dround,
+    oracle_dround,
+    oracle_hash64,
+)
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import load
 
@@ -495,4 +499,114 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "ab_test_purchase_rate",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN {oracle_hash64("CAST(user_id AS VARCHAR)", 41)} % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN COUNT(*) FILTER (event_type = 'purchase') >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM users GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        (SELECT n_users FROM arms WHERE arm = 'A') AS na,
+        (SELECT n_converted FROM arms WHERE arm = 'A') AS ca,
+        (SELECT n_users FROM arms WHERE arm = 'B') AS nb,
+        (SELECT n_converted FROM arms WHERE arm = 'B') AS cb
+    )
+    SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+           {{rate_a}} AS rate_a, {{rate_b}} AS rate_b,
+           {{z}} AS z_score
+    FROM wide
+    """.format(
+        rate_a=oracle_dround("CAST(ca AS DOUBLE) / na", 6),
+        rate_b=oracle_dround("CAST(cb AS DOUBLE) / nb", 6),
+        z=oracle_dround(
+            "(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)"
+            " / NULLIF(sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))"
+            " * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))"
+            " * (1.0 / na + 1.0 / nb)), 0.0)",
+            4,
+        ),
+    ),
+)
+def ab_test_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: two-proportion z-test over a deterministic hash split — the
+    experiment-analysis staple, in-engine. Users land in arm A/B by the
+    portable 60-bit hash (reproducible assignment, the same property
+    dataset_split relies on); conversion = at least 14 purchase
+    events (the per-user median on this fixture — every user purchases
+    at least once, so "any purchase" would be a degenerate 100%/100%
+    split); the pooled z-score compares arm rates, NULL when pooled
+    variance is zero. One keyed aggregate + one
+    2-group rollup; every double expression is written identically in
+    both engines and dround-quantized, so the statistic — not just the
+    counts — is hash-compared."""
+    from multichannel_commerce_data_pipeline_spark.functions import portable_hash64
+
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy(
+        "user_id",
+        F.when(
+            F.pmod(portable_hash64(F.col("user_id").cast("string"), 41), F.lit(2))
+            == 0,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    ).agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            >= 14,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("converted")
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    pooled = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    # 0% or 100% pooled conversion => zero variance: z undefined (NULL),
+    # mirrored with NULLIF in the oracle
+    z = F.when(se == 0, F.lit(None).cast("double")).otherwise((ra - rb) / se)
+    return wide.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        dround(ra, 6).alias("rate_a"),
+        dround(rb, 6).alias("rate_b"),
+        dround(z, 4).alias("z_score"),
     )
