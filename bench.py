@@ -58,6 +58,8 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "bpe_segment_stats",
     "corpus_prepare_curated",
+    "conversion_funnel",
+    "copurchase_pairs",
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
     # nb_lang_posterior shares dsir's fit+score machinery; the jdbc/orc/

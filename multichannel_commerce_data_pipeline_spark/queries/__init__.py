@@ -143,7 +143,9 @@ CHECK_FIRST: tuple[str, ...] = (
     # rotate in at r6, as do the r5 additions that didn't fit
     # (scd2_user_status, regional_supplier_revenue, bpe_pair_counts,
     # bpe_train_merges, bpe_segment_stats, partitioned_scan_prune,
-    # corpus_prepare_curated, lm_perplexity_score — all local check.py
+    # corpus_prepare_curated, lm_perplexity_score, snapshot_time_travel,
+    # conversion_funnel, cohort_retention, copurchase_pairs,
+    # decayed_popularity, ab_test_purchase_rate — all local check.py
     # green this round).
 )
 

@@ -347,3 +347,23 @@ def test_incremental_lsh_probe_has_no_index_self_join(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "InMemoryTableScan" in p
+
+
+def test_join_strategy_hints_are_respected(spark, sf_dir):
+    """The optimizer-control surface: user hints must actually flip the
+    physical join strategy — shuffle_hash forces a ShuffledHashJoin
+    where the planner would broadcast or sort-merge, and merge forces a
+    SortMergeJoin. The 100 TB relevance: when a 'small' side is
+    mis-estimated, the hint is the operator's escape hatch."""
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    hashed = o.join(c.hint("shuffle_hash"), c.c_custkey == o.o_custkey)
+    p = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in p, p
+
+    merged = o.join(c.hint("merge"), c.c_custkey == o.o_custkey)
+    p2 = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p2, p2
