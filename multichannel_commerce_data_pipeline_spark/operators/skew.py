@@ -28,6 +28,54 @@ from multichannel_commerce_data_pipeline_spark.operators.bucketing import (
 )
 
 
+def replicated_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt_col: Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle join: salt the fact side, replicate the dim.
+
+    A shuffle equi-join repartitions BOTH sides by the join key, so one
+    hot key (one viral product id, the coalesced ``''`` default) lands
+    every matching fact row on a single task. When the dim side is too
+    large to broadcast, the classic fix is fact-side salting with
+    dim-side replication:
+
+    * every fact row gets a deterministic salt in ``[0, n_salts)``
+      derived from a high-cardinality column (``salt_col`` — e.g. the
+      fact primary key), splitting each hot key across ``n_salts``
+      tasks;
+    * every dim row is replicated ``n_salts`` times (a narrow
+      ``explode`` of a literal array — no shuffle on the dim side
+      beyond the join's own exchange), once per salt value;
+    * the join key becomes ``(key…, salt)``, so each fact sub-group
+      still finds its dim row, and the result is row-identical to the
+      unsalted join.
+
+    Cost model at 100 TB: the dim shuffle grows ``n_salts``×, the fact
+    shuffle is unchanged, and the hot key's work spreads over
+    ``n_salts`` tasks — the right trade whenever
+    ``|dim| * n_salts << |fact partition of the hot key|``. AQE's
+    skew-join splitting handles the same problem adaptively for
+    sort-merge joins; this explicit form works for any join and keeps
+    plans deterministic for testing.
+
+    The salt is deterministic (:func:`deterministic_bucket`), so
+    re-runs produce identical partitioning — unlike ``rand()`` salts.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", deterministic_bucket(salt_col, n_salts)
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = salted_fact.join(replicated_dim, [*on, "__salt"], how)
+    return joined.drop("__salt")
+
+
 def salted_sum_count(
     df: DataFrame,
     keys: list[str],

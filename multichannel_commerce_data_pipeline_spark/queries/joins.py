@@ -290,3 +290,62 @@ def decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decayed_score"),
         )
     )
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    WITH fees(l_returnflag, fee) AS (
+      VALUES ('A', '0.50'), ('N', '1.25'), ('R', '2.00')
+    )
+    SELECT li.l_returnflag,
+           CAST(ROUND(SUM(CAST(li.l_quantity AS DECIMAL(18,6))
+                          * CAST(f.fee AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS handling_cost,
+           COUNT(*) AS n
+    FROM lineitem li JOIN fees f ON li.l_returnflag = f.l_returnflag
+    GROUP BY li.l_returnflag
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe shuffle join: 3 distinct join keys over the whole fact
+    table is a worst-case skewed join — a plain shuffle join lands each
+    key's every fact row on ONE task regardless of cluster size. The
+    salted form (:func:`replicated_salted_join`) splits each key over
+    16 deterministic sub-keys and replicates the fee dim 16×, so the
+    hot keys spread across 48 tasks; the result is row-identical to the
+    unsalted join, which the plain-join oracle asserts. The dim carries
+    a SHUFFLE_HASH hint: at this size Spark would broadcast (the right
+    call — salting is then moot); the hint pins the shuffle-join shape
+    the technique exists for, mirroring a dim too big to broadcast.
+    Decimal sums keep the aggregate order-independent cross-engine."""
+    from multichannel_commerce_data_pipeline_spark.operators.skew import (
+        replicated_salted_join,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_quantity"
+    )
+    fees = spark.createDataFrame(
+        [("A", "0.50"), ("N", "1.25"), ("R", "2.00")],
+        "l_returnflag string, fee string",
+    ).hint("shuffle_hash")
+    joined = replicated_salted_join(
+        li,
+        fees,
+        on=["l_returnflag"],
+        salt_col=F.col("l_orderkey"),
+        n_salts=16,
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(
+                F.col("l_quantity").cast("decimal(18,6)")
+                * F.col("fee").cast("decimal(18,6)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("handling_cost"),
+        F.count(F.lit(1)).alias("n"),
+    )

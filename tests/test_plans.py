@@ -367,3 +367,14 @@ def test_join_strategy_hints_are_respected(spark, sf_dir):
     merged = o.join(c.hint("merge"), c.c_custkey == o.o_custkey)
     p2 = merged._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in p2, p2
+
+
+def test_salted_skew_join_shuffles_on_salted_key(plans):
+    """salted_skew_join must plan the shape the technique exists for:
+    a ShuffledHashJoin (not broadcast — broadcast would make salting
+    moot) whose join keys include the deterministic __salt column, so
+    each hot l_returnflag spreads over n_salts tasks."""
+    p = plans("salted_skew_join")
+    assert "ShuffledHashJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
+    assert "__salt" in p, p
