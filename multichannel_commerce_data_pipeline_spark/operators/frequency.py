@@ -1,0 +1,79 @@
+"""Heavy hitters — bounded-state frequent-item estimation (Misra-Gries).
+
+Finding the dominant keys of a 100 TB stream (top domains in a web
+corpus, hot SKUs, abusive client ids) with an exact ``GROUP BY key``
+shuffles every distinct key; when the key space is huge (URLs, user
+agents) that shuffle IS the job. The Misra-Gries summary keeps at most
+``k`` counters per partition — memory O(k), strictly map-side — and
+ships only ``<= k`` tiny ``(key, est)`` rows per partition into a final
+merge, so the shuffle is bounded by ``k x partitions`` rows no matter
+how large the data or the key space grows.
+
+Guarantees (the classic MG analysis, preserved by the per-partition +
+merge decomposition used here):
+
+* **never overestimates**: each counter only accumulates exact batch
+  counts and is decremented, so ``est <= true_count``;
+* **bounded undercount**: every decrement round subtracts ``d`` from
+  all surviving counters while at least ``k+1`` counters are live, so
+  total subtracted count is ``>= (k+1) * d`` per round; with ``N_p``
+  rows in partition ``p``, any key's undercount is ``<= N_p/(k+1)``.
+  Summing over partitions (a key absent from a partition's summary was
+  decremented to 0 there): ``true - N/(k+1) <= sum(est) <= true``;
+* hence every key with ``true_count > N/(k+1)`` is guaranteed present
+  in the merged summary — the "heavy hitters cannot be missed" bound.
+
+The kernel is an Arrow ``mapInPandas`` on the declared X5 surface: each
+batch is first reduced with a vectorized ``value_counts`` (exact batch
+partial), then merged into the capped counter dict — per-key Python
+work is O(distinct-per-batch), never per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_kernel(key_col: str, k: int):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf[key_col].dropna().astype(str).value_counts()
+            for key, cnt in vc.items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > k:
+                # batched decrement: subtract the (k+1)-th largest
+                # count from everyone; >= k+1 counters shrink, so the
+                # N_p/(k+1) undercount bound holds per round.
+                d = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - d for key, c in counters.items() if c - d > 0
+                }
+        yield pd.DataFrame(
+            {"key": list(counters), "est": list(counters.values())},
+            columns=["key", "est"],
+        ).astype({"key": str, "est": "int64"})
+
+    return kernel
+
+
+def heavy_hitter_estimates(
+    df: DataFrame, key: Column, k: int = 24
+) -> DataFrame:
+    """Merged Misra-Gries frequency estimates: ``(key string, est
+    long)`` with ``true - N/(k+1) <= est <= true`` per key.
+
+    One narrow map pass (bounded state) + one tiny merge shuffle of
+    ``<= k`` rows per partition — the 100 TB shape. The estimates are
+    partition-layout dependent within the bound; callers that need a
+    deterministic, driver-checkable surface should assert the BOUND
+    against exact counts (see ``event_heavy_hitters``), never the raw
+    estimate values.
+    """
+    keyed = df.select(key.cast("string").alias("key"))
+    partials = keyed.mapInPandas(_mg_kernel("key", k), "key string, est long")
+    return partials.groupBy("key").agg(F.sum("est").alias("est"))

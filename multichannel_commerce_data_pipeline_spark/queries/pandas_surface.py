@@ -145,3 +145,65 @@ def pandas_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "user_id", "event_type", "value").mapInPandas(
         double_clicks_batches, "event_id LONG, user_id LONG, boosted DOUBLE"
     )
+
+
+@query(
+    "event_heavy_hitters",
+    oracle="""
+    WITH exact AS (
+      SELECT user_id, COUNT(*) AS n
+      FROM events
+      GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk
+      FROM exact
+    )
+    SELECT user_id, n, TRUE AS within_bound
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state heavy hitters (Misra-Gries, k=24) over event
+    user_ids, merged across partitions. The estimates are layout-
+    dependent within the proven bound, so the driver-checkable surface
+    is the BOUND, not the estimate: for the exact top-10 users (exact
+    group-by = the validation harness, like the approx sketches'), the
+    merged estimate must satisfy ``exact - N/(k+1) <= est <= exact`` —
+    guaranteed by the MG analysis for ANY partitioning, so the output
+    is deterministic and the oracle pins the flag TRUE. The production
+    100 TB shape drops the exact harness: one bounded-memory map pass
+    plus a ``<= k x partitions``-row merge, no full-key shuffle."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        heavy_hitter_estimates,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import (
+        parallelize_small_scan,
+    )
+    from pyspark.sql import Window
+
+    k = 24
+    ev = parallelize_small_scan(
+        spark, load(spark, sf_dir, "events")
+    ).select("user_id")
+    est = heavy_hitter_estimates(ev, F.col("user_id"), k=k)
+
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    exact = exact.withColumn("total", F.sum("n").over(w_all)).withColumn(
+        "rk", F.row_number().over(w_all.orderBy(F.desc("n"), F.asc("user_id")))
+    )
+    joined = exact.filter(F.col("rk") <= 10).join(
+        est.withColumnRenamed("key", "ukey"),
+        F.col("user_id").cast("string") == F.col("ukey"),
+        "left",
+    )
+    est0 = F.coalesce(F.col("est"), F.lit(0))
+    bound = F.col("total") / F.lit(k + 1)
+    return joined.select(
+        "user_id",
+        "n",
+        ((est0 <= F.col("n")) & ((F.col("n") - est0) <= bound)).alias(
+            "within_bound"
+        ),
+    )

@@ -1048,3 +1048,49 @@ def test_lm_perplexity_prefers_predictable_text(spark):
     }
     predictable = [out[i] for i in range(9)]
     assert max(predictable) > out[9] + 1  # >1 nat/bigram better
+
+
+def test_misra_gries_bound_on_zipf_keys(spark):
+    """MG guarantee on a skewed (zipf-ish) key distribution under a
+    forced multi-partition layout: for EVERY key, the merged estimate
+    must satisfy exact - N/(k+1) <= est <= exact, and every key with
+    exact count > N/(k+1) must be present in the summary."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        heavy_hitter_estimates,
+    )
+
+    # key = id % (1 + id % 37): heavily concentrates small keys
+    rows = spark.range(0, 20000, 1, 16).select(
+        (F.col("id") % (F.lit(1) + F.col("id") % 37)).alias("key")
+    )
+    k = 12
+    est = {
+        r.key: r.est
+        for r in heavy_hitter_estimates(rows, F.col("key"), k=k).collect()
+    }
+    exact = {
+        str(r.key): r.n
+        for r in rows.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    slack = n_total / (k + 1)
+    for key, true_n in exact.items():
+        e = est.get(key, 0)
+        assert e <= true_n, (key, e, true_n)
+        assert true_n - e <= slack, (key, e, true_n, slack)
+        if true_n > slack:
+            assert key in est, (key, true_n, slack)
+
+
+def test_misra_gries_exact_when_keys_fit(spark):
+    """With k >= distinct keys, MG never evicts: estimates are exact."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        heavy_hitter_estimates,
+    )
+
+    rows = spark.range(0, 5000, 1, 8).select((F.col("id") % 7).alias("key"))
+    est = {
+        r.key: r.est
+        for r in heavy_hitter_estimates(rows, F.col("key"), k=16).collect()
+    }
+    assert est == {str(i): len(range(i, 5000, 7)) for i in range(7)}
