@@ -666,3 +666,69 @@ def corpus_prepare_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=8,
         extra_partition_cols=("split",),
     ).select("doc_id", "split", "n_tokens", "shard", "pack_id", "pack_offset")
+
+
+@query(
+    "balanced_class_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             {_ID_HASH(71)} AS h, c.cnt
+      FROM documents d JOIN counts c USING (lang)
+    ),
+    kept AS (
+      SELECT * FROM keyed
+      WHERE h / 1152921504606846976.0 < LEAST(1.0, 320.0 / cnt)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM kept
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 40
+    """,
+)
+def balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced deterministic sampling: exactly ``n_per = 40``
+    documents per language, chosen as the class's smallest-hash rows —
+    the rebalancing step before training on a corpus whose class mix is
+    skewed (every class contributes equally regardless of raw share).
+
+    Scale shape: the naive form sorts EVERY class member in the
+    per-class window. Here a hash prefilter (keep fraction
+    ``min(1, 8·n_per / class_count)``, from a broadcast per-class count
+    agg) cuts the window's input to ~``8·n_per`` expected rows per
+    class BEFORE the shuffle, so the sort input is bounded by sample
+    size, not corpus size — the giant-class window stops being the
+    bottleneck. The top-``n_per`` smallest hashes survive the prefilter
+    unless fewer than ``n_per`` rows land under it (Binomial tail at
+    8× oversampling — negligible, and the oracle applies the identical
+    prefilter so cross-engine equality is exact by construction either
+    way). Hash = the portable 60-bit md5 (same family as the dataset
+    split), so membership is stable under corpus growth and identical
+    in DuckDB."""
+    from pyspark.sql import Window
+
+    from multichannel_commerce_data_pipeline_spark.functions import portable_hash64
+
+    n_per, oversample = 40, 8
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    h = portable_hash64(F.col("doc_id").cast("string"), 71)
+    kept = (
+        docs.join(F.broadcast(counts), "lang")
+        .withColumn("h", h)
+        .filter(
+            F.col("h") / F.lit(float(1 << 60))
+            < F.least(F.lit(1.0), F.lit(float(oversample * n_per)) / F.col("cnt"))
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per)
+        .select("doc_id", "lang", "n_chars")
+    )
