@@ -275,10 +275,17 @@ def bpe_train(
     frequency table (the standard trainer state — bounded by
     vocabulary, not corpus size), so each merge round costs one
     aggregate over ~vocab rows regardless of corpus bytes. Words are
-    represented as sentinel-spaced symbol strings (``" l o w "``) and
-    a merge is a single literal ``replace(" a b " → " ab ")`` — both
-    Spark and any SQL engine scan left-to-right without overlap, which
-    IS greedy BPE application, so every round is oracle-reproducible.
+    represented as DOUBLE-space-separated symbol strings
+    (``"  l  o  w  "``) and a merge is a single literal
+    ``replace(" a  b " → " ab ")``: the pattern consumes only the
+    INNER half of each two-space boundary and the replacement restores
+    it, so consecutive overlapping occurrences (``a a a a`` under merge
+    ``(a, a)``) keep their shared boundary and the engine's
+    left-to-right non-overlapping replace IS greedy BPE application —
+    identical in any SQL engine, so every round is
+    oracle-reproducible. (A single-space form is NOT greedy: the match
+    consumes the shared space, so ``a a a a`` became ``aa a a`` —
+    caught by the hypothesis test against the pure-Python trainer.)
 
     Each round's state is re-persisted and the previous round's cache
     dropped: the plan on top of the cache stays one replace deep, so
@@ -286,11 +293,11 @@ def bpe_train(
     from pyspark import StorageLevel
 
     sep = F.concat(
-        F.lit(" "),
+        F.lit("  "),
         F.concat_ws(
-            " ", F.regexp_extract_all(F.col(word_col), F.lit("."), 0)
+            "  ", F.regexp_extract_all(F.col(word_col), F.lit("."), 0)
         ),
-        F.lit(" "),
+        F.lit("  "),
     )
     state = words.select(sep.alias("ws"), F.col(cnt_col).alias("cnt")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -300,7 +307,7 @@ def bpe_train(
     try:
         for step in range(n_merges):
             syms = state.select(
-                F.split(F.trim("ws"), " ").alias("sy"), "cnt"
+                F.split(F.trim("ws"), "  ").alias("sy"), "cnt"
             )
             n1 = F.greatest(F.size("sy") - F.lit(1), F.lit(0))
             pairs = syms.select(
@@ -325,9 +332,10 @@ def bpe_train(
             pair = best[0]["pr"]
             merged = pair.replace(" ", "")
             merges.append((step, pair, merged))
+            pat = " " + pair.replace(" ", "  ") + " "
             nxt = state.select(
                 F.replace(
-                    F.col("ws"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+                    F.col("ws"), F.lit(pat), F.lit(f" {merged} ")
                 ).alias("ws"),
                 "cnt",
             ).persist(StorageLevel.MEMORY_AND_DISK)

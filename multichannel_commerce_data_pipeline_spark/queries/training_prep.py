@@ -372,12 +372,14 @@ def _bpe_train_oracle(n: int) -> str:
     — the SQL re-runs the ENTIRE iterative training, so the driver's
     hash compare proves every round's argmax and greedy application,
     not just the final table. Greedy merge = literal replace on the
-    sentinel-spaced symbol string, identical left-to-right
-    non-overlapping semantics in both engines."""
-    sy = "string_split(trim(ws), ' ')"
+    DOUBLE-space-separated symbol string (pattern ``" a  b "`` eats
+    only the inner half of each boundary, replacement ``" ab "``
+    restores it — see operators/training_prep.bpe_train), identical
+    left-to-right non-overlapping semantics in both engines."""
+    sy = "string_split(trim(ws), '  ')"
     blocks = [
         rf"""w0 AS (
-      SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS ws,
+      SELECT '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' AS ws,
              cnt
       FROM (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -403,7 +405,8 @@ def _bpe_train_oracle(n: int) -> str:
         )
         blocks.append(
             f"""w{i + 1} AS (
-      SELECT replace(ws, ' ' || b.pr || ' ', ' ' || replace(b.pr, ' ', '') || ' ')
+      SELECT replace(ws, ' ' || replace(b.pr, ' ', '  ') || ' ',
+                     ' ' || replace(b.pr, ' ', '') || ' ')
                AS ws, cnt
       FROM w{i}, b{i} b
     )"""
@@ -479,7 +482,7 @@ def _bpe_apply_oracle(n: int) -> str:
     ),
     a0 AS (
       SELECT doc_id,
-             ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
+             '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  '
                AS ws
       FROM dt
     )"""
@@ -488,7 +491,7 @@ def _bpe_apply_oracle(n: int) -> str:
         apply_blocks.append(
             f"""a{i + 1} AS (
       SELECT doc_id,
-             replace(ws, ' ' || b.pr || ' ',
+             replace(ws, ' ' || replace(b.pr, ' ', '  ') || ' ',
                      ' ' || replace(b.pr, ' ', '') || ' ') AS ws
       FROM a{i}, b{i} b
     )"""
@@ -501,7 +504,7 @@ def _bpe_apply_oracle(n: int) -> str:
         + f"""
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_pretokens,
-           CAST(SUM(len(string_split(trim(ws), ' '))) AS BIGINT)
+           CAST(SUM(len(string_split(trim(ws), '  '))) AS BIGINT)
              AS n_bpe_tokens
     FROM a{n}
     GROUP BY doc_id
@@ -525,12 +528,13 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, load(spark, sf_dir, "documents").select("doc_id", "text")
     )
     spaced = (
-        "concat(' ', array_join(regexp_extract_all(t, '.', 0), ' '), ' ')"
+        "concat('  ', array_join(regexp_extract_all(t, '.', 0), '  '), '  ')"
     )
     chain = spaced
     for _, pair, merged in merges:
+        pat = " " + pair.replace(" ", "  ") + " "
         chain = (
-            f"replace({chain}, {_sql_quote(' ' + pair + ' ')}, "
+            f"replace({chain}, {_sql_quote(pat)}, "
             f"{_sql_quote(' ' + merged + ' ')})"
         )
     toks = d.select(
@@ -541,7 +545,7 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tk").cast("long").alias("n_pretokens"),
         F.expr(
             f"aggregate(transform(tk, t -> "
-            f"size(split(trim({chain}), ' '))), 0L, (acc, x) -> acc + x)"
+            f"size(split(trim({chain}), '  '))), 0L, (acc, x) -> acc + x)"
         ).alias("n_bpe_tokens"),
     )
 
