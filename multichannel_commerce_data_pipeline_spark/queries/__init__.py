@@ -66,6 +66,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # simhash_near_dupes (still in the window); multimodal_frame_plan is
 # the plan-shape probe of the multimodal trio whose other two rows
 # stay in.
+#
+# Late-r5 amendment: the BPE greedy-overlap fix changed the SEMANTICS
+# of bpe_train_merges / bpe_segment_stats (their r4 evidence predates
+# the fix), and three new operators landed (salted_skew_join,
+# event_heavy_hitters, balanced_class_sample) — all five take priority-
+# (2) slots. Displaced to r6, per the documented-exception rule: the
+# five pure-Column scalar queries projection_clean / literal_columns /
+# case_when_bands / regex_predicate / in_list_rollup — single-table
+# select/filter chains whose code AND shared helpers are untouched
+# since r2, each re-verified green by scripts/check.py at sf0.01 this
+# session (the lowest-risk class in the registry; filter_pushdown and
+# deterministic_bucket stay in as the guards for the shared scan/hash
+# helpers they all use).
 CHECK_FIRST: tuple[str, ...] = (
     # flagship (entry() smoke - keep in the checked window)
     "exec_daily_kpi",
@@ -90,14 +103,16 @@ CHECK_FIRST: tuple[str, ...] = (
     "file_format_roundtrip",
     "embedding_pq_codes",
     "ann_ivfpq_topk",
+    # late-r5: semantics changed by the BPE greedy-overlap fix
+    "bpe_train_merges",
+    "bpe_segment_stats",
+    # late-r5: new operators
+    "salted_skew_join",
+    "event_heavy_hitters",
+    "balanced_class_sample",
     # latest driver row is r2: core/projection family
-    "projection_clean",
     "filter_pushdown",
-    "literal_columns",
     "arithmetic_margin",
-    "case_when_bands",
-    "regex_predicate",
-    "in_list_rollup",
     "deterministic_bucket",
     "local_table_constructor",
     "recency_topn",
