@@ -349,3 +349,101 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("handling_cost"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _pagerank_oracle(n_iters: int) -> str:
+    """Unrolled n-round weighted PageRank in DuckDB over the symmetrized
+    co-purchase graph — same decimal-quantized contributions as
+    operators/graph.pagerank, so the iterative computation hash-matches
+    round for round."""
+    from multichannel_commerce_data_pipeline_spark.functions import oracle_dround
+
+    blocks = [
+        """items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    cp AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT part_a AS src, part_b AS dst, w FROM cp
+      UNION ALL
+      SELECT part_b AS src, part_a AS dst, w FROM cp
+    ),
+    deg AS (
+      SELECT src, CAST(SUM(w) AS DOUBLE) AS deg FROM edges GROUP BY src
+    ),
+    r0 AS (
+      SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM deg
+    )"""
+    ]
+    contrib = oracle_dround("(r.r * e.w) / d.deg", 9)
+    update = oracle_dround("0.15 + 0.85 * CAST(s AS DOUBLE)", 9)
+    for i in range(n_iters):
+        blocks.append(
+            f"""c{i + 1} AS (
+      SELECT e.dst AS node,
+             SUM(CAST({contrib} AS DECIMAL(28,9))) AS s
+      FROM edges e
+      JOIN r{i} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS (
+      SELECT node, {update} AS r FROM c{i + 1}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"\n    SELECT node AS part, r AS pagerank FROM r{n_iters}"
+    )
+
+
+@query("copurchase_pagerank", oracle=_pagerank_oracle(2))
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the market basket: 2 rounds of weighted
+    PageRank on the symmetrized co-purchase graph (edges = part pairs
+    bought together in >= 2 orders, weight = co-order count) — ranks
+    the products that anchor baskets, not merely the best sellers.
+    Per round: one equi-join of the rank vector onto the degree-
+    annotated edge frame + one partial-aggregated group-by on dst —
+    contributions quantized to DECIMAL(28,9) before the sum so the
+    iteration is order-independent and the DuckDB oracle can unroll
+    both rounds to a hash match. Edge build is per-basket quadratic
+    (copurchase_pairs' bound), never corpus-quadratic."""
+    from multichannel_commerce_data_pipeline_spark.operators.graph import pagerank
+
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    cp = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = cp.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "w"
+    ).unionAll(
+        cp.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst"), "w"
+        )
+    )
+    return pagerank(edges, n_iters=2).select(
+        F.col("node").alias("part"), F.col("r").alias("pagerank")
+    )

@@ -1094,3 +1094,18 @@ def test_misra_gries_exact_when_keys_fit(spark):
         for r in heavy_hitter_estimates(rows, F.col("key"), k=16).collect()
     }
     assert est == {str(i): len(range(i, 5000, 7)) for i in range(7)}
+
+
+def test_pagerank_matches_hand_computed_star(spark):
+    """2-round weighted PageRank on the 3-node star a-b, a-c (unit
+    weights, symmetrized) against hand-computed values."""
+    from multichannel_commerce_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1), ("a", "c", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r.node: r.r for r in pagerank(edges, n_iters=2).collect()}
+    # r1: a = .15+.85*(1+1) = 1.85 ; b = c = .15+.85*.5 = .575
+    # r2: a = .15+.85*(.575+.575) = 1.1275 ; b = c = .15+.85*.925 = .93625
+    assert got == {"a": 1.1275, "b": 0.93625, "c": 0.93625}
