@@ -477,3 +477,66 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dround(F.avg("l_discount"), 4).alias("avg_discount"),
     )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median("value") AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, abs(e."value" - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(dev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id,
+           d.event_type,
+           CASE WHEN m.mad = 0 THEN NULL
+                ELSE CAST(ROUND(CAST((d.dev / (1.4826 * m.mad))
+                       AS DECIMAL(38,10)), 6) AS DOUBLE) END AS robust_z,
+           CASE WHEN m.mad = 0 THEN NULL
+                ELSE d.dev > 4.4478 * m.mad END AS is_outlier
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection: median/MAD z-scores
+    (z = |x − median| / (1.4826·MAD), outlier at |z| > 3) — the
+    quality gate that survives the heavy tails that break mean/stddev
+    z-scores (one corrupt feed day drags a mean; it barely moves a
+    median). Two exact-percentile aggregates (group keys = 5 event
+    types, partial-aggregated) with the tiny per-group stats broadcast
+    back — the fact table shuffles twice on a 5-key column and never
+    self-joins. MAD=0 groups (constant value) yield NULL scores rather
+    than division blowups — totality before scale, like int8's
+    zero-vector guard. The 3σ-equivalent threshold 3·1.4826 is written
+    as the literal 4.4478 in BOTH engines so constant folding cannot
+    diverge."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    out = dev.join(F.broadcast(mad), "event_type")
+    guarded = lambda c: F.when(F.col("mad") != 0, c)  # noqa: E731
+    return out.select(
+        "event_id",
+        "event_type",
+        guarded(dround(F.col("dev") / (F.lit(1.4826) * F.col("mad")), 6)).alias(
+            "robust_z"
+        ),
+        guarded(F.col("dev") > F.lit(4.4478) * F.col("mad")).alias(
+            "is_outlier"
+        ),
+    )

@@ -610,3 +610,73 @@ def ab_test_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(rb, 6).alias("rate_b"),
         dround(z, 4).alias("z_score"),
     )
+
+
+@query(
+    "last_touch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, "value" FROM events
+      WHERE event_type = 'purchase'
+    ),
+    prior AS (
+      SELECT p.event_id AS pid, p."value" AS val, e.event_type AS src_type,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rk
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type <> 'purchase'
+       AND (e.ts < p.ts OR (e.ts = p.ts AND e.event_id < p.event_id))
+       AND e.ts >= p.ts - INTERVAL 7 DAY
+    )
+    SELECT src_type,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed,
+           CAST(ROUND(SUM(CAST(val AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS attributed_value
+    FROM prior WHERE rk = 1
+    GROUP BY src_type
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the
+    user's most recent non-purchase event within 7 days — the
+    marketing-channel question every commerce warehouse answers. The
+    scale-right plan is ONE keyed shuffle: a per-user window carries
+    ``max(struct(ts, event_id, type))`` over preceding non-purchase
+    rows (running max — no self-join, no per-user quadratic), then the
+    7-day recency filter and a partial-aggregated rollup. The oracle
+    states the same semantics as the quadratic prior-event join + rank
+    (fine at oracle scale); struct-max ties break on (ts, event_id) in
+    both engines. Decimal sums keep the revenue rollup exact."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_src = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct("ts", "event_id", F.col("event_type").alias("t")),
+        )
+    ).over(w)
+    touched = (
+        ev.withColumn("last_src", last_src)
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("last_src").isNotNull())
+        .filter(
+            F.col("last_src.ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+        )
+    )
+    return touched.groupBy(
+        F.col("last_src.t").alias("src_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("attributed_value"),
+    )
