@@ -60,10 +60,15 @@ HEADLINE = [
     "corpus_prepare_curated",
     "conversion_funnel",
     "copurchase_pairs",
+    "event_heavy_hitters",
+    "copurchase_pagerank",
+    "last_touch_attribution",
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
     # nb_lang_posterior shares dsir's fit+score machinery; the jdbc/orc/
     # csv round-trips are IO coverage, not throughput queries.
+    # salted_skew_join mirrors salted_skew_agg's timed shape;
+    # balanced_class_sample and mad_outliers are scale-probe entries.
 ]
 
 

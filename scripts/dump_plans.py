@@ -230,6 +230,38 @@ COMMENTARY = {
         "billion-scale layout. ADC terms are JVM Column folds against "
         "the codebook literals."
     ),
+    "salted_skew_join": (
+        "A ShuffledHashJoin whose keys include the deterministic __salt "
+        "column (plan-pinned, no broadcast): each hot l_returnflag spreads "
+        "over 16 sub-keys while the fee dim replicates via a narrow explode "
+        "— the escape hatch for a skewed join whose dim is too big to "
+        "broadcast. The follow-up group-by is partial-aggregated, and the "
+        "result is row-identical to the unsalted join per the oracle."
+    ),
+    "event_heavy_hitters": (
+        "The production path is the ArrowEvalPython/mapInPandas stage: O(k) "
+        "state per partition, emitting <= k (key, est) rows each, merged by "
+        "one tiny hash exchange. The exact group-by alongside it is the "
+        "validation harness (the approx-sketch convention) — drop it and "
+        "only the bounded-state pass remains; at 100 TB the full-key "
+        "shuffle the exact plan needs is exactly what MG avoids."
+    ),
+    "copurchase_pagerank": (
+        "Edge build is the per-basket-quadratic self-join co-partitioned on "
+        "l_orderkey; each PageRank round is one rank-onto-edges equi-join "
+        "plus one partial-aggregated dst group-by over DECIMAL(28,9) "
+        "contributions (order-independent sums). Rounds materialize via "
+        "localCheckpoint, so the visible plan stays one join deep no matter "
+        "the iteration count — the label-propagation plan-growth lesson "
+        "applied to ranking."
+    ),
+    "last_touch_attribution": (
+        "One keyed shuffle: the per-user window carries a running "
+        "max(struct(ts, event_id, type)) over preceding non-purchase rows "
+        "— no self-join, no per-user quadratic — then the 7-day filter and "
+        "a partial-aggregated rollup on the attributed channel. The "
+        "quadratic prior-event join lives only in the oracle."
+    ),
 }
 
 
