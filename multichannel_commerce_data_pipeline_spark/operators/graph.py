@@ -9,13 +9,18 @@ curriculum weighting), over user-interaction graphs (abuse hubs).
 Execution model: the rank vector is a ``(node, rank)`` frame; one
 iteration is one equi-join of ranks onto the (degree-annotated) edge
 frame plus one partial-aggregated group-by on the destination — per
-round, one shuffle of edge contributions, nothing quadratic. The edge
-frame is computed once, degree-joined, and persisted; each round's
-rank frame is ``localCheckpoint``-ed so the lazy plan stays one join
-deep regardless of iteration count (the dedup_clusters plan-growth
-lesson). At 100 TB the edges co-partition on ``src`` and stay
-partitioned across rounds; AQE handles hub-node skew on the ``dst``
-aggregate the same way it does any skewed group-by.
+round, one shuffle of edge contributions, nothing quadratic. At
+100 TB the edges co-partition on ``src`` and stay partitioned across
+rounds; AQE handles hub-node skew on the ``dst`` aggregate the same
+way it does any skewed group-by.
+
+Plan depth: for a handful of rounds the whole computation stays ONE
+lazy plan — Catalyst's ReuseExchange collapses the repeated edge/deg
+subtrees, and no driver-side job runs until the caller acts. Past
+``checkpoint_every`` rounds the rank frame is ``localCheckpoint``-ed
+so the lineage cannot grow superlinearly (the dedup_clusters
+plan-growth lesson) — long-horizon runs trade a per-round
+materialization for bounded planning cost.
 
 Determinism: floating-point addition does not commute, so a naive
 ``SUM(double)`` makes ranks partition-order dependent. Every per-edge
@@ -28,7 +33,6 @@ ANSI SQL, so a DuckDB oracle can unroll the rounds and hash-match.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +43,7 @@ def pagerank(
     edges: DataFrame,
     n_iters: int = 2,
     damping: float = 0.85,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge frame ``(src, dst, w)``.
 
@@ -48,30 +53,28 @@ def pagerank(
     destination (on a symmetrized graph: every node). Dangling nodes
     (no out-edges) are assumed absent — symmetrize the graph or drop
     them upstream.
+
+    Fully lazy for short horizons; every ``checkpoint_every`` rounds
+    the rank lineage is truncated with an eager ``localCheckpoint`` to
+    keep planning cost flat on long runs.
     """
     deg = edges.groupBy("src").agg(F.sum("w").cast("double").alias("deg"))
-    ed = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ed = edges.join(deg, "src")
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
-    try:
-        for _ in range(n_iters):
-            contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
-                F.col("dst").alias("node"),
-                dround((F.col("r") * F.col("w")) / F.col("deg"), 9)
-                .cast("decimal(28,9)")
-                .alias("c"),
-            )
-            ranks = contrib.groupBy("node").agg(
-                dround(
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.sum("c").cast("double"),
-                    9,
-                ).alias("r")
-            )
-            # eager: each round materializes before the next builds on
-            # it, so the plan depth is constant and the edge cache can
-            # be dropped when the loop ends (the returned frame reads
-            # the final checkpoint, not the edge lineage).
+    for i in range(n_iters):
+        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            dround((F.col("r") * F.col("w")) / F.col("deg"), 9)
+            .cast("decimal(28,9)")
+            .alias("c"),
+        )
+        ranks = contrib.groupBy("node").agg(
+            dround(
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.sum("c").cast("double"),
+                9,
+            ).alias("r")
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iters:
             ranks = ranks.localCheckpoint(eager=True)
-        return ranks
-    finally:
-        ed.unpersist()
+    return ranks

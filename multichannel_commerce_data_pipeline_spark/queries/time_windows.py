@@ -680,3 +680,60 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(ROUND(CAST((CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type))
+               AS DECIMAL(38,10)), 6) AS DOUBLE) AS p
+    FROM cnt
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the navigation-flow /
+    next-action model behind funnel diagnostics and session
+    simulation. One keyed shuffle builds the lag pairs (per-user
+    window), then the count and row-normalization both run over the
+    TINY type x type frame (25 rows here; bounded by the square of the
+    type vocabulary at any corpus size — the heavy fact table shuffles
+    exactly once). Probabilities quantize through dround for
+    cross-engine bit-equality; integer counts stay exact."""
+    from pyspark.sql import Window
+
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = ev.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    cnt = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        dround(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("p"),
+    )
