@@ -736,3 +736,58 @@ def balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= n_per)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+_WS_KEY = (
+    f"-ln(({_ID_HASH(137)} + 1) / 1152921504606846976.0)"
+    " / CAST(n_chars AS DOUBLE)"
+)
+
+
+@query(
+    "weighted_corpus_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             {oracle_dround(_WS_KEY, 6)} AS k
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 100
+    """,
+)
+def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential race): draw 100 documents with inclusion probability
+    increasing in the weight (here ``n_chars`` — swap in any quality
+    score), deterministically. Each doc gets an exponential arrival
+    key ``-ln(u)/w`` with ``u`` derived from the portable 60-bit md5
+    hash (never 0 — the +1 shift keeps u in (0, 1]); the k smallest
+    keys ARE an exact E-S weighted sample, so re-runs, engines, and
+    incremental re-draws agree row-for-row. Scale shape: a pure
+    map-side key projection + global top-k — TakeOrderedAndProject,
+    per-partition heaps, no full sort, no shuffle beyond k rows per
+    partition. Keys quantize through dround(6) so cross-engine libm
+    ln() agrees bit-for-bit; quantization ties break on doc_id in both
+    engines."""
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        dround,
+        portable_hash64,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    u = (portable_hash64(F.col("doc_id").cast("string"), 137) + 1) / F.lit(
+        float(1 << 60)
+    )
+    key = dround(-F.log(u) / F.col("n_chars").cast("double"), 6)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .withColumn("k", key)
+        .orderBy("k", "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars")
+    )
