@@ -1109,3 +1109,32 @@ def test_pagerank_matches_hand_computed_star(spark):
     # r1: a = .15+.85*(1+1) = 1.85 ; b = c = .15+.85*.5 = .575
     # r2: a = .15+.85*(.575+.575) = 1.1275 ; b = c = .15+.85*.925 = .93625
     assert got == {"a": 1.1275, "b": 0.93625, "c": 0.93625}
+
+
+def test_balanced_sample_caps_every_class(spark, sf_dir):
+    """balanced_class_sample yields at most n_per rows per language and
+    is deterministic across builds."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    q = load_registry()["balanced_class_sample"]
+    rows = q.fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per[r.lang] = per.get(r.lang, 0) + 1
+    assert per and all(n <= 40 for n in per.values()), per
+    again = q.fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    """Per prev_type, transition probabilities sum to ~1 (quantization
+    leaves at most 1e-4 slack) and counts are positive."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    q = load_registry()["event_transition_matrix"]
+    rows = q.fn(spark, sf_dir).collect()
+    sums = {}
+    for r in rows:
+        assert r.n > 0
+        sums[r.prev_type] = sums.get(r.prev_type, 0.0) + r.p
+    assert sums and all(abs(s - 1.0) < 1e-4 for s in sums.values()), sums
