@@ -378,3 +378,26 @@ def test_salted_skew_join_shuffles_on_salted_key(plans):
     assert "ShuffledHashJoin" in p, p
     assert "BroadcastHashJoin" not in p, p
     assert "__salt" in p, p
+
+
+def test_weighted_sample_plans_take_ordered(plans):
+    """weighted_corpus_sample's global top-k must be a
+    TakeOrderedAndProject (per-partition heaps), never a full sort."""
+    p = plans("weighted_corpus_sample")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Sort [" not in p, p
+
+
+def test_transition_matrix_single_fact_exchange(plans):
+    """event_transition_matrix shuffles the fact table exactly once
+    (the user_id lag window); the count + normalization exchanges
+    operate on the type-squared-bounded frame."""
+    p = plans("event_transition_matrix")
+    assert p.count("hashpartitioning(user_id") == 1, p
+
+
+def test_balanced_sample_broadcasts_class_counts(plans):
+    """balanced_class_sample's per-class counts join must broadcast
+    (the prefilter is a narrow filter ahead of the per-class window)."""
+    p = plans("balanced_class_sample")
+    assert "BroadcastHashJoin" in p, p
