@@ -154,14 +154,14 @@ CHECK_FIRST: tuple[str, ...] = (
     # Late-r5 additions that did not fit (all local check.py green at
     # sf0.01, rotate in at r6): copurchase_pagerank,
     # last_touch_attribution, mad_outliers, event_transition_matrix,
-    # weighted_corpus_sample.
+    # weighted_corpus_sample, hybrid_search_rrf.
     # ann_recall_at_k transitively runs BOTH ann_cosine_topk and
     # ann_ivf_topk with identical parameters, so the ANN family keeps
     # fresh driver evidence without separate slots; the r3-vintage
     # silver/gold rows hit their two-round staleness bound at r5 and
     # rotate in at r6, as do the r5 additions that didn't fit
     # (scd2_user_status, regional_supplier_revenue, bpe_pair_counts,
-    # bpe_train_merges, bpe_segment_stats, partitioned_scan_prune,
+    # partitioned_scan_prune,
     # corpus_prepare_curated, lm_perplexity_score, snapshot_time_travel,
     # conversion_funnel, cohort_retention, copurchase_pairs,
     # decayed_popularity, ab_test_purchase_rate — all local check.py

@@ -687,3 +687,114 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id", vec_col="embedding", k=_K,
         codebook=_pq_cb(spark, sf_dir),
     )
+
+
+_RRF_TERMS = ("spark", "query", "join")
+_RRF_K0 = 60  # the standard RRF damping constant
+
+
+def _rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    cos = oracle_dround(_COSINE.replace("cv", "c.v").replace("qv", "q.qv"), 4)
+    rrf = oracle_dround(
+        f"COALESCE(1.0 / ({_RRF_K0} + d.dr), 0.0)"
+        f" + COALESCE(1.0 / ({_RRF_K0} + s.sr), 0.0)",
+        9,
+    )
+    return rf"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM c WHERE vec_id = 0),
+    dense AS (
+      SELECT id, dr FROM (
+        SELECT c.vec_id AS id,
+               ROW_NUMBER() OVER (ORDER BY {cos} DESC, c.vec_id) AS dr
+        FROM c, q WHERE c.vec_id <> 0
+      ) WHERE dr <= 50
+    ),
+    sparse AS (
+      SELECT id, sr FROM (
+        SELECT doc_id AS id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS sr
+        FROM (
+          SELECT doc_id,
+                 len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                                 t -> t IN ({terms}))) AS score
+          FROM documents
+        ) WHERE score > 0
+      ) WHERE sr <= 50
+    )
+    SELECT doc_id, rrf_score, dense_rank, sparse_rank FROM (
+      SELECT COALESCE(d.id, s.id) AS doc_id,
+             {rrf} AS rrf_score,
+             CAST(COALESCE(d.dr, 0) AS BIGINT) AS dense_rank,
+             CAST(COALESCE(s.sr, 0) AS BIGINT) AS sparse_rank
+      FROM dense d FULL JOIN sparse s ON d.id = s.id
+    )
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """
+
+
+@query("hybrid_search_rrf", oracle=_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a dense (embedding
+    cosine) and a sparse (keyword term-frequency) ranking — the
+    standard way production search fuses ANN and inverted-index
+    results without score calibration (ranks, not scores, so the two
+    modalities need no common scale). Each side reduces to a top-50
+    (id, rank) frame BEFORE the fuse: the dense side is the broadcast-
+    query cosine top-k, the sparse side a map-side term count +
+    TakeOrderedAndProject — so the full-outer fuse joins two 50-row
+    frames, trivially broadcastable at any corpus size. RRF =
+    Σ 1/(60 + rank) with absent-side contribution 0 (rank reported as
+    0); identical two-term double expression in both engines, dround-
+    quantized."""
+    from pyspark.sql import Window
+
+    from multichannel_commerce_data_pipeline_spark.operators import text as T
+
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    q0 = e.filter(F.col("vec_id") == 0)
+    dense = S.cosine_topk(e, q0, id_col="vec_id", vec_col="embedding", k=50).select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("dr")
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    scored = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("tk")
+    ).select(
+        "doc_id",
+        F.expr(f"size(filter(tk, t -> t IN ({terms})))").alias("score"),
+    )
+    sparse = (
+        scored.filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn(
+            "sr",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
+        )
+        .select(F.col("doc_id").alias("id"), "sr")
+    )
+
+    fused = dense.join(sparse, "id", "full")
+    rrf = dround(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K0) + F.col("dr")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K0) + F.col("sr")), F.lit(0.0)),
+        9,
+    )
+    return (
+        fused.select(
+            F.col("id").alias("doc_id"),
+            rrf.alias("rrf_score"),
+            F.coalesce(F.col("dr"), F.lit(0)).cast("long").alias("dense_rank"),
+            F.coalesce(F.col("sr"), F.lit(0)).cast("long").alias("sparse_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
+    )
