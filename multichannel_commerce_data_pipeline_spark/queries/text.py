@@ -609,3 +609,46 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(50)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "dedup_report",
+    oracle="""
+    WITH keyed AS (
+      SELECT source, md5(text) AS h FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique
+      FROM keyed GROUP BY source
+    )
+    SELECT source, n_docs, n_unique,
+           CAST(ROUND(CAST((1.0 - CAST(n_unique AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE)) AS DECIMAL(38,10)), 6) AS DOUBLE)
+             AS dup_rate
+    FROM per
+    """,
+)
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: per-source exact-duplicate rate (md5 text
+    fingerprint) — the report a corpus pipeline publishes after every
+    dedup run to catch a feed gone pathological (one source suddenly
+    90% duplicates means an upstream retry loop, not organic data).
+    One partial-aggregated group-by; COUNT DISTINCT of the 128-bit
+    fingerprint never moves raw text through the exchange. At 100 TB
+    swap the exact distinct for approx_count_distinct and this becomes
+    a single-pass sketch aggregate (the approx_distinct_kpi shape)."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text")).alias("h")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("h")).alias("n_unique"),
+    )
+    rate = dround(
+        F.lit(1.0)
+        - F.col("n_unique").cast("double") / F.col("n_docs").cast("double"),
+        6,
+    )
+    return per.select("source", "n_docs", "n_unique", rate.alias("dup_rate"))
