@@ -154,7 +154,8 @@ CHECK_FIRST: tuple[str, ...] = (
     # Late-r5 additions that did not fit (all local check.py green at
     # sf0.01, rotate in at r6): copurchase_pagerank,
     # last_touch_attribution, mad_outliers, event_transition_matrix,
-    # weighted_corpus_sample, hybrid_search_rrf, dedup_report.
+    # weighted_corpus_sample, hybrid_search_rrf, dedup_report,
+    # winsorized_pricing.
     # ann_recall_at_k transitively runs BOTH ann_cosine_topk and
     # ann_ivf_topk with identical parameters, so the ANN family keeps
     # fresh driver evidence without separate slots; the r3-vintage

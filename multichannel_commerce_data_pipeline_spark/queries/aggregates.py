@@ -540,3 +540,61 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@query(
+    "winsorized_pricing",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    clipped AS (
+      SELECT li.l_returnflag,
+             LEAST(GREATEST(li.l_extendedprice, b.lo), b.hi) AS v
+      FROM lineitem li JOIN bounds b USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           CAST(ROUND(CAST((CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                            / COUNT(*)) AS DECIMAL(38,10)), 4) AS DOUBLE)
+             AS winsorized_mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM clipped GROUP BY l_returnflag
+    """,
+)
+def winsorized_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean price per return flag: values clipped to the
+    per-group [p1, p99] band before averaging — the outlier-robust
+    aggregate a pricing dashboard uses so one fat-fingered order
+    doesn't move the mean (the trimming cousin of mad_outliers'
+    flagging). One exact-percentile aggregate over 3 group keys
+    (partial-aggregated), bounds broadcast back, then a second
+    partial-aggregated pass over the clipped column — the fact table
+    never self-joins and shuffles only its 3-key rollups. The mean is
+    computed as an exact DECIMAL sum over quantized values divided by
+    the count (a naive double AVG is partition-order dependent — at
+    ~1e9 group sums the summation jitter reaches the 4dp rounding
+    granularity), then dround-quantized."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.01).alias("lo"),
+        F.percentile("l_extendedprice", 0.99).alias("hi"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+        ).alias("v"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        dround(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("winsorized_mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
