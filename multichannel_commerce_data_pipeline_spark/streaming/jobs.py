@@ -570,3 +570,114 @@ def vacuum_merge_snapshots(snapshot_dir: str, keep: int = 2) -> list[str]:
     for n in removed:
         shutil.rmtree(root / n)
     return removed
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    source: str,
+    bronze_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "buyer_name",
+    k: int = 6,
+    n_buckets: int = 2,
+    watermark: str = "1 day",
+) -> StreamingQuery:
+    """Streaming Misra-Gries heavy hitters (X12 × T5): maintain a
+    bounded-state frequent-key summary ACROSS micro-batches and
+    restarts. Keys hash into ``n_buckets`` state groups; each group's
+    checkpointed state is its capped (keys, counts) summary, folded
+    per batch with the same vectorized value_counts + batched-decrement
+    kernel as the batch operator (operators/frequency.py), so the
+    classic guarantees hold cumulatively over the whole stream: never
+    overestimates, per-key undercount <= N_bucket/(k+1), every key
+    above that threshold guaranteed present. State is O(k·buckets)
+    regardless of stream length or key cardinality — the shape that
+    tracks hot SKUs or abusive clients over an unbounded feed without
+    an unbounded streaming aggregation.
+
+    Each micro-batch emits the bucket's full current summary; the sink
+    lands per batch_id with overwrite (idempotent under foreachBatch
+    replay, the land_micro_batch rationale) so the LATEST batch
+    directory always holds the current summary.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        if state.exists:
+            ks, cs = state.get
+            counters = dict(zip(ks, cs))
+        for pdf in pdfs:
+            vc = pdf[key_col].dropna().astype(str).value_counts()
+            for kk, c in vc.items():
+                counters[kk] = counters.get(kk, 0) + int(c)
+            if len(counters) > k:
+                d = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    kk: c - d for kk, c in counters.items() if c - d > 0
+                }
+        state.update(
+            (list(counters.keys()), [int(c) for c in counters.values()])
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [int(key[0])] * len(counters),
+                "key": list(counters.keys()),
+                "est": [int(c) for c in counters.values()],
+            },
+            columns=["bucket", "key", "est"],
+        ).astype({"bucket": "int32", "key": str, "est": "int64"})
+
+    conformed = conform_stream(
+        read_bronze_stream(spark, source, bronze_root), source, watermark
+    )
+    summary = (
+        conformed.withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(F.col(key_col).cast("string")), n_buckets).cast(
+                "int"
+            ),
+        )
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            fold,
+            "bucket INT, key STRING, est BIGINT",
+            "ks ARRAY<STRING>, cs ARRAY<BIGINT>",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    query = (
+        summary.writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("__bid", F.lit(bid))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch-{bid}")
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def read_latest_heavy_hitters(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The current summary: each bucket's LATEST emission. A bucket
+    only re-emits in batches that bring it data, so the newest batch
+    directory alone can miss quiet buckets — take the max-batch rows
+    per bucket across the landing."""
+    from pyspark.sql import Window
+
+    all_rows = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    )
+    w = Window.partitionBy("bucket")
+    return (
+        all_rows.withColumn("__mx", F.max("__bid").over(w))
+        .filter(F.col("__bid") == F.col("__mx"))
+        .select("bucket", "key", "est")
+    )

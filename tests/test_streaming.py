@@ -576,3 +576,92 @@ def test_snapshot_time_travel_versions_and_vacuum_guard(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="snap-0"):
         read_merge_snapshot_as_of(spark, snap, 0)
     assert {(r.k, r.v) for r in read_merge_snapshot_as_of(spark, snap, 1).collect()} == v1
+
+
+def test_streaming_heavy_hitters_bound_and_restart(spark, tmp_path):
+    """X12 × T5: the checkpointed Misra-Gries summary satisfies the MG
+    guarantees against the CUMULATIVE exact counts — and keeps
+    satisfying them after a restart folds new data into restored state
+    (a fresh-state drain over only the new files could not: its
+    estimates would be bounded by the new batch alone)."""
+    from multichannel_commerce_data_pipeline_spark.pipeline.bronze import (
+        flatten_envelope,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.schemas import (
+        spark_envelope_ddl,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.silver import conform_joor
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_latest_heavy_hitters,
+        stream_heavy_hitters,
+    )
+
+    k, n_buckets = 6, 2
+    bronze = tmp_path / "bronze"
+    shutil.copytree(FIXTURES / "joor", bronze / "joor")
+
+    def drain():
+        stream_heavy_hitters(
+            spark,
+            "joor",
+            str(bronze),
+            str(tmp_path / "hh"),
+            str(tmp_path / "ckpt"),
+            k=k,
+            n_buckets=n_buckets,
+        )
+        return {
+            (r.bucket, r.key): r.est
+            for r in read_latest_heavy_hitters(
+                spark, str(tmp_path / "hh")
+            ).collect()
+        }
+
+    def exact():
+        raw = (
+            spark.read.schema(spark_envelope_ddl("joor"))
+            .json(str(bronze / "joor" / "*" / "*" / "*" / "*.json"))
+        )
+        d = conform_joor(flatten_envelope(raw)).select(
+            F.col("buyer_name").cast("string").alias("key"),
+            F.pmod(F.xxhash64(F.col("buyer_name").cast("string")), n_buckets)
+            .cast("int")
+            .alias("bucket"),
+        )
+        return {
+            (r.bucket, r.key): r.n
+            for r in d.groupBy("bucket", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def assert_bounds(est, true):
+        n_per_bucket: dict[int, int] = {}
+        for (b, _), n in true.items():
+            n_per_bucket[b] = n_per_bucket.get(b, 0) + n
+        assert len(n_per_bucket) == n_buckets
+        evicted = False
+        for (b, key), n in true.items():
+            e = est.get((b, key), 0)
+            slack = n_per_bucket[b] / (k + 1)
+            assert e <= n, (key, e, n)
+            assert n - e <= slack, (key, e, n, slack)
+            if n > slack:
+                assert (b, key) in est, (key, n, slack)
+            evicted = evicted or e < n
+        return evicted
+
+    est1, true1 = drain(), exact()
+    assert est1 and assert_bounds(est1, true1)  # cap k=6 forces eviction
+
+    # new data: replicate one day's file under a new date
+    src = bronze / "joor" / "2025" / "06" / "03" / "batch.json"
+    extra = bronze / "joor" / "2025" / "06" / "07"
+    extra.mkdir(parents=True)
+    (extra / "batch.json").write_text(src.read_text())
+
+    est2, true2 = drain(), exact()
+    assert assert_bounds(est2, true2)
+    # resumed state: cumulative estimates exceed what the new files
+    # alone could produce
+    assert sum(est2.values()) > sum(true2.values()) - sum(true1.values())
