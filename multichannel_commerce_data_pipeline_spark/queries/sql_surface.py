@@ -60,3 +60,41 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-watermark scan)."""
     register_views(spark, sf_dir)
     return spark.sql(_SCALAR_SQL)
+
+
+_RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE spine(d) AS (
+      SELECT CAST('1995-01-01' AS DATE)
+      UNION ALL
+      SELECT d + 1 FROM spine WHERE d < CAST('1995-03-01' AS DATE)
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                  AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= CAST('1995-01-01' AS DATE)
+        AND CAST(o_orderdate AS DATE) <= CAST('1995-03-01' AS DATE)
+      GROUP BY 1
+    )
+    SELECT s.d AS day,
+           COALESCE(daily.revenue, 0.0) AS revenue,
+           COALESCE(daily.n_orders, 0)  AS n_orders
+    FROM spine s LEFT JOIN daily ON s.d = daily.d
+"""
+
+
+@query("sql_recursive_date_spine", oracle=_RECURSIVE_SPINE_SQL)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): a gap-free daily date
+    spine left-joined to daily revenue with zero-filled quiet days —
+    the dense-calendar shape every BI trend panel needs (a bare GROUP
+    BY silently drops no-order days and breaks moving averages). ONE
+    SQL string runs verbatim on both engines. The recursion is
+    driver-bounded (60 rows) and the daily rollup is one partial-
+    aggregated shuffle with the date filter pushed to the scan; the
+    spine side is trivially broadcast. Decimal revenue sums keep the
+    join's money column order-independent."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPINE_SQL)
