@@ -155,7 +155,8 @@ CHECK_FIRST: tuple[str, ...] = (
     # sf0.01, rotate in at r6): copurchase_pagerank,
     # last_touch_attribution, mad_outliers, event_transition_matrix,
     # weighted_corpus_sample, hybrid_search_rrf, dedup_report,
-    # winsorized_pricing, sql_recursive_date_spine.
+    # winsorized_pricing, sql_recursive_date_spine,
+    # price_quantity_regression.
     # ann_recall_at_k transitively runs BOTH ann_cosine_topk and
     # ann_ivf_topk with identical parameters, so the ANN family keeps
     # fresh driver evidence without separate slots; the r3-vintage

@@ -598,3 +598,72 @@ def winsorized_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("winsorized_mean"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "price_quantity_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity      AS DECIMAL(9,4)))  AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(9,4))
+                 * CAST(l_quantity AS DECIMAL(9,4)))       AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(9,4))
+                 * CAST(l_extendedprice AS DECIMAL(15,4))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(ROUND(CAST((
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           ) AS DECIMAL(38,10)), 6) AS DOUBLE) AS slope,
+           CAST(ROUND(CAST((
+             (CAST(sy AS DOUBLE)
+              - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / n
+           ) AS DECIMAL(38,10)), 6) AS DOUBLE) AS intercept
+    FROM s
+    """,
+)
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine OLS: price-vs-quantity regression line per return flag
+    from closed-form sufficient statistics — the trend-fitting
+    primitive (elasticity estimates, drift monitors) done as ONE
+    partial-aggregated pass, no ML library, no iteration. All five
+    sufficient statistics (n, Σx, Σy, Σx², Σxy) accumulate as exact
+    DECIMALs, so the aggregate is order-independent; slope/intercept
+    derive from those exact sums in identical double expressions on
+    both engines, then dround-quantize. At 100 TB this is the same
+    single group-by shuffle as any rollup — sufficient statistics are
+    the map-side-combinable form of model fitting."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        # 4dp is lossless for these inputs; narrow precision keeps the
+        # product DECIMAL within both engines' 38-digit budget (DuckDB
+        # errors on DECIMAL(18)x(18) product overflow where Spark would
+        # silently widen-and-round).
+        F.col("l_quantity").cast("decimal(9,4)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(15,4)").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        dround(slope, 6).alias("slope"),
+        dround((sy - slope * sx) / n, 6).alias("intercept"),
+    )
