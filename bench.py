@@ -134,22 +134,33 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         warm[name] = round(min(reps), 3)
 
+    # Per-query maps go to a FILE (bench_detail.json, consumed by
+    # BENCH.md): r5's 40-query inline maps pushed the stdout JSON line
+    # past the driver's tail capture and BENCH_r05.json recorded
+    # "parsed": null. The final stdout line stays compact and is the
+    # only thing the driver needs to parse.
+    detail = {
+        "metric": "headline_queries_warm_total",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "value_cold": round(sum(timings.values()), 3),
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_warm_total",
                 "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "value_warm": round(sum(warm.values()), 3),
                 "value_cold": round(sum(timings.values()), 3),
-                "note": (
-                    "value = warm total (min of 3 post-codegen reps per "
-                    "query); cold single-shot totals in value_cold/queries "
-                    "(r1-r3 cold drifted +/-15% with no plan changes)"
-                ),
+                "n_queries": len(HEADLINE),
                 "sf": sf,
+                "queries_detail": "bench_detail.json",
             }
         )
     )

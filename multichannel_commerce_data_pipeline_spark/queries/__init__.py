@@ -54,120 +54,86 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row is ever more than two rounds old. The unchecked tail stays
 # guarded by local scripts/check.py over the full registry.
 #
-# Round 5 window: the queries whose only driver row is r2 (two rounds
-# of shared-helper churn in functions.py/tables.py unguarded by driver
-# evidence) plus everything added this round. Slot pressure (18 new
-# queries this round) forces six documented exceptions, all re-verified
-# green by scripts/check.py at sf0.01 this session and rotating back at
-# r6: embedding_quantize_int8 / bucketed_join_rollup / pack_sequences /
-# minhash_lsh_dupes are r4-green and their r5 changes are
-# fixture-equivalent (zero-vector guard, setup-path robustness, perf
-# staging); simhash_fingerprints is a strict sub-computation of
-# simhash_near_dupes (still in the window); multimodal_frame_plan is
-# the plan-shape probe of the multimodal trio whose other two rows
-# stay in.
-#
-# Late-r5 amendment: the BPE greedy-overlap fix changed the SEMANTICS
-# of bpe_train_merges / bpe_segment_stats (their r4 evidence predates
-# the fix), and three new operators landed (salted_skew_join,
-# event_heavy_hitters, balanced_class_sample) — all five take priority-
-# (2) slots. Displaced to r6, per the documented-exception rule: the
-# five pure-Column scalar queries projection_clean / literal_columns /
-# case_when_bands / regex_predicate / in_list_rollup — single-table
-# select/filter chains whose code AND shared helpers are untouched
-# since r2, each re-verified green by scripts/check.py at sf0.01 this
-# session (the lowest-risk class in the registry; filter_pushdown and
-# deterministic_bucket stay in as the guards for the shared scan/hash
-# helpers they all use).
+# Round 6 window, amendment to the priority order after the r5 reds:
+# local check.py green is NEVER a substitute for a driver row (r5's two
+# reds both passed check.py — the harness divergence is now closed by
+# testing.driver_representation_problems + the schema guard in
+# tests/test_entry_contract.py, but the policy lesson stands). Priority
+# (2b) therefore: any query that has NEVER had a driver row outranks
+# staleness rotation. This window: flagship + the 2 fixed r5 reds +
+# all 23 never-checked queries (the X10 commerce suite, pagerank,
+# curation/sampling tail — includes the 2 queued DECIMAL landmines,
+# also fixed) + all 8 r2-stale displaced rows + 16 r3-vintage rows
+# (the gold/silver medallion family owed since r5, then the oldest
+# diverse r3 rows). The ~26 remaining r3 rows rotate at r7.
 CHECK_FIRST: tuple[str, ...] = (
-    # flagship (entry() smoke - keep in the checked window)
+    # flagship (entry() smoke — always slot 1)
     "exec_daily_kpi",
-    # added or code-changed this round
-    "passage_dedup_docs",
-    "ann_recall_at_k",
-    # scd2_incremental_refresh shares the full-rebuild oracle AND
-    # transitively runs scd2_history + the daily-snapshot helper, so
-    # scd2_user_status needs no separate slot.
-    "scd2_incremental_refresh",
-    # stream_merge_rollup shares merge_upsert_customers' oracle and
-    # transitively runs merge_upsert PLUS the streaming snapshot chain
-    # — strictly more coverage for the same slot
-    "stream_merge_rollup",
-    "python_datasource_scan",
-    "stream_landing_rollup",
-    "stream_gold_refresh_rollup",
-    "udtf_sentence_split",
-    "dsir_importance_weights",
-    "nb_lang_posterior",
-    "incremental_lsh_dedup",
+    # code-changed this round: the two r5 reds, fixed at the output
+    # boundary (DECIMAL -> DOUBLE cast / array_join serialization)
     "file_format_roundtrip",
     "embedding_pq_codes",
-    "ann_ivfpq_topk",
-    # late-r5: semantics changed by the BPE greedy-overlap fix
-    "bpe_train_merges",
-    "bpe_segment_stats",
-    # late-r5: new operators
-    "salted_skew_join",
-    "event_heavy_hitters",
-    "balanced_class_sample",
-    # latest driver row is r2: core/projection family
-    "filter_pushdown",
-    "arithmetic_margin",
-    "deterministic_bucket",
-    "local_table_constructor",
-    "recency_topn",
-    # limit_zero_schema (r2-stale) yielded its slot to the new S13
-    # python_datasource_scan: an empty result can only drift in SCHEMA,
-    # its select/cast chain is untouched since r2, and scripts/check.py
-    # re-verified it green at sf0.01 this round — the lowest-risk
-    # exception to the two-round staleness bound; rotates in at r6.
-    "global_max_checkpoint",
-    # latest driver row is r2: joins
-    "left_join_enrich",
-    "broadcast_dim_join",
-    "semi_join",
-    "anti_join",
-    "range_join",
-    "range_join_value_bands",
-    "latest_snapshot_per_key",
-    # latest driver row is r2: aggregates
-    "order_rollup_constant",
-    "distinct_ratio_kpi",
-    "cube_agg",
-    "grouping_sets_agg",
-    "rollup_hierarchy",
-    "pivot_revenue",
-    "unpivot_metrics",
-    "price_histogram",
-    "string_agg_per_group",
-    # latest driver row is r2: dedup/similarity
-    "dedup_corpus",
-    "jaccard_near_dupes",
-    "fuzzy_name_pairs",
-    "simhash_near_dupes",
-    # latest driver row is r2: multimodal + pandas surface
-    "multimodal_binary_stats",
-    "multimodal_decode_features",
-    "pandas_scalar_tokens",
-    "pandas_udaf_weighted_avg",
-    # No spare fill slots this round: the 15 r5 additions took them.
-    # Late-r5 additions that did not fit (all local check.py green at
-    # sf0.01, rotate in at r6): copurchase_pagerank,
-    # last_touch_attribution, mad_outliers, event_transition_matrix,
-    # weighted_corpus_sample, hybrid_search_rrf, dedup_report,
-    # winsorized_pricing, sql_recursive_date_spine,
-    # price_quantity_regression.
-    # ann_recall_at_k transitively runs BOTH ann_cosine_topk and
-    # ann_ivf_topk with identical parameters, so the ANN family keeps
-    # fresh driver evidence without separate slots; the r3-vintage
-    # silver/gold rows hit their two-round staleness bound at r5 and
-    # rotate in at r6, as do the r5 additions that didn't fit
-    # (scd2_user_status, regional_supplier_revenue, bpe_pair_counts,
-    # partitioned_scan_prune,
-    # corpus_prepare_curated, lm_perplexity_score, snapshot_time_travel,
-    # conversion_funnel, cohort_retention, copurchase_pairs,
-    # decayed_popularity, ab_test_purchase_rate — all local check.py
-    # green this round).
+    # the 23 queries that had NEVER had a driver row (r5 verdict item 3
+    # — 13% of the registry; local check.py green is no longer accepted
+    # as a substitute since r5 proved it can mask driver red).
+    # partitioned_scan_prune and lm_perplexity_score are also
+    # code-changed this round (same DECIMAL-output fix).
+    "partitioned_scan_prune",
+    "lm_perplexity_score",
+    "conversion_funnel",
+    "cohort_retention",
+    "copurchase_pairs",
+    "decayed_popularity",
+    "ab_test_purchase_rate",
+    "last_touch_attribution",
+    "mad_outliers",
+    "event_transition_matrix",
+    "dedup_report",
+    "winsorized_pricing",
+    "copurchase_pagerank",
+    "weighted_corpus_sample",
+    "hybrid_search_rrf",
+    "snapshot_time_travel",
+    "regional_supplier_revenue",
+    "bpe_pair_counts",
+    "sql_recursive_date_spine",
+    "price_quantity_regression",
+    "corpus_prepare_curated",
+    "merge_upsert_customers",
+    "scd2_user_status",
+    # latest driver row is r2 (displaced r5 under the documented
+    # exceptions; the staleness bound owes them this round)
+    "projection_clean",
+    "literal_columns",
+    "case_when_bands",
+    "regex_predicate",
+    "in_list_rollup",
+    "limit_zero_schema",
+    "simhash_fingerprints",
+    "multimodal_frame_plan",
+    # latest driver row is r3 — the gold/silver medallion family the r5
+    # verdict explicitly owes rotation (two shared-helper churn rounds
+    # unguarded), plus the oldest diverse r3 rows filling the window
+    "gold_cm1_wholesale",
+    "gold_cm1_shopify",
+    "gold_cm1_livestreaming",
+    "silver_conform_joor",
+    "silver_conform_tiktok",
+    "silver_conform_freight",
+    "silver_conform_gsheets",
+    "pipeline_bronze_scan",
+    "array_sheet_promotion",
+    "messy_value_cleaning",
+    "json_extraction",
+    "current_week_revenue",
+    "customer_rfm",
+    "session_window_events",
+    "window_running_sum",
+    "tfidf_top_terms",
+    # Remaining r3 rows (ann_cosine_topk, ann_ivf_topk, set ops,
+    # text family, …) rotate at r7: every one is at most two rounds
+    # from fresh evidence after this window, and the ANN family keeps
+    # transitive r5 coverage through ann_recall_at_k.
 )
 
 

@@ -457,7 +457,8 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
-      CAST(floor(l_extendedprice / 10000.0) AS BIGINT) * 10000.0 AS bucket_lo,
+      CAST(CAST(floor(l_extendedprice / 10000.0) AS BIGINT) * 10000.0
+           AS DOUBLE) AS bucket_lo,
       COUNT(*) AS n,
       CAST(ROUND(CAST((AVG(l_discount)) AS DECIMAL(38,8)), 4) AS DOUBLE)
         AS avg_discount

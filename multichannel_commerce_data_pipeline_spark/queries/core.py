@@ -259,7 +259,7 @@ def arithmetic_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
       s_name,
       'SGD'   AS currency,
       'NET30' AS payment_terms,
-      8.0     AS platform_fee,
+      CAST(8.0 AS DOUBLE) AS platform_fee,
       ROUND(s_acctbal * 0.029 + 0.30, 2) AS processing_fee
     FROM supplier
     """,

@@ -272,7 +272,7 @@ _LM_SEED = 11
       FROM pr JOIN lp USING (key) GROUP BY pr.doc_id
     )
     SELECT doc_id, nb AS n_bigrams,
-           {_quant("CAST(s AS DOUBLE) / nb")} AS avg_logp,
+           CAST({_quant("CAST(s AS DOUBLE) / nb")} AS DOUBLE) AS avg_logp,
            CAST(ROUND(CAST(exp(-(CAST(s AS DOUBLE) / nb)) AS DECIMAL(38,8)), 4)
                 AS DOUBLE) AS ppl
     FROM sc
@@ -317,8 +317,12 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id",
         "n_bigrams",
+        # the 6-dp DECIMAL quantization pins cross-engine agreement; the
+        # OUTPUT is DOUBLE because the driver's pandas canonicalizer
+        # hashes Spark Decimal vs DuckDB float64 differently (r5 class)
         F.round(F.col("avg_raw").cast("decimal(38,10)"), 6)
         .cast("decimal(28,6)")
+        .cast("double")
         .alias("avg_logp"),
         dround(F.exp(-F.col("avg_raw")), 4).alias("ppl"),
     )

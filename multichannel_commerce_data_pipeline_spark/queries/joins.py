@@ -209,9 +209,17 @@ def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
+    capped AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_partkey) AS rn
+        FROM items
+      ) WHERE rn <= 64
+    ),
     pairs AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-      FROM items a JOIN items b
+      FROM capped a JOIN capped b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     )
     SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -227,25 +235,23 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_order |items|² with |items| bounded (~7 in TPC-H, max 13 here) —
     per-basket quadratic, NEVER corpus-quadratic; at 100 TB the join
     co-partitions on l_orderkey (one shuffle each side) and the pair
-    count is a partial-aggregated rollup. The same df-cap reasoning as
-    jaccard_pairs applies if a pathological mega-basket appears."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    count is a partial-aggregated rollup. A deterministic
+    max_basket_size=64 cap (operators/basket.py, mirrored in the
+    oracle's ROW_NUMBER filter) bounds the worst basket to C(64,2)
+    pairs so one pathological mega-basket can't go quadratic — a no-op
+    at every test SF (max basket 13) but load-bearing at 100 TB;
+    planted-mega-basket test in tests/test_operators.py."""
+    from multichannel_commerce_data_pipeline_spark.operators.basket import (
+        copurchase_pair_counts,
     )
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
-    return (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
+
+    items = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return copurchase_pair_counts(
+        items, "l_orderkey", "l_partkey", min_baskets=2, max_basket_size=64
+    ).select(
+        F.col("item_a").alias("part_a"),
+        F.col("item_b").alias("part_b"),
+        F.col("n_baskets").alias("n_orders"),
     )
 
 

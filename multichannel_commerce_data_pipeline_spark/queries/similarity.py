@@ -546,7 +546,8 @@ def _pq_oracle() -> str:
       FROM best GROUP BY vec_id
     ),
     vn AS (SELECT vec_id, {vnorm} AS vnorm FROM c)
-    SELECT a.vec_id AS id, a.codes,
+    SELECT a.vec_id AS id,
+           array_to_string(a.codes, ',') AS codes,
            CASE WHEN vn.vnorm = 0 OR a.cn2sum = 0 THEN NULL
                 ELSE {oracle_dround("a.dotsum / (vn.vnorm * sqrt(a.cn2sum))", 4)}
            END AS recon_cos
@@ -564,10 +565,21 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_plans.py). recon_cos is the per-row reconstruction
     quality guard, mirroring int8's dequant_cos."""
     e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
-    return S.pq_encode(
+    enc = S.pq_encode(
         e, m=_PQ_M, k=_PQ_K, stride=_PQ_STRIDE,
         id_col="vec_id", vec_col="embedding",
         codebook=_pq_cb(spark, sf_dir),
+    )
+    # the operator returns codes as array<int> (the storage layout); the
+    # QUERY serializes them to 'c0,c1,…' because the driver's pandas
+    # canonicalizer crashes on list-typed cells (unhashable — red r5).
+    # Same m codes, scalar representation; order is the subspace order.
+    return enc.select(
+        "id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes"),
+        "recon_cos",
     )
 
 

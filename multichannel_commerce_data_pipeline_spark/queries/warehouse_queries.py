@@ -489,8 +489,8 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-             AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY 1, 2
     """,
@@ -526,9 +526,16 @@ def file_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
     )
     rolled.write.mode("overwrite").option("header", True).csv(f"{tmp}/rollup_csv")
-    return spark.read.schema(
+    back2 = spark.read.schema(
         "returnflag string, linestatus string, n_rows bigint, sum_qty decimal(38,2)"
     ).option("header", True).csv(f"{tmp}/rollup_csv")
+    # DECIMAL stays internal for the order-independent sum and the exact
+    # CSV round-trip; the OUTPUT boundary is DOUBLE because the driver
+    # canonicalizes through pandas, where DuckDB DECIMAL becomes float64
+    # while Spark DECIMAL stays Python Decimal — identical values, a
+    # guaranteed hash mismatch (red r5). Guarded registry-wide in
+    # tests/test_entry_contract.py.
+    return back2.withColumn("sum_qty", F.col("sum_qty").cast("double"))
 
 
 def ensure_date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
@@ -551,7 +558,8 @@ def ensure_date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
     SELECT CAST(ts AS DATE) AS day, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS total_value
     FROM events
     WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
     GROUP BY 1, 2
@@ -578,8 +586,12 @@ def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # DECIMAL internally (order-independent exact sum), DOUBLE at
+            # the output boundary — the driver's pandas canonicalizer
+            # hashes Spark Decimal vs DuckDB float64 differently.
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_value"),
         )
     )

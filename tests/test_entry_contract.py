@@ -48,6 +48,39 @@ def test_every_registered_query_is_callable(spark, sf_dir):
     assert not failures, "\n".join(failures)
 
 
+def test_no_query_output_schema_breaks_driver_canonicalizer(spark, sf_dir):
+    """r5 postmortem guard: the driver canonicalizes results through
+    pandas, where (a) DuckDB DECIMAL becomes float64 while Spark DECIMAL
+    stays Python Decimal (hash mismatch on identical values —
+    file_format_roundtrip red r5) and (b) array/map/struct cells crash
+    pandas sort_values (unhashable — embedding_pq_codes err r5). No
+    ORACLE-PAIRED query may emit those types at its output boundary:
+    DECIMAL stays internal (order-independent sums) with a final DOUBLE
+    cast; arrays are serialized via array_join or exploded. Closes the
+    class permanently — a new query with such an output fails here
+    before it ever reaches the driver."""
+    from pyspark.sql import types as T
+
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    reg = load_registry()
+    bad = []
+    for name, q in reg.items():
+        if not q.oracle:
+            continue  # rows-only driver check: values never canonicalized
+        schema = q.fn(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(
+                f.dataType,
+                (T.DecimalType, T.ArrayType, T.MapType, T.StructType),
+            ):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, (
+        "driver-canonicalizer landmines (cast DECIMAL outputs to DOUBLE, "
+        "serialize arrays):\n" + "\n".join(bad)
+    )
+
+
 def test_checked_window_is_the_intended_first_50():
     """The driver correctness gate checks only the first 50 registry
     entries in iteration order (CORRECTNESS_r01/r02). Pin the window:

@@ -1138,3 +1138,28 @@ def test_transition_matrix_rows_normalize(spark, sf_dir):
         assert r.n > 0
         sums[r.prev_type] = sums.get(r.prev_type, 0.0) + r.p
     assert sums and all(abs(s - 1.0) < 1e-4 for s in sums.values()), sums
+
+
+def test_copurchase_mega_basket_is_capped(spark):
+    """Planted mega-basket: a 200-item basket must emit C(64,2) pairs
+    (the cap), not C(200,2) — one pathological basket can't go
+    quadratic at 100 TB. Normal baskets are untouched and the cap keeps
+    the SMALLEST item keys, so the truncation is deterministic."""
+    from multichannel_commerce_data_pipeline_spark.operators.basket import (
+        copurchase_pair_counts,
+    )
+
+    rows = [("mega", i) for i in range(200)] + [
+        ("small", 0), ("small", 1), ("dup", 0), ("dup", 1), ("dup", 0)
+    ]
+    items = spark.createDataFrame(rows, "bk string, it int")
+    pairs = copurchase_pair_counts(
+        items, "bk", "it", min_baskets=1, max_basket_size=64
+    ).collect()
+    # mega contributes C(64,2) pairs over items 0..63; small+dup both
+    # contain {0,1} so (0,1) has n_baskets=2 (duplicates collapsed)
+    n_mega_side = 64 * 63 // 2
+    assert len(pairs) == n_mega_side  # (0,1) merges across baskets
+    by_pair = {(r.item_a, r.item_b): r.n_baskets for r in pairs}
+    assert by_pair[(0, 1)] == 3  # mega + small + dup
+    assert max(max(a, b) for a, b in by_pair) == 63  # items >=64 dropped
