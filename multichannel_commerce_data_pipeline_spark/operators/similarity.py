@@ -467,6 +467,41 @@ def pq_encode(
     return staged.select("id", "codes", recon.alias("recon_cos"))
 
 
+def ivfpq_index(
+    embeddings: DataFrame,
+    centroid_stride: int = 50,
+    m: int = 8,
+    k_codes: int = 16,
+    code_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: tuple[list, list] | None = None,
+) -> DataFrame:
+    """Build the IVF-PQ inverted-list frame ``(neighbor_id, cell,
+    codes)``: every corpus vector coarse-assigned to its nearest
+    centroid cell and stored as its m PQ codes. This is the build-once
+    artifact of the billion-scale layout — persist it (the caller owns
+    storage policy) and serve every search from it; re-encoding the
+    corpus per query is the wrong shape at any scale."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    csub, cn2 = codebook or _pq_codebook(base, m, k_codes, code_stride)
+    assign, _cents = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
+    picked = _pq_pick_best(
+        assign.select(F.col("vid"), F.col("cell"), F.col("v")),
+        ["vid", "cell"],
+        "v",
+        csub,
+        cn2,
+    )
+    return picked.select(
+        F.col("vid").alias("neighbor_id"),
+        "cell",
+        F.array(*[F.col(f"best_{s}.code") for s in range(m)]).alias("codes"),
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -479,6 +514,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     k: int = 10,
     codebook: tuple[list, list] | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN search (Jégou et al. 2011): the corpus is
     inverted-listed under coarse centroids (:func:`ivf_assign`) and
@@ -502,23 +538,24 @@ def ivfpq_topk(
     as a dynamic ``element_at`` index — all JVM Column work, no UDF.
     approx_cos = Σ_s dot / (‖q‖ · sqrt(Σ_s ‖c_code‖²)), dround(4).
 
-    Returns (query_id, neighbor_id, adc_cos, rank)."""
-    assign, _cents = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
+    Returns (query_id, neighbor_id, adc_cos, rank).
+
+    ``index`` (optional) is a pre-built inverted-list frame from
+    :func:`ivfpq_index` — the production shape: the index is built (and
+    persisted) ONCE per corpus version, every search call only probes
+    it, so per-query cost excludes the corpus encode entirely (the same
+    build-once/probe-many split as minhash_lsh_index/probe)."""
     base = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
     csub, cn2 = codebook or _pq_codebook(base, m, k_codes, code_stride)
-    picked = _pq_pick_best(
-        assign.select(F.col("vid"), F.col("cell"), F.col("v")),
-        ["vid", "cell"],
-        "v",
-        csub,
-        cn2,
-    )
-    corpus_codes = picked.select(
-        F.col("vid").alias("neighbor_id"),
-        "cell",
-        F.array(*[F.col(f"best_{s}.code") for s in range(m)]).alias("codes"),
+    corpus_codes = (
+        index
+        if index is not None
+        else ivfpq_index(
+            embeddings, centroid_stride, m, k_codes, code_stride,
+            id_col, vec_col, codebook=(csub, cn2),
+        )
     )
     # Probe selection: identical to ivf_topk (cosine to coarse
     # centroids, top n_probe cells per query).

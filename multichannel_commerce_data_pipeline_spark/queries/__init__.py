@@ -73,6 +73,12 @@ CHECK_FIRST: tuple[str, ...] = (
     # boundary (DECIMAL -> DOUBLE cast / array_join serialization)
     "file_format_roundtrip",
     "embedding_pq_codes",
+    # NEW this round (priority 2): Bloom semi-join pruning, Z-order
+    # data-skipping layout, compaction planner, entity resolution
+    "bloom_semi_prune",
+    "zorder_layout_prune",
+    "compaction_plan",
+    "entity_golden_record",
     # the 23 queries that had NEVER had a driver row (r5 verdict item 3
     # — 13% of the registry; local check.py green is no longer accepted
     # as a substitute since r5 proved it can mask driver red).
@@ -126,10 +132,11 @@ CHECK_FIRST: tuple[str, ...] = (
     "messy_value_cleaning",
     "json_extraction",
     "current_week_revenue",
-    "customer_rfm",
-    "session_window_events",
-    "window_running_sum",
-    "tfidf_top_terms",
+    # The 4 new-query slots displaced customer_rfm /
+    # session_window_events / window_running_sum / tfidf_top_terms to
+    # r7 — each has close r4-green family coverage (event_sessionize,
+    # window_lag_lead/first_last/distribution, corpus_top_terms) and
+    # all were check.py-green this session.
     # Remaining r3 rows (ann_cosine_topk, ann_ivf_topk, set ops,
     # text family, …) rotate at r7: every one is at most two rounds
     # from fresh evidence after this window, and the ANN family keeps

@@ -570,3 +570,95 @@ def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, pidx, md5) triples; text never leaves the map side."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return D.passage_dedup(d, "doc_id", "text", passage_words=10)
+
+
+def _golden_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT c_custkey AS rid, c_name AS nm, c_nationkey, c_acctbal,
+             substr(c_name, 1, {_FUZZY_PREFIX}) AS pfx
+      FROM customer
+    ),
+    prs AS (
+      SELECT a.rid AS ia, b.rid AS ib
+      FROM base a JOIN base b
+        ON a.c_nationkey = b.c_nationkey AND a.pfx = b.pfx AND a.rid < b.rid
+      WHERE levenshtein(a.nm, b.nm) <= {_FUZZY_DIST}
+    ),
+    edges AS (
+      SELECT ia AS u, ib AS v FROM prs
+      UNION
+      SELECT ib AS u, ia AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    asg AS (SELECT u AS rid, MIN(v) AS cid FROM reach GROUP BY u),
+    mem AS (
+      SELECT b.rid, b.c_acctbal, COALESCE(a.cid, b.rid) AS cluster_id
+      FROM base b LEFT JOIN asg a ON b.rid = a.rid
+    ),
+    golden AS (
+      SELECT cluster_id, rid, c_acctbal FROM (
+        SELECT cluster_id, rid, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY c_acctbal DESC, rid) AS rn
+        FROM mem
+      ) WHERE rn = 1
+    )
+    SELECT m.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(g.rid) AS golden_custkey,
+           MIN(g.c_acctbal) AS golden_acctbal
+    FROM mem m JOIN golden g ON m.cluster_id = g.cluster_id
+    GROUP BY m.cluster_id
+    """
+
+
+@query("entity_golden_record", oracle=_golden_oracle())
+def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-surface composed end-to-end entity resolution — the
+    cross-channel customer-identity problem a multichannel warehouse
+    actually has (the same buyer arrives via wholesale, shopify, and
+    livestream feeds with name variants): blocking + Levenshtein
+    match (fuzzy_name_pairs' operator) -> connected components over the
+    match graph (dedup_clusters' operator, min-label with star-contract
+    fallback) -> one GOLDEN RECORD per identity cluster, chosen by a
+    deterministic survivorship rule (max acctbal, then min custkey —
+    the argmax is a partial-aggregated max(struct), no window over the
+    full table). Singletons are their own cluster via the left join +
+    coalesce, so every customer appears exactly once downstream.
+    Scale: blocking bounds the pair join, CC is the O(log^2 n)
+    machinery already probed at 200k-node chains (SCALING.md), and the
+    golden pick + rollup are one partial-aggregated group-by each."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    pairs = D.blocked_levenshtein_pairs(
+        c, "c_custkey", "c_name", ["c_nationkey"],
+        prefix_len=_FUZZY_PREFIX, max_dist=_FUZZY_DIST,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    asg = D.dedup_clusters(pairs)
+    mem = c.join(asg, c.c_custkey == asg.doc, "left").select(
+        F.col("c_custkey").alias("rid"),
+        "c_acctbal",
+        F.coalesce(F.col("cluster_id"), F.col("c_custkey")).alias("cluster_id"),
+    )
+    picked = mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("c_acctbal").alias("a"),
+                (-F.col("rid")).alias("negid"),
+            )
+        ).alias("m"),
+    )
+    return picked.select(
+        "cluster_id",
+        "n_members",
+        (-F.col("m.negid")).cast("long").alias("golden_custkey"),
+        F.col("m.a").alias("golden_acctbal"),
+    )

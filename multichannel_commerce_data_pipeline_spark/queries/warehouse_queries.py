@@ -595,3 +595,145 @@ def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+def _zorder_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.operators.zorder import (
+        oracle_morton_key,
+    )
+
+    bits, n_files = 8, 64
+    file_span = (4**bits) // n_files
+    bx = (
+        "LEAST(GREATEST(CAST(floor((CAST(o_custkey AS DOUBLE) - 0.0) /"
+        f" ((b.hx - 0.0) / {1 << bits})) AS BIGINT), 0), {(1 << bits) - 1})"
+    )
+    by = (
+        "LEAST(GREATEST(CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) /"
+        f" ((b.hy - 0.0) / {1 << bits})) AS BIGINT), 0), {(1 << bits) - 1})"
+    )
+    z = oracle_morton_key("bx", "by", bits)
+    return f"""
+    WITH b AS (
+      SELECT CAST(MAX(o_custkey) + 1 AS DOUBLE) AS hx,
+             CAST(MAX(o_totalprice) + 1.0 AS DOUBLE) AS hy
+      FROM orders
+    ),
+    ranked AS (
+      SELECT {bx} AS bx, {by} AS by
+      FROM orders, b
+    ),
+    keyed AS (
+      SELECT bx, by, {z} // {file_span} AS file_id FROM ranked
+    )
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(bx) AS x_min, MAX(bx) AS x_max,
+           MIN(by) AS y_min, MAX(by) AS y_max,
+           CAST(CASE WHEN MIN(bx) <= 119 AND MAX(bx) >= 100
+                THEN 1 ELSE 0 END AS BIGINT) AS scan_x,
+           CAST(CASE WHEN MIN(by) <= 95 AND MAX(by) >= 64
+                THEN 1 ELSE 0 END AS BIGINT) AS scan_y
+    FROM keyed GROUP BY 1
+    """
+
+
+@query("zorder_layout_prune", oracle=_zorder_oracle())
+def zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-surface: Z-order (Morton) clustering — the multi-dimension
+    data-skipping layout behind OPTIMIZE ZORDER BY, as an explicit
+    engine-portable operator (operators/zorder.py). Orders are ranked
+    into 8-bit buckets on BOTH o_custkey and o_totalprice (bounds from
+    one bounded 1-row collect, arithmetic mirrored in the oracle's
+    scalar subquery), interleaved into a Morton key map-side, and
+    assigned to 64 fixed z-range "files". The output is each file's
+    min/max footprint in both dimensions plus whether a probe rectangle
+    on EITHER single dimension would have to open it — the min/max
+    file-stat pruning a lake scan does from the manifest alone. Under
+    z-order both probes touch a small fraction of files; a single-
+    column sort layout gives one dimension everything and the other
+    nothing (asserted in tests/test_operators.py). At 100 TB the key
+    is pure Column work inside the scan stage and the layout write is
+    one range shuffle, amortized over every later pruned scan."""
+    from multichannel_commerce_data_pipeline_spark.operators.zorder import (
+        bucketize,
+        morton_key,
+    )
+
+    bits, n_files = 8, 64
+    file_span = (4**bits) // n_files
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    row = o.agg(
+        (F.max("o_custkey") + F.lit(1)).cast("double").alias("hx"),
+        (F.max("o_totalprice") + F.lit(1.0)).cast("double").alias("hy"),
+    ).collect()[0]
+    bx = bucketize(F.col("o_custkey"), 0.0, row.hx, bits)
+    by = bucketize(F.col("o_totalprice"), 0.0, row.hy, bits)
+    keyed = o.select(bx.alias("bx"), by.alias("by")).select(
+        "bx", "by",
+        F.floor(morton_key(F.col("bx"), F.col("by"), bits) / file_span)
+        .cast("long")
+        .alias("file_id"),
+    )
+    probe_x = (F.min("bx") <= 119) & (F.max("bx") >= 100)
+    probe_y = (F.min("by") <= 95) & (F.max("by") >= 64)
+    return keyed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("bx").alias("x_min"), F.max("bx").alias("x_max"),
+        F.min("by").alias("y_min"), F.max("by").alias("y_max"),
+        F.when(probe_x, 1).otherwise(0).cast("long").alias("scan_x"),
+        F.when(probe_y, 1).otherwise(0).cast("long").alias("scan_y"),
+    )
+
+
+_COMPACT_TARGET = 20_000
+
+
+@query(
+    "compaction_plan",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, n_rows,
+             SUM(n_rows) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) - n_rows AS prior
+      FROM daily
+    )
+    SELECT day, n_rows,
+           CAST(prior // {_COMPACT_TARGET} AS BIGINT) AS job_id
+    FROM cum
+    """,
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 companion: small-file COMPACTION PLANNER for the streaming
+    landing. Continuous date-partitioned ingestion (streaming/jobs.py's
+    landing sink) accretes many small files per day partition — the
+    classic lake pathology: at 100 TB the NameNode/manifest listing and
+    per-file open cost dominate scans long before bytes do. The planner
+    bins consecutive day partitions into compaction jobs of ~TARGET
+    rows via a running-total assignment (job = prior_rows // target,
+    the deterministic first-fit split Delta's OPTIMIZE bin-packing
+    uses), so each job rewrites a bounded row volume regardless of how
+    skewed individual days are. The window runs over the PER-PARTITION
+    metadata frame (one row per day — bounded by calendar, not data),
+    so the single-partition window is planning-time metadata work, not
+    a data-path shuffle; the heavy lifting (per-day counts) is one
+    partial-aggregated group-by over the fact."""
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_rows",
+        ((F.sum("n_rows").over(w) - F.col("n_rows")) / _COMPACT_TARGET)
+        .cast("long")
+        .alias("job_id"),
+    )

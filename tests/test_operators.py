@@ -1163,3 +1163,120 @@ def test_copurchase_mega_basket_is_capped(spark):
     by_pair = {(r.item_a, r.item_b): r.n_baskets for r in pairs}
     assert by_pair[(0, 1)] == 3  # mega + small + dup
     assert max(max(a, b) for a, b in by_pair) == 63  # items >=64 dropped
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    """Every inserted key must pass (Bloom's hard guarantee); keys far
+    outside the inserted set pass only at the designed false-positive
+    rate (sanity-bounded at 5% for this sizing)."""
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.range(0, 500).withColumnRenamed("id", "k")
+    words = bloom_build(keys, "k")
+    inserted = keys.filter(bloom_contains(F.col("k"), words)).count()
+    assert inserted == 500  # no false negatives, ever
+    probes = spark.range(1_000_000, 1_002_000).withColumnRenamed("id", "k")
+    fp = probes.filter(bloom_contains(F.col("k"), words)).count()
+    assert fp / 2000 < 0.05, fp  # (1-e^(-4*500/65536))^4 ~ 7e-7
+
+
+def test_zorder_prunes_both_dims_where_sort_prunes_one(spark):
+    """The point of Z-order: with 64 files over a z-clustered layout,
+    a narrow probe on EITHER dimension opens a minority of files; a
+    single-column sort layout opens ~all files for the other dim."""
+    from multichannel_commerce_data_pipeline_spark.operators.zorder import (
+        bucketize,
+        morton_key,
+    )
+    from pyspark.sql import functions as F
+
+    n, bits, n_files = 4096, 8, 64
+    span = (4**bits) // n_files
+    df = spark.range(n).select(
+        bucketize((F.col("id") * 37) % 256, 0.0, 256.0, bits).alias("x"),
+        bucketize((F.col("id") * 101) % 256, 0.0, 256.0, bits).alias("y"),
+    )
+    z = df.select(
+        "x", "y",
+        F.floor(morton_key(F.col("x"), F.col("y"), bits) / span).alias("f"),
+    )
+    zstats = z.groupBy("f").agg(
+        F.min("x").alias("xl"), F.max("x").alias("xh"),
+        F.min("y").alias("yl"), F.max("y").alias("yh"),
+    ).collect()
+    # x-sorted layout: same file count, files = consecutive x ranges
+    xsort = df.select(
+        "x", "y", F.floor(F.col("x") / (256 / n_files)).alias("f")
+    ).groupBy("f").agg(
+        F.min("y").alias("yl"), F.max("y").alias("yh"),
+    ).collect()
+    probe = lambda lo, hi, l, h: l <= hi and h >= lo  # noqa: E731
+    z_touch_y = sum(probe(64, 95, r.yl, r.yh) for r in zstats)
+    xsort_touch_y = sum(probe(64, 95, r.yl, r.yh) for r in xsort)
+    # y-probe under z-order opens a minority of files; under the
+    # x-sorted layout every file spans all of y.
+    assert z_touch_y < len(zstats) / 2, (z_touch_y, len(zstats))
+    assert xsort_touch_y == len(xsort), (xsort_touch_y, len(xsort))
+    z_touch_x = sum(probe(100, 119, r.xl, r.xh) for r in zstats)
+    assert z_touch_x < len(zstats) / 2, (z_touch_x, len(zstats))
+
+
+def test_compaction_jobs_bounded(spark, sf_dir):
+    """Every compaction job's row volume is < target + its largest
+    member day (the first-fit bound), and days stay contiguous within
+    a job (job ids are non-decreasing in day order)."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    rows = sorted(
+        load_registry()["compaction_plan"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    jobs = {}
+    last_job = -1
+    for r in rows:
+        assert r.job_id >= last_job
+        last_job = r.job_id
+        jobs.setdefault(r.job_id, []).append(r.n_rows)
+    for job, sizes in jobs.items():
+        assert sum(sizes) < 20_000 + max(sizes), (job, sizes)
+
+
+def test_entity_golden_record_planted_variants(spark):
+    """Planted name variants (edit distance 1 within one nation block)
+    collapse to one cluster whose golden record is the max-acctbal
+    member; an unrelated customer stays a singleton."""
+    from multichannel_commerce_data_pipeline_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+        dedup_clusters,
+    )
+    from pyspark.sql import functions as F
+
+    c = spark.createDataFrame(
+        [
+            (1, "Customer#000000001x", 10, 100.0),
+            (2, "Customer#000000001y", 10, 900.0),
+            (3, "Customer#000000001z", 10, 500.0),
+            (9, "Totally Different Name", 10, 50.0),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double",
+    )
+    pairs = blocked_levenshtein_pairs(
+        c, "c_custkey", "c_name", ["c_nationkey"], prefix_len=16, max_dist=2
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    asg = dedup_clusters(pairs)
+    mem = c.join(asg, c.c_custkey == asg.doc, "left").select(
+        F.col("c_custkey").alias("rid"), "c_acctbal",
+        F.coalesce("cluster_id", "c_custkey").alias("cluster_id"),
+    ).collect()
+    by_cluster = {}
+    for r in mem:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert sorted(len(v) for v in by_cluster.values()) == [1, 3]
+    trio = next(v for v in by_cluster.values() if len(v) == 3)
+    golden = max(trio, key=lambda r: (r.c_acctbal, -r.rid))
+    assert golden.rid == 2
