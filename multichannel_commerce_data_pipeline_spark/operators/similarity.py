@@ -798,3 +798,73 @@ def semantic_dedup(
             | (F.col("cos_to_exemplar") < F.lit(threshold)),
         )
     )
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    trunc_dim: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-to-fine ANN via dimension truncation (the Matryoshka /
+    MRL funnel, Kusupati et al. 2022): stage 1 ranks the corpus by
+    cosine over only the FIRST ``trunc_dim`` dimensions — 1/ (dim /
+    trunc_dim) of the arithmetic and, on an MRL-trained embedding
+    column, most of the ordering signal — keeping a ``shortlist`` per
+    query; stage 2 reranks just the shortlist with the exact full-dim
+    cosine. At serving scale this is the standard funnel: the cheap
+    pass touches everything, the expensive pass touches ``shortlist``
+    rows per query.
+
+    Plan shape: stage 1 is the brute-force shape (queries broadcast,
+    corpus streams one narrow stage; per-query top-``shortlist`` via a
+    keyed window whose shuffle carries only (query, neighbor, tcos)
+    triples). Stage 2 re-fetches full vectors by BROADCASTING the tiny
+    shortlist id set back onto the corpus scan — the corpus side never
+    shuffles in either stage. Both stages round through dround with id
+    tie-breaks, so the whole funnel (including which candidates make
+    the shortlist) is oracle-reproducible.
+
+    Returns (query_id, neighbor_id, cosine, rank) — same contract as
+    :func:`cosine_topk`, enabling recall@k comparison."""
+    c = _vectorized(embeddings, id_col, vec_col, "neighbor_id", "cv")
+    ct = c.select(
+        "neighbor_id", F.slice("cv", 1, trunc_dim).alias("tv")
+    ).withColumn("tv_n", _norm(F.col("tv")))
+    q = _vectorized(queries, id_col, vec_col, "query_id", "qv")
+    qt = F.broadcast(
+        q.withColumn("qt", F.slice("qv", 1, trunc_dim))
+        .withColumn("qt_n", _norm(F.col("qt")))
+        .select("query_id", "qv", "qv_n", "qt", "qt_n")
+    )
+    tsim = _dot(F.col("tv"), F.col("qt")) / (F.col("tv_n") * F.col("qt_n"))
+    s1 = (
+        ct.join(qt.select("query_id", "qt", "qt_n"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dround(tsim, 6).alias("tcos"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("tcos"), F.col("neighbor_id")
+    )
+    short = (
+        s1.withColumn("srn", F.row_number().over(w1))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cand = c.join(F.broadcast(short), "neighbor_id")
+    full = cand.join(qt.select("query_id", "qv", "qv_n"), "query_id")
+    sim = _dot(F.col("cv"), F.col("qv")) / (F.col("cv_n") * F.col("qv_n"))
+    scored = full.select(
+        "query_id", "neighbor_id", dround(sim, 4).alias("cosine")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

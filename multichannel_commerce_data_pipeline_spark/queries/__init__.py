@@ -79,6 +79,10 @@ CHECK_FIRST: tuple[str, ...] = (
     "zorder_layout_prune",
     "compaction_plan",
     "entity_golden_record",
+    "ann_matryoshka_topk",
+    "fs_record_linkage",
+    "mv_incremental_merge",
+    "skew_profile",
     # the 23 queries that had NEVER had a driver row (r5 verdict item 3
     # — 13% of the registry; local check.py green is no longer accepted
     # as a substitute since r5 proved it can mask driver red).
@@ -128,15 +132,14 @@ CHECK_FIRST: tuple[str, ...] = (
     "silver_conform_freight",
     "silver_conform_gsheets",
     "pipeline_bronze_scan",
-    "array_sheet_promotion",
-    "messy_value_cleaning",
-    "json_extraction",
-    "current_week_revenue",
-    # The 4 new-query slots displaced customer_rfm /
-    # session_window_events / window_running_sum / tfidf_top_terms to
-    # r7 — each has close r4-green family coverage (event_sessionize,
-    # window_lag_lead/first_last/distribution, corpus_top_terms) and
-    # all were check.py-green this session.
+    # The 8 new-query slots displaced customer_rfm /
+    # session_window_events / window_running_sum / tfidf_top_terms /
+    # array_sheet_promotion / messy_value_cleaning / json_extraction /
+    # current_week_revenue to r7 — each has close r4-or-newer family
+    # coverage (event_sessionize, window_lag_lead/first_last/
+    # distribution, corpus_top_terms, the silver_conform_* family in
+    # this window, exec_daily_kpi always-in) and all were
+    # check.py-green this session.
     # Remaining r3 rows (ann_cosine_topk, ann_ivf_topk, set ops,
     # text family, …) rotate at r7: every one is at most two rounds
     # from fresh evidence after this window, and the ANN family keeps

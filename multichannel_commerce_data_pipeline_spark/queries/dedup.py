@@ -662,3 +662,118 @@ def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("m.negid")).cast("long").alias("golden_custkey"),
         F.col("m.a").alias("golden_acctbal"),
     )
+
+
+# Fellegi-Sunter field models (m = P(agree|match), u = P(agree|nonmatch)).
+# Constants by design — the EM fit is a deployment swap that changes
+# only these numbers, never the scoring plan (operators/linkage.py).
+_FS_FIELDS = (
+    ("regno", 0.9, 0.001),   # same registration number: near-unique
+    ("band", 0.6, 0.05),     # same 500-wide balance band: weak signal
+    ("sign", 0.95, 0.55),    # same balance sign: very weak signal
+)
+_FS_LINK_T = 2.0
+_FS_POSSIBLE_T = 0.5
+
+
+def _fs_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.operators.linkage import (
+        oracle_fs_score,
+    )
+
+    score = oracle_fs_score(
+        [
+            ("c.regno = s.regno", _FS_FIELDS[0][1], _FS_FIELDS[0][2]),
+            ("c.band = s.band", _FS_FIELDS[1][1], _FS_FIELDS[1][2]),
+            ("c.sign = s.sign", _FS_FIELDS[2][1], _FS_FIELDS[2][2]),
+        ]
+    )
+    n_agree = (
+        "(CASE WHEN c.regno = s.regno THEN 1 ELSE 0 END"
+        " + CASE WHEN c.band = s.band THEN 1 ELSE 0 END"
+        " + CASE WHEN c.sign = s.sign THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(substr(c_name, 10) AS BIGINT) AS regno,
+             CAST(floor(c_acctbal / 500.0) AS BIGINT) AS band,
+             (c_acctbal >= 0) AS sign
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(substr(s_name, 10) AS BIGINT) AS regno,
+             CAST(floor(s_acctbal / 500.0) AS BIGINT) AS band,
+             (s_acctbal >= 0) AS sign
+      FROM supplier
+    ),
+    scored AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             {oracle_dround(score, 6)} AS score,
+             CAST({n_agree} AS BIGINT) AS n_agree
+      FROM cust c JOIN supp s ON c.c_nationkey = s.s_nationkey
+    )
+    SELECT c_custkey, s_suppkey, score, n_agree,
+           CASE WHEN score >= {_FS_LINK_T!r} THEN 'link'
+                ELSE 'possible' END AS decision
+    FROM scored WHERE score >= {_FS_POSSIBLE_T!r}
+    """
+
+
+@query("fs_record_linkage", oracle=_fs_oracle())
+def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 probabilistic half: Fellegi-Sunter record linkage between
+    the customer and supplier registries (the cross-table "is this the
+    same business entity" question a multichannel warehouse asks when
+    one party appears as both buyer and vendor). Candidate pairs come
+    from nation blocking (never all-pairs); each pair scores the SUM of
+    per-field log-odds — agreement on the near-unique registration
+    number (the name's numeric suffix) carries ln(0.9/0.001) ≈ +6.8,
+    agreement on a weak field like balance sign only +0.55, and
+    disagreements subtract — then thresholds split link / possible
+    (operators/linkage.py; weights folded to double literals
+    driver-side so no cross-engine ln() runs at query time). Scoring is
+    map-side arithmetic on the pair frame: the only shuffle is the
+    blocking join itself."""
+    from multichannel_commerce_data_pipeline_spark.operators.linkage import (
+        fs_score,
+    )
+
+    def conform(df, id_col, name_col, nat_col, bal_col):
+        return df.select(
+            F.col(id_col),
+            F.col(nat_col).alias("nk"),
+            F.substring(F.col(name_col), 10, 18).cast("long").alias("regno"),
+            F.floor(F.col(bal_col) / 500.0).cast("long").alias("band"),
+            (F.col(bal_col) >= 0).alias("sign"),
+        )
+
+    cust = conform(
+        load(spark, sf_dir, "customer"),
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+    )
+    supp = conform(
+        load(spark, sf_dir, "supplier"),
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal",
+    ).withColumnsRenamed({"regno": "s_regno", "band": "s_band", "sign": "s_sign"})
+    agree = [
+        (F.col("regno") == F.col("s_regno"), _FS_FIELDS[0][1], _FS_FIELDS[0][2]),
+        (F.col("band") == F.col("s_band"), _FS_FIELDS[1][1], _FS_FIELDS[1][2]),
+        (F.col("sign") == F.col("s_sign"), _FS_FIELDS[2][1], _FS_FIELDS[2][2]),
+    ]
+    n_agree = sum(
+        F.when(a, 1).otherwise(0) for a, _, _ in agree
+    ).cast("long")
+    scored = cust.join(F.broadcast(supp), "nk").select(
+        "c_custkey",
+        "s_suppkey",
+        dround(fs_score(agree), 6).alias("score"),
+        n_agree.alias("n_agree"),
+    )
+    return scored.filter(F.col("score") >= _FS_POSSIBLE_T).select(
+        "c_custkey", "s_suppkey", "score", "n_agree",
+        F.when(F.col("score") >= _FS_LINK_T, "link")
+        .otherwise("possible")
+        .alias("decision"),
+    )

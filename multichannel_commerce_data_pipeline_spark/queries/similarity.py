@@ -836,3 +836,75 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+_MAT_TRUNC = 16
+_MAT_SHORT = 50
+
+
+def _matryoshka_oracle() -> str:
+    tdot = _DOT.format(a="tv", b="qt")
+    tnorm_t = _NORM.format(a="tv")
+    tnorm_q = _NORM.format(a="qt")
+    cos = oracle_dround(
+        _COSINE.replace("cv", "c.v").replace("qv", "q.qv"), 4
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    ct AS (
+      SELECT vec_id, list_slice(v, 1, {_MAT_TRUNC}) AS tv FROM c
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv,
+             list_slice(v, 1, {_MAT_TRUNC}) AS qt
+      FROM c WHERE vec_id < {_N_QUERIES}
+    ),
+    s1 AS (
+      SELECT q.query_id, ct.vec_id AS neighbor_id,
+             {oracle_dround(f"{tdot} / ({tnorm_t} * {tnorm_q})", 6)} AS tcos
+      FROM ct, q
+      WHERE q.query_id <> ct.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY tcos DESC, neighbor_id) AS srn
+        FROM s1
+      ) WHERE srn <= {_MAT_SHORT}
+    ),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id, {cos} AS cosine
+      FROM short s
+      JOIN c ON c.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+    """
+
+
+@query("ann_matryoshka_topk", oracle=_matryoshka_oracle())
+def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: coarse-to-fine ANN by dimension truncation (the Matryoshka /
+    MRL serving funnel): stage 1 ranks the whole corpus on the first 16
+    of 64 dims (4x cheaper per pair), stage 2 reranks only the 50-deep
+    shortlist with the exact full-dim cosine. The corpus never shuffles
+    in either stage — queries broadcast down, the shortlist id set
+    broadcasts back onto the corpus scan for the re-fetch
+    (operators/similarity.py matryoshka_topk). Every ranking decision
+    is dround-quantized with id tie-breaks, so the funnel — including
+    exactly WHICH candidates survive stage 1 — is SQL-reproducible."""
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.matryoshka_topk(
+        e, q, trunc_dim=_MAT_TRUNC, shortlist=_MAT_SHORT, k=_K,
+        id_col="vec_id", vec_col="embedding",
+    )

@@ -17,6 +17,10 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multichannel_commerce_data_pipeline_spark.functions import (
+    dround,
+    oracle_dround,
+)
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.sources.warehouse import (
     read_table,
@@ -736,4 +740,157 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum("n_rows").over(w) - F.col("n_rows")) / _COMPACT_TARGET)
         .cast("long")
         .alias("job_id"),
+    )
+
+
+_MV_CUTOVER = "2024-01-25"
+
+
+def ensure_mv_state(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the aggregate STATE table (per event_type algebraic
+    accumulators over days < cutover) once per (session, sf_dir) — the
+    stored MV a warehouse maintains instead of rescanning history."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "mv_state"
+    if not (base.is_dir() and any(base.glob("*.parquet"))):
+        ev = load(spark, sf_dir, "events").filter(
+            F.to_date("ts") < F.lit(_MV_CUTOVER)
+        )
+        state = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("val_sum"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+        )
+        state.write.mode("overwrite").parquet(str(base))
+    return str(base)
+
+
+@query(
+    "mv_incremental_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(ROUND(CAST((CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                 AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*))
+                           AS DECIMAL(38,8)), 4) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def mv_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view INCREMENTAL MAINTENANCE via algebraic
+    aggregate-state merge: the stored MV holds per-group accumulators
+    (count, decimal sum, min, max) over all history before the cutover
+    day; the refresh aggregates ONLY the delta days and merges states
+    (cnt+cnt, sum+sum, min(min), max(max)) — history is never
+    rescanned, which is the entire economics of MV maintenance at
+    100 TB (the reference reruns its full gold build every 300 s —
+    silver_to_gold.py via Dockerfile.silver-to-gold — and this is the
+    operator that replaces that). Derived measures (avg) come off the
+    merged accumulators, which is why the state carries sum+count
+    rather than avg itself. The oracle is the full recompute over all
+    days — state + delta must equal it exactly; the decimal sum makes
+    the merge addition-order-independent, with DOUBLE only at the
+    output boundary."""
+    state = spark.read.parquet(ensure_mv_state(spark, sf_dir))
+    delta = (
+        load(spark, sf_dir, "events")
+        .filter(F.to_date("ts") >= F.lit(_MV_CUTOVER))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("val_sum"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+        )
+    )
+    merged = (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.sum("val_sum").cast("decimal(38,2)").alias("vsum"),
+            F.min("val_min").alias("min_value"),
+            F.max("val_max").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.col("vsum").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+        F.round(
+            (F.col("vsum").cast("double") / F.col("n_events")).cast(
+                "decimal(38,8)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("avg_value"),
+    )
+
+
+_SKEW_TOPN = 10
+
+
+@query(
+    "skew_profile",
+    oracle=f"""
+    WITH counts AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts)
+    SELECT c.key, c.cnt,
+           {oracle_dround('CAST(c.cnt AS DOUBLE) / t.total', 6)} AS share,
+           t.n_keys
+    FROM counts c, tot t
+    ORDER BY c.cnt DESC, c.key
+    LIMIT {_SKEW_TOPN}
+    """,
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW DIAGNOSTIC — the profiling query run before
+    choosing salt factors / AQE skew thresholds for a big join: the
+    top-N hottest values of the prospective shuffle key with their
+    share of all rows, plus the distinct-key count (the denominator
+    for picking shuffle partitions). One partial-aggregated group-by +
+    a TakeOrderedAndProject (orderBy+limit never globally sorts); the
+    1-row total and key count broadcast back onto the top-N — no
+    second pass over the fact. The salted-join operators
+    (operators/skew.py) consume exactly these numbers."""
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+
+    counts = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            dround(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            "n_keys",
+        )
+        .orderBy(F.desc("cnt"), F.col("key"))
+        .limit(_SKEW_TOPN)
     )

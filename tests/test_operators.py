@@ -1280,3 +1280,76 @@ def test_entity_golden_record_planted_variants(spark):
     trio = next(v for v in by_cluster.values() if len(v) == 3)
     golden = max(trio, key=lambda r: (r.c_acctbal, -r.rid))
     assert golden.rid == 2
+
+
+def test_matryoshka_recall_vs_exact(spark, sf_dir):
+    """Coarse-to-fine funnel recall@10 vs brute force. On this RANDOM
+    synthetic corpus the first 16 dims carry only 1/4 of the signal
+    (no MRL training front-loads it), so the floor is modest; the
+    assertion pins the funnel mechanics (shortlist -> exact rerank
+    must beat shortlist-sized random chance ~ 50/N), not embedding
+    quality."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    reg = load_registry()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in reg["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    mat = {
+        (r.query_id, r.neighbor_id)
+        for r in reg["ann_matryoshka_topk"].fn(spark, sf_dir).collect()
+    }
+    assert len(exact & mat) / len(exact) >= 0.35
+
+
+def test_fs_linkage_planted_pairs(spark):
+    """Planted registry rows: same registration number + nation links
+    (score >= 2); agreeing only on weak fields stays 'possible'; no
+    shared field at all falls below the floor and is absent."""
+    from multichannel_commerce_data_pipeline_spark.operators.linkage import (
+        fs_score,
+        fs_weights,
+    )
+    from pyspark.sql import functions as F
+
+    fields = [
+        (F.col("ra") == F.col("rb"), 0.9, 0.001),
+        (F.col("ba") == F.col("bb"), 0.6, 0.05),
+        (F.col("sa") == F.col("sb"), 0.95, 0.55),
+    ]
+    rows = [
+        # regno match, band+sign match -> strong link
+        (1, 42, 3, True, 42, 3, True),
+        # only band+sign -> possible (0.73)
+        (2, 10, 5, True, 99, 5, True),
+        # nothing agrees -> deep negative
+        (3, 10, 5, True, 99, 8, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "pid int, ra long, ba long, sa boolean, rb long, bb long, sb boolean"
+    )
+    got = {
+        r.pid: r.s
+        for r in df.select("pid", fs_score(fields).alias("s")).collect()
+    }
+    w1a, w1d = fs_weights(0.9, 0.001)
+    w2a, w2d = fs_weights(0.6, 0.05)
+    w3a, w3d = fs_weights(0.95, 0.55)
+    assert abs(got[1] - (w1a + w2a + w3a)) < 1e-9
+    assert got[1] >= 2.0
+    assert 0.5 <= got[2] < 2.0
+    assert got[3] < 0.5
+
+
+def test_skew_profile_shape(spark, sf_dir):
+    """Top-N is ordered by count desc, shares are consistent with a
+    common denominator, and n_keys is the same on every row."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    rows = load_registry()["skew_profile"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert len({r.n_keys for r in rows}) == 1
+    assert all(0 < r.share < 1 for r in rows)
