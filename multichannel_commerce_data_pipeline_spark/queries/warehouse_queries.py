@@ -753,8 +753,10 @@ def ensure_mv_state(spark: SparkSession, sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "mv_state"
     if not (base.is_dir() and any(base.glob("*.parquet"))):
+        # ts-form of the day cutover (equivalent to to_date(ts) <
+        # cutover) so the predicate pushes into the parquet scan
         ev = load(spark, sf_dir, "events").filter(
-            F.to_date("ts") < F.lit(_MV_CUTOVER)
+            F.col("ts") < F.lit(f"{_MV_CUTOVER} 00:00:00").cast("timestamp")
         )
         state = ev.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -802,7 +804,10 @@ def mv_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = spark.read.parquet(ensure_mv_state(spark, sf_dir))
     delta = (
         load(spark, sf_dir, "events")
-        .filter(F.to_date("ts") >= F.lit(_MV_CUTOVER))
+        .filter(
+            F.col("ts")
+            >= F.lit(f"{_MV_CUTOVER} 00:00:00").cast("timestamp")
+        )
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

@@ -401,3 +401,55 @@ def test_balanced_sample_broadcasts_class_counts(plans):
     (the prefilter is a narrow filter ahead of the per-class window)."""
     p = plans("balanced_class_sample")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_bloom_prune_is_scan_side(plans):
+    """The Bloom membership predicate must evaluate in the fact scan's
+    own stage — a Filter with the literal-array arithmetic BEFORE any
+    exchange — and the only join left is the broadcast exact join. A
+    hash exchange of unpruned orders, or a join against a bloom-words
+    frame, would defeat the operator's purpose (prune before shuffle)."""
+    p = plans("bloom_semi_prune")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # the orders side must be filtered (bloom predicate) pre-join
+    assert "Filter" in p
+
+
+def test_zorder_key_is_map_side(plans):
+    """Morton key + file assignment are pure projection work: no join
+    anywhere, and the only hash exchange is the final per-file rollup."""
+    import re
+
+    p = plans("zorder_layout_prune")
+    assert "Join" not in p
+    assert len(re.findall(r"hashpartitioning", p)) <= 2  # partial+final agg
+
+
+def test_skew_profile_takes_ordered_topn(plans):
+    """Top-N must plan as TakeOrderedAndProject (bounded per-partition
+    heaps), never a global Sort of all key counts."""
+    p = plans("skew_profile")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_mv_merge_reads_state_not_history(plans):
+    """The incremental refresh plan must scan the STORED state parquet
+    plus a delta-filtered events scan — the delta cutover must appear
+    as a pushed filter on the events scan (only delta row groups read
+    at 100 TB), and the history days are represented only by the tiny
+    state table."""
+    p = plans("mv_incremental_merge")
+    assert "mv_state" in p  # the stored accumulator table is a source
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("ts" in l and "GreaterThanOrEqual" in l for l in pushed), pushed
+
+
+def test_matryoshka_corpus_never_shuffles(plans):
+    """Both funnel stages keep the corpus map-side: stage 1 joins the
+    broadcast query set, stage 2 joins the broadcast shortlist — no
+    SortMergeJoin, and the only exchanges are the two per-query top-k
+    windows over (id, id, score) triples."""
+    p = plans("ann_matryoshka_topk")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
