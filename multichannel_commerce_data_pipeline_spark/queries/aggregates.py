@@ -668,3 +668,65 @@ def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(slope, 6).alias("slope"),
         dround((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+_EQD_QS = tuple(i / 8 for i in range(1, 8))  # 7 inner boundaries
+
+
+def _equi_depth_oracle() -> str:
+    bounds = ", ".join(
+        f"CAST(ROUND(CAST(quantile_cont(l_extendedprice, {q!r})"
+        f" AS DECIMAL(38,6)), 2) AS DOUBLE) AS b{i}"
+        for i, q in enumerate(_EQD_QS)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN l_extendedprice > b.b{i} THEN 1 ELSE 0 END"
+        for i in range(len(_EQD_QS))
+    )
+    return f"""
+    WITH b AS (SELECT {bounds} FROM lineitem)
+    SELECT CAST(({bucket}) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem, b
+    GROUP BY 1
+    """
+
+
+@query("equi_depth_histogram", oracle=_equi_depth_oracle())
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A+ optimizer-stats surface: EQUI-DEPTH histogram (the CBO
+    statistic `ANALYZE TABLE ... FOR COLUMNS` builds, and the
+    complement of the fixed-width `price_histogram`): 7 exact octile
+    boundaries over l_extendedprice, then one pass assigning each row
+    bucket = #boundaries below it — every bucket holds ~N/8 rows no
+    matter how skewed the distribution, which is what makes equi-depth
+    the selectivity estimator of choice. The boundaries come from ONE
+    percentile aggregate (collected — 7 doubles, the bounded-collect
+    pattern, dround(2)-quantized so both engines compare against
+    identical cut points); assignment is pure Column arithmetic inside
+    the scan stage, and the rollup is one partial-aggregated group-by
+    over ≤8 keys. At 100 TB swap the exact percentile for
+    approx_percentile with the same call shape (the percentile_summary
+    note)."""
+    li = load(spark, sf_dir, "lineitem")
+    row = li.agg(
+        *[
+            dround(F.percentile("l_extendedprice", q), 2).alias(f"b{i}")
+            for i, q in enumerate(_EQD_QS)
+        ]
+    ).collect()[0]
+    bucket = sum(
+        F.when(F.col("l_extendedprice") > F.lit(row[f"b{i}"]), 1).otherwise(0)
+        for i in range(len(_EQD_QS))
+    ).cast("long")
+    return (
+        li.select(F.col("l_extendedprice"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )

@@ -652,3 +652,101 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return per.select("source", "n_docs", "n_unique", rate.alias("dup_rate"))
+
+
+_BM25_TERMS = ("spark", "query", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    idf = "ln(1 + (n.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))"
+    tf_norm = (
+        f"(tf.tf * {_BM25_K1 + 1.0!r}) / (tf.tf + {_BM25_K1!r} *"
+        f" (1 - {_BM25_B!r} + {_BM25_B!r} * dl.dl / a.avgdl))"
+    )
+    contrib_q = (
+        f"CAST(ROUND(CAST(({idf} * {tf_norm}) AS DECIMAL(38,10)), 6)"
+        " AS DECIMAL(28,6))"
+    )
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ({terms}) GROUP BY doc_id, token
+    ),
+    df_t AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    a AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / MAX(n.n_docs) AS avgdl
+      FROM dl CROSS JOIN n
+    ),
+    contrib AS (
+      SELECT tf.doc_id, {contrib_q} AS cq
+      FROM tf
+      JOIN df_t USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN n CROSS JOIN a
+    )
+    SELECT doc_id,
+           CAST(SUM(cq) AS DOUBLE) AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+    FROM contrib GROUP BY doc_id
+    """
+
+
+@query("bm25_search", oracle=_bm25_oracle())
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X2 sparse-retrieval ranking: Okapi BM25 (k1=1.2, b=0.75) of
+    every document against a fixed term set — the lexical scorer behind
+    the sparse side of hybrid search (hybrid_search_rrf ranks by raw
+    tf; this is the production formula with saturation and
+    length normalization). One token explode feeds BOTH doc length and
+    the term-filtered tf frame (the IN-filter drops ~all tokens before
+    any shuffle); df and corpus stats are bounded broadcast scalars.
+    Per-term contributions quantize to DECIMAL(28,6) BEFORE the
+    per-doc sum — addition-order-independent, so the cross-engine
+    compare is exact (the decayed_popularity convention); ln() itself
+    agrees cross-engine per the tfidf_top_terms precedent."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    a = dl.join(F.broadcast(n)).agg(
+        (F.sum("dl").cast("double") / F.max("n_docs")).alias("avgdl")
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(n))
+        .join(F.broadcast(a))
+        .select(
+            "doc_id",
+            F.round((idf * tf_norm).cast("decimal(38,10)"), 6)
+            .cast("decimal(28,6)")
+            .alias("cq"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("cq").cast("double").alias("bm25"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+    )

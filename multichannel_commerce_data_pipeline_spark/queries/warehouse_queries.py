@@ -899,3 +899,60 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.col("key"))
         .limit(_SKEW_TOPN)
     )
+
+
+@query(
+    "cdc_apply_snapshot",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, event_type, value
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+    ),
+    latest AS (
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ops
+      ) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_changes FROM ops GROUP BY 1
+    )
+    SELECT l.user_id, l.event_id AS last_event_id,
+           l.value AS last_value, c.n_changes
+    FROM latest l JOIN counts c USING (user_id)
+    WHERE l.event_type <> 'error'
+    """,
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 companion: CHANGE-DATA-FEED APPLY — collapse an ordered
+    change stream (signup/purchase = upsert carrying the new value,
+    error = tombstone DELETE; clicks/views are not changes) into the
+    current snapshot: last-writer-wins per key, keys whose final
+    change is a delete are ABSENT. This is the consumer side of a CDC
+    feed (Debezium / Delta change feed), distinct from MERGE (X9,
+    which reconciles two tables) and from latest_snapshot_per_key
+    (which has no delete semantics). The whole apply is ONE
+    partial-aggregated max(struct(ts, event_id, ...)) group-by — each
+    partition collapses its changes map-side before the single keyed
+    exchange; no window, no sort of the full feed. At 100 TB the feed
+    shuffles once on the primary key, which is the floor for
+    last-writer-wins."""
+    ops = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    agg = ops.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("last"),
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+    )
+    return agg.filter(F.col("last.event_type") != "error").select(
+        "user_id",
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.value").alias("last_value"),
+        "n_changes",
+    )

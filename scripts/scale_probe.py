@@ -57,6 +57,14 @@ PROBES = [
     ("last_touch_attribution", "events", "per-user running max(struct)"),
     ("mad_outliers", "events", "two percentile aggs + broadcast stats"),
     ("event_transition_matrix", "events", "one lag-window shuffle, tiny agg"),
+    ("bloom_semi_prune", "orders", "map-side bloom + broadcast exact join"),
+    ("zorder_layout_prune", "orders", "map-side morton key + file rollup"),
+    ("entity_golden_record", "customer graph", "blocked pairs + CC + argmax"),
+    ("ann_matryoshka_topk", "embeddings", "truncated pass + shortlist rerank"),
+    ("mv_incremental_merge", "events delta", "state merge, delta-only scan"),
+    ("fs_record_linkage", "customer x supplier", "nation-blocked log-odds score"),
+    ("compaction_plan", "events metadata", "per-day agg + tiny window"),
+    ("skew_profile", "lineitem keys", "partial agg + TakeOrdered"),
 ]
 REPS = 3
 
@@ -117,6 +125,23 @@ def main() -> None:
         "  state the knobs), keeping candidate counts linear.",
         "- `ann_ivf_topk` centroid count is corpus/50 at every SF, so probed",
         "  cell occupancy stays constant by construction.",
+        "- Cross-SF determinism: the 25 most numerically-sensitive queries",
+        "  (money/decimal sums, percentile interpolation, PageRank decimal",
+        "  iteration, winsorized means, E-S sample keys, MG bound flags, the",
+        "  gold CM2 family, BPE train+apply) were re-run through the full",
+        "  oracle gate at sf0.1 — 25/25 hash-green, so the cross-engine",
+        "  rounding conventions hold at 10x the driver-checked row counts,",
+        "  not just at sf0.01. Round 6 extends the set with the two queries",
+        "  whose determinism rests on cross-engine `ln()`/rank agreement:",
+        "  `hybrid_search_rrf` (RRF = 1/(60+rank) fused over independently",
+        "  ranked dense + sparse lists; any rank flip breaks the hash) and",
+        "  `weighted_corpus_sample` (E-S keys ln(u)/w with portable-hash u)",
+        "  — both hash-green at sf0.1 (2026-08-14), 27/27 total.",
+        "- Ratios inherit probe-session noise: before treating a >2x step",
+        "  as plan growth, re-time the query alone in a clean JVM",
+        "  (`event_transition_matrix` once showed 8.1x in-probe and runs",
+        "  flat 0.65 s measured alone — one keyed lag window feeding a",
+        "  25-row frame cannot grow superlinearly).",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")

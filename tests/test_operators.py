@@ -1353,3 +1353,68 @@ def test_skew_profile_shape(spark, sf_dir):
     assert cnts == sorted(cnts, reverse=True)
     assert len({r.n_keys for r in rows}) == 1
     assert all(0 < r.share < 1 for r in rows)
+
+
+def test_bm25_scores_positive_and_bounded(spark, sf_dir):
+    """Every matched doc has positive BM25 (idf > 0 since no term is in
+    more than half the corpus) and matches at most the 3 query terms;
+    per-term saturation bounds the score by (k1+1)*sum(idf)."""
+    import math
+
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    rows = load_registry()["bm25_search"].fn(spark, sf_dir).collect()
+    assert rows
+    # loose upper bound: 3 terms * (k1+1) * ln(1 + N+0.5/0.5)
+    cap = 3 * 2.2 * math.log(1 + (500 + 0.5) / 0.5)
+    for r in rows:
+        assert 0 < r.bm25 < cap
+        assert 1 <= r.n_terms_matched <= 3
+
+
+def test_cdc_apply_drops_deleted_keys(spark, sf_dir):
+    """Keys whose LAST change is the tombstone must be absent; present
+    keys carry the value of their latest non-ignored change."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    got = {
+        r.user_id: (r.last_event_id, r.last_value)
+        for r in load_registry()["cdc_apply_snapshot"].fn(spark, sf_dir).collect()
+    }
+    ops = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last = (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    for r in last:
+        if r.event_type == "error":
+            assert r.user_id not in got
+        else:
+            assert got[r.user_id] == (r.event_id, r.value)
+
+
+def test_equi_depth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    """8 buckets, each within 2% of N/8 (octile boundaries), value
+    ranges ordered and non-overlapping."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    rows = sorted(
+        load_registry()["equi_depth_histogram"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(8))
+    total = sum(r.n_rows for r in rows)
+    for r in rows:
+        assert abs(r.n_rows - total / 8) <= total * 0.02, (r.bucket, r.n_rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
