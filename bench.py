@@ -63,8 +63,19 @@ HEADLINE = [
     "event_heavy_hitters",
     "copurchase_pagerank",
     "last_touch_attribution",
+    # round 6 additions
+    "bloom_semi_prune",
+    "zorder_layout_prune",
+    "entity_golden_record",
+    "ann_matryoshka_topk",
+    "mv_incremental_merge",
+    "bm25_search",
+    "cdc_apply_snapshot",
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
+    # skew_profile / compaction_plan / fs_record_linkage /
+    # equi_depth_histogram are planning/metadata-sized queries, covered
+    # by the scale probe instead.
     # nb_lang_posterior shares dsir's fit+score machinery; the jdbc/orc/
     # csv round-trips are IO coverage, not throughput queries.
     # salted_skew_join mirrors salted_skew_agg's timed shape;

@@ -30,6 +30,12 @@ over ≤ m_bits/32 word keys (bounded, collected like a codebook — 2 KB
 at the default sizing); the membership test is pure Column arithmetic
 against one array literal — zero shuffle, zero UDF, and it rides
 inside the fact scan's whole-stage codegen before any exchange.
+
+Deployment note: the md5 hash family is the oracle-reproducibility
+choice; in production swap ``portable_hash32`` for ``F.xxhash64``
+(JVM-native, no string md5 per row) — the filter layout, build plan,
+and membership plan are identical, only the hash constants change
+(the deterministic-codebook convention used across this repo).
 """
 
 from __future__ import annotations

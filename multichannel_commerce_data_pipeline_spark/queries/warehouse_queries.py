@@ -887,7 +887,7 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_keys"),
     )
     return (
-        counts.crossJoin(F.broadcast(tot))
+        counts.join(F.broadcast(tot))
         .select(
             "key",
             "cnt",

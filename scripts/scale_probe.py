@@ -136,7 +136,11 @@ def main() -> None:
         "  `hybrid_search_rrf` (RRF = 1/(60+rank) fused over independently",
         "  ranked dense + sparse lists; any rank flip breaks the hash) and",
         "  `weighted_corpus_sample` (E-S keys ln(u)/w with portable-hash u)",
-        "  — both hash-green at sf0.1 (2026-08-14), 27/27 total.",
+        "  — both hash-green at sf0.1 (2026-08-14), 27/27 total — plus",
+        "  all 11 round-6 additions (bloom/zorder/compaction/golden-",
+        "  record/matryoshka/FS-linkage/MV-merge/skew/BM25/CDC/equi-",
+        "  depth; BM25's in-engine ln() and equi-depth's percentile",
+        "  boundaries are the numerically-sensitive ones), 38/38 total.",
         "- Ratios inherit probe-session noise: before treating a >2x step",
         "  as plan growth, re-time the query alone in a clean JVM",
         "  (`event_transition_matrix` once showed 8.1x in-probe and runs",
