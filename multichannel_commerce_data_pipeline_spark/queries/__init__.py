@@ -86,6 +86,8 @@ CHECK_FIRST: tuple[str, ...] = (
     "bm25_search",
     "cdc_apply_snapshot",
     "equi_depth_histogram",
+    "table_reconcile",
+    "snapshot_diff_cdf",
     # the 23 queries that had NEVER had a driver row (r5 verdict item 3
     # — 13% of the registry; local check.py green is no longer accepted
     # as a substitute since r5 proved it can mask driver red).
@@ -127,11 +129,17 @@ CHECK_FIRST: tuple[str, ...] = (
     "case_when_bands",
     "regex_predicate",
     "in_list_rollup",
-    "limit_zero_schema",
+    # limit_zero_schema and multimodal_frame_plan yield their slots to
+    # the last two round-6 additions (table_reconcile,
+    # snapshot_diff_cdf): NEW code with no driver row is strictly
+    # riskier than rows whose code is untouched since r2 — the r5 reds
+    # were both new queries. limit_zero_schema's EMPTY result can only
+    # drift in schema (pinned by test_entry_contract's analysis pass);
+    # multimodal_frame_plan is the plan-shape probe whose two data-path
+    # siblings are r5-green. Both rotate r7 with first priority.
     # simhash_fingerprints yields its slot to the third late addition:
     # it is a strict sub-computation of simhash_near_dupes (green r5),
     # the same exception documented (and accepted) at r5; rotates r7.
-    "multimodal_frame_plan",
     # latest driver row is r3 — the gold/silver medallion family the r5
     # verdict explicitly owes rotation (two shared-helper churn rounds
     # unguarded), plus the oldest diverse r3 rows filling the window

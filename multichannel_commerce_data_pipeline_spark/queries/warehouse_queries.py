@@ -956,3 +956,198 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.value").alias("last_value"),
         "n_changes",
     )
+
+
+_REC_DROP = 467   # replica "lost" every custkey divisible by this
+_REC_DRIFT = 331  # replica drifted acctbal (+1.00) on these keys
+_REC_BUCKETS = 64
+_REC_FIELDS_SQL = [
+    "c_custkey",
+    "c_name",
+    "c_nationkey",
+    "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)",
+]
+
+
+def _reconcile_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        oracle_row_fingerprint,
+    )
+
+    fp = oracle_row_fingerprint(_REC_FIELDS_SQL)
+    digest = (
+        f"SELECT c_custkey % {_REC_BUCKETS} AS bucket,"
+        f" CAST(COUNT(*) AS BIGINT) AS n, bit_xor({fp}) AS d"
+        " FROM {rel} GROUP BY 1"
+    )
+    return f"""
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+    ),
+    tgt AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % {_REC_DRIFT} = 0
+                  THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % {_REC_DROP} <> 0
+    ),
+    sd AS ({digest.format(rel='src')}),
+    td AS ({digest.format(rel='tgt')})
+    SELECT COALESCE(sd.bucket, td.bucket) AS bucket,
+           CAST(COALESCE(sd.n, 0) AS BIGINT) AS n_src,
+           CAST(COALESCE(td.n, 0) AS BIGINT) AS n_tgt,
+           (COALESCE(sd.n, 0) = COALESCE(td.n, 0)
+            AND COALESCE(sd.d, 0) = COALESCE(td.d, 0)) AS match
+    FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket
+    """
+
+
+def ensure_replica(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the perturbed customer REPLICA once per (session,
+    sf_dir) — the copy living 'in the other system', with deterministic
+    damage: every custkey divisible by 467 lost, every custkey
+    divisible by 331 drifted by +1.00 acctbal."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "replica"
+    if not (base.is_dir() and any(base.glob("*.parquet"))):
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+        )
+        damaged = c.filter(F.col("c_custkey") % _REC_DROP != 0).withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % _REC_DRIFT == 0,
+                F.col("c_acctbal") + 1.0,
+            ).otherwise(F.col("c_acctbal")),
+        )
+        damaged.write.mode("overwrite").parquet(str(base))
+    return str(base)
+
+
+@query("table_reconcile", oracle=_reconcile_oracle())
+def table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy RECONCILIATION between a table and its replica in
+    another system (the reference ships the same rows to Postgres
+    silver AND ClickHouse gold with no way to prove they agree;
+    bronze_to_silver_all_sources.py:82-90 vs silver_to_gold.py:249) —
+    the Merkle/rsync trick at table scale: hash every row, XOR the
+    hashes per key bucket (order- and partition-independent), and
+    compare only the 64-row digest tables. Each side is ONE
+    partial-aggregated scan of its own copy; nothing but digests
+    crosses systems, which is what makes this runnable nightly against
+    a 100 TB pair. The planted replica damage (dropped keys, drifted
+    balances) must surface as exactly the divergent buckets — and the
+    oracle recomputes both sides' digests from the source relationally,
+    so a fingerprint or fold divergence anywhere turns the row red.
+    Doubles enter the row encoding only through DECIMAL cents (never
+    engine-formatted float strings)."""
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        bucket_digests,
+        reconcile,
+        row_fingerprint,
+    )
+
+    def fp_cols(df: DataFrame) -> list:
+        return [
+            df.c_custkey,
+            df.c_name,
+            df.c_nationkey,
+            (df.c_acctbal.cast("decimal(18,2)") * 100).cast("bigint"),
+        ]
+
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    tgt = spark.read.parquet(ensure_replica(spark, sf_dir))
+    sd = bucket_digests(
+        src, src.c_custkey, row_fingerprint(fp_cols(src)), _REC_BUCKETS
+    )
+    td = bucket_digests(
+        tgt, tgt.c_custkey, row_fingerprint(fp_cols(tgt)), _REC_BUCKETS
+    )
+    return reconcile(sd, td)
+
+
+_CDF_T1 = "2024-01-20 00:00:00"
+_CDF_T2 = "2024-01-28 00:00:00"
+
+
+def _cdf_state_sql(cutoff: str) -> str:
+    return f"""
+      SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type IN ('signup', 'purchase', 'error')
+          AND ts < TIMESTAMP '{cutoff}'
+      ) WHERE rn = 1 AND event_type <> 'error'
+    """
+
+
+@query(
+    "snapshot_diff_cdf",
+    oracle=f"""
+    WITH old AS ({_cdf_state_sql(_CDF_T1)}),
+    new AS ({_cdf_state_sql(_CDF_T2)})
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.value AS old_value,
+           n.value AS new_value
+    FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.event_id <> n.event_id OR o.value <> n.value
+    """,
+)
+def snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed PRODUCER: the diff between two versions of the
+    keyed snapshot (state as-of T1 vs as-of T2), emitted as
+    insert/update/delete change rows — what Delta's table_changes()
+    serves, and the inverse of cdc_apply_snapshot (apply(old, diff) =
+    new). Each version is the same one-shuffle partial-aggregated
+    last-writer-wins collapse as the CDC apply (max(struct), tombstone
+    filter); the diff is one full-outer equi-join on the key with
+    unchanged keys dropped. At 100 TB both sides shuffle once on the
+    primary key and the output is proportional to the CHANGE volume,
+    not the table."""
+    def state(cutoff: str) -> DataFrame:
+        ops = (
+            load(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("signup", "purchase", "error"))
+            .filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .select("user_id", "ts", "event_id", "event_type", "value")
+        )
+        agg = ops.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias(
+                "last"
+            )
+        )
+        return agg.filter(F.col("last.event_type") != "error").select(
+            "user_id",
+            F.col("last.event_id").alias("event_id"),
+            F.col("last.value").alias("value"),
+        )
+
+    old = state(_CDF_T1).withColumnsRenamed(
+        {"event_id": "o_eid", "value": "old_value"}
+    )
+    new = state(_CDF_T2).withColumnsRenamed(
+        {"event_id": "n_eid", "value": "new_value"}
+    )
+    j = old.join(new, "user_id", "full_outer")
+    changed = j.filter(
+        F.col("o_eid").isNull()
+        | F.col("n_eid").isNull()
+        | (F.col("o_eid") != F.col("n_eid"))
+        | (F.col("old_value") != F.col("new_value"))
+    )
+    return changed.select(
+        "user_id",
+        F.when(F.col("o_eid").isNull(), "insert")
+        .when(F.col("n_eid").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        "old_value",
+        "new_value",
+    )

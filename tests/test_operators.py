@@ -1418,3 +1418,65 @@ def test_equi_depth_buckets_are_balanced_and_ordered(spark, sf_dir):
         assert abs(r.n_rows - total / 8) <= total * 0.02, (r.bucket, r.n_rows)
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
+
+
+def test_reconcile_localizes_planted_damage(spark):
+    """Digest reconciliation flags exactly the buckets containing
+    damaged rows: a dropped key and a value drift each flip only their
+    own bucket; identical buckets stay green."""
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        bucket_digests,
+        reconcile,
+        row_fingerprint,
+    )
+
+    src = spark.createDataFrame(
+        [(i, f"name{i}", float(i)) for i in range(100)], "k long, nm string, v double"
+    )
+    # replica: key 7 missing, key 20's value drifted
+    tgt = src.filter(F.col("k") != 7).withColumn(
+        "v", F.when(F.col("k") == 20, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    fp = lambda df: row_fingerprint(  # noqa: E731
+        [df.k, df.nm, (df.v.cast("decimal(18,2)") * 100).cast("bigint")]
+    )
+    got = {
+        r.bucket: r.match
+        for r in reconcile(
+            bucket_digests(src, src.k, fp(src), 16),
+            bucket_digests(tgt, tgt.k, fp(tgt), 16),
+        ).collect()
+    }
+    assert len(got) == 16
+    bad = {b for b, ok in got.items() if not ok}
+    assert bad == {7 % 16, 20 % 16}
+
+
+def test_snapshot_diff_applied_to_old_equals_new(spark, sf_dir):
+    """CDF inverse property: applying the emitted diff to the old
+    snapshot reproduces the new snapshot exactly (insert/update set the
+    new value, delete removes the key, unchanged keys carry over)."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+    from multichannel_commerce_data_pipeline_spark.testing import oracle_connection
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _cdf_state_sql,
+        _CDF_T1,
+        _CDF_T2,
+    )
+
+    diff = {
+        r.user_id: (r.change_type, r.new_value)
+        for r in load_registry()["snapshot_diff_cdf"].fn(spark, sf_dir).collect()
+    }
+    con = oracle_connection(sf_dir)
+    old = {r[0]: r[2] for r in con.sql(_cdf_state_sql(_CDF_T1)).fetchall()}
+    new = {r[0]: r[2] for r in con.sql(_cdf_state_sql(_CDF_T2)).fetchall()}
+    applied = dict(old)
+    for uid, (op, nv) in diff.items():
+        if op == "delete":
+            applied.pop(uid, None)
+        else:
+            applied[uid] = nv
+    assert applied == new
