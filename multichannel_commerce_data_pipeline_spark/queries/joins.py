@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.queries import query
-from multichannel_commerce_data_pipeline_spark.tables import load
+from multichannel_commerce_data_pipeline_spark.tables import (
+    load,
+    parallelize_small_scan,
+)
 
 
 @query(
@@ -549,8 +552,17 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _BLOOM_CACHE:
         _BLOOM_CACHE[sf_dir] = bloom_build(dim, "c_custkey")
     words = _BLOOM_CACHE[sf_dir]
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus"
+    # Catalyst pushes the membership predicate BELOW the fan-out
+    # exchange into the scan itself — at 100 TB that is exactly right
+    # (hashing rides inside the parallel scan and rows die before any
+    # exchange); on the driver's single-row-group parquet it means the
+    # md5 work runs in the one scan task, so the local warm time is a
+    # testdata artifact, not a plan defect (SCALING ratio stays ~1.4x).
+    orders = parallelize_small_scan(
+        spark,
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        ),
     )
     pruned = orders.filter(bloom_contains(F.col("o_custkey"), words))
     marked = pruned.join(

@@ -65,6 +65,9 @@ PROBES = [
     ("fs_record_linkage", "customer x supplier", "nation-blocked log-odds score"),
     ("compaction_plan", "events metadata", "per-day agg + tiny window"),
     ("skew_profile", "lineitem keys", "partial agg + TakeOrdered"),
+    ("table_reconcile", "customer x replica", "two digest scans + 64-row join"),
+    ("snapshot_diff_cdf", "events", "two max(struct) collapses + FO join"),
+    ("bm25_search", "documents tokens", "one explode + one doc-keyed agg"),
 ]
 REPS = 3
 
@@ -140,7 +143,9 @@ def main() -> None:
         "  all 11 round-6 additions (bloom/zorder/compaction/golden-",
         "  record/matryoshka/FS-linkage/MV-merge/skew/BM25/CDC/equi-",
         "  depth; BM25's in-engine ln() and equi-depth's percentile",
-        "  boundaries are the numerically-sensitive ones), 38/38 total.",
+        "  boundaries are the numerically-sensitive ones), 38/38 total,",
+        "  and table_reconcile + snapshot_diff_cdf green at sf0.1",
+        "  (40/40).",
         "- Ratios inherit probe-session noise: before treating a >2x step",
         "  as plan growth, re-time the query alone in a clean JVM",
         "  (`event_transition_matrix` once showed 8.1x in-probe and runs",

@@ -1480,3 +1480,46 @@ def test_snapshot_diff_applied_to_old_equals_new(spark, sf_dir):
         else:
             applied[uid] = nv
     assert applied == new
+
+
+def test_zorder_written_layout_has_rectangular_file_stats(spark, tmp_path):
+    """End-to-end layout write: repartitionByRange on the Morton key +
+    per-file sort produces parquet files whose (x, y) footprints are
+    small rectangles — the min/max stats a lake reader prunes with.
+    Verified against the actual written files via input_file_name()."""
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.operators.zorder import (
+        bucketize,
+        morton_key,
+    )
+
+    n, bits, n_files = 8192, 8, 16
+    df = spark.range(n).select(
+        bucketize((F.col("id") * 37) % 256, 0.0, 256.0, bits).alias("x"),
+        bucketize((F.col("id") * 101) % 256, 0.0, 256.0, bits).alias("y"),
+    )
+    out = str(tmp_path / "zorder_lake")
+    (
+        df.withColumn("z", morton_key(F.col("x"), F.col("y"), bits))
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(out)
+    )
+    stats = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("x").alias("xl"), F.max("x").alias("xh"),
+            F.min("y").alias("yl"), F.max("y").alias("yh"),
+        )
+        .collect()
+    )
+    assert len(stats) >= n_files * 0.75  # range partitioner may merge a few
+    # every file's footprint is a small rectangle: area well under the
+    # full 256x256 domain (z-locality), so single-dim probes can skip
+    areas = [(r.xh - r.xl + 1) * (r.yh - r.yl + 1) for r in stats]
+    assert max(areas) <= 256 * 256 / 4, sorted(areas)[-3:]
+    probe = lambda lo, hi, l, h: l <= hi and h >= lo  # noqa: E731
+    touched = sum(probe(64, 95, r.yl, r.yh) for r in stats)
+    assert touched <= len(stats) / 2, (touched, len(stats))

@@ -453,3 +453,26 @@ def test_matryoshka_corpus_never_shuffles(plans):
     p = plans("ann_matryoshka_topk")
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_reconcile_joins_only_digest_tables(plans):
+    """Each side of the reconciliation is one partial-aggregated scan;
+    the only join is the full-outer of the two 64-row digest frames —
+    table rows never cross the join."""
+    import re
+
+    p = plans("table_reconcile")
+    # exactly one join NODE (the digest full-outer); formatted output
+    # repeats the name in detail sections, so count node headers only
+    nodes = re.findall(r"\(\d+\)\s+(\w*Join\w*)", p)
+    assert len(nodes) == 1, nodes
+    assert "FullOuter" in p
+    assert "partial_bit_xor" in p  # map-side combine of the digest fold
+
+
+def test_snapshot_diff_is_two_collapses_and_one_join(plans):
+    """Both snapshot versions are windowless max(struct) collapses
+    (partial-aggregated), diffed by one full-outer equi-join."""
+    p = plans("snapshot_diff_cdf")
+    assert "Window" not in p
+    assert "FullOuter" in p or "full_outer" in p.lower()
