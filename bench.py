@@ -74,8 +74,9 @@ HEADLINE = [
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
     # skew_profile / compaction_plan / fs_record_linkage /
-    # equi_depth_histogram are planning/metadata-sized queries, covered
-    # by the scale probe instead.
+    # equi_depth_histogram / table_reconcile / snapshot_diff_cdf are
+    # planning/metadata-sized queries, covered by the scale probe
+    # instead (all flat <=1.6x across a 10x data step in SCALING.md).
     # nb_lang_posterior shares dsir's fit+score machinery; the jdbc/orc/
     # csv round-trips are IO coverage, not throughput queries.
     # salted_skew_join mirrors salted_skew_agg's timed shape;

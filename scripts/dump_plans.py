@@ -262,6 +262,49 @@ COMMENTARY = {
         "a partial-aggregated rollup on the attributed channel. The "
         "quadratic prior-event join lives only in the oracle."
     ),
+    "bloom_semi_prune": (
+        "The Bloom membership predicate is a Filter of pure literal-array "
+        "arithmetic that Catalyst pushes all the way into the fact scan "
+        "stage — rows that fail the filter die before ANY exchange, which "
+        "is the operator's entire purpose at 100 TB (only probable matches "
+        "reach the broadcast exact join). One md5 per row "
+        "(Kirsch-Mitzenmacher double hashing derives all k positions); the "
+        "filter build is a bounded partial-aggregated bit_or collect."
+    ),
+    "zorder_layout_prune": (
+        "Morton key + file assignment are a single projection (no join "
+        "anywhere in the plan); the only exchanges are the partial+final "
+        "hash aggregates of the 64-file footprint rollup. The layout write "
+        "path (repartitionByRange on the key) is one range shuffle, "
+        "asserted end-to-end against real parquet file stats in "
+        "tests/test_operators.py."
+    ),
+    "table_reconcile": (
+        "Each side digests its own copy with one partial-aggregated scan "
+        "(partial_bit_xor map-side), and the ONLY join in the plan is the "
+        "full-outer of two 64-row digest frames — table rows never cross "
+        "the join, which is what makes nightly reconciliation of a 100 TB "
+        "pair affordable."
+    ),
+    "mv_incremental_merge": (
+        "Two sources: the stored accumulator table (tiny) and a delta "
+        "events scan whose timestamp cutover appears as a PushedFilter — "
+        "history rows are never read, only merged as state. The merge is "
+        "a union + one keyed aggregate over per-group accumulators."
+    ),
+    "ann_matryoshka_topk": (
+        "Both funnel stages keep the corpus map-side: stage 1 joins the "
+        "broadcast query set over TRUNCATED vectors (1/4 the arithmetic), "
+        "stage 2 joins the broadcast 50-id shortlist back onto the corpus "
+        "scan for the exact rerank. The only exchanges are the two "
+        "per-query top-k windows over (id, id, score) triples."
+    ),
+    "cdc_apply_snapshot": (
+        "Last-writer-wins is ONE partial-aggregated max(struct(ts, id, "
+        "type, value)) group-by — each partition collapses its changes "
+        "map-side before the single keyed exchange; no window, no sort of "
+        "the full change feed. Tombstones filter after the collapse."
+    ),
 }
 
 

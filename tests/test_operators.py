@@ -1517,9 +1517,15 @@ def test_zorder_written_layout_has_rectangular_file_stats(spark, tmp_path):
     )
     assert len(stats) >= n_files * 0.75  # range partitioner may merge a few
     # every file's footprint is a small rectangle: area well under the
-    # full 256x256 domain (z-locality), so single-dim probes can skip
-    areas = [(r.xh - r.xl + 1) * (r.yh - r.yl + 1) for r in stats]
-    assert max(areas) <= 256 * 256 / 4, sorted(areas)[-3:]
+    # full 256x256 domain (z-locality), so single-dim probes can skip.
+    # repartitionByRange SAMPLES its boundaries, so one straddling file
+    # can exceed the ideal 1/n_files share — bound the worst file at a
+    # third of the domain and the median tightly.
+    areas = sorted(
+        (r.xh - r.xl + 1) * (r.yh - r.yl + 1) for r in stats
+    )
+    assert areas[-1] <= 256 * 256 / 3, areas[-3:]
+    assert areas[len(areas) // 2] <= 256 * 256 / 8, areas
     probe = lambda lo, hi, l, h: l <= hi and h >= lo  # noqa: E731
     touched = sum(probe(64, 95, r.yl, r.yh) for r in stats)
     assert touched <= len(stats) / 2, (touched, len(stats))
