@@ -71,6 +71,9 @@ HEADLINE = [
     "mv_incremental_merge",
     "bm25_search",
     "cdc_apply_snapshot",
+    "cm_sketch_estimate",
+    "kmeans_centroid_fit",
+    "cluster_safe_split",
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
     # skew_profile / compaction_plan / fs_record_linkage /

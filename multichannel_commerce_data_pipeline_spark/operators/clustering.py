@@ -1,0 +1,149 @@
+"""In-engine k-means (Lloyd's algorithm) over embedding columns.
+
+The ANN and semantic-dedup operators in this repo (`ivf_assign`,
+`semantic_dedup`, `ivfpq_index`) quantize against DETERMINISTIC
+stride-sampled centroids, with a documented "swap in trained centroids
+at deployment" seam. This module closes that seam: it trains the
+centroids themselves, distributed, inside the engine — the index-build
+step a 100 TB vector warehouse otherwise has to ship to an external
+trainer.
+
+Execution model (per Lloyd iteration):
+
+* **assign** — the current k centroids enter as a tiny broadcast frame;
+  every corpus vector scores k quantized squared-L2 distances map-side
+  and keeps its argmin via a partial-aggregated ``min(struct(d2,
+  cell))`` (the `ivf_assign` shape: the exchange carries N rows, never
+  N*k — a window over the scored frame would sort-shuffle N*k);
+* **update** — per-dimension means via ``posexplode`` + ONE
+  partial-aggregated ``(cell, dim)`` group-by: the k*dim*partitions
+  partial rows are all that shuffle, regardless of N. The k*dim result
+  is collected driver-side (same bounded-model pattern as the PQ
+  codebook and IVF centroid collects) and becomes the next round's
+  broadcast literals.
+
+So each iteration costs one corpus scan + one bounded shuffle + a
+k*dim-row collect — flat in N per round, and never materializes an
+N x k frame.
+
+Determinism / oracle-reproducibility: float summation does not commute,
+so every per-dimension addend is quantized to DECIMAL(28,9) before the
+sum (the PageRank convention) and each new mean is re-quantized to 6 dp
+via :func:`functions.dround`; distances are likewise quantized with a
+``(d2, cell)`` struct-min tie-break. Every round is therefore
+bit-reproducible for ANY partitioning and expressible in ANSI SQL — a
+DuckDB oracle unrolls the iterations and hash-matches (the drift that
+made `ivf_assign` originally reject k-means is gone). Initialization is
+the deterministic stride sample (vectors with ``vid % gap == 0``,
+``vid < k*gap``) — k-means++ would need a sequential dependence chain;
+at 100 TB you seed from a uniform sample anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.functions import dround
+from multichannel_commerce_data_pipeline_spark.operators.similarity import (
+    _as_double,
+)
+
+
+def _d2(v, cv):
+    """Quantized squared L2 distance between two double-array columns —
+    one zip_with/aggregate fold, 6 dp (mirrors the oracle's
+    list_reduce fold order: identical for doubles)."""
+    return dround(
+        F.aggregate(
+            F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vid, v, cell, d2): each vector's nearest centroid. Broadcast
+    join + map-side ``min(struct)`` argmin — ties break to the lowest
+    cell id, matching the oracle's ``ORDER BY d2, cell``."""
+    scored = corpus.join(F.broadcast(cents)).select(
+        "vid", "v", "cell", _d2(F.col("v"), F.col("cv")).alias("d2")
+    )
+    best = F.min(F.struct("d2", "cell", "v")).alias("b")
+    return (
+        scored.groupBy("vid")
+        .agg(best)
+        .select(
+            "vid",
+            F.col("b.v").alias("v"),
+            F.col("b.cell").alias("cell"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    gap: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train k centroids with ``n_iters`` Lloyd rounds; returns
+    ``(assignments, centroids)`` where assignments = ``(vid, v, cell,
+    d2)`` under the FINAL centroids and centroids = ``(cell int, cv
+    array<double>)``.
+
+    A cell that loses every member keeps its previous centroid (no
+    update rows arrive for it); tests assert the default configuration
+    never empties a cell so the SQL oracle can skip the carry-forward.
+    """
+    spark = embeddings.sparkSession
+    corpus = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    init = (
+        corpus.filter((F.col("vid") % gap == 0) & (F.col("vid") < k * gap))
+        .select((F.col("vid") / gap).cast("int").alias("cell"), F.col("v"))
+        .collect()
+    )
+    cents = {r.cell: list(r.v) for r in init}
+    if len(cents) != k:
+        raise ValueError(
+            f"init produced {len(cents)} centroids, expected {k} — "
+            f"need ids 0, {gap}, …, {(k - 1) * gap} present in {id_col}"
+        )
+
+    def cents_df() -> DataFrame:
+        return spark.createDataFrame(
+            sorted(cents.items()), "cell int, cv array<double>"
+        )
+
+    dim = len(next(iter(cents.values())))
+    for _ in range(n_iters):
+        a = _assign(corpus, cents_df())
+        # addends quantized to DECIMAL before the sum: the per-dim mean
+        # is order-independent, so the collected model is deterministic
+        rows = (
+            a.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                dround(
+                    F.sum(
+                        dround(F.col("x"), 9).cast("decimal(28,9)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(r.cell, [0.0] * dim)[r.pos] = r.m
+        cents.update(new)  # absent cell -> previous centroid kept
+    final = cents_df()
+    return _assign(corpus, final), final

@@ -77,3 +77,93 @@ def heavy_hitter_estimates(
     keyed = df.select(key.cast("string").alias("key"))
     partials = keyed.mapInPandas(_mg_kernel("key", k), "key string, est long")
     return partials.groupBy("key").agg(F.sum("est").alias("est"))
+
+
+def cm_sketch(
+    df: DataFrame, key: Column, w: int = 64, d: int = 3, seed: int = 131
+) -> DataFrame:
+    """Count-Min sketch build: a ``d x w`` counter grid as a ``(j,
+    bucket, cell)`` frame (at most ``d*w`` rows), where row ``j`` of the
+    grid counts keys under hash function ``j``.
+
+    The dual of Misra-Gries above: MG NEVER OVERestimates (and may
+    undercount by N/(k+1)); Count-Min NEVER UNDERestimates (and may
+    overcount by colliding keys, E[over] <= N/w per hash row, so the
+    min over d rows is within eps*N, eps = e/w, w.h.p. — Cormode &
+    Muthukrishnan 2005). Together they bracket a key's true frequency
+    from both sides with O(d*w + k) state.
+
+    Scale shape: each input row emits its d (row, bucket) increments
+    map-side and ONE partial-aggregated group-by collapses them — the
+    exchange carries at most ``d*w*partitions`` tiny rows no matter the
+    key cardinality, and two sketches merge by adding cells (the
+    group-by IS the merge), so the operator distributes and streams for
+    free. Hashing is the same Kirsch-Mitzenmacher double-hash family as
+    the Bloom filter (one md5 per row, split into h1/h2), making every
+    bucket position — and therefore the whole sketch — reproducible in
+    an external SQL engine, which Spark's xxhash64-based CountMinSketch
+    aggregate is not.
+    """
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import _positions
+
+    pos = _positions(key.cast("string"), w, d, seed)
+    inc = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        p.cast("int").alias("bucket"),
+                    )
+                    for j, p in enumerate(pos)
+                ]
+            )
+        ).alias("c")
+    )
+    return inc.groupBy(
+        F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cell"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    w: int = 64,
+    d: int = 3,
+    seed: int = 131,
+) -> DataFrame:
+    """Point-query a built Count-Min sketch: for each distinct probe
+    key, ``est = min_j sketch[j][h_j(key)]`` — ``(key, est_count)``.
+
+    The probe frame re-derives its d bucket positions map-side and
+    left-joins the (broadcastable, <= d*w rows) sketch; a missing cell
+    reads as 0 (only possible for keys the sketch never saw). Estimate
+    property: est_count >= true count, always.
+    """
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import _positions
+
+    pos = _positions(F.col(key_col).cast("string"), w, d, seed)
+    pp = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        p.cast("int").alias("bucket"),
+                    )
+                    for j, p in enumerate(pos)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+    return (
+        pp.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cell"), F.lit(0).cast("long"))).alias(
+                "est_count"
+            )
+        )
+    )

@@ -730,3 +730,84 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("hi"),
         )
     )
+
+
+_CM_W, _CM_D, _CM_SEED = 64, 3, 131
+
+
+def _cm_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        _oracle_pos,
+    )
+
+    inc = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_oracle_pos('user_id', _CM_W, j, _CM_SEED)} AS bucket"
+        " FROM events"
+        for j in range(_CM_D)
+    )
+    ppos = " UNION ALL ".join(
+        f"SELECT user_id, {j} AS j,"
+        f" {_oracle_pos('user_id', _CM_W, j, _CM_SEED)} AS bucket FROM probes"
+        for j in range(_CM_D)
+    )
+    return f"""
+    WITH inc AS ({inc}),
+    sketch AS (SELECT j, bucket, COUNT(*) AS cell FROM inc GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+    ppos AS ({ppos}),
+    est AS (
+      SELECT user_id, MIN(COALESCE(s.cell, 0)) AS est_count
+      FROM ppos p LEFT JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+      GROUP BY user_id
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events
+      WHERE user_id < 10 GROUP BY 1
+    )
+    SELECT e.user_id, est_count, exact_count,
+           est_count - exact_count AS overcount
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    """
+
+
+@query("cm_sketch_estimate", oracle=_cm_oracle())
+def cm_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: Count-Min sketch frequency estimates — the overcounting
+    dual of the Misra-Gries summary (`event_heavy_hitters`): d x w
+    bounded counter grid, est >= true always, overcount bounded by the
+    colliding mass (E <= N/w per row, min over d rows). Unlike MG the
+    sketch is HASH-derived, not layout-derived, so the estimates
+    themselves are deterministic and hash-comparable — the oracle
+    rebuilds the exact same grid in SQL (portable md5 double-hashing,
+    the Bloom filter family) and must match cell-for-cell. The exact
+    counts ride along as the validation harness (overcount >= 0 is the
+    no-underestimate guarantee, asserted in tests); the 100 TB shape
+    drops them: one map-side explode + one partial-aggregated group-by
+    bounded by d*w cells regardless of key cardinality, and sketches
+    merge by cell addition (streaming/windowed variants reuse the same
+    frame)."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        cm_estimate,
+        cm_sketch,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import (
+        parallelize_small_scan,
+    )
+
+    ev = parallelize_small_scan(spark, load(spark, sf_dir, "events")).select(
+        "user_id"
+    )
+    sk = cm_sketch(ev, F.col("user_id"), w=_CM_W, d=_CM_D, seed=_CM_SEED)
+    probes = ev.filter(F.col("user_id") < 10).distinct()
+    est = cm_estimate(sk, probes, "user_id", w=_CM_W, d=_CM_D, seed=_CM_SEED)
+    exact = (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+    )

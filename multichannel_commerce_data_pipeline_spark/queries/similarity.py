@@ -908,3 +908,106 @@ def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, trunc_dim=_MAT_TRUNC, shortlist=_MAT_SHORT, k=_K,
         id_col="vec_id", vec_col="embedding",
     )
+
+
+_KM_K, _KM_GAP, _KM_ITERS, _KM_DIM = 8, 7, 2, 64
+
+_KM_D2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)"
+)
+
+
+def _km_assign_cte(name: str, cents: str) -> str:
+    d2 = oracle_dround(_KM_D2.format(a="c.v", b="k.cv"), 6)
+    return f"""
+    {name} AS (
+      SELECT vid, v, cell, d2 FROM (
+        SELECT s.vid, s.v, s.cell, s.d2,
+               ROW_NUMBER() OVER (PARTITION BY s.vid
+                                  ORDER BY s.d2, s.cell) AS rn
+        FROM (
+          SELECT c.vid, c.v, k.cell, {d2} AS d2
+          FROM corpus c CROSS JOIN {cents} k
+        ) s
+      ) WHERE rn = 1
+    )"""
+
+
+def _km_update_cte(assign: str, t: int) -> str:
+    addend = f"CAST({oracle_dround('v[i]', 9)} AS DECIMAL(28,9))"
+    mean = oracle_dround(f"CAST(SUM({addend}) AS DOUBLE) / COUNT(*)", 6)
+    return f"""
+    m{t} AS (
+      SELECT cell, i, {mean} AS m
+      FROM {assign} CROSS JOIN sp GROUP BY cell, i
+    ),
+    c{t} AS (SELECT cell, list(m ORDER BY i) AS cv FROM m{t} GROUP BY cell)"""
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""corpus AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sp AS (SELECT unnest(range(1, {_KM_DIM + 1})) AS i),
+    c0 AS (
+      SELECT CAST(vid // {_KM_GAP} AS INT) AS cell, v AS cv FROM corpus
+      WHERE vid % {_KM_GAP} = 0 AND vid < {_KM_K * _KM_GAP}
+    )"""
+    ]
+    for t in range(_KM_ITERS):
+        parts.append(_km_assign_cte(f"a{t}", f"c{t}"))
+        parts.append(_km_update_cte(f"a{t}", t + 1))
+    parts.append(_km_assign_cte("afinal", f"c{_KM_ITERS}"))
+    body = ",".join(parts)
+    norm = oracle_dround(_NORM.format(a="k.cv"), 6)
+    return f"""
+    WITH {body},
+    stats AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+      FROM afinal GROUP BY cell
+    )
+    SELECT s.cell, s.n_members, s.inertia, {norm} AS centroid_norm
+    FROM stats s JOIN c{_KM_ITERS} k ON s.cell = k.cell
+    """
+
+
+@query("kmeans_centroid_fit", oracle=_kmeans_oracle())
+def kmeans_centroid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X7: in-engine k-means TRAINING (2 Lloyd rounds, k=8) — the
+    centroid-fit step the IVF/SemDeDup/PQ operators previously
+    outsourced ("swap in trained centroids at deployment"); now the
+    index training loop itself is a driver-checkable engine operator
+    (operators/clustering.py). Per round: one broadcast-centroid
+    map-side argmin (partial-aggregated min(struct), N-row exchange)
+    plus ONE (cell, dim) group-by whose exchange is bounded by
+    k*dim*partitions rows, with the k*64 model collected like the PQ
+    codebook — flat per-round cost at any N. DECIMAL-quantized sums
+    make the fit order-independent, so the DuckDB oracle unrolls both
+    rounds (assign -> per-dim mean -> reassign) to an exact hash match.
+    Output: per final cell, member count, quantized inertia, and
+    centroid norm."""
+    from multichannel_commerce_data_pipeline_spark.operators import (
+        clustering as C,
+    )
+
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    assign, cents = C.kmeans_fit(
+        e, k=_KM_K, n_iters=_KM_ITERS, gap=_KM_GAP
+    )
+    stats = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("d2").cast("decimal(28,6)")).cast("double").alias(
+            "inertia"
+        ),
+    )
+    norms = cents.select(
+        "cell", dround(S._norm(F.col("cv")), 6).alias("centroid_norm")
+    )
+    return stats.join(norms, "cell").select(
+        "cell", "n_members", "inertia", "centroid_norm"
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from multichannel_commerce_data_pipeline_spark.functions import (
     oracle_dround,
     oracle_hash64,
+    portable_hash64,
 )
 from multichannel_commerce_data_pipeline_spark.operators import text as T
 from multichannel_commerce_data_pipeline_spark.operators import training_prep as TP
@@ -790,4 +791,92 @@ def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("k", "doc_id")
         .limit(100)
         .select("doc_id", "lang", "n_chars")
+    )
+
+
+def _cluster_split_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.queries.dedup import (
+        _THRESHOLD,
+        _minhash_lsh_oracle,
+    )
+
+    pair_sql = _minhash_lsh_oracle(16, 8, _THRESHOLD)
+    rep_hash = oracle_hash64("CAST(rep AS VARCHAR)", 13)
+    return f"""
+    WITH RECURSIVE
+    prs AS (SELECT doc_a, doc_b FROM ({pair_sql})),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM prs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cl AS (SELECT u AS doc, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    rep AS (
+      SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc
+    ),
+    s AS (SELECT doc_id, rep, {rep_hash} % 100 AS bucket FROM rep)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_identities,
+           CAST(COUNT(*) - COUNT(DISTINCT rep) AS BIGINT) AS n_dup_docs
+    FROM s GROUP BY 1
+    """
+
+
+@query("cluster_safe_split", oracle=_cluster_split_oracle())
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/X1 composed: LEAKAGE-SAFE train/val/test split — near-duplicate
+    CLUSTERS are assigned to splits atomically, so a document's near-dups
+    can never land in a different split than it does (the eval-
+    contamination channel a per-doc hash split leaves wide open: Lee et
+    al. 2022 found dev-set near-dups in C4's train split for exactly
+    this reason). Composition: LSH near-dup pairs -> connected
+    components -> every doc inherits its cluster representative (min
+    doc id; unclustered docs represent themselves) -> the STANDARD
+    `dataset_split` hash (same seed 13) applied to the REPRESENTATIVE,
+    so unclustered docs keep their dataset_split assignment bit-for-bit
+    and only clustered docs move. Scale shape: the pair/CC stages are
+    the proven dedup path (banded LSH, never all-pairs); the rep
+    assignment is one keyed left join against the (small) clustered-doc
+    frame; the split itself is map-side hash arithmetic. Oracle replays
+    the chain with a recursive transitive closure. Output: per-split
+    doc / identity counts (n_dup_docs = redundant members — the mass a
+    downstream keep-one dedup would drop); zero-cross-split-pairs is
+    asserted structurally in tests/test_operators.py."""
+    from multichannel_commerce_data_pipeline_spark.operators import dedup as D
+    from multichannel_commerce_data_pipeline_spark.queries.dedup import _THRESHOLD
+
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD
+    )
+    clusters = D.dedup_clusters(pairs)
+    rep = (
+        d.select("doc_id")
+        .join(clusters, F.col("doc_id") == F.col("doc"), "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("rep")
+        )
+    )
+    bucket = portable_hash64(F.col("rep").cast("string"), 13) % 100
+    labeled = rep.select(
+        "doc_id",
+        "rep",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("rep").alias("n_identities"),
+        (F.count(F.lit(1)) - F.countDistinct("rep")).alias("n_dup_docs"),
     )

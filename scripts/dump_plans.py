@@ -305,6 +305,31 @@ COMMENTARY = {
         "map-side before the single keyed exchange; no window, no sort of "
         "the full change feed. Tombstones filter after the collapse."
     ),
+    "cm_sketch_estimate": (
+        "The sketch build is a map-side explode of d (row, bucket) "
+        "increments feeding ONE partial-aggregated group-by — the "
+        "exchange carries at most d*w*partitions counter rows at any key "
+        "cardinality, and the built grid enters the probe side as a "
+        "BroadcastHashJoin. The exact-count branch exists only as the "
+        "oracle's bound harness; the sketch path itself never shuffles "
+        "keys."
+    ),
+    "kmeans_centroid_fit": (
+        "The final Lloyd assign is a broadcast-centroid join whose argmin "
+        "collapses map-side (partial min(struct(d2, cell)) before the "
+        "only N-row exchange); the per-cluster stats reuse that exchange. "
+        "Training rounds (2 collects ahead of this plan) have the same "
+        "shape plus a (cell, dim)-bounded mean aggregate — nothing in the "
+        "iteration scales with N beyond the scan."
+    ),
+    "cluster_safe_split": (
+        "The near-dup machinery reuses the proven LSH plan (map-side "
+        "signatures, band equi-join, never all-pairs); the split itself "
+        "adds one keyed left join of docs onto the small clustered-doc "
+        "label frame and a map-side hash bucket — the final rollup is a "
+        "3-key aggregate. No stage rescans the corpus text after the "
+        "signature pass."
+    ),
 }
 
 

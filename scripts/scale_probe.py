@@ -68,6 +68,9 @@ PROBES = [
     ("table_reconcile", "customer x replica", "two digest scans + 64-row join"),
     ("snapshot_diff_cdf", "events", "two max(struct) collapses + FO join"),
     ("bm25_search", "documents tokens", "one explode + one doc-keyed agg"),
+    ("cm_sketch_estimate", "events", "map-side explode + d*w-cell agg"),
+    ("kmeans_centroid_fit", "embeddings", "2 Lloyd rounds, bounded collects"),
+    ("cluster_safe_split", "documents graph", "LSH pairs + CC + hash split"),
 ]
 REPS = 3
 
@@ -145,7 +148,12 @@ def main() -> None:
         "  depth; BM25's in-engine ln() and equi-depth's percentile",
         "  boundaries are the numerically-sensitive ones), 38/38 total,",
         "  and table_reconcile + snapshot_diff_cdf green at sf0.1",
-        "  (40/40).",
+        "  (40/40), and the three late-round additions cm_sketch_estimate",
+        "  (hash-derived grid cells must match cell-for-cell),",
+        "  kmeans_centroid_fit (two unrolled Lloyd rounds of decimal-",
+        "  quantized means and distances — the most arithmetic-dense",
+        "  oracle in the repo), and cluster_safe_split green at sf0.1",
+        "  (43/43, 2026-08-14).",
         "- Ratios inherit probe-session noise: before treating a >2x step",
         "  as plan growth, re-time the query alone in a clean JVM",
         "  (`event_transition_matrix` once showed 8.1x in-probe and runs",

@@ -1529,3 +1529,118 @@ def test_zorder_written_layout_has_rectangular_file_stats(spark, tmp_path):
     probe = lambda lo, hi, l, h: l <= hi and h >= lo  # noqa: E731
     touched = sum(probe(64, 95, r.yl, r.yh) for r in stats)
     assert touched <= len(stats) / 2, (touched, len(stats))
+
+
+def test_cm_sketch_never_underestimates_and_bounds_overcount(spark):
+    """Count-Min hard guarantee on skewed keys under a forced
+    multi-partition layout: for EVERY key est >= exact (no
+    underestimate, the dual of the MG no-overestimate bound), and with
+    the fixed hash family the worst observed overcount stays within
+    the expected collision mass (deterministic given the seed)."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    rows = spark.range(0, 20000, 1, 16).select(
+        (F.col("id") % (F.lit(1) + F.col("id") % 37)).alias("key")
+    )
+    w, d = 64, 3
+    sk = cm_sketch(rows, F.col("key"), w=w, d=d, seed=131)
+    cells = sk.collect()
+    assert len(cells) <= w * d
+    # every grid row counts every input exactly once
+    per_row = {}
+    for r in cells:
+        per_row[r.j] = per_row.get(r.j, 0) + r.cell
+    assert per_row == {j: 20000 for j in range(d)}
+
+    probes = rows.distinct()
+    est = {
+        r.key: r.est_count
+        for r in cm_estimate(sk, probes, "key", w=w, d=d, seed=131).collect()
+    }
+    exact = {
+        r.key: r.n
+        for r in rows.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    overs = {k: est[k] - exact[k] for k in exact}
+    assert all(o >= 0 for o in overs.values()), overs  # no underestimate
+    # expected overcount per hash row is N/w ≈ 312; min over d=3 rows on
+    # this fixed (data, seed) layout stays well under 3x that
+    assert max(overs.values()) <= 3 * 20000 // w, max(overs.values())
+
+
+def test_cluster_safe_split_never_separates_near_dups(spark, sf_dir):
+    """The leakage guard itself: every LSH near-dup pair lands in ONE
+    split, and docs outside any cluster keep their plain dataset_split
+    assignment bit-for-bit."""
+    from multichannel_commerce_data_pipeline_spark.operators import dedup as D
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        split_assign,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.dedup import _THRESHOLD
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=16, bands=8, n=3, threshold=_THRESHOLD
+    )
+    clusters = D.dedup_clusters(pairs).cache()
+    rep = (
+        docs.select("doc_id")
+        .join(clusters, F.col("doc_id") == F.col("doc"), "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("rep"))
+    )
+    from multichannel_commerce_data_pipeline_spark.functions import portable_hash64
+
+    bucket = portable_hash64(F.col("rep").cast("string"), 13) % 100
+    labeled = rep.select(
+        "doc_id",
+        "rep",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).cache()
+
+    a = labeled.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = labeled.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    crossing = pairs.join(a, "doc_a").join(b, "doc_b").filter(
+        F.col("sa") != F.col("sb")
+    )
+    assert pairs.count() > 0  # the guard is exercised, not vacuous
+    assert crossing.count() == 0
+
+    plain = split_assign(docs, "doc_id", seed=13).select(
+        F.col("doc_id"), F.col("split").alias("plain_split")
+    )
+    unclustered = labeled.filter(F.col("rep") == F.col("doc_id")).join(
+        plain, "doc_id"
+    )
+    assert unclustered.filter(F.col("split") != F.col("plain_split")).count() == 0
+
+
+def test_kmeans_cells_nonempty_and_inertia_improves(spark, sf_dir):
+    """Lloyd sanity on the embeddings table at the query's default
+    config: every one of the k cells keeps members after 2 rounds (the
+    oracle skips empty-cell carry-forward, so this is the guard that
+    keeps the SQL oracle exact), and total inertia under the trained
+    centroids is no worse than under the stride-sampled init."""
+    from multichannel_commerce_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    a0, _ = kmeans_fit(e, k=8, n_iters=0, gap=7)
+    a2, cents = kmeans_fit(e, k=8, n_iters=2, gap=7)
+    sizes = {r.cell: r.n for r in a2.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == set(range(8)) and all(v > 0 for v in sizes.values())
+    assert cents.count() == 8
+    inertia = lambda a: a.agg(  # noqa: E731
+        F.sum(F.col("d2").cast("decimal(28,6)")).cast("double")
+    ).collect()[0][0]
+    assert inertia(a2) <= inertia(a0)

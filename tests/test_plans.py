@@ -476,3 +476,32 @@ def test_snapshot_diff_is_two_collapses_and_one_join(plans):
     p = plans("snapshot_diff_cdf")
     assert "Window" not in p
     assert "FullOuter" in p or "full_outer" in p.lower()
+
+
+def test_cm_sketch_probe_broadcasts_grid(plans):
+    """The sketch build must be one partial-aggregated group-by (no
+    window, no sort) and the probe side must join the <= d*w-cell grid
+    as a broadcast — a sort-merge join against the sketch would shuffle
+    the probe frame for a 192-row build."""
+    p = plans("cm_sketch_estimate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+
+
+def test_kmeans_assign_collapses_before_exchange(plans):
+    """The final Lloyd assign must argmin map-side: a partial min(struct)
+    ahead of the vid exchange (N-row shuffle), with the centroids joined
+    as a broadcast — never a window over the N*k scored frame."""
+    p = plans("kmeans_centroid_fit")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert "partial_min" in p
+
+
+def test_cluster_safe_split_rollup_is_aggregate_only(plans):
+    """After the label join, the split is pure projection arithmetic
+    feeding one aggregate — no extra sort or window on the doc frame."""
+    p = plans("cluster_safe_split")
+    assert "Window" not in p
+    assert "HashAggregate" in p
