@@ -122,15 +122,56 @@ def bloom_contains(
     test is ``floor(word / 2^bit) % 2`` — the PySpark shiftright
     wrapper only takes literal shift amounts, and with word < 2^32 the
     double-precision division is exact, giving bit-identical results
-    to the oracle's ``>>``."""
-    arr = F.lit(words)
+    to the oracle's ``>>``.
+
+    Evaluation strategy (two measured costs, one structure): (a) a
+    filter condition re-evaluates every occurrence of a sub-expression,
+    so naively inlining the md5 hash into k bit tests costs ~8
+    md5+conv evaluations per row (1.76 s vs 0.66 s on the sf0.1 orders
+    scan); (b) every REFERENCE to the m_bits/32-word array literal
+    copies the 2048-int node into the expression tree, and k copies
+    made per-call plan analysis/codegen the dominant cost (~1.5 s).
+    Both are solved by higher-order-function variable binding: the
+    hash binds ONCE via ``exists`` over a single-element array, the k
+    probe positions materialize via ``transform`` over a sequence, and
+    ``forall`` runs the bit test with exactly ONE reference to the
+    word-array literal. The VALUE is unchanged — only evaluation and
+    node counts.
+
+    Construction cost: ``F.lit(<2048-int list>)`` expands to one py4j
+    call per element (~1.3 s of pure plan-BUILD time per query
+    construction); serializing the words once and parsing them with a
+    foldable ``from_json`` makes the array one string-literal node and
+    ONE bridge call — Catalyst's ConstantFolding collapses it back to
+    an array literal before execution, so the physical plan is
+    identical."""
+    import json
+
+    arr = F.from_json(F.lit(json.dumps(words)), "array<bigint>")
     pow2 = F.lit([1 << b for b in range(WORD_BITS)])
-    out = F.lit(True)
-    for pos in _positions(key.cast("string"), m_bits, k, seed):
-        wv = F.element_at(arr, (pos / WORD_BITS).cast("int") + 1)
-        p = F.element_at(pow2, (pos % WORD_BITS).cast("int") + 1)
-        out = out & ((F.floor(wv / p).cast("long") % 2) == 1)
-    return out
+
+    def tests(h: Column) -> Column:
+        h1 = h % (1 << 30)
+        h2 = (h / (1 << 30)).cast("long")
+        positions = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (h1 + h2 * i.cast("long")) % m_bits,
+        )
+        return F.forall(
+            positions,
+            lambda pos: (
+                F.floor(
+                    F.element_at(arr, (pos / WORD_BITS).cast("int") + 1)
+                    / F.element_at(pow2, (pos % WORD_BITS).cast("int") + 1)
+                ).cast("long")
+                % 2
+            )
+            == 1,
+        )
+
+    return F.exists(
+        F.array(portable_hash64(key.cast("string"), seed)), tests
+    )
 
 
 def oracle_bloom_ctes(

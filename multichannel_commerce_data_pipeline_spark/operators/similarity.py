@@ -114,12 +114,19 @@ def srp_signature(vec_col, n_planes: int, dim: int):
     column reference), not a nested cast expression — each plane's dot
     product references it once, and Spark re-evaluates non-trivial
     expressions at every reference."""
+    import json
+
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         # one array literal per plane (not dim scalar literals — at
         # dim 64 × 6 planes the per-component form was ~400 expression
-        # nodes and dominated codegen compile time)
-        plane = F.lit(_plane(p, dim))
+        # nodes and dominated codegen compile time), entered via a
+        # foldable from_json so construction is ONE py4j call instead
+        # of dim F.lit calls (the bloom words-literal lesson; ±1.0
+        # components are exactly JSON-representable)
+        plane = F.from_json(
+            F.lit(json.dumps(_plane(p, dim))), "array<double>"
+        )
         bit = F.when(_dot(vec_col, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         sig = sig + bit
     return sig
@@ -639,11 +646,15 @@ def ivf_assign(
     centroid_stride: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer, deterministic flavor: centroids are the
     corpus vectors whose id is a multiple of ``centroid_stride`` (a
-    fixed pseudo-random sample — k-means would drift per run and break
-    reproducibility; swap in trained centroids at deployment). Each
+    fixed pseudo-random sample — historically because k-means drifted
+    per run; `operators/clustering.py kmeans_fit` now trains
+    deterministic centroids in-engine, and passing its ``(cell int, cv
+    array<double>)`` frame as ``centroids`` swaps them in — the
+    deployment seam, exercised in tests/test_operators.py). Each
     vector joins the broadcast centroid set and keeps its
     highest-cosine centroid (argmax via keyed row_number).
 
@@ -659,6 +670,37 @@ def ivf_assign(
     negated-cell struct field; (ccos, -cell) is unique per vector so
     the max is deterministic."""
     base = _vectorized(embeddings, id_col, vec_col, "vid", "v")
+    if centroids is not None:
+        cents = F.broadcast(
+            centroids.select(
+                "cell", F.col("cv"), _norm(F.col("cv")).alias("cv_n")
+            )
+        )
+        sim = _dot(F.col("v"), F.col("cv")) / (F.col("v_n") * F.col("cv_n"))
+        scored = base.join(cents).select(
+            "vid", "v", "v_n", "cell", dround(sim, 6).alias("ccos")
+        )
+        best = F.max(
+            F.struct(
+                F.col("ccos"),
+                (-F.col("cell")).alias("neg_cell"),
+                F.col("cell"),
+                F.col("v"),
+                F.col("v_n"),
+            )
+        ).alias("best")
+        assign = (
+            scored.groupBy("vid")
+            .agg(best)
+            .select(
+                "vid",
+                F.col("best.v").alias("v"),
+                F.col("best.v_n").alias("v_n"),
+                F.col("best.cell").alias("cell"),
+                F.col("best.ccos").alias("ccos"),
+            )
+        )
+        return assign, cents
     cents = F.broadcast(
         base.filter(F.col("vid") % centroid_stride == 0).select(
             F.col("vid").alias("cell"),
@@ -701,14 +743,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus vectors are inverted-listed by nearest
     centroid; each query probes its ``n_probe`` nearest cells and ranks
     exact cosine only within them. Candidate cost is
     |Q| · n_probe · avg-cell-size instead of |Q| · N; the inverted lists
     shuffle once on cell and the (tiny) probed-query side broadcasts —
-    the same plan at 10⁹ vectors with trained centroids."""
-    assign, cents = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
+    the same plan at 10⁹ vectors with trained ``centroids`` (a ``(cell,
+    cv)`` frame, e.g. from ``clustering.kmeans_fit``) swapped in."""
+    assign, cents = ivf_assign(
+        embeddings, centroid_stride, id_col, vec_col, centroids=centroids
+    )
     corpus = assign.select(
         F.col("vid").alias("neighbor_id"),
         F.col("v").alias("cv"),

@@ -1644,3 +1644,38 @@ def test_kmeans_cells_nonempty_and_inertia_improves(spark, sf_dir):
         F.sum(F.col("d2").cast("decimal(28,6)")).cast("double")
     ).collect()[0][0]
     assert inertia(a2) <= inertia(a0)
+
+
+def test_ivf_accepts_trained_kmeans_centroids(spark, sf_dir):
+    """The deployment seam: ivf_topk with kmeans-trained centroids must
+    produce a well-formed top-k and keep recall vs brute force in the
+    same band as the stride-centroid configuration (trained cells are
+    at least as balanced, so probing the same number of cells covers
+    no fewer true neighbors on this corpus)."""
+    from multichannel_commerce_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from multichannel_commerce_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    _, cents = kmeans_fit(e, k=8, n_iters=2, gap=7)
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        truth = {
+            (r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=10).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    trained = ivf_topk(e, q, n_probe=4, k=10, centroids=cents)
+    rows = trained.collect()
+    assert {r.query_id for r in rows} == set(range(8))
+    assert all(1 <= r.rank <= 10 for r in rows)
+    r_trained = recall(trained)
+    r_stride = recall(ivf_topk(e, q, centroid_stride=50, n_probe=4, k=10))
+    assert r_trained >= r_stride - 0.05, (r_trained, r_stride)
