@@ -681,3 +681,81 @@ def read_latest_heavy_hitters(spark: SparkSession, out_dir: str) -> DataFrame:
         .filter(F.col("__bid") == F.col("__mx"))
         .select("bucket", "key", "est")
     )
+
+
+def stream_cm_sketch(
+    spark: SparkSession,
+    source: str,
+    bronze_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "buyer_name",
+    w: int = 64,
+    d: int = 3,
+    seed: int = 131,
+    watermark: str = "1 day",
+) -> StreamingQuery:
+    """Streaming Count-Min sketch (X12 × T5): because sketch cells merge
+    by ADDITION, Structured Streaming's own stateful aggregation IS the
+    streaming form — no custom state kernel (contrast
+    ``stream_heavy_hitters``, whose Misra-Gries eviction needs
+    ``applyInPandasWithState``). The d×w grid is the aggregation state:
+    bounded regardless of stream length or key cardinality, restored
+    from the checkpoint across restarts, so estimates are CUMULATIVE
+    over the whole feed. Each trigger emits the full current grid
+    (complete mode — at most d·w rows, so re-emission is free) landed
+    per batch_id, idempotent under foreachBatch replay; probe the
+    landed grid with the batch ``operators.frequency.cm_estimate``.
+    The per-row work is the same map-side d-increment explode as the
+    batch build — one md5, k Kirsch-Mitzenmacher positions."""
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        _positions,
+    )
+
+    conformed = conform_stream(
+        read_bronze_stream(spark, source, bronze_root), source, watermark
+    )
+    pos = _positions(F.col(key_col).cast("string"), w, d, seed)
+    inc = conformed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        p.cast("int").alias("bucket"),
+                    )
+                    for j, p in enumerate(pos)
+                ]
+            )
+        ).alias("c")
+    )
+    grid = inc.groupBy(
+        F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cell"))
+    query = (
+        grid.writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("__bid", F.lit(bid))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch-{bid}")
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def read_latest_cm_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The current grid: complete mode re-emits every cell each batch,
+    so the max-batch rows are the whole sketch."""
+    from pyspark.sql import Window
+
+    all_rows = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    w_ = Window.partitionBy()
+    return (
+        all_rows.withColumn("__mx", F.max("__bid").over(w_))
+        .filter(F.col("__bid") == F.col("__mx"))
+        .select("j", "bucket", "cell")
+    )

@@ -665,3 +665,84 @@ def test_streaming_heavy_hitters_bound_and_restart(spark, tmp_path):
     # resumed state: cumulative estimates exceed what the new files
     # alone could produce
     assert sum(est2.values()) > sum(true2.values()) - sum(true1.values())
+
+
+def test_streaming_cm_sketch_cumulative_and_restart(spark, tmp_path):
+    """X12 × T5: the streamed Count-Min grid must equal the BATCH
+    sketch over the same conformed rows (cell-for-cell — the sketch is
+    hash-derived, so stream/batch equivalence is exact, not bounded),
+    and a restart folds new files into checkpoint-restored state so the
+    grid stays cumulative."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        cm_estimate,
+        cm_sketch,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.bronze import (
+        flatten_envelope,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.schemas import (
+        spark_envelope_ddl,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.silver import conform_joor
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_latest_cm_sketch,
+        stream_cm_sketch,
+    )
+
+    w, d, seed = 64, 3, 131
+    bronze = tmp_path / "bronze"
+    shutil.copytree(FIXTURES / "joor", bronze / "joor")
+
+    def drain():
+        stream_cm_sketch(
+            spark,
+            "joor",
+            str(bronze),
+            str(tmp_path / "cm"),
+            str(tmp_path / "ckpt"),
+            w=w,
+            d=d,
+            seed=seed,
+        )
+        return {
+            (r.j, r.bucket): r.cell
+            for r in read_latest_cm_sketch(spark, str(tmp_path / "cm")).collect()
+        }
+
+    def batch_grid():
+        raw = spark.read.schema(spark_envelope_ddl("joor")).json(
+            str(bronze / "joor" / "*" / "*" / "*" / "*.json")
+        )
+        docs = conform_joor(flatten_envelope(raw))
+        return {
+            (r.j, r.bucket): r.cell
+            for r in cm_sketch(
+                docs, F.col("buyer_name"), w=w, d=d, seed=seed
+            ).collect()
+        }
+
+    assert drain() == batch_grid()  # stream ≡ batch, cell-for-cell
+
+    src = bronze / "joor" / "2025" / "06" / "03" / "batch.json"
+    extra = bronze / "joor" / "2025" / "06" / "07"
+    extra.mkdir(parents=True)
+    (extra / "batch.json").write_text(src.read_text())
+
+    g2, b2 = drain(), batch_grid()
+    assert g2 == b2  # restored state + new files = cumulative grid
+    # and the landed grid serves point queries through the batch API
+    raw = spark.read.schema(spark_envelope_ddl("joor")).json(
+        str(bronze / "joor" / "*" / "*" / "*" / "*.json")
+    )
+    docs = conform_joor(flatten_envelope(raw))
+    probes = docs.select("buyer_name").distinct().limit(5)
+    grid_df = read_latest_cm_sketch(spark, str(tmp_path / "cm"))
+    est = cm_estimate(grid_df, probes, "buyer_name", w=w, d=d, seed=seed)
+    exact = {
+        r.buyer_name: r.n
+        for r in docs.groupBy("buyer_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in est.collect():
+        assert r.est_count >= exact[r.buyer_name]
