@@ -91,6 +91,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "cm_sketch_estimate",
     "kmeans_centroid_fit",
     "cluster_safe_split",
+    "minhash_distinct_estimate",
     # the 23 queries that had NEVER had a driver row (r5 verdict item 3
     # — 13% of the registry; local check.py green is no longer accepted
     # as a substitute since r5 proved it can mask driver red).
@@ -147,18 +148,18 @@ CHECK_FIRST: tuple[str, ...] = (
     # verdict explicitly owes rotation (two shared-helper churn rounds
     # unguarded), plus the oldest diverse r3 rows filling the window
     # gold_cm1_shopify / gold_cm1_livestreaming / silver_conform_tiktok
-    # yield their slots to the three late-round additions above
-    # (cm_sketch_estimate, kmeans_centroid_fit, cluster_safe_split)
-    # under the same new-code-outranks-untouched-code rule as the r6
-    # slot swaps below: the three gold_cm1_* channels differ only in a
-    # channel literal over one shared helper (pipeline/gold.py:113) and
-    # the four silver_conform_* channels share pipeline/silver.py's
-    # conform path, so the retained wholesale + joor/freight/gsheets
-    # rows re-verify the shared code; the displaced three rotate r7
-    # with first priority alongside the other owed rows.
+    # / silver_conform_freight yield their slots to the four late-round
+    # additions above (cm_sketch_estimate, kmeans_centroid_fit,
+    # cluster_safe_split, minhash_distinct_estimate) under the same
+    # new-code-outranks-untouched-code rule as the r6 slot swaps below:
+    # the three gold_cm1_* channels differ only in a channel literal
+    # over one shared helper (pipeline/gold.py:113) and the four
+    # silver_conform_* channels share pipeline/silver.py's conform
+    # path, so the retained wholesale + joor/gsheets rows re-verify the
+    # shared code; the displaced four rotate r7 with first priority
+    # alongside the other owed rows.
     "gold_cm1_wholesale",
     "silver_conform_joor",
-    "silver_conform_freight",
     "silver_conform_gsheets",
     "pipeline_bronze_scan",
     # The 8 new-query slots displaced customer_rfm /

@@ -811,3 +811,91 @@ def cm_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         (F.col("est_count") - F.col("exact_count")).alias("overcount"),
     )
+
+
+_MH_M, _MH_SEED, _MH_R = 128, 211, 1 << 60
+
+
+def _mh_distinct_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        oracle_dround,
+        oracle_hash64,
+    )
+
+    h = oracle_hash64("CAST(l_partkey AS VARCHAR)", _MH_SEED)
+    term = oracle_dround(
+        f"CAST(min_h AS DOUBLE) / CAST({_MH_R} AS DOUBLE)", 12
+    )
+    rel = oracle_dround(
+        "abs(est_distinct - exact_distinct) / exact_distinct", 6
+    )
+    s_sum = (
+        f"CAST(SUM(CAST({term} AS DECIMAL(28,12))) AS DOUBLE)"
+    )
+    est_expr = oracle_dround(
+        f"CAST({_MH_M * _MH_M} AS DOUBLE) / ({s_sum}) - {_MH_M}", 6
+    )
+    return f"""
+    WITH h AS (SELECT {h} AS h FROM lineitem),
+    b AS (
+      SELECT CAST(h % {_MH_M} AS INT) AS bucket, MIN(h) AS min_h
+      FROM h GROUP BY 1
+    ),
+    est AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+             {est_expr} AS est_distinct
+      FROM b
+    ),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+      FROM lineitem
+    )
+    SELECT n_buckets_hit, est_distinct, exact_distinct, {rel} AS rel_err
+    FROM est, ex
+    """
+
+
+@query("minhash_distinct_estimate", oracle=_mh_distinct_oracle())
+def minhash_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: bucketed min-hash DISTINCT-COUNT sketch — the cardinality
+    member of the sketch family (MG/CM estimate frequency): m=128
+    registers, each the partial-aggregated MIN portable hash of its
+    bucket, estimator m²/sum(min/R) − m over the
+    registers (Lumbroso's order-statistics form: the normalized minima
+    sum in the NUMERATOR, so no register can blow the estimate up) —
+    pure deterministic arithmetic, reproducible in SQL bit-for-bit,
+    unlike HLL++'s internal sketch format behind
+    `approx_distinct_kpi`. Scale shape: each partition ships at most
+    m register rows regardless of row count or key cardinality — the
+    exact COUNT DISTINCT alongside (the validation harness, oracle
+    genre of `event_heavy_hitters`) is what the sketch REPLACES at
+    100 TB, where its shuffle carries every distinct key. Registers
+    merge by bucket-wise MIN across partitions, days, or streams."""
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        minhash_distinct_sketch,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = minhash_distinct_sketch(
+        li, F.col("l_partkey"), m=_MH_M, seed=_MH_SEED
+    )
+    term = dround(F.col("min_h").cast("double") / F.lit(float(_MH_R)), 12)
+    s_sum = F.sum(term.cast("decimal(28,12)")).cast("double")
+    est = sk.agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        dround(
+            F.lit(float(_MH_M * _MH_M)) / s_sum - _MH_M, 6
+        ).alias("est_distinct"),
+    )
+    ex = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    return est.join(ex).select(
+        "n_buckets_hit",
+        "est_distinct",
+        "exact_distinct",
+        dround(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )

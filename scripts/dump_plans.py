@@ -330,6 +330,15 @@ COMMENTARY = {
         "3-key aggregate. No stage rescans the corpus text after the "
         "signature pass."
     ),
+    "minhash_distinct_estimate": (
+        "The register build is one partial-aggregated MIN group-by over "
+        "at most m=128 bucket keys — each partition contributes <= m "
+        "rows to the exchange at ANY key cardinality, which is the "
+        "whole advantage over the exact COUNT DISTINCT branch beside it "
+        "(kept only as the validation harness; its expand/distinct "
+        "exchange carries every distinct key). The estimator itself is "
+        "a single-row arithmetic projection."
+    ),
 }
 
 

@@ -71,6 +71,7 @@ PROBES = [
     ("cm_sketch_estimate", "events", "map-side explode + d*w-cell agg"),
     ("kmeans_centroid_fit", "embeddings", "2 Lloyd rounds, bounded collects"),
     ("cluster_safe_split", "documents graph", "LSH pairs + CC + hash split"),
+    ("minhash_distinct_estimate", "lineitem", "m-register min sketch, 2 aggs"),
 ]
 REPS = 3
 
@@ -148,12 +149,23 @@ def main() -> None:
         "  depth; BM25's in-engine ln() and equi-depth's percentile",
         "  boundaries are the numerically-sensitive ones), 38/38 total,",
         "  and table_reconcile + snapshot_diff_cdf green at sf0.1",
-        "  (40/40), and the three late-round additions cm_sketch_estimate",
+        "  (40/40), and the four late-round additions cm_sketch_estimate",
         "  (hash-derived grid cells must match cell-for-cell),",
         "  kmeans_centroid_fit (two unrolled Lloyd rounds of decimal-",
         "  quantized means and distances — the most arithmetic-dense",
-        "  oracle in the repo), and cluster_safe_split green at sf0.1",
-        "  (43/43, 2026-08-14).",
+        "  oracle in the repo), cluster_safe_split, and",
+        "  minhash_distinct_estimate (the m²/S estimator arithmetic)",
+        "  green at sf0.1 (44/44, 2026-08-14). A bitwise-exact sweep of",
+        "  the FULL registry (float hex + Decimal repr canon, stricter",
+        "  than the driver's pandas hash) ran the same day at sf0.01:",
+        "  0 diffs, 0 errors over all oracle-paired queries.",
+        "- `minhash_distinct_estimate`'s growth is the exact",
+        "  COUNT DISTINCT VALIDATION branch (distinct l_partkey grows",
+        "  2k->20k across the step and its expand/distinct exchange",
+        "  carries every key); the sketch side ships <= m=128 register",
+        "  rows per partition at any cardinality and is flat. At 100 TB",
+        "  the harness branch is dropped — it is the thing the sketch",
+        "  replaces.",
         "- Ratios inherit probe-session noise: before treating a >2x step",
         "  as plan growth, re-time the query alone in a clean JVM",
         "  (`event_transition_matrix` once showed 8.1x in-probe and runs",

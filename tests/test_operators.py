@@ -1679,3 +1679,42 @@ def test_ivf_accepts_trained_kmeans_centroids(spark, sf_dir):
     r_trained = recall(trained)
     r_stride = recall(ivf_topk(e, q, centroid_stride=50, n_probe=4, k=10))
     assert r_trained >= r_stride - 0.05, (r_trained, r_stride)
+
+
+def test_minhash_distinct_sketch_accuracy_and_merge(spark):
+    """The cardinality sketch on a known key space: estimate within the
+    ~1/sqrt(m) stochastic-averaging band of the true distinct count
+    (deterministic given the fixed hash seed), and bucket-wise MIN of
+    two partition sketches equals the sketch of the union — the merge
+    law that makes it a sketch and not just a statistic."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        minhash_distinct_sketch,
+    )
+
+    m = 128
+    rows = spark.range(0, 60000, 1, 16).select((F.col("id") % 5000).alias("k"))
+    sk = {
+        r.bucket: r.min_h
+        for r in minhash_distinct_sketch(rows, F.col("k"), m=m).collect()
+    }
+    s_sum = sum(v / (1 << 60) for v in sk.values())
+    est = m * m / s_sum - m
+    assert abs(est - 5000) / 5000 < 3 / (m ** 0.5), est  # ~0.27 band
+
+    a = rows.filter(F.col("k") < 3000)
+    b = rows.filter(F.col("k") >= 2000)
+    ska = {
+        r.bucket: r.min_h
+        for r in minhash_distinct_sketch(a, F.col("k"), m=m).collect()
+    }
+    skb = {
+        r.bucket: r.min_h
+        for r in minhash_distinct_sketch(b, F.col("k"), m=m).collect()
+    }
+    merged = {
+        bkt: min(
+            ska.get(bkt, 1 << 62), skb.get(bkt, 1 << 62)
+        )
+        for bkt in set(ska) | set(skb)
+    }
+    assert merged == sk
