@@ -759,3 +759,59 @@ def read_latest_cm_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
         .filter(F.col("__bid") == F.col("__mx"))
         .select("j", "bucket", "cell")
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    source: str,
+    bronze_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "buyer_name",
+    ts_col: str = "order_ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> StreamingQuery:
+    """Streaming SESSION WINDOWS (T4 × T5): Spark's native
+    ``session_window`` as a stateful streaming aggregation — open
+    sessions live in the checkpointed state store and MERGE across
+    micro-batches when a new event lands within the gap of an existing
+    session (the semantics a batch-twin recompute gets for free and a
+    naive incremental append cannot), then emit EXACTLY ONCE (append
+    mode) when the watermark passes gap + delay beyond their last
+    event. The watermark rides the EVENT-time column, not arrival time
+    (contrast ``conform_stream``'s bronze_ts watermark — late events
+    within the delay still extend their session). Landing is plain
+    parquet append: each closed session is final by construction, so
+    no per-batch overwrite or latest-pointer dance is needed."""
+    conformed = CONFORMERS[source](
+        flatten_envelope(read_bronze_stream(spark, source, bronze_root))
+    )
+    sessions = (
+        conformed.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("quantity").cast("long").alias("total_qty"),
+        )
+        .select(
+            "key",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_orders",
+            "total_qty",
+        )
+    )
+    query = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

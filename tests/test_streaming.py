@@ -746,3 +746,94 @@ def test_streaming_cm_sketch_cumulative_and_restart(spark, tmp_path):
     }
     for r in est.collect():
         assert r.est_count >= exact[r.buyer_name]
+
+
+def test_streaming_session_windows_close_once_and_match_batch(spark, tmp_path):
+    """T4 × T5: native session_window as a stateful streaming agg —
+    sessions merge in checkpointed state across drains and emit exactly
+    once (append mode) when the event-time watermark passes them; a
+    far-future sentinel closes every real session, after which the
+    streamed session set must equal the batch-twin recompute."""
+    import json as _json
+
+    from multichannel_commerce_data_pipeline_spark.pipeline.bronze import (
+        flatten_envelope,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.schemas import (
+        spark_envelope_ddl,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.silver import conform_joor
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_sessionize,
+    )
+
+    bronze = tmp_path / "bronze"
+    shutil.copytree(FIXTURES / "joor", bronze / "joor")
+
+    def drain():
+        stream_sessionize(
+            spark,
+            "joor",
+            str(bronze),
+            str(tmp_path / "sess"),
+            str(tmp_path / "ck"),
+        )
+
+    drain()  # real data; day-3 tail sessions stay open in state
+
+    sentinel = {
+        "raw_api_data": {
+            "order_id": "JOOR-SENTINEL",
+            "customer": "ZZ-SENTINEL",
+            "price": "1.0",
+            "quantity": 1,
+            "sku": "SKU-0000",
+            "currency": "USD",
+            "date": "2025-07-15T00:00:00Z",
+        },
+        "kafka_metadata": {
+            "topic": "raw-joor",
+            "partition": 0,
+            "offset": 99999,
+            "stream_timestamp": "2025-07-15T00:00:01",
+            "bronze_timestamp": "2025-07-15T00:00:01",
+        },
+    }
+    late = bronze / "joor" / "2025" / "07" / "15"
+    late.mkdir(parents=True)
+    (late / "batch.json").write_text(_json.dumps(sentinel) + "\n")
+    drain()  # watermark jumps past every real session -> all emit
+
+    streamed = (
+        spark.read.parquet(str(tmp_path / "sess"))
+        .filter(F.col("key") != "ZZ-SENTINEL")
+    )
+    rows = streamed.collect()
+    keys = [(r.key, r.session_start) for r in rows]
+    assert len(keys) == len(set(keys))  # exactly-once, no re-emission
+
+    raw = spark.read.schema(spark_envelope_ddl("joor")).json(
+        str(bronze / "joor" / "*" / "*" / "*" / "*.json")
+    )
+    batch = (
+        conform_joor(flatten_envelope(raw))
+        .filter(F.col("buyer_name") != "ZZ-SENTINEL")
+        .groupBy(
+            F.session_window(F.col("order_ts"), "30 minutes").alias("w"),
+            F.col("buyer_name").alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("quantity").cast("long").alias("total_qty"),
+        )
+        .select(
+            "key",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_orders",
+            "total_qty",
+        )
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert len(rows) > 0
+    assert canon(streamed) == canon(batch)
