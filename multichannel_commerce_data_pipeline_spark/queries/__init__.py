@@ -174,6 +174,10 @@ CHECK_FIRST: tuple[str, ...] = (
     # text family, …) rotate at r7: every one is at most two rounds
     # from fresh evidence after this window, and the ANN family keeps
     # transitive r5 coverage through ann_recall_at_k.
+    # dynamic_partition_prune (added after the window froze this round)
+    # rotates in at r7 with FIRST priority as the sole never-checked
+    # query; it is check.py + bitwise-sweep green at sf0.01 and sf0.1
+    # with its DPP plan shape pinned in tests/test_plans.py.
 )
 
 

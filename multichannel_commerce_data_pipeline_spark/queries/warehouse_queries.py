@@ -1151,3 +1151,60 @@ def snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_value",
         "new_value",
     )
+
+
+@query(
+    "dynamic_partition_prune",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(range(DATE '2024-01-01', DATE '2024-02-01',
+                               INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    wk AS (
+      SELECT day FROM spine
+      WHERE weekofyear(day) = 2 AND year(day) = 2024
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(e."value" AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS total_value
+    FROM events e JOIN wk ON CAST(e.ts AS DATE) = wk.day
+    GROUP BY 1
+    """,
+)
+def dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-surface: DYNAMIC partition pruning — the runtime half of the
+    partition-pruning lever (`partitioned_scan_prune` is the static
+    half). Here the day predicate lives on a DIMENSION (a generated
+    date spine filtered to ISO week 2), not on the fact, so planning
+    time cannot prune directories; Spark's DPP rule instead injects the
+    broadcast dim's day values as a runtime subquery filter INTO the
+    fact scan (`PartitionFilters: [dynamicpruning#...]`, asserted in
+    tests/test_plans.py), and only the 7 matching day directories are
+    ever opened. At 100 TB this is the star-schema query shape — fact
+    partitioned by date, filter arriving through dim_date — and the
+    difference between scanning a week and scanning years. The oracle
+    replays the join against the unpartitioned source with the same
+    spine; sums are DECIMAL internally, DOUBLE at the boundary."""
+    base = ensure_date_partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(base)
+    dim = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr("sequence(date'2024-01-01', date'2024-01-31')")
+            ).alias("day")
+        )
+        .filter((F.weekofyear("day") == 2) & (F.year("day") == 2024))
+    )
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -505,3 +505,12 @@ def test_cluster_safe_split_rollup_is_aggregate_only(plans):
     p = plans("cluster_safe_split")
     assert "Window" not in p
     assert "HashAggregate" in p
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(plans):
+    """The fact scan must carry a dynamicpruning runtime filter on the
+    partition column (the dim's filtered day set injected at runtime) —
+    without it the join would open every day directory."""
+    p = plans("dynamic_partition_prune")
+    assert "dynamicpruning" in p
+    assert "BroadcastHashJoin" in p
