@@ -178,6 +178,17 @@ CHECK_FIRST: tuple[str, ...] = (
     # rotates in at r7 with FIRST priority as the sole never-checked
     # query; it is check.py + bitwise-sweep green at sf0.01 and sf0.1
     # with its DPP plan shape pinned in tests/test_plans.py.
+    # Code-changed-outside-window exception (r6): incremental_lsh_dedup
+    # and the SRP family (embedding_near_dupes, ann_srp_topk,
+    # embedding_semantic_dedup) took VALUE-IDENTICAL refactors late
+    # this round (per-sf frame caching; foldable from_json plane
+    # literals — evaluation strategy only, no expression semantics
+    # touched). Each was re-verified by the bitwise-exact sweep
+    # (float-hex canon, strictly stronger than the driver's pandas
+    # hash) at sf0.01, and the srp/lsh family also at sf0.1; with every
+    # remaining slot holding a never-checked or owed-stale row, the
+    # verified refactors wait for r7 rotation rather than displace
+    # rows with weaker evidence.
 )
 
 
