@@ -1718,3 +1718,28 @@ def test_minhash_distinct_sketch_accuracy_and_merge(spark):
         for bkt in set(ska) | set(skb)
     }
     assert merged == sk
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """The carry-forward branch the oracle deliberately skips: two
+    IDENTICAL init vectors make every point tie between their cells,
+    the (d2, cell) tie-break sends everything to the lower cell, and
+    the emptied cell must keep its previous centroid through the
+    update (left-join coalesce) instead of vanishing."""
+    from multichannel_commerce_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    dup = [1.0, 1.0]
+    rows = [(0, dup), (7, dup)] + [(i, [0.1 * i, 0.2]) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign, cents = kmeans_fit(df, k=2, n_iters=2, gap=7)
+    cent_rows = {r.cell: list(r.cv) for r in cents.collect()}
+    assert set(cent_rows) == {0, 1}
+    assert cent_rows[1] == dup  # carried forward unchanged
+    cells = {r.vid: r.cell for r in assign.collect()}
+    # the kept centroid is still live: once cell 0's centroid moved to
+    # the cluster mean, the duplicate points (distance 0 to the carried
+    # centroid) re-assign to cell 1 in the final pass
+    assert cells[0] == 1 and cells[7] == 1
+    assert all(cells[i] == 0 for i in range(1, 7))
