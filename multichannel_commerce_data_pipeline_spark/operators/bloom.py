@@ -58,10 +58,19 @@ def _positions(key: Column, m_bits: int, k: int, seed: int) -> list[Column]:
     functions at 1/k the per-row hash cost — the dominant cost of the
     fact-side membership test (measured 1.9 s → under 1 s warm on the
     orders scan when this replaced 4 separate md5 calls). h1 + k·h2 <
-    2^33, so the arithmetic never overflows in either engine."""
+    2^33, so the arithmetic never overflows in either engine.
+
+    The h2 split subtracts h1 first: Spark's Divide is double-valued,
+    and ``h / 2^30`` on a raw 60-bit h can land within one ULP of the
+    next integer (error up to 64 for h near 2^60), rounding h2 up where
+    the oracle's integer ``//`` truncates — a rare data-dependent
+    divergence (~1e-8 per uniform key) that would break bit-for-bit
+    oracle reproducibility. ``(h - h1)`` is an exact multiple of 2^30
+    below 2^60 (≤ 30 significant bits after the division), so the
+    double division is exact and matches ``//`` for ALL h."""
     h = portable_hash64(key, seed)
     h1 = h % (1 << 30)
-    h2 = (h / (1 << 30)).cast("long")
+    h2 = ((h - h1) / (1 << 30)).cast("long")
     return [(h1 + h2 * i if i else h1) % m_bits for i in range(k)]
 
 
@@ -151,8 +160,9 @@ def bloom_contains(
     pow2 = F.lit([1 << b for b in range(WORD_BITS)])
 
     def tests(h: Column) -> Column:
+        # exact h2 split — see _positions for why h1 is subtracted first
         h1 = h % (1 << 30)
-        h2 = (h / (1 << 30)).cast("long")
+        h2 = ((h - h1) / (1 << 30)).cast("long")
         positions = F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)),
             lambda i: (h1 + h2 * i.cast("long")) % m_bits,

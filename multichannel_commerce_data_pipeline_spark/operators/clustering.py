@@ -110,8 +110,10 @@ def kmeans_fit(
     PageRank lineage rule). Values are identical to the unrolled SQL
     oracle: the same dround/DECIMAL quantization at every step.
 
-    Tests assert the default configuration never empties a cell so the
-    SQL oracle can skip the carry-forward branch.
+    The SQL oracle unrolls the SAME carry-forward branch (LEFT JOIN
+    c{t-1} + COALESCE in queries/similarity.py:_km_update_cte), so the
+    engines agree for any k/gap/data combination — including configs
+    that empty a cell mid-fit.
     """
     corpus = embeddings.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")

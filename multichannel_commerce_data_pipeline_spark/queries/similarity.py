@@ -935,6 +935,12 @@ def _km_assign_cte(name: str, cents: str) -> str:
 
 
 def _km_update_cte(assign: str, t: int) -> str:
+    """New centroids c{t}: per-dim DECIMAL-quantized means, LEFT-JOINed
+    back onto c{t-1} with COALESCE so a cell that lost every member
+    keeps its previous centroid — the SAME carry-forward branch
+    operators/clustering.py:kmeans_fit takes. Both engines now agree
+    unconditionally (any k/gap/data combination), not just on configs
+    that happen to keep every cell populated."""
     addend = f"CAST({oracle_dround('v[i]', 9)} AS DECIMAL(28,9))"
     mean = oracle_dround(f"CAST(SUM({addend}) AS DOUBLE) / COUNT(*)", 6)
     return f"""
@@ -942,26 +948,37 @@ def _km_update_cte(assign: str, t: int) -> str:
       SELECT cell, i, {mean} AS m
       FROM {assign} CROSS JOIN sp GROUP BY cell, i
     ),
-    c{t} AS (SELECT cell, list(m ORDER BY i) AS cv FROM m{t} GROUP BY cell)"""
+    c{t} AS (
+      SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+      FROM c{t - 1} p
+      LEFT JOIN (SELECT cell, list(m ORDER BY i) AS cv
+                 FROM m{t} GROUP BY cell) n
+        ON p.cell = n.cell
+    )"""
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_oracle(
+    k: int = _KM_K,
+    gap: int = _KM_GAP,
+    iters: int = _KM_ITERS,
+    dim: int = _KM_DIM,
+) -> str:
     parts = [
         f"""corpus AS (
       SELECT vec_id AS vid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    sp AS (SELECT unnest(range(1, {_KM_DIM + 1})) AS i),
+    sp AS (SELECT unnest(range(1, {dim + 1})) AS i),
     c0 AS (
-      SELECT CAST(vid // {_KM_GAP} AS INT) AS cell, v AS cv FROM corpus
-      WHERE vid % {_KM_GAP} = 0 AND vid < {_KM_K * _KM_GAP}
+      SELECT CAST(vid // {gap} AS INT) AS cell, v AS cv FROM corpus
+      WHERE vid % {gap} = 0 AND vid < {k * gap}
     )"""
     ]
-    for t in range(_KM_ITERS):
+    for t in range(iters):
         parts.append(_km_assign_cte(f"a{t}", f"c{t}"))
         parts.append(_km_update_cte(f"a{t}", t + 1))
-    parts.append(_km_assign_cte("afinal", f"c{_KM_ITERS}"))
+    parts.append(_km_assign_cte("afinal", f"c{iters}"))
     body = ",".join(parts)
     norm = oracle_dround(_NORM.format(a="k.cv"), 6)
     return f"""
@@ -972,7 +989,7 @@ def _kmeans_oracle() -> str:
       FROM afinal GROUP BY cell
     )
     SELECT s.cell, s.n_members, s.inertia, {norm} AS centroid_norm
-    FROM stats s JOIN c{_KM_ITERS} k ON s.cell = k.cell
+    FROM stats s JOIN c{iters} k ON s.cell = k.cell
     """
 
 

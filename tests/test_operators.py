@@ -1184,6 +1184,34 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     assert fp / 2000 < 0.05, fp  # (1-e^(-4*500/65536))^4 ~ 7e-7
 
 
+def test_bloom_km_split_exact_at_word_boundary(spark):
+    """The h2 split must TRUNCATE like the oracle's integer ``//``.
+    Spark's Divide is double-valued, and on a raw 60-bit h the naive
+    ``h / 2^30`` can land within one ULP of the next integer and round
+    UP (adversarial form: h = (q+1)*2^30 - 1 near 2^60 — every such h
+    mismatched the oracle before the fix). Subtracting ``h % 2^30``
+    first makes the numerator an exact multiple of 2^30 with <= 30
+    significant bits after the division, so the double arithmetic is
+    exact for ALL h. Planted boundary values prove the fixed form
+    matches ``//`` exactly where the naive form provably diverges."""
+    from pyspark.sql import functions as F
+
+    qs = [(1 << 29) - 1, (1 << 29) - 2, (1 << 28) + 12345, 12345]
+    hs = [(q + 1) * (1 << 30) - 1 for q in qs] + [0, 7, (1 << 60) - 1]
+    df = spark.createDataFrame([(h,) for h in hs], "h long")
+    h = F.col("h")
+    h1 = h % (1 << 30)
+    fixed = ((h - h1) / (1 << 30)).cast("long")
+    naive = (h / (1 << 30)).cast("long")
+    rows = {r.h: (r.f, r.n) for r in df.select(
+        "h", fixed.alias("f"), naive.alias("n")).collect()}
+    for hv in hs:
+        assert rows[hv][0] == hv // (1 << 30), hv
+    # the naive form really does round up on the adversarial values —
+    # the planted divergence this test exists to keep fixed
+    assert any(rows[hv][1] != hv // (1 << 30) for hv in hs[:2])
+
+
 def test_zorder_prunes_both_dims_where_sort_prunes_one(spark):
     """The point of Z-order: with 64 files over a z-clustered layout,
     a narrow probe on EITHER dimension opens a minority of files; a
@@ -1624,10 +1652,9 @@ def test_cluster_safe_split_never_separates_near_dups(spark, sf_dir):
 
 def test_kmeans_cells_nonempty_and_inertia_improves(spark, sf_dir):
     """Lloyd sanity on the embeddings table at the query's default
-    config: every one of the k cells keeps members after 2 rounds (the
-    oracle skips empty-cell carry-forward, so this is the guard that
-    keeps the SQL oracle exact), and total inertia under the trained
-    centroids is no worse than under the stride-sampled init."""
+    config: every one of the k cells keeps members after 2 rounds, and
+    total inertia under the trained centroids is no worse than under
+    the stride-sampled init."""
     from multichannel_commerce_data_pipeline_spark.operators.clustering import (
         kmeans_fit,
     )
@@ -1721,11 +1748,11 @@ def test_minhash_distinct_sketch_accuracy_and_merge(spark):
 
 
 def test_kmeans_empty_cell_keeps_previous_centroid(spark):
-    """The carry-forward branch the oracle deliberately skips: two
-    IDENTICAL init vectors make every point tie between their cells,
-    the (d2, cell) tie-break sends everything to the lower cell, and
-    the emptied cell must keep its previous centroid through the
-    update (left-join coalesce) instead of vanishing."""
+    """The empty-cell carry-forward branch: two IDENTICAL init vectors
+    make every point tie between their cells, the (d2, cell) tie-break
+    sends everything to the lower cell, and the emptied cell must keep
+    its previous centroid through the update (left-join coalesce)
+    instead of vanishing."""
     from multichannel_commerce_data_pipeline_spark.operators.clustering import (
         kmeans_fit,
     )
@@ -1743,3 +1770,57 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     # centroid) re-assign to cell 1 in the final pass
     assert cells[0] == 1 and cells[7] == 1
     assert all(cells[i] == 0 for i in range(1, 7))
+
+
+def test_kmeans_empty_cell_oracle_agrees(spark):
+    """The divergence the r6 advisor flagged: the unrolled DuckDB
+    oracle used to LOSE a cell that emptied mid-fit while kmeans_fit
+    carried its centroid forward — only a test pin on the default
+    config guarded it. The oracle now unrolls the same LEFT JOIN +
+    COALESCE branch; this runs BOTH engines on the duplicate-init
+    construction that empties a cell and demands identical output."""
+    import duckdb
+
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+    from multichannel_commerce_data_pipeline_spark.operators import (
+        similarity as S,
+    )
+    from multichannel_commerce_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.similarity import (
+        _kmeans_oracle,
+    )
+
+    dup = [1.0, 1.0]
+    rows = [(0, dup), (7, dup)] + [(i, [0.1 * i, 0.2]) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign, cents = kmeans_fit(df, k=2, n_iters=2, gap=7)
+    stats = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("d2").cast("decimal(28,6)")).cast("double").alias(
+            "inertia"
+        ),
+    )
+    norms = cents.select(
+        "cell", dround(S._norm(F.col("cv")), 6).alias("centroid_norm")
+    )
+    got = {
+        r.cell: (r.n_members, r.inertia, r.centroid_norm)
+        for r in stats.join(norms, "cell").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({vid}, {vec!r}::DOUBLE[])".replace("'", "") for vid, vec in rows
+        )
+        + ") t(vec_id, embedding)"
+    )
+    want = {
+        cell: (n, inertia, norm)
+        for cell, n, inertia, norm in con.execute(
+            _kmeans_oracle(k=2, gap=7, iters=2, dim=2)
+        ).fetchall()
+    }
+    assert got == want
