@@ -19,7 +19,11 @@ from multichannel_commerce_data_pipeline_spark.functions import (
 from multichannel_commerce_data_pipeline_spark.operators import dedup as D
 from multichannel_commerce_data_pipeline_spark.operators import text as T
 from multichannel_commerce_data_pipeline_spark.queries import query
-from multichannel_commerce_data_pipeline_spark.tables import load, parallelize_small_scan
+from multichannel_commerce_data_pipeline_spark.tables import (
+    load,
+    parallelize_small_scan,
+    session_memo,
+)
 
 # Shared DuckDB fragments reproducing shingles()/doc_shingles():
 # tok → 3-gram distinct shingles per doc → exploded (doc, n_sh, shingle).
@@ -225,7 +229,7 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_probe(idx, new_sig, k=16, bands=8, threshold=_THRESHOLD)
 
 
-_LSH_SIG_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+_LSH_SIG_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _lsh_signature_frames(
@@ -238,7 +242,8 @@ def _lsh_signature_frames(
     Caching the DataFrames themselves (not just relying on CacheManager
     plan-matching) also skips rebuilding the signature expression trees
     per call (~1 s of plan-construction time)."""
-    if sf_dir not in _LSH_SIG_CACHE:
+
+    def build() -> tuple[DataFrame, DataFrame]:
         from pyspark import StorageLevel
 
         d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
@@ -250,8 +255,9 @@ def _lsh_signature_frames(
         new_sig = D.minhash_lsh_index(batch, "doc_id", "text", k=16, n=3).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        _LSH_SIG_CACHE[sf_dir] = (idx, new_sig)
-    return _LSH_SIG_CACHE[sf_dir]
+        return (idx, new_sig)
+
+    return session_memo(spark, _LSH_SIG_CACHE, sf_dir, build)
 
 
 def _simhash_oracle(bits: int) -> str:
@@ -632,7 +638,7 @@ def _golden_oracle() -> str:
     """
 
 
-_IDENTITY_CACHE: dict[str, DataFrame] = {}
+_IDENTITY_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _identity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,7 +646,8 @@ def _identity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — the identity map, built once per sf_dir and persisted
     repartitioned on ``doc`` so the serving join needs no re-exchange
     of the cached side."""
-    if sf_dir not in _IDENTITY_CACHE:
+
+    def build() -> DataFrame:
         c = load(spark, sf_dir, "customer").select(
             "c_custkey", "c_name", "c_nationkey"
         )
@@ -650,8 +657,9 @@ def _identity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         labels = D.dedup_clusters(pairs).repartition(32, "doc").persist()
         labels.count()
-        _IDENTITY_CACHE[sf_dir] = labels
-    return _IDENTITY_CACHE[sf_dir]
+        return labels
+
+    return session_memo(spark, _IDENTITY_CACHE, sf_dir, build)
 
 
 @query("entity_golden_record", oracle=_golden_oracle())

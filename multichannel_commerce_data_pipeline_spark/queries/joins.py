@@ -21,6 +21,7 @@ from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import (
     load,
     parallelize_small_scan,
+    session_memo,
 )
 
 
@@ -419,11 +420,11 @@ def _pagerank_oracle(n_iters: int) -> str:
 # codebooks) — built once per session, reused by every ranking query
 # and every PageRank round; the per-basket-quadratic self-join is not
 # re-run per iteration.
-_EDGE_CACHE: dict[str, DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if sf_dir not in _EDGE_CACHE:
+    def build() -> DataFrame:
         from pyspark import StorageLevel
 
         items = (
@@ -461,8 +462,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             StorageLevel.MEMORY_AND_DISK
         )
         edges.count()
-        _EDGE_CACHE[sf_dir] = edges
-    return _EDGE_CACHE[sf_dir]
+        return edges
+
+    return session_memo(spark, _EDGE_CACHE, sf_dir, build)
 
 
 @query("copurchase_pagerank", oracle=_pagerank_oracle(2))

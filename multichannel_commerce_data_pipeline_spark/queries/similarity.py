@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
 from multichannel_commerce_data_pipeline_spark.operators import similarity as S
 from multichannel_commerce_data_pipeline_spark.queries import query
-from multichannel_commerce_data_pipeline_spark.tables import load, parallelize_small_scan
+from multichannel_commerce_data_pipeline_spark.tables import (
+    load,
+    parallelize_small_scan,
+    session_memo,
+)
 
 _N_QUERIES = 8  # vec_id < 8 as the query set
 _K = 10
@@ -505,11 +509,11 @@ def _pq_cb(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
 # persisted once per sf_dir, probed by every search. Per-query cost is
 # then probe-select + ADC only — re-encoding the corpus on every search
 # call is the wrong shape at any scale.
-_IVFPQ_INDEX_CACHE: dict[str, "DataFrame"] = {}
+_IVFPQ_INDEX_CACHE: dict[tuple[str, str], "DataFrame"] = {}
 
 
 def _ivfpq_index(spark: SparkSession, sf_dir: str) -> "DataFrame":
-    if sf_dir not in _IVFPQ_INDEX_CACHE:
+    def build() -> "DataFrame":
         from pyspark import StorageLevel
 
         idx = S.ivfpq_index(
@@ -520,8 +524,9 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> "DataFrame":
             codebook=_pq_cb(spark, sf_dir),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         idx.count()
-        _IVFPQ_INDEX_CACHE[sf_dir] = idx
-    return _IVFPQ_INDEX_CACHE[sf_dir]
+        return idx
+
+    return session_memo(spark, _IVFPQ_INDEX_CACHE, sf_dir, build)
 
 
 def _pq_oracle() -> str:

@@ -19,7 +19,11 @@ from multichannel_commerce_data_pipeline_spark.functions import (
 from multichannel_commerce_data_pipeline_spark.operators import text as T
 from multichannel_commerce_data_pipeline_spark.operators import training_prep as TP
 from multichannel_commerce_data_pipeline_spark.queries import query
-from multichannel_commerce_data_pipeline_spark.tables import load, parallelize_small_scan
+from multichannel_commerce_data_pipeline_spark.tables import (
+    load,
+    parallelize_small_scan,
+    session_memo,
+)
 
 # oracle fragment: the same 60-bit md5 hash of the doc id each operator
 # uses, parameterized by seed (matches portable_hash64(doc_id, seed))
@@ -831,7 +835,7 @@ def _cluster_split_oracle() -> str:
     """
 
 
-_CLUSTER_LABEL_CACHE: dict[str, DataFrame] = {}
+_CLUSTER_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _doc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,7 +843,8 @@ def _doc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-version cluster map, built once per sf_dir (LSH pairs + CC)
     and persisted repartitioned on ``doc`` so the downstream doc-keyed
     left join needs no re-exchange of the cached side."""
-    if sf_dir not in _CLUSTER_LABEL_CACHE:
+
+    def build() -> DataFrame:
         from multichannel_commerce_data_pipeline_spark.operators import dedup as D
         from multichannel_commerce_data_pipeline_spark.queries.dedup import (
             _THRESHOLD,
@@ -851,8 +856,9 @@ def _doc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = D.dedup_clusters(pairs).repartition(32, "doc").persist()
         labels.count()
-        _CLUSTER_LABEL_CACHE[sf_dir] = labels
-    return _CLUSTER_LABEL_CACHE[sf_dir]
+        return labels
+
+    return session_memo(spark, _CLUSTER_LABEL_CACHE, sf_dir, build)
 
 
 @query("cluster_safe_split", oracle=_cluster_split_oracle())

@@ -121,6 +121,29 @@ def _estimate_scan_partitions(spark: SparkSession, df: DataFrame) -> int:
     return max(1, -(-total // max(split, 1)))
 
 
+def session_memo(spark: SparkSession, cache: dict, sf_dir: str, build):
+    """Memoize a per-``sf_dir`` DataFrame artifact (persisted LSH index,
+    cluster labels, co-purchase edges, trained centroids, ...), keyed
+    ADDITIONALLY by the owning SparkSession's applicationId.
+
+    A cached/persisted DataFrame is bound to the session that built it:
+    if that session is stopped and a new one created in-process
+    (multi-session test suites, driver restarts), a plain
+    ``dict[sf_dir]`` hands back a frame whose SparkContext is dead and
+    every later use fails. Keying by (applicationId, sf_dir) makes a
+    fresh session rebuild the artifact; entries from other application
+    ids for the same sf_dir are evicted (their session is gone in the
+    one-active-session harness, and eviction keeps the dict bounded —
+    worst case a live concurrent session rebuilds, costing time, never
+    correctness)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in cache:
+        for stale in [k for k in cache if k[1] == sf_dir and k != key]:
+            del cache[stale]
+        cache[key] = build()
+    return cache[key]
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
 

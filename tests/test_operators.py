@@ -1184,6 +1184,30 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     assert fp / 2000 < 0.05, fp  # (1-e^(-4*500/65536))^4 ~ 7e-7
 
 
+def test_session_memo_rebuilds_for_new_session():
+    """Cached per-sf_dir DataFrames are bound to the session that built
+    them: after a stop/recreate, a plain dict[sf_dir] cache hands back
+    a frame on a dead SparkContext. session_memo keys by applicationId
+    too — same session hits the cache, a NEW session rebuilds and
+    evicts the dead entry (bounded dict, no stale frames)."""
+    from types import SimpleNamespace
+
+    from multichannel_commerce_data_pipeline_spark.tables import session_memo
+
+    mk = lambda app: SimpleNamespace(  # noqa: E731
+        sparkContext=SimpleNamespace(applicationId=app)
+    )
+    cache, builds = {}, []
+    build = lambda tag: lambda: builds.append(tag) or tag  # noqa: E731
+    s1 = mk("app-1")
+    assert session_memo(s1, cache, "/sf", build("a")) == "a"
+    assert session_memo(s1, cache, "/sf", build("b")) == "a"  # cache hit
+    assert builds == ["a"]
+    s2 = mk("app-2")
+    assert session_memo(s2, cache, "/sf", build("c")) == "c"  # rebuilt
+    assert list(cache) == [("app-2", "/sf")]  # dead entry evicted
+
+
 def test_bloom_km_split_exact_at_word_boundary(spark):
     """The h2 split must TRUNCATE like the oracle's integer ``//``.
     Spark's Divide is double-valued, and on a raw 60-bit h the naive
