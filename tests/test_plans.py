@@ -489,14 +489,29 @@ def test_cm_sketch_probe_broadcasts_grid(plans):
     assert "Window" not in p
 
 
-def test_kmeans_assign_collapses_before_exchange(plans):
+def test_kmeans_assign_collapses_before_exchange(plans, spark, sf_dir):
     """The final Lloyd assign must argmin map-side: a partial min(struct)
     ahead of the vid exchange (N-row shuffle), with the centroids joined
-    as a broadcast — never a window over the N*k scored frame."""
-    p = plans("kmeans_centroid_fit")
+    as a broadcast — never a window over the N*k scored frame. The
+    registry query now serves from the persisted model artifact, so the
+    TRAINING chain's plan is asserted on kmeans_fit directly."""
+    from multichannel_commerce_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    assign, _ = kmeans_fit(e, k=8, n_iters=2, gap=7)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = assign._jdf.queryExecution().explainString(mode)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "Window" not in p
     assert "partial_min" in p
+    # and the serving query reads the persisted artifact, not a re-train
+    q = plans("kmeans_centroid_fit")
+    assert "InMemoryTableScan" in q
 
 
 def test_cluster_safe_split_rollup_is_aggregate_only(plans):
