@@ -415,10 +415,14 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3: corpus vocabulary head — exact top-20 terms by frequency
-    (partial-aggregated count, then a single-partition top-k over the
-    already-aggregated term frame; the all-corpus ordering never sorts
-    raw tokens)."""
+    """X3: corpus vocabulary head — exact top-20 terms by frequency.
+    The aggregated term frame is VOCABULARY-sized (hundreds of millions
+    of rows at 100 TB), so the top-k must never be an unpartitioned
+    window over it: ``orderBy(...).limit(20)`` plans as
+    TakeOrderedAndProject (per-partition heaps, a 20-row merge on the
+    driver), and the rank window then runs over the ≤20 survivors —
+    the bpe_pair_counts idiom. Identical results: row_number over the
+    exact top-20 under the same total order."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     counts = (
         d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
@@ -427,11 +431,10 @@ def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("n"), "token")
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("token", "n", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n", "rank"
     )
 
 

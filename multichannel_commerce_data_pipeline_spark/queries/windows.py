@@ -225,9 +225,23 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "customer_rfm",
-    oracle="""
+_RFM_QS = (0.25, 0.5, 0.75)
+
+
+def _rfm_oracle() -> str:
+    cuts = ", ".join(
+        oracle_dround(f"quantile_cont({m}, {q!r})", 6) + f" AS {m[0]}{i}"
+        for m in ("recency_days", "frequency", "monetary")
+        for i, q in enumerate(_RFM_QS)
+    )
+
+    def bucket(m: str) -> str:
+        return "1 + " + " + ".join(
+            f"(CASE WHEN {m} > c.{m[0]}{i} THEN 1 ELSE 0 END)"
+            for i in range(len(_RFM_QS))
+        )
+
+    return f"""
     WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
     base AS (
       SELECT o_custkey AS custkey,
@@ -235,19 +249,30 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS frequency,
              ROUND(SUM(o_totalprice), 2) AS monetary
       FROM orders, anchor GROUP BY o_custkey
-    )
+    ),
+    cuts AS (SELECT {cuts} FROM base)
     SELECT custkey, recency_days, frequency, monetary,
-           NTILE(4) OVER (ORDER BY recency_days DESC, custkey) AS r_quartile,
-           NTILE(4) OVER (ORDER BY frequency, custkey)         AS f_quartile,
-           NTILE(4) OVER (ORDER BY monetary, custkey)          AS m_quartile
-    FROM base
-    """,
-)
+           CAST(5 - ({bucket('recency_days')}) AS INT) AS r_quartile,
+           CAST({bucket('frequency')} AS INT) AS f_quartile,
+           CAST({bucket('monetary')} AS INT) AS m_quartile
+    FROM base, cuts c
+    """
+
+
+@query("customer_rfm", oracle=_rfm_oracle())
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — recency/frequency/monetary per buyer with
     quartile scores; the classic commerce-marketing rollup the gold
-    star schema exists to serve. One group-by plus global NTILE windows
-    over the (small) per-customer aggregate; the anchor date is
+    star schema exists to serve. The per-customer frame is NOT bounded
+    (one row per customer — billions at 100 TB), so the quartiles are
+    computed the equi_depth_histogram way: ONE percentile aggregate
+    yields the 3 cut points per measure (a bounded 9-double collect),
+    and scores are map-side bucket arithmetic — no global NTILE sort,
+    no single-partition window anywhere. Scores are value-threshold
+    quartiles (score = 1 + #cuts below the value; recency inverted so
+    the stalest quartile scores 1), which differ from NTILE's
+    equal-count split only at exact-tie boundaries; the oracle applies
+    the identical cut-point semantics. The anchor date is
     max(o_orderdate) so static test data stays deterministic."""
     o = load(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("mx"))
@@ -260,14 +285,25 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
-    wr = Window.orderBy(F.desc("recency_days"), "custkey")
-    wf = Window.orderBy("frequency", "custkey")
-    wm = Window.orderBy("monetary", "custkey")
+    row = base.agg(
+        *[
+            dround(F.percentile(m, q), 6).alias(f"{m[0]}{i}")
+            for m in ("recency_days", "frequency", "monetary")
+            for i, q in enumerate(_RFM_QS)
+        ]
+    ).collect()[0]
+
+    def bucket(m: str):
+        return 1 + sum(
+            F.when(F.col(m) > F.lit(row[f"{m[0]}{i}"]), 1).otherwise(0)
+            for i in range(len(_RFM_QS))
+        )
+
     return base.select(
         "custkey", "recency_days", "frequency", "monetary",
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
+        (5 - bucket("recency_days")).cast("int").alias("r_quartile"),
+        bucket("frequency").cast("int").alias("f_quartile"),
+        bucket("monetary").cast("int").alias("m_quartile"),
     )
 
 

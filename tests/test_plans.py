@@ -514,6 +514,28 @@ def test_kmeans_assign_collapses_before_exchange(plans, spark, sf_dir):
     assert "InMemoryTableScan" in q
 
 
+def test_customer_rfm_has_no_global_sort(plans):
+    """Quartile scores must be map-side cut-point bucketing over the
+    per-customer aggregate — the per-customer frame is one row per
+    customer (billions at 100 TB), so any unpartitioned NTILE window
+    (three of them, in the old form) is a single-task global sort."""
+    p = plans("customer_rfm")
+    assert "Window" not in p
+    assert "ntile" not in p.lower()
+
+
+def test_corpus_top_terms_prelimits_before_rank(plans):
+    """The vocabulary top-k must plan as TakeOrderedAndProject (per-
+    partition heaps) with the rank window running over the ≤20
+    survivors — an unpartitioned WindowExec over the vocabulary-sized
+    term frame moves it all to one task at 100 TB."""
+    p = plans("corpus_top_terms")
+    assert "TakeOrderedAndProject" in p
+    # the one Window in the plan must sit ABOVE the limit, i.e. its
+    # input is the TakeOrderedAndProject result, never the aggregate
+    assert p.index("Window") < p.index("TakeOrderedAndProject")
+
+
 def test_cluster_safe_split_rollup_is_aggregate_only(plans):
     """After the label join, the split is pure projection arithmetic
     feeding one aggregate — no extra sort or window on the doc frame."""
