@@ -347,6 +347,111 @@ def stream_gold_refresh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sessionize_rollup",
+    oracle=f"""
+    WITH s AS ({silver.oracle_conform_joor()}),
+    e AS (SELECT buyer_name AS key, order_ts, quantity FROM s),
+    lagged AS (
+      SELECT key, order_ts, quantity,
+             CASE WHEN LAG(order_ts) OVER w IS NULL
+                  OR order_ts - LAG(order_ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY key ORDER BY order_ts)
+    ),
+    grp AS (
+      SELECT key, order_ts, quantity,
+             SUM(brk) OVER (PARTITION BY key ORDER BY order_ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    )
+    SELECT key,
+           strftime(MIN(order_ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(order_ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(quantity) AS BIGINT) AS total_qty
+    FROM grp GROUP BY key, sid
+    """,
+)
+def stream_sessionize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 × T5 made driver-checkable (the stream_landing_rollup
+    pattern): run the REAL streaming session-window job
+    (streaming/jobs.stream_sessionize — native ``session_window`` as a
+    stateful agg in checkpointed state, event-time watermark,
+    emit-exactly-once append) over a temp copy of the bronze fixtures,
+    then append a far-future sentinel event and drain again so the
+    watermark passes every real session and all of them emit. The
+    oracle recomputes the session set in BATCH SQL (lag + cumulative
+    break-sum sessionization; strictly-greater gap test because
+    touching Spark session windows MERGE — tests/test_operators.py
+    session-boundary pin), so the row is green only if stateful
+    cross-micro-batch session merging lands exactly the batch answer —
+    the tests/test_streaming.py stream≡batch equivalence promoted to
+    driver evidence. Session bounds render as wall-time strings (the
+    dq_profile_silver convention) for tz-independence."""
+    import json as _json
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from multichannel_commerce_data_pipeline_spark.pipeline.schemas import (
+        BRONZE_ROOT,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_sessionize,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mcdp_stream_sess_")
+    bronze = Path(tmp) / "bronze"
+    shutil.copytree(Path(BRONZE_ROOT) / "joor", bronze / "joor")
+
+    def drain() -> None:
+        stream_sessionize(
+            spark, "joor", str(bronze), f"{tmp}/sess", f"{tmp}/ckpt"
+        )
+
+    drain()  # real data; tail sessions stay open in state
+    sentinel = {
+        "raw_api_data": {
+            "order_id": "JOOR-SENTINEL",
+            "customer": "ZZ-SENTINEL",
+            "price": "1.0",
+            "quantity": 1,
+            "sku": "SKU-0000",
+            "currency": "USD",
+            "date": "2025-07-15T00:00:00Z",
+        },
+        "kafka_metadata": {
+            "topic": "raw-joor",
+            "partition": 0,
+            "offset": 99999,
+            "stream_timestamp": "2025-07-15T00:00:01",
+            "bronze_timestamp": "2025-07-15T00:00:01",
+        },
+    }
+    late = bronze / "joor" / "2025" / "07" / "15"
+    late.mkdir(parents=True)
+    (late / "batch.json").write_text(_json.dumps(sentinel) + "\n")
+    drain()  # watermark jumps past every real session -> all emit
+
+    return (
+        spark.read.parquet(f"{tmp}/sess")
+        .filter(F.col("key") != "ZZ-SENTINEL")
+        .select(
+            "key",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_orders",
+            "total_qty",
+        )
+    )
+
+
+@query(
     "dq_profile_silver",
     oracle=f"""
     SELECT
