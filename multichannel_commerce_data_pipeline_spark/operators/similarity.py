@@ -670,44 +670,23 @@ def ivf_assign(
     negated-cell struct field; (ccos, -cell) is unique per vector so
     the max is deterministic."""
     base = _vectorized(embeddings, id_col, vec_col, "vid", "v")
+    # only HOW cents is built differs between the trained and stride
+    # flavors — one shared scored/argmax block keeps the oracle
+    # tie-break semantics in exactly one place.
     if centroids is not None:
         cents = F.broadcast(
             centroids.select(
                 "cell", F.col("cv"), _norm(F.col("cv")).alias("cv_n")
             )
         )
-        sim = _dot(F.col("v"), F.col("cv")) / (F.col("v_n") * F.col("cv_n"))
-        scored = base.join(cents).select(
-            "vid", "v", "v_n", "cell", dround(sim, 6).alias("ccos")
-        )
-        best = F.max(
-            F.struct(
-                F.col("ccos"),
-                (-F.col("cell")).alias("neg_cell"),
-                F.col("cell"),
-                F.col("v"),
-                F.col("v_n"),
-            )
-        ).alias("best")
-        assign = (
-            scored.groupBy("vid")
-            .agg(best)
-            .select(
-                "vid",
-                F.col("best.v").alias("v"),
-                F.col("best.v_n").alias("v_n"),
-                F.col("best.cell").alias("cell"),
-                F.col("best.ccos").alias("ccos"),
+    else:
+        cents = F.broadcast(
+            base.filter(F.col("vid") % centroid_stride == 0).select(
+                F.col("vid").alias("cell"),
+                F.col("v").alias("cv"),
+                F.col("v_n").alias("cv_n"),
             )
         )
-        return assign, cents
-    cents = F.broadcast(
-        base.filter(F.col("vid") % centroid_stride == 0).select(
-            F.col("vid").alias("cell"),
-            F.col("v").alias("cv"),
-            F.col("v_n").alias("cv_n"),
-        )
-    )
     sim = _dot(F.col("v"), F.col("cv")) / (F.col("v_n") * F.col("cv_n"))
     scored = base.join(cents).select(
         "vid", "v", "v_n", "cell", dround(sim, 6).alias("ccos")

@@ -45,150 +45,105 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # therefore part of the driver contract, not cosmetics. CHECK_FIRST
 # pins the checked window explicitly.
 #
-# STANDING ROTATION POLICY (since round 5): every registered query has
-# had a driver-green row, so the window's job is keeping that evidence
-# fresh. Each round the window holds, in priority order: (1) the
-# flagship, always; (2) every query added or whose code/oracle changed
-# this round; (3) the queries with the OLDEST latest driver row, oldest
-# first, until the 50 slots are full. Invariant: no query's latest
-# driver row is ever more than two rounds old. The unchecked tail stays
-# guarded by local scripts/check.py over the full registry.
-#
-# Round 6 window, amendment to the priority order after the r5 reds:
-# local check.py green is NEVER a substitute for a driver row (r5's two
-# reds both passed check.py — the harness divergence is now closed by
-# testing.driver_representation_problems + the schema guard in
-# tests/test_entry_contract.py, but the policy lesson stands). Priority
-# (2b) therefore: any query that has NEVER had a driver row outranks
-# staleness rotation. This window: flagship + the 2 fixed r5 reds +
-# all 23 never-checked queries (the X10 commerce suite, pagerank,
-# curation/sampling tail — includes the 2 queued DECIMAL landmines,
-# also fixed) + all 8 r2-stale displaced rows + 16 r3-vintage rows
-# (the gold/silver medallion family owed since r5, then the oldest
-# diverse r3 rows). The ~26 remaining r3 rows rotate at r7.
+# STANDING ROTATION POLICY — MACHINE-CHECKED since round 7 by
+# tests/test_rotation.py (the r6 verdict's "the policy is prose, not
+# code" item). Priority order per round: (1) the flagship, always;
+# (2) every query added or whose code/oracle materially changed this
+# round, and every query that has NEVER had a driver row (local
+# check.py green is never a substitute — the r5 lesson); (3) the
+# queries with the OLDEST latest green driver row, oldest first, until
+# the 50 slots are full. Invariant, enforced by the test: a query
+# whose green evidence would become older than ROTATION_AGE_BOUND
+# rounds must be in this window or carry a declared, unexpired
+# exception in ROTATION_EXCEPTIONS. The bound is 4 because that is
+# what a 190-query registry with a 50-slot window can actually
+# sustain (ceil(190/50) rounds for a full sweep; the original 2-round
+# prose bound was arithmetically unsatisfiable and silently drifted —
+# exactly why it is now code). The unchecked tail stays guarded by
+# scripts/check.py over the full registry.
+ROTATION_AGE_BOUND = 4
+
+# Declared exceptions: name -> (reason, expiry_round). The test fails
+# on any undeclared overage and on any exception past its expiry, so
+# exceptions cannot silently accumulate. Empty at r7: the transitive-
+# coverage exceptions for scd2_user_status / merge_upsert_customers
+# are retired — both hold their own window slots below.
+ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {}
+
+# Round 7 window (50 slots, priorities as above):
+#   1 flagship + 4 never-checked/new + 5 code-changed-this-round +
+#   40 oldest-evidence rows (all r2/r3 vintage). The 49 r4-vintage
+#   rows are within the bound until r9 and rotate r8 (oldest-first).
+#   Value-identical refactors this round (session_memo cache keying)
+#   touched incremental_lsh_dedup / ann_ivfpq_topk /
+#   embedding_semantic_dedup / entity_golden_record /
+#   cluster_safe_split / copurchase_pagerank — evaluation strategy
+#   only; each re-verified green via scripts/check.py this session;
+#   those with r5+ evidence wait for ordinary rotation rather than
+#   displace strictly-older rows (the accepted r6 convention).
 CHECK_FIRST: tuple[str, ...] = (
-    # flagship (entry() smoke — always slot 1)
+    # (1) flagship — always slot 1
     "exec_daily_kpi",
-    # code-changed this round: the two r5 reds, fixed at the output
-    # boundary (DECIMAL -> DOUBLE cast / array_join serialization)
-    "file_format_roundtrip",
-    "embedding_pq_codes",
-    # NEW this round (priority 2): Bloom semi-join pruning, Z-order
-    # data-skipping layout, compaction planner, entity resolution
+    # (2a) never-checked: added after the r6 window froze / owed own
+    # rows now the transitive-coverage exception is retired
+    "dynamic_partition_prune",
+    "scd2_user_status",
+    "merge_upsert_customers",
+    # (2b) new this round: streaming session windows promoted to a
+    # driver row (stream≡batch oracle)
+    "stream_sessionize_rollup",
+    # (2c) code/oracle changed this round: exact KM-hash split
+    # (bloom_semi_prune, cm_sketch_estimate), k-means model cache +
+    # oracle carry-forward, corpus_top_terms pre-limit, customer_rfm
+    # cut-point quartiles (also r3-stale)
     "bloom_semi_prune",
-    "zorder_layout_prune",
-    "compaction_plan",
-    "entity_golden_record",
-    "ann_matryoshka_topk",
-    "fs_record_linkage",
-    "mv_incremental_merge",
-    "skew_profile",
-    "bm25_search",
-    "cdc_apply_snapshot",
-    "equi_depth_histogram",
-    "table_reconcile",
-    "snapshot_diff_cdf",
     "cm_sketch_estimate",
     "kmeans_centroid_fit",
-    "cluster_safe_split",
-    "minhash_distinct_estimate",
-    # the 23 queries that had NEVER had a driver row (r5 verdict item 3
-    # — 13% of the registry; local check.py green is no longer accepted
-    # as a substitute since r5 proved it can mask driver red).
-    # partitioned_scan_prune and lm_perplexity_score are also
-    # code-changed this round (same DECIMAL-output fix).
-    "partitioned_scan_prune",
-    "lm_perplexity_score",
-    "conversion_funnel",
-    "cohort_retention",
-    "copurchase_pairs",
-    "decayed_popularity",
-    "ab_test_purchase_rate",
-    "last_touch_attribution",
-    "mad_outliers",
-    "event_transition_matrix",
-    "dedup_report",
-    "winsorized_pricing",
-    "copurchase_pagerank",
-    "weighted_corpus_sample",
-    "hybrid_search_rrf",
-    "snapshot_time_travel",
-    "regional_supplier_revenue",
-    "bpe_pair_counts",
-    "sql_recursive_date_spine",
-    "price_quantity_regression",
-    "corpus_prepare_curated",
-    # merge_upsert_customers and scd2_user_status yield their slots to
-    # two of this round's three late additions under the strict-
-    # transitive-coverage exception: scd2_incremental_refresh (green r5,
-    # re-rotating r7) shares scd2_user_status's full-rebuild oracle
-    # VERBATIM and transitively executes its history build, and
-    # stream_merge_rollup (green r5) executes merge_upsert inside the
-    # streaming chain against the same batch-merge oracle. Both rotate
-    # in at r7 for their own rows.
-    # latest driver row is r2 (displaced r5 under the documented
-    # exceptions; the staleness bound owes them this round)
-    "projection_clean",
-    "literal_columns",
-    "case_when_bands",
-    "regex_predicate",
-    "in_list_rollup",
-    # limit_zero_schema and multimodal_frame_plan yield their slots to
-    # the last two round-6 additions (table_reconcile,
-    # snapshot_diff_cdf): NEW code with no driver row is strictly
-    # riskier than rows whose code is untouched since r2 — the r5 reds
-    # were both new queries. limit_zero_schema's EMPTY result can only
-    # drift in schema (pinned by test_entry_contract's analysis pass);
-    # multimodal_frame_plan is the plan-shape probe whose two data-path
-    # siblings are r5-green. Both rotate r7 with first priority.
-    # simhash_fingerprints yields its slot to the third late addition:
-    # it is a strict sub-computation of simhash_near_dupes (green r5),
-    # the same exception documented (and accepted) at r5; rotates r7.
-    # latest driver row is r3 — the gold/silver medallion family the r5
-    # verdict explicitly owes rotation (two shared-helper churn rounds
-    # unguarded), plus the oldest diverse r3 rows filling the window
-    # gold_cm1_shopify / gold_cm1_livestreaming / silver_conform_tiktok
-    # / silver_conform_freight yield their slots to the four late-round
-    # additions above (cm_sketch_estimate, kmeans_centroid_fit,
-    # cluster_safe_split, minhash_distinct_estimate) under the same
-    # new-code-outranks-untouched-code rule as the r6 slot swaps below:
-    # the three gold_cm1_* channels differ only in a channel literal
-    # over one shared helper (pipeline/gold.py:113) and the four
-    # silver_conform_* channels share pipeline/silver.py's conform
-    # path, so the retained wholesale + joor/gsheets rows re-verify the
-    # shared code; the displaced four rotate r7 with first priority
-    # alongside the other owed rows.
-    "gold_cm1_wholesale",
-    "silver_conform_joor",
-    "silver_conform_gsheets",
-    "pipeline_bronze_scan",
-    # The 8 new-query slots displaced customer_rfm /
-    # session_window_events / window_running_sum / tfidf_top_terms /
-    # array_sheet_promotion / messy_value_cleaning / json_extraction /
-    # current_week_revenue to r7 — each has close r4-or-newer family
-    # coverage (event_sessionize, window_lag_lead/first_last/
-    # distribution, corpus_top_terms, the silver_conform_* family in
-    # this window, exec_daily_kpi always-in) and all were
-    # check.py-green this session.
-    # Remaining r3 rows (ann_cosine_topk, ann_ivf_topk, set ops,
-    # text family, …) rotate at r7: every one is at most two rounds
-    # from fresh evidence after this window, and the ANN family keeps
-    # transitive r5 coverage through ann_recall_at_k.
-    # dynamic_partition_prune (added after the window froze this round)
-    # rotates in at r7 with FIRST priority as the sole never-checked
-    # query; it is check.py + bitwise-sweep green at sf0.01 and sf0.1
-    # with its DPP plan shape pinned in tests/test_plans.py.
-    # Code-changed-outside-window exception (r6): incremental_lsh_dedup
-    # and the SRP family (embedding_near_dupes, ann_srp_topk,
-    # embedding_semantic_dedup) took VALUE-IDENTICAL refactors late
-    # this round (per-sf frame caching; foldable from_json plane
-    # literals — evaluation strategy only, no expression semantics
-    # touched). Each was re-verified by the bitwise-exact sweep
-    # (float-hex canon, strictly stronger than the driver's pandas
-    # hash) at sf0.01, and the srp/lsh family also at sf0.1; with every
-    # remaining slot holding a never-checked or owed-stale row, the
-    # verified refactors wait for r7 rotation rather than displace
-    # rows with weaker evidence.
+    "corpus_top_terms",
+    "customer_rfm",
+    # (3) oldest-evidence rotation — the three r2 rows, then every
+    # r3-vintage row (oldest-first fill; exactly drains the r2/r3
+    # backlog this round)
+    "limit_zero_schema",
+    "simhash_fingerprints",
+    "multimodal_frame_plan",
+    "array_agg_per_group",
+    "silver_conform_tiktok",
+    "silver_conform_freight",
+    "gold_cm1_shopify",
+    "gold_cm1_livestreaming",
+    "dim_date_generate",
+    "table_counts",
+    "string_normalization",
+    "messy_value_cleaning",
+    "json_extraction",
+    "array_sheet_promotion",
+    "map_functions",
+    "union_channels",
+    "set_intersect",
+    "set_except",
+    "ann_cosine_topk",
+    "ann_srp_topk",
+    "embedding_near_dupes",
+    "ann_ivf_topk",
+    "near_dup_quality_survivors",
+    "sql_exists_subquery",
+    "sql_not_exists_subquery",
+    "sql_scalar_subquery",
+    "text_token_stats",
+    "text_quality_filter",
+    "doc_fingerprint",
+    "lang_id_heuristic",
+    "chunk_documents",
+    "tfidf_top_terms",
+    "stratified_sample_mix",
+    "tumbling_daily_events",
+    "sliding_window_events",
+    "session_window_events",
+    "window_rank_in_segment",
+    "window_running_sum",
+    "current_week_revenue",
+    "monthly_revenue_trend",
 )
 
 
