@@ -229,6 +229,69 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: ``containment(a in b) =
+    |sh(a) ∩ sh(b)| / |sh(a)|`` — the sub-document duplication signal
+    Jaccard structurally misses. A 200-token quote fully embedded in a
+    20k-token article has Jaccard ≈ 0.01 (invisible at any sane
+    threshold) but containment 1.0; for training-data curation this is
+    the difference between catching wrapper pages / quote farms /
+    aggregators and shipping them as "novel" text.
+
+    Same candidate generation as :func:`jaccard_pairs` (equi-join on
+    shared shingles with a document-frequency cap bounding boilerplate
+    fan-out), and the same conservative denominator note: ``n_sh`` is
+    pre-cap, so containment is never inflated by the cap. One shared
+    count per unordered pair then fans out to BOTH directed readings
+    map-side — no second join — and each direction filters on its own
+    denominator. Emits ``(doc, container, containment)`` rows where
+    ``doc``'s shingles are ≥ threshold contained in ``container``'s.
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    left = sh.select(
+        F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    right = sh.select(
+        F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    shared = (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    a_in_b = shared.select(
+        F.col("doc_a").alias("doc"),
+        F.col("doc_b").alias("container"),
+        (F.col("shared") / F.col("n_a")).alias("__c"),
+    )
+    b_in_a = shared.select(
+        F.col("doc_b").alias("doc"),
+        F.col("doc_a").alias("container"),
+        (F.col("shared") / F.col("n_b")).alias("__c"),
+    )
+    return (
+        a_in_b.unionAll(b_in_a)
+        .filter(F.col("__c") >= threshold)
+        .select("doc", "container", dround(F.col("__c"), 4).alias("containment"))
+    )
+
+
 _md5_hash64 = portable_hash64
 
 

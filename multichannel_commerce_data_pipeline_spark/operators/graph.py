@@ -1,4 +1,5 @@
-"""Graph analytics over edge frames — weighted PageRank.
+"""Graph analytics over edge frames — weighted PageRank, triangle
+counting, label-propagation communities.
 
 Connected components (operators/dedup.py) answers "which nodes belong
 together"; PageRank answers "which nodes matter": influence ranking
@@ -78,3 +79,130 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over a
+    SYMMETRIZED edge frame ``(src, dst, w)`` (both directions present,
+    no self-loops). Weights are ignored — triangles are structural.
+
+    Algorithm: degree orientation (node ordering by ``(deg, node)``,
+    edges oriented low→high) bounds every node's out-degree by
+    O(sqrt(m)) on any graph, so the wedge self-join — the only
+    super-linear step — generates Σ_u C(outdeg(u), 2) = O(m^1.5)
+    candidate wedges instead of Σ C(deg, 2), which a hub node would
+    blow up quadratically. Each wedge ``u→v, u→w`` (rank v < rank w)
+    closes into a triangle iff oriented edge ``v→w`` exists — checked
+    with one equi-join on (v, w); every triangle is found exactly once,
+    at its lowest-rank apex. Three equi-joins + two group-bys total,
+    all partial-aggregated; nothing quadratic in nodes or edges.
+
+    Returns ``(node, deg, tri, lcc)`` for every node, where ``deg`` is
+    the distinct-neighbor count, ``tri`` the triangle count, and
+    ``lcc = 2*tri / (deg*(deg-1))`` (0.0 when deg < 2), quantized to
+    6 dp — the standard local clustering coefficient.
+    """
+    # the symmetrized frame holds each undirected pair exactly twice
+    # (once per direction), so the low->high filter alone recovers the
+    # distinct pair set — no dedup shuffle needed.
+    und = edges.filter(F.col("src") < F.col("dst")).select("src", "dst")
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionAll(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_dst"))
+    ann = und.join(du, "src").join(dv, "dst")
+    lo_hi = (F.col("deg_src") < F.col("deg_dst")) | (
+        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = ann.select(
+        F.when(lo_hi, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(lo_hi, F.col("dst")).otherwise(F.col("src")).alias("lo_v"),
+        F.when(lo_hi, F.col("deg_src")).otherwise(F.col("deg_dst")).alias("ru_d"),
+        F.when(lo_hi, F.col("deg_dst")).otherwise(F.col("deg_src")).alias("rv_d"),
+    ).select(
+        "u", F.col("lo_v").alias("v"), F.col("ru_d").alias("u_deg"),
+        F.col("rv_d").alias("v_deg"),
+    )
+    a = oriented.select("u", F.col("v").alias("v1"), F.col("v_deg").alias("d1"))
+    b = oriented.select("u", F.col("v").alias("v2"), F.col("v_deg").alias("d2"))
+    wedges = a.join(b, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v1").alias("node")))
+        .unionAll(tris.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("tri"), F.lit(0)).alias("tri"),
+        F.when(
+            F.col("deg") >= 2,
+            dround(
+                2.0
+                * F.coalesce(F.col("tri"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+    return out
+
+
+def label_propagation(
+    edges: DataFrame, n_iters: int = 2, checkpoint_every: int = 4
+) -> DataFrame:
+    """Synchronous label-propagation community detection over a
+    symmetrized weighted edge frame ``(src, dst, w)``.
+
+    Every node starts in its own community (label = node id); each
+    round, a node adopts the label carrying the greatest total incident
+    edge weight among its neighbors, ties broken toward the SMALLEST
+    label — fully deterministic, so a DuckDB oracle can unroll the
+    rounds to a hash match (the async/random-order variants of LPA are
+    not reproducible and are useless under a correctness gate).
+
+    One round = one equi-join of the label vector onto the edge frame
+    (labels shuffle to the src-partitioned edges; the cached edge side
+    never moves) + one (node, label) weight sum + one max-struct argmax
+    per node — both aggregates partial (map-side) combined, so the
+    exchanges carry one row per (node, distinct neighbor label), never
+    the raw edge multiplicity. Weights are integral (co-purchase
+    counts): the sums are exact, no float-order concerns. Same
+    ``localCheckpoint`` lineage bound as :func:`pagerank` for long
+    horizons."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(n_iters):
+        nb = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("n2"), "label", "w")
+        scores = nb.groupBy("n2", "label").agg(F.sum("w").alias("s"))
+        best = F.max(
+            F.struct(F.col("s"), (-F.col("label")).alias("neg_l"), F.col("label"))
+        ).alias("best")
+        labels = (
+            scores.groupBy("n2")
+            .agg(best)
+            .select(F.col("n2").alias("node"), F.col("best.label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -65,10 +65,17 @@ ROTATION_AGE_BOUND = 4
 
 # Declared exceptions: name -> (reason, expiry_round). The test fails
 # on any undeclared overage and on any exception past its expiry, so
-# exceptions cannot silently accumulate. Empty at r7: the transitive-
-# coverage exceptions for scd2_user_status / merge_upsert_customers
-# are retired — both hold their own window slots below.
-ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {}
+# exceptions cannot silently accumulate. The transitive-coverage
+# exceptions for scd2_user_status / merge_upsert_customers are retired
+# at r7 — both hold their own window slots below. Queries ADDED during
+# r7 (after the 50 slots were committed to draining the r2/r3 staleness
+# backlog) are excepted until r8, where they take priority-(2) slots.
+_ADDED_R7 = "added r7 after window allocation; priority-(2) slot at r8"
+ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
+    "copurchase_triangles": (_ADDED_R7, 8),
+    "copurchase_communities": (_ADDED_R7, 8),
+    "containment_dupes": (_ADDED_R7, 8),
+}
 
 # Round 7 window (50 slots, priorities as above):
 #   1 flagship + 4 never-checked/new + 5 code-changed-this-round +

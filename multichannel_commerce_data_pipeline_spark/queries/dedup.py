@@ -112,6 +112,51 @@ def jaccard_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_oracle(threshold: float, df_cap: int) -> str:
+    return f"""
+    WITH {_SHINGLE_CTES},
+    rare AS (
+      SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= {df_cap}
+    ),
+    exc AS (
+      SELECT ex.* FROM ex JOIN rare USING (shingle)
+    ),
+    shared_cte AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS shared
+      FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2, 3, 4
+    ),
+    dirs AS (
+      SELECT doc_a AS doc, doc_b AS container,
+             CAST(shared AS DOUBLE) / n_a AS c
+      FROM shared_cte
+      UNION ALL
+      SELECT doc_b AS doc, doc_a AS container,
+             CAST(shared AS DOUBLE) / n_b AS c
+      FROM shared_cte
+    )
+    SELECT doc, container, {oracle_dround("c", 4)} AS containment
+    FROM dirs WHERE c >= {threshold}
+    """
+
+
+@query("containment_dupes", oracle=_containment_oracle(0.5, df_cap=400))
+def containment_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: asymmetric shingle-containment detection — finds documents
+    whose shingle set is >= 50% embedded in another document (quote
+    farms, wrapper pages, aggregator chaff). The signal Jaccard misses
+    by construction: a short doc fully contained in a long one has
+    near-zero Jaccard but containment 1.0. Same df-capped shingle
+    equi-join as jaccard_near_dupes (cost Σ df², bounded by the cap);
+    one shared-count per unordered pair fans map-side into both
+    directed readings, each filtered on its own denominator."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    return D.containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, df_cap=400
+    )
+
+
 def _mh_keyed_ctes(k: int, bands: int) -> str:
     """Shared oracle CTE chain: shingle md5s -> KM hash pair -> k
     minhash slots -> exploded (doc, band, band-key) rows. Used by both

@@ -576,3 +576,156 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bloom_pass"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_exact"),
     )
+
+
+# Shared DuckDB CTE: the symmetrized co-purchase graph, identical text
+# to _pagerank_oracle's edge build so every graph oracle sees the same
+# graph the cached _copurchase_edges frame holds.
+_CP_EDGES_CTE = """items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    cp AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT part_a AS src, part_b AS dst, w FROM cp
+      UNION ALL
+      SELECT part_b AS src, part_a AS dst, w FROM cp
+    )"""
+
+
+def _triangles_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.functions import oracle_dround
+
+    lcc = oracle_dround(
+        "2.0 * CAST(COALESCE(pn.tri, 0) AS DOUBLE) / (d.deg * (d.deg - 1))", 6
+    )
+    return f"""
+    WITH {_CP_EDGES_CTE},
+    und AS (SELECT part_a AS src, part_b AS dst FROM cp),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT src AS node FROM und UNION ALL SELECT dst FROM und
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT
+        CASE WHEN (ds.deg < dd.deg) OR (ds.deg = dd.deg AND u.src < u.dst)
+             THEN u.src ELSE u.dst END AS u,
+        CASE WHEN (ds.deg < dd.deg) OR (ds.deg = dd.deg AND u.src < u.dst)
+             THEN u.dst ELSE u.src END AS v,
+        CASE WHEN (ds.deg < dd.deg) OR (ds.deg = dd.deg AND u.src < u.dst)
+             THEN dd.deg ELSE ds.deg END AS v_deg
+      FROM und u
+      JOIN deg ds ON u.src = ds.node
+      JOIN deg dd ON u.dst = dd.node
+    ),
+    wedges AS (
+      SELECT a.u, a.v AS v1, b.v AS v2
+      FROM oriented a JOIN oriented b ON a.u = b.u
+      WHERE (a.v_deg < b.v_deg) OR (a.v_deg = b.v_deg AND a.v < b.v)
+    ),
+    tris AS (
+      SELECT w.u, w.v1, w.v2
+      FROM wedges w JOIN oriented o ON w.v1 = o.u AND w.v2 = o.v
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        SELECT u AS node FROM tris
+        UNION ALL SELECT v1 FROM tris
+        UNION ALL SELECT v2 FROM tris
+      ) GROUP BY node
+    )
+    SELECT d.node AS part,
+           d.deg AS degree,
+           CAST(COALESCE(pn.tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN {lcc} ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN pn ON d.node = pn.node
+    """
+
+
+@query("copurchase_triangles", oracle=_triangles_oracle())
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: triangle counting + local clustering coefficient over the
+    co-purchase graph — "is this product bought inside a tight cluster
+    of companions or as a hub between unrelated baskets?", the
+    structural signal behind bundle detection (high lcc = cohesive
+    bundle; high degree + low lcc = a staple that bridges categories).
+    Degree orientation bounds the wedge self-join — the only
+    super-linear step — to O(m^1.5) candidates regardless of hub skew
+    (a 10^6-degree hub contributes zero wedges from its high-rank
+    side), which is what makes triangle counting feasible on a
+    100 TB co-occurrence graph; everything else is equi-joins and
+    partial-aggregated group-bys on the cached per-sf edge index."""
+    from multichannel_commerce_data_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    t = triangle_counts(edges)
+    return t.select(
+        F.col("node").alias("part"),
+        F.col("deg").alias("degree"),
+        F.col("tri").alias("n_triangles"),
+        F.col("lcc").alias("clustering"),
+    )
+
+
+def _lpa_oracle(n_iters: int) -> str:
+    blocks = [
+        _CP_EDGES_CTE,
+        """l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+    )""",
+    ]
+    for i in range(n_iters):
+        blocks.append(
+            f"""s{i + 1} AS (
+      SELECT e.dst AS node, l.label, SUM(e.w) AS s
+      FROM edges e JOIN l{i} l ON e.src = l.node
+      GROUP BY 1, 2
+    ),
+    l{i + 1} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY s DESC, label ASC) AS rn
+        FROM s{i + 1}
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"\n    SELECT node AS part, label AS community FROM l{n_iters}"
+    )
+
+
+@query("copurchase_communities", oracle=_lpa_oracle(2))
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: label-propagation community detection on the co-purchase
+    graph — 2 synchronous rounds, each node adopting the neighbor label
+    with the greatest total incident weight (ties toward the smallest
+    label, so the iteration is deterministic and the DuckDB oracle can
+    unroll it). Communities = merchandising categories discovered from
+    behavior, no taxonomy required. Per round: the label vector joins
+    the src-partitioned cached edge frame (only labels move), then two
+    partial-aggregated group-bys — (node, label) weight sums, then a
+    max-struct argmax that collapses map-side like ivf_assign's; the
+    exchange carries one row per (node, distinct neighbor label). Edge
+    weights are integral co-order counts: sums are exact, no
+    float-order divergence."""
+    from multichannel_commerce_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    lab = label_propagation(edges, n_iters=2)
+    return lab.select(
+        F.col("node").alias("part"), F.col("label").alias("community")
+    )
