@@ -74,6 +74,14 @@ HEADLINE = [
     "cm_sketch_estimate",
     "kmeans_centroid_fit",
     "cluster_safe_split",
+    # round 7 additions
+    "copurchase_triangles",
+    "copurchase_communities",
+    "containment_dupes",
+    "basket_association_rules",
+    "psi_drift_monitor",
+    "pit_scd2_join",
+    "ivf_index_merge",
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
     # skew_profile / compaction_plan / fs_record_linkage /

@@ -75,6 +75,10 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
     "copurchase_triangles": (_ADDED_R7, 8),
     "copurchase_communities": (_ADDED_R7, 8),
     "containment_dupes": (_ADDED_R7, 8),
+    "basket_association_rules": (_ADDED_R7, 8),
+    "psi_drift_monitor": (_ADDED_R7, 8),
+    "pit_scd2_join": (_ADDED_R7, 8),
+    "ivf_index_merge": (_ADDED_R7, 8),
 }
 
 # Round 7 window (50 slots, priorities as above):

@@ -729,3 +729,92 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.select(
         F.col("node").alias("part"), F.col("label").alias("community")
     )
+
+
+# n_baskets is a corpus-level scalar (one bounded collect per sf_dir,
+# cached as a plain int like the BM25 corpus stats) — embedding it as a
+# literal keeps the rules computation join-free on the global total.
+_N_BASKETS_CACHE: dict[str, int] = {}
+
+
+def _n_baskets(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _N_BASKETS_CACHE:
+        _N_BASKETS_CACHE[sf_dir] = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey")
+            .distinct()
+            .count()
+        )
+    return _N_BASKETS_CACHE[sf_dir]
+
+
+def _rules_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.functions import oracle_dround
+
+    nb = "(SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)"
+    support = oracle_dround("CAST(e.w AS DOUBLE) / nb.n", 6)
+    confidence = oracle_dround("CAST(e.w AS DOUBLE) / ia.n_item", 6)
+    lift = oracle_dround(
+        "(CAST(e.w AS DOUBLE) / ia.n_item) / (CAST(ic.n_item AS DOUBLE) / nb.n)",
+        6,
+    )
+    return f"""
+    WITH {_CP_EDGES_CTE},
+    item_n AS (
+      SELECT l_partkey AS part, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+             AS n_item
+      FROM lineitem GROUP BY 1
+    ),
+    nb AS (SELECT {nb} AS n)
+    SELECT e.src AS antecedent,
+           e.dst AS consequent,
+           e.w AS pair_orders,
+           {support} AS support,
+           {confidence} AS confidence,
+           {lift} AS lift
+    FROM edges e
+    JOIN item_n ia ON e.src = ia.part
+    JOIN item_n ic ON e.dst = ic.part
+    CROSS JOIN nb
+    """
+
+
+@query("basket_association_rules", oracle=_rules_oracle())
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: association rules over the market basket — every directed
+    rule A→B with co-order support >= 2, scored with the classic
+    support / confidence / lift triple (lift > 1 = genuine affinity,
+    not popularity; the ranking signal behind "frequently bought
+    together" that raw pair counts get wrong for best-sellers). The
+    pair counts come straight from the cached symmetrized co-purchase
+    edge index (already both directions), so the only new work is two
+    equi-joins onto per-item basket counts and map-side arithmetic;
+    n_baskets is a corpus scalar collected once per sf_dir. Ratios are
+    dround-quantized so the statistics hash-match the oracle."""
+    nb = _n_baskets(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
+    item_n = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    ia = item_n.select(F.col("part").alias("src"), F.col("n_item").alias("n_ante"))
+    ic = item_n.select(F.col("part").alias("dst"), F.col("n_item").alias("n_cons"))
+    r = edges.join(ia, "src").join(ic, "dst")
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+
+    w_d = F.col("w").cast("double")
+    return r.select(
+        F.col("src").alias("antecedent"),
+        F.col("dst").alias("consequent"),
+        F.col("w").alias("pair_orders"),
+        dround(w_d / F.lit(nb), 6).alias("support"),
+        dround(w_d / F.col("n_ante"), 6).alias("confidence"),
+        dround(
+            (w_d / F.col("n_ante"))
+            / (F.col("n_cons").cast("double") / F.lit(nb)),
+            6,
+        ).alias("lift"),
+    )

@@ -1059,3 +1059,58 @@ def kmeans_centroid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(norms, "cell").select(
         "cell", "n_members", "inertia", "centroid_norm"
     )
+
+
+def _ivf_merge_oracle() -> str:
+    cos = _COSINE.replace("qv", "c.v").replace("cv", "t.cv")
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv FROM c
+      WHERE vec_id % 10 <> 7 AND vec_id % {_IVF_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vid, cell FROM (
+        SELECT c.vec_id AS vid, t.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {oracle_dround(cos, 6)} DESC, t.cell
+               ) AS rn
+        FROM c, cents t
+      ) WHERE rn = 1
+    )
+    SELECT cell,
+           CAST(COUNT(*) FILTER (vid % 10 <> 7) AS BIGINT) AS n_base,
+           CAST(COUNT(*) FILTER (vid % 10 = 7) AS BIGINT) AS n_new,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM assign GROUP BY cell
+    """
+
+
+@query("ivf_index_merge", oracle=_ivf_merge_oracle())
+def ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: incremental ANN index maintenance — a new embedding batch
+    (vec_id % 10 == 7, ~10% of the corpus) arrives AFTER the IVF index
+    was built, and is merged by assigning each new vector to the
+    EXISTING centroids (trained on the base corpus only) map-side,
+    never retraining or touching the already-indexed vectors. This is
+    the production ingest path for a vector store: merge cost tracks
+    the batch, the index stays centroid-stable so cached probe routing
+    remains valid. Output audits the merge per inverted list — base
+    size, newly merged count, total — the occupancy report that drives
+    the rebalance-when-skewed decision. The assignment is the same
+    broadcast-centroid max-struct argmax as ivf_assign (N-row
+    exchange, never N·C)."""
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    _, cents = S.ivf_assign(base, _IVF_STRIDE)
+    assign, _ = S.ivf_assign(e, _IVF_STRIDE, centroids=cents)
+    is_new = (F.col("vid") % 10 == 7).cast("long")
+    return assign.groupBy("cell").agg(
+        F.sum(F.lit(1) - is_new).alias("n_base"),
+        F.sum(is_new).alias("n_new"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

@@ -737,3 +737,99 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         dround(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("p"),
     )
+
+
+_PSI_CUTOFF = "2024-01-15"  # fixture events span Jan 2024 at every sf
+_PSI_BIN_W = 25.0
+_PSI_N_BINS = 20
+
+
+def _psi_oracle() -> str:
+    b = f"LEAST(CAST(FLOOR(value / {_PSI_BIN_W}) AS INTEGER), {_PSI_N_BINS - 1})"
+    # additive smoothing keeps ln() defined on empty bins; the per-bin
+    # term is decimal-quantized before the sum so the <=20-addend total
+    # is order-independent, mirroring the engine.
+    p_ref = f"(cr + 0.5) / (tr + {0.5 * _PSI_N_BINS})"
+    p_cur = f"(cc + 0.5) / (tc + {0.5 * _PSI_N_BINS})"
+    term = oracle_dround(f"(({p_cur}) - ({p_ref})) * ln(({p_cur}) / ({p_ref}))", 9)
+    return f"""
+    WITH binned AS (
+      SELECT event_type, {b} AS bin,
+             CASE WHEN ts < TIMESTAMP '{_PSI_CUTOFF}' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, bin,
+             CAST(SUM(is_ref) AS DOUBLE) AS cr,
+             CAST(SUM(1 - is_ref) AS DOUBLE) AS cc
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, SUM(cr) AS tr, SUM(cc) AS tc
+      FROM cells GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.event_type,
+             CAST({term} AS DECIMAL(28,9)) AS t,
+             c.cr, c.cc
+      FROM cells c JOIN tot USING (event_type)
+    )
+    SELECT event_type,
+           CAST(SUM(cr) AS BIGINT) AS n_ref,
+           CAST(SUM(cc) AS BIGINT) AS n_cur,
+           CAST(SUM(t) AS DOUBLE) AS psi,
+           (CAST(SUM(t) AS DOUBLE) > 0.1) AS drifted
+    FROM terms GROUP BY event_type
+    """
+
+
+@query("psi_drift_monitor", oracle=_psi_oracle())
+def psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ: Population Stability Index between a reference window (first
+    half of the month) and the current window, per event_type over the
+    value distribution — the standard production drift monitor for
+    feature pipelines and model inputs (PSI > 0.1 = investigate,
+    > 0.25 = act). 20 fixed-width value bins; additive smoothing keeps
+    ln() defined on empty bins; each bin's PSI term is dround-quantized
+    to 9 dp and summed as DECIMAL so the <=20-addend total is
+    order-independent and hash-matches the oracle. Two keyed shuffles
+    total — (event_type, bin) counts, then the per-type rollup — both
+    partial-aggregated; the raw stream is touched once."""
+    ev = load(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W).cast("int"),
+            F.lit(_PSI_N_BINS - 1),
+        ).alias("bin"),
+        F.when(
+            F.col("ts") < F.lit(_PSI_CUTOFF).cast("timestamp"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_ref"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").cast("double").alias("cr"),
+        F.sum(F.lit(1) - F.col("is_ref")).cast("double").alias("cc"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("cr").alias("tr"), F.sum("cc").alias("tc")
+    )
+    smooth = F.lit(0.5 * _PSI_N_BINS)
+    p_ref = (F.col("cr") + 0.5) / (F.col("tr") + smooth)
+    p_cur = (F.col("cc") + 0.5) / (F.col("tc") + smooth)
+    terms = cells.join(tot, "event_type").select(
+        "event_type",
+        dround((p_cur - p_ref) * F.log(p_cur / p_ref), 9)
+        .cast("decimal(28,9)")
+        .alias("t"),
+        "cr",
+        "cc",
+    )
+    psi = F.sum("t").cast("double")
+    return terms.groupBy("event_type").agg(
+        F.sum("cr").cast("long").alias("n_ref"),
+        F.sum("cc").cast("long").alias("n_cur"),
+        psi.alias("psi"),
+        (psi > 0.1).alias("drifted"),
+    )

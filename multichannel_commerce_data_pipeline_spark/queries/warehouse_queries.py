@@ -1208,3 +1208,59 @@ def dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+def _pit_oracle() -> str:
+    return f"""
+    WITH hist AS ({_SCD2_FULL_SQL}),
+    purch AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT h.status AS status_at_purchase,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST({oracle_dround("p.value", 2)} AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM purch p
+    JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.effective_from <= p.day
+     AND (h.effective_to IS NULL OR p.day < h.effective_to)
+    GROUP BY 1
+    """
+
+
+@query("pit_scd2_join", oracle=_pit_oracle())
+def pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension join — every purchase event
+    joined to the SCD2 status version that was VALID AT the purchase
+    day (effective_from <= day < effective_to), then revenue rolled up
+    by status-at-purchase. This is the as-was reporting query SCD2
+    history exists to serve, and the one a latest-snapshot join
+    silently gets wrong (attributing old facts to current attributes).
+    Physically an equi-join on user_id with the validity interval as a
+    post-join filter: versions per key are few (runs partition a
+    user's timeline), so the match amplification is bounded and the
+    join shuffles each side once on the key — the standard PIT shape
+    at warehouse scale. Revenue is decimal-quantized per row before
+    the sum, so the rollup is order-independent."""
+    hist = scd2_user_status(spark, sf_dir)
+    purch = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            dround(F.col("value"), 2).cast("decimal(18,2)").alias("val"),
+        )
+    )
+    j = purch.join(
+        hist,
+        (purch["user_id"] == hist["user_id"])
+        & (hist["effective_from"] <= purch["day"])
+        & (hist["effective_to"].isNull() | (purch["day"] < hist["effective_to"])),
+    )
+    return j.groupBy(F.col("status").alias("status_at_purchase")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("val").cast("double").alias("revenue"),
+    )

@@ -1848,3 +1848,208 @@ def test_kmeans_empty_cell_oracle_agrees(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_triangle_counts_planted_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, lcc 1.0 everywhere) plus a pendant
+    # node 5 attached to 1 (deg 1 -> zero triangles, lcc 0.0), plus a
+    # path 6-7-8 (open wedge, no triangle).
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (1, 5), (6, 7), (7, 8),
+    ]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs] + [(b, a, 1) for a, b in pairs],
+        "src LONG, dst LONG, w LONG",
+    )
+    from multichannel_commerce_data_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    got = {r.node: (r.deg, r.tri, r.lcc) for r in triangle_counts(edges).collect()}
+    assert got[2] == (3, 3, 1.0) and got[3] == (3, 3, 1.0)
+    assert got[4] == (3, 3, 1.0)
+    assert got[1] == (4, 3, 0.5)  # 3 of C(4,2)=6 neighbor pairs linked
+    assert got[5] == (1, 0, 0.0)
+    assert got[6] == (1, 0, 0.0) and got[8] == (1, 0, 0.0)
+    assert got[7] == (2, 0, 0.0)  # open wedge: deg 2, no triangle
+
+
+def test_triangle_counts_hub_generates_no_quadratic_wedges(spark):
+    # a star (hub 0 joined to 1..40, no other edges) has ZERO wedges
+    # under degree orientation: every spoke orients spoke->hub (deg 1
+    # < deg 40), so the hub has out-degree 0 and contributes no pairs.
+    spokes = [(0, i) for i in range(1, 41)]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in spokes] + [(b, a, 1) for a, b in spokes],
+        "src LONG, dst LONG, w LONG",
+    )
+    from multichannel_commerce_data_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    out = triangle_counts(edges)
+    assert out.agg(F.sum("tri")).first()[0] == 0
+    assert out.count() == 41
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    # two triangles {1,2,3} and {10,11,12} joined by one weak bridge
+    # 3-10: after 2 rounds each clique carries its minimum label.
+    pairs = [
+        (1, 2, 5), (1, 3, 5), (2, 3, 5),
+        (10, 11, 5), (10, 12, 5), (11, 12, 5),
+        (3, 10, 1),
+    ]
+    edges = spark.createDataFrame(
+        [(a, b, w) for a, b, w in pairs] + [(b, a, w) for a, b, w in pairs],
+        "src LONG, dst LONG, w LONG",
+    )
+    from multichannel_commerce_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    got = {r.node: r.label for r in label_propagation(edges, n_iters=2).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    # doc 2 is a verbatim quote of doc 1's opening embedded in a much
+    # longer body: containment(2 in 1)... actually 2 contains 1's text
+    # fully -> containment(1 in 2) = 1.0, while Jaccard is tiny.
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} tok{i} item{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler), (3, "unrelated text entirely here")],
+        "doc_id LONG, text STRING",
+    )
+    cont = {
+        (r.doc, r.container): r.containment
+        for r in D.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9
+        ).collect()
+    }
+    assert cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # asymmetric: the long doc is not contained
+    jac = D.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert not any(r.doc_a == 1 and r.doc_b == 2 for r in jac)
+
+
+def test_psi_detects_planted_distribution_shift(spark, tmp_path):
+    # reference: values near 10; current: half shifted near 260 for one
+    # event type only — its PSI must dwarf the stable type's.
+    import datetime as dt
+
+    rows = []
+    for i in range(400):
+        ref_ts = dt.datetime(2024, 1, 5, 0, 0, i % 60)
+        cur_ts = dt.datetime(2024, 1, 25, 0, 0, i % 60)
+        rows.append((i, ref_ts, 1, "stable", 10.0 + (i % 5), "{}"))
+        rows.append((10_000 + i, cur_ts, 1, "stable", 10.0 + (i % 5), "{}"))
+        rows.append((20_000 + i, ref_ts, 1, "shifted", 10.0 + (i % 5), "{}"))
+        rows.append((
+            30_000 + i, cur_ts, 1, "shifted",
+            (260.0 + (i % 5)) if i % 2 == 0 else (10.0 + (i % 5)), "{}",
+        ))
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    out = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(out)
+    # point the query at a synthetic sf_dir holding just this table
+    from multichannel_commerce_data_pipeline_spark.queries.time_windows import (
+        psi_drift_monitor,
+    )
+
+    got = {
+        r.event_type: (r.psi, r.drifted)
+        for r in psi_drift_monitor(spark, str(tmp_path)).collect()
+    }
+    assert got["shifted"][0] > 0.25 and got["shifted"][1]
+    assert got["stable"][0] < 0.05 and not got["stable"][1]
+
+
+def test_pit_scd2_join_attributes_to_historical_not_current_version(spark, sf_dir):
+    """The defining property of a point-in-time join: purchases land on
+    the version valid AT the purchase day. A latest-snapshot join (every
+    purchase -> is_current version) must disagree whenever any user's
+    status changed after a purchase — and the PIT totals must cover
+    every purchase exactly once."""
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        pit_scd2_join,
+        scd2_user_status,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    pit = pit_scd2_join(spark, sf_dir)
+    n_pit = pit.agg(F.sum("n_purchases")).first()[0]
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    assert n_pit == ev.count()  # exactly-once: intervals partition time
+    hist = scd2_user_status(spark, sf_dir).filter(F.col("is_current"))
+    latest = (
+        ev.select("user_id")
+        .join(hist, "user_id")
+        .groupBy(F.col("status").alias("status_at_purchase"))
+        .agg(F.count(F.lit(1)).alias("n_latest"))
+    )
+    diff = (
+        pit.join(latest, "status_at_purchase", "full")
+        .filter(
+            F.coalesce(F.col("n_purchases"), F.lit(-1))
+            != F.coalesce(F.col("n_latest"), F.lit(-1))
+        )
+        .count()
+    )
+    assert diff > 0  # as-was reporting differs from the latest snapshot
+
+
+def test_association_rules_lift_is_affinity_not_popularity(spark, sf_dir):
+    from multichannel_commerce_data_pipeline_spark.queries.joins import (
+        basket_association_rules,
+        _n_baskets,
+    )
+
+    rules = basket_association_rules(spark, sf_dir)
+    rows = rules.collect()
+    assert rows, "fixture should yield rules"
+    nb = _n_baskets(spark, sf_dir)
+    for r in rows[:50]:
+        # internal consistency: support = pair/n, confidence >= support,
+        # and the symmetric rule exists with the same pair count
+        assert 0.0 < r.support <= r.confidence <= 1.0
+        assert r.pair_orders >= 2
+        assert abs(r.support - r.pair_orders / nb) < 1e-4
+    bykey = {(r.antecedent, r.consequent): r for r in rows}
+    for (a, c), r in list(bykey.items())[:50]:
+        assert (c, a) in bykey and bykey[(c, a)].pair_orders == r.pair_orders
+
+
+def test_ivf_index_merge_preserves_base_assignments(spark, sf_dir):
+    """Merging a new batch must not move any already-indexed vector:
+    the base corpus assigned against base-trained centroids yields the
+    same cells whether or not the batch participates."""
+    from multichannel_commerce_data_pipeline_spark.operators import similarity as S2
+    from multichannel_commerce_data_pipeline_spark.queries.similarity import (
+        _IVF_STRIDE,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import (
+        load,
+        parallelize_small_scan,
+    )
+
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    assign_before, cents = S2.ivf_assign(base, _IVF_STRIDE)
+    assign_all, _ = S2.ivf_assign(e, _IVF_STRIDE, centroids=cents)
+    before = {r.vid: r.cell for r in assign_before.select("vid", "cell").collect()}
+    after = {
+        r.vid: r.cell
+        for r in assign_all.filter(F.col("vid") % 10 != 7)
+        .select("vid", "cell")
+        .collect()
+    }
+    assert before == after
