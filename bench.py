@@ -82,6 +82,9 @@ HEADLINE = [
     "psi_drift_monitor",
     "pit_scd2_join",
     "ivf_index_merge",
+    "kmeans_silhouette",
+    "event_path_topn",
+    "funnel_latency",
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
     # skew_profile / compaction_plan / fs_record_linkage /

@@ -79,6 +79,9 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
     "psi_drift_monitor": (_ADDED_R7, 8),
     "pit_scd2_join": (_ADDED_R7, 8),
     "ivf_index_merge": (_ADDED_R7, 8),
+    "kmeans_silhouette": (_ADDED_R7, 8),
+    "event_path_topn": (_ADDED_R7, 8),
+    "funnel_latency": (_ADDED_R7, 8),
 }
 
 # Round 7 window (50 slots, priorities as above):

@@ -962,12 +962,15 @@ def _km_update_cte(assign: str, t: int) -> str:
     )"""
 
 
-def _kmeans_oracle(
+def _km_chain(
     k: int = _KM_K,
     gap: int = _KM_GAP,
     iters: int = _KM_ITERS,
     dim: int = _KM_DIM,
 ) -> str:
+    """The unrolled training chain (corpus → c0 → a0/c1 → … → afinal),
+    shared by the fit oracle and every consumer of the trained model
+    (silhouette): one text, one tie-break/quantization semantics."""
     parts = [
         f"""corpus AS (
       SELECT vec_id AS vid,
@@ -984,7 +987,16 @@ def _kmeans_oracle(
         parts.append(_km_assign_cte(f"a{t}", f"c{t}"))
         parts.append(_km_update_cte(f"a{t}", t + 1))
     parts.append(_km_assign_cte("afinal", f"c{iters}"))
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def _kmeans_oracle(
+    k: int = _KM_K,
+    gap: int = _KM_GAP,
+    iters: int = _KM_ITERS,
+    dim: int = _KM_DIM,
+) -> str:
+    body = _km_chain(k, gap, iters, dim)
     norm = oracle_dround(_NORM.format(a="k.cv"), 6)
     return f"""
     WITH {body},
@@ -1113,4 +1125,71 @@ def ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.lit(1) - is_new).alias("n_base"),
         F.sum(is_new).alias("n_new"),
         F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def _silhouette_oracle() -> str:
+    d2o = oracle_dround(_KM_D2.format(a="a.v", b="k.cv"), 6)
+    s = oracle_dround("(sqrt(b2) - sqrt(d2)) / GREATEST(sqrt(d2), sqrt(b2))", 6)
+    mean = oracle_dround(
+        "CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6
+    )
+    return f"""
+    WITH {_km_chain()},
+    others AS (
+      SELECT a.vid, a.cell, a.d2, MIN({d2o}) AS b2
+      FROM afinal a JOIN c{_KM_ITERS} k ON k.cell <> a.cell
+      GROUP BY a.vid, a.cell, a.d2
+    ),
+    sil AS (
+      SELECT cell,
+             CASE WHEN GREATEST(sqrt(d2), sqrt(b2)) = 0 THEN 0.0
+                  ELSE {s} END AS s
+      FROM others
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           {mean} AS mean_silhouette
+    FROM sil GROUP BY cell
+    """
+
+
+@query("kmeans_silhouette", oracle=_silhouette_oracle())
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: clustering-quality evaluation — simplified silhouette per
+    cell over the trained k-means model: a = distance to own centroid,
+    b = distance to the nearest OTHER centroid, s = (b-a)/max(a,b),
+    averaged per cell. The model-eval step that decides whether k was
+    right before the IVF index inherits the centroids (mean s near 0 =
+    overlapping cells; near 1 = tight separation). Centroid-based
+    simplification on purpose: the classic pairwise silhouette is
+    O(N²); against centroids it is N·k map-side arithmetic on the
+    broadcast k-row frame, a partial-aggregated min over the k-1 other
+    cells (exchange carries N rows once), and a k-row rollup with
+    DECIMAL-quantized terms — the whole evaluation scales exactly like
+    one assignment pass. Consumes the persisted per-corpus model
+    (_kmeans_model), so no retraining; the oracle replays the full
+    unrolled training chain plus the silhouette arithmetic."""
+    from multichannel_commerce_data_pipeline_spark.operators.clustering import _d2
+
+    assign, cents = _kmeans_model(spark, sf_dir)
+    oc = cents.select(F.col("cell").alias("ocell"), "cv")
+    scored = (
+        assign.join(F.broadcast(oc))
+        .filter(F.col("ocell") != F.col("cell"))
+        .select("vid", "cell", "d2", _d2(F.col("v"), F.col("cv")).alias("d2o"))
+    )
+    others = scored.groupBy("vid", "cell", "d2").agg(F.min("d2o").alias("b2"))
+    a, b = F.sqrt(F.col("d2")), F.sqrt(F.col("b2"))
+    s = (
+        F.when(F.greatest(a, b) == 0, F.lit(0.0))
+        .otherwise(dround((b - a) / F.greatest(a, b), 6))
+    )
+    sil = others.select("cell", s.alias("s"))
+    return sil.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        dround(
+            F.sum(F.col("s").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_silhouette"),
     )

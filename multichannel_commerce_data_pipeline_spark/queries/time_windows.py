@@ -833,3 +833,121 @@ def psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi.alias("psi"),
         (psi > 0.1).alias("drifted"),
     )
+
+
+@query(
+    "event_path_topn",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE t3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, n, rank FROM (
+      SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rank
+      FROM paths
+    ) WHERE rank <= 20
+    """,
+)
+def event_path_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: sequential path mining — the top-20 3-step behavioral paths
+    (e.g. view>click>purchase) across all user journeys, the
+    path-analysis staple one step past event_transition_matrix's
+    first-order bigrams. One keyed lead-window shuffle per user
+    timeline builds the trigrams in place (no self-joins), counts
+    partial-aggregate to the type-cubed-bounded path frame, and the
+    top-20 is TakeOrderedAndProject (per-partition heaps) with the
+    rank window running over the ≤20 survivors — the corpus_top_terms
+    lesson applied from the start, no unpartitioned window on the data
+    path."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    paths = (
+        seq.filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = paths.orderBy(F.desc("n"), F.asc("path")).limit(20)
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return top.withColumn("rank", F.row_number().over(wr))
+
+
+@query(
+    "funnel_latency",
+    oracle=f"""
+    WITH signup AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.s_ts, MIN(e.ts) AS p_ts
+      FROM signup s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND e.ts >= s.s_ts
+      GROUP BY s.user_id, s.s_ts
+    ),
+    lat AS (
+      SELECT CAST(date_trunc('week', s_ts) AS TIMESTAMP) AS cohort_week,
+             (epoch_us(p_ts) - epoch_us(s_ts)) / 1000000.0 AS latency_s
+      FROM conv
+    )
+    SELECT cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           {oracle_dround("median(latency_s)", 2)} AS median_latency_s,
+           {oracle_dround("quantile_cont(latency_s, 0.90)", 2)} AS p90_latency_s
+    FROM lat GROUP BY cohort_week
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: time-to-convert — for every user, first signup to first
+    subsequent purchase, with exact median/p90 latency per signup-week
+    cohort (the funnel-health trendline; conversion_funnel counts WHO
+    converts, this measures HOW FAST). Latency is computed in exact
+    epoch microseconds before one double division, so both engines see
+    bit-identical values; percentiles are the exact interpolated form
+    (F.percentile == quantile_cont, the percentile_summary precedent)
+    grouped per cohort week, so each percentile state holds one
+    cohort's converters — parallel across cohorts, never a single
+    global sort."""
+    ev = load(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts_raw")
+    )
+    conv = (
+        signup.join(purch, "user_id")
+        .filter(F.col("p_ts_raw") >= F.col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts_raw").alias("p_ts"))
+    )
+    lat = conv.select(
+        F.date_trunc("week", "s_ts").alias("cohort_week"),
+        (
+            (_epoch_us(F.col("p_ts")) - _epoch_us(F.col("s_ts")))
+            / F.lit(1000000.0)
+        ).alias("latency_s"),
+    )
+    return lat.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        dround(F.percentile("latency_s", 0.5), 2).alias("median_latency_s"),
+        dround(F.percentile("latency_s", 0.90), 2).alias("p90_latency_s"),
+    )

@@ -72,6 +72,16 @@ PROBES = [
     ("kmeans_centroid_fit", "embeddings", "2 Lloyd rounds, bounded collects"),
     ("cluster_safe_split", "documents graph", "LSH pairs + CC + hash split"),
     ("minhash_distinct_estimate", "lineitem", "m-register min sketch, 2 aggs"),
+    ("copurchase_triangles", "lineitem graph", "oriented wedge join, O(m^1.5)"),
+    ("copurchase_communities", "lineitem graph", "2 LPA rounds, label joins"),
+    ("containment_dupes", "documents", "df-capped shingle join, dual ratio"),
+    ("basket_association_rules", "lineitem", "edge index + 2 item-count joins"),
+    ("psi_drift_monitor", "events", "two partial aggs, <=20-bin terms"),
+    ("pit_scd2_join", "events", "SCD2 build + validity-interval join"),
+    ("ivf_index_merge", "embeddings", "broadcast-centroid argmax, N-row agg"),
+    ("kmeans_silhouette", "embeddings", "N*k map-side dists, k-row rollup"),
+    ("event_path_topn", "events", "one lead-window shuffle + TakeOrdered"),
+    ("funnel_latency", "events", "two keyed aggs + per-cohort percentile"),
 ]
 REPS = 3
 

@@ -2053,3 +2053,20 @@ def test_ivf_index_merge_preserves_base_assignments(spark, sf_dir):
         .collect()
     }
     assert before == after
+
+
+def test_kmeans_silhouette_bounds_and_final_assignment_consistency(spark, sf_dir):
+    """Silhouette values live in [-1, 1]; under the FINAL centroids
+    every vector sits in its argmin cell, so a <= b for all points and
+    every per-cell mean is non-negative."""
+    from multichannel_commerce_data_pipeline_spark.queries.similarity import (
+        _KM_K,
+        kmeans_silhouette,
+    )
+
+    rows = kmeans_silhouette(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _KM_K
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert r.mean_silhouette >= 0.0  # argmin assignment => b >= a
+        assert r.n_members > 0
