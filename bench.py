@@ -85,6 +85,9 @@ HEADLINE = [
     "kmeans_silhouette",
     "event_path_topn",
     "funnel_latency",
+    "embedding_top_pc",
+    "ewma_forecast",
+    "daily_anomaly_bands",
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
     # skew_profile / compaction_plan / fs_record_linkage /

@@ -154,3 +154,74 @@ def kmeans_fit(
             )
         )
     return _assign(corpus, cents), cents
+
+
+def power_iteration(
+    embeddings: DataFrame,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding corpus by
+    power iteration — in-engine linear algebra on the same bounded-
+    exchange skeleton as :func:`kmeans_fit`.
+
+    One iteration of ``v ← normalize(Xᵀ X v)`` is: a broadcast join of
+    the 1-row direction frame onto the corpus (map-side dot product
+    ``s_i = x_i·v``), a ``posexplode`` into ONE (dim) group-by whose
+    exchange is bounded by dim·partitions rows (addends quantized to
+    DECIMAL(28,9) so the per-dim sums are order-independent), and a
+    64-struct ``array_sort(collect_list)`` rebuild + in-plan
+    normalization — no driver collect per round, the whole fit is one
+    lazy plan. Deterministic start ``v0 = [1/√dim, …]`` (0.125 exactly
+    for dim 64 — an exact binary double), deterministic quantized
+    updates: the DuckDB oracle unrolls every round to a hash match.
+
+    Returns a 1-row frame ``(pv: array<double>)`` holding the unit
+    direction after ``n_iters`` rounds.
+    """
+    spark = embeddings.sparkSession
+    corpus = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    vrow = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)), lambda _: F.lit(1.0 / dim**0.5)
+        ).alias("pv")
+    )
+    mul = lambda x, y: x * y  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+    for _ in range(n_iters):
+        s = corpus.join(F.broadcast(vrow)).select(
+            "v",
+            F.aggregate(F.zip_with("v", "pv", mul), F.lit(0.0), add).alias("s"),
+        )
+        m = (
+            s.select("s", F.posexplode("v").alias("pos", "x"))
+            .select(
+                "pos",
+                dround(F.col("x") * F.col("s"), 9)
+                .cast("decimal(28,9)")
+                .alias("c"),
+            )
+            .groupBy("pos")
+            .agg(F.sum("c").cast("double").alias("m"))
+        )
+        w = m.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("w")
+        )
+        vrow = w.select(
+            "w",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("w", lambda x: x * x), F.lit(0.0), add
+                )
+            ).alias("nrm"),
+        ).select(
+            F.transform("w", lambda x: dround(x / F.col("nrm"), 9)).alias("pv")
+        )
+    return vrow

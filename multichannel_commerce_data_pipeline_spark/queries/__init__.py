@@ -82,6 +82,9 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
     "kmeans_silhouette": (_ADDED_R7, 8),
     "event_path_topn": (_ADDED_R7, 8),
     "funnel_latency": (_ADDED_R7, 8),
+    "embedding_top_pc": (_ADDED_R7, 8),
+    "ewma_forecast": (_ADDED_R7, 8),
+    "daily_anomaly_bands": (_ADDED_R7, 8),
 }
 
 # Round 7 window (50 slots, priorities as above):

@@ -101,14 +101,42 @@ def _jaccard_oracle(threshold: float, df_cap: int | None) -> str:
     """
 
 
+# The capped (doc, n_sh, shingle) frame is the corpus's shingle INDEX:
+# the exact-Jaccard and containment self-joins each read it from both
+# sides plus the df-cap aggregate, and rebuilding it per side
+# re-tokenizes the corpus 3-4x per call (4 scans / 14 inlined regexp
+# nodes in the un-cached plan — constraint propagation inlines the
+# n_sh expression into scan filters on top). Persisted per corpus
+# version, hash-partitioned on the join key so neither join side
+# re-shuffles.
+_CAPPED_SH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _capped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        from pyspark import StorageLevel
+
+        d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+        sh = D._capped_shingles(d, "doc_id", "text", 3, 400).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sh.count()
+        return sh
+
+    return session_memo(spark, _CAPPED_SH_CACHE, sf_dir, build)
+
+
 @query("jaccard_near_dupes", oracle=_jaccard_oracle(_THRESHOLD, df_cap=400))
 def jaccard_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: exact n-gram Jaccard near-dup pairs with a document-frequency
     cap on hot shingles (the scale guard: no boilerplate shingle may
-    produce a quadratic candidate partition)."""
+    produce a quadratic candidate partition). Reads the per-corpus
+    persisted shingle index, so the self-join's two sides and the cap
+    aggregate share ONE tokenization pass."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return D.jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=_THRESHOLD, df_cap=400
+        d, "doc_id", "text", n=3, threshold=_THRESHOLD, df_cap=400,
+        shingle_frame=_capped_shingle_index(spark, sf_dir),
     )
 
 
@@ -150,10 +178,12 @@ def containment_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-zero Jaccard but containment 1.0. Same df-capped shingle
     equi-join as jaccard_near_dupes (cost Σ df², bounded by the cap);
     one shared-count per unordered pair fans map-side into both
-    directed readings, each filtered on its own denominator."""
+    directed readings, each filtered on its own denominator. Shares
+    the per-corpus persisted shingle index with jaccard_near_dupes."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
     return D.containment_pairs(
-        d, "doc_id", "text", n=3, threshold=0.5, df_cap=400
+        d, "doc_id", "text", n=3, threshold=0.5, df_cap=400,
+        shingle_frame=_capped_shingle_index(spark, sf_dir),
     )
 
 

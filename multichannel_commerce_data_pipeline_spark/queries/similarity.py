@@ -1193,3 +1193,72 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_silhouette"),
     )
+
+
+_PC_ITERS = 2
+
+
+def _top_pc_oracle(iters: int = _PC_ITERS, dim: int = _KM_DIM) -> str:
+    dot = _DOT.format(a="c.v", b="p.pv")
+    addend = f"CAST({oracle_dround('v[i] * s', 9)} AS DECIMAL(28,9))"
+    norm = (
+        "sqrt(list_reduce(list_transform(w, y -> y * y), (a, b) -> a + b))"
+    )
+    unit = oracle_dround("x / nrm", 9)
+    blocks = [
+        f"""corpus AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sp AS (SELECT unnest(range(1, {dim + 1})) AS i),
+    p0 AS (SELECT list_transform(range(1, {dim + 1}), i -> 0.125) AS pv)"""
+    ]
+    for t in range(iters):
+        blocks.append(
+            f"""s{t + 1} AS (
+      SELECT c.v, {dot} AS s FROM corpus c CROSS JOIN p{t} p
+    ),
+    m{t + 1} AS (
+      SELECT i, CAST(SUM({addend}) AS DOUBLE) AS m
+      FROM s{t + 1} CROSS JOIN sp GROUP BY i
+    ),
+    w{t + 1} AS (
+      SELECT list(m ORDER BY i) AS w FROM m{t + 1}
+    ),
+    p{t + 1} AS (
+      SELECT list_transform(w, x -> {unit}) AS pv
+      FROM (SELECT w, {norm} AS nrm FROM w{t + 1})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT i - 1 AS dim, pv[i] AS loading
+    FROM p{iters} CROSS JOIN sp
+    """
+    )
+
+
+@query("embedding_top_pc", oracle=_top_pc_oracle())
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: top principal direction of the embedding corpus by power
+    iteration (operators/clustering.py power_iteration) — in-engine
+    linear algebra: the dominant variance axis that drives whitening,
+    anisotropy diagnosis ("are my embeddings collapsing to a cone?"),
+    and Matryoshka-style dimension ordering. Two rounds of
+    v <- normalize(X'Xv), each one broadcast of the 1-row direction
+    frame + one dim-bounded group-by with DECIMAL-quantized addends —
+    cost is two corpus passes regardless of N, nothing ever gathers
+    the corpus. Deterministic exact-binary start (0.125 per dim) and
+    quantized updates let the DuckDB oracle unroll both rounds to a
+    hash match. Output: the 64 (dim, loading) rows of the unit
+    direction."""
+    from multichannel_commerce_data_pipeline_spark.operators.clustering import (
+        power_iteration,
+    )
+
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    pc = power_iteration(e, n_iters=_PC_ITERS, dim=_KM_DIM)
+    return pc.select(F.posexplode("pv").alias("dim", "loading"))

@@ -951,3 +951,146 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.percentile("latency_s", 0.5), 2).alias("median_latency_s"),
         dround(F.percentile("latency_s", 0.90), 2).alias("p90_latency_s"),
     )
+
+
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "ewma_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             list(n ORDER BY day) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS DOUBLE) AS total
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           {oracle_dround("xs[len(xs)]", 2)} AS last_actual,
+           {oracle_dround(
+               "list_reduce(xs, (acc, x) -> "
+               + "CAST(ROUND(CAST((" + str(_EWMA_ALPHA) + " * x + "
+               + str(1 - _EWMA_ALPHA) + " * acc) AS DECIMAL(38,10)), 6) "
+               + "AS DOUBLE))", 2)} AS ewma_level
+    FROM series
+    """,
+)
+def ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: exponentially-weighted moving-average level per event_type
+    over the daily count series — the one-number demand forecast
+    (level = next-day expectation under EWMA, alpha=0.3). A recursive
+    smoother is sequentially dependent, which normally disqualifies it
+    from set-oriented engines; here each series is BOUNDED (days per
+    type), so the daily rollup collects one ordered array per type and
+    an ``aggregate`` fold runs the recursion in-plan — identical fold
+    in DuckDB's list_reduce (both engines seed with the first element:
+    Spark folds slice(xs, 2, …) from element_at(xs, 1)). Each smoothing
+    step is
+    dround-quantized to 6 dp so the recursion is engine-portable
+    bit-for-bit. One keyed shuffle for the daily counts, one for the
+    per-type fold; state bounded by the day span."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    a = _EWMA_ALPHA
+    fold = F.aggregate(
+        F.slice("xs", 2, F.size("xs") - 1),
+        F.element_at("xs", 1),
+        lambda acc, x: dround(F.lit(a) * x + F.lit(1 - a) * acc, 6),
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        dround(F.element_at("xs", -1), 2).alias("last_actual"),
+        dround(fold, 2).alias("ewma_level"),
+    )
+
+
+@query(
+    "daily_anomaly_bands",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER w AS s,
+             SUM(n * n) OVER w AS ss,
+             COUNT(*) OVER w AS c
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
+           {oracle_dround("CAST(s AS DOUBLE) / c", 2)} AS mean7,
+           CASE WHEN c >= 3 AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                  * CAST(s AS DOUBLE) / c) / (c - 1) > 0
+                THEN {oracle_dround(
+                    "(n - CAST(s AS DOUBLE) / c) / "
+                    "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) "
+                    "* CAST(s AS DOUBLE) / c) / (c - 1))", 4)}
+                ELSE NULL END AS z
+    FROM rolled WHERE c >= 1
+    """,
+)
+def daily_anomaly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10/DQ: rolling anomaly detection — each day's event count
+    z-scored against its OWN trailing 7-day window per event_type (the
+    ops-dashboard "is today weird?" signal; complements mad_outliers'
+    global per-type robustness with a time-local band). The rolling
+    sums are integer-exact inside an ordered window frame (ROWS 7
+    PRECEDING TO 1 PRECEDING — no leakage of the current day into its
+    own baseline), variance from the sum-of-squares identity with the
+    same guarded expression in both engines, z NULL when the window is
+    too short (<3 days) or flat. One keyed shuffle on event_type;
+    frames are day-count bounded."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    rolled = daily.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    ).filter(F.col("c") >= 1)
+    mean = F.col("s").cast("double") / F.col("c")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("c")
+    ) / (F.col("c") - 1)
+    return rolled.select(
+        "event_type",
+        "day",
+        "n",
+        dround(mean, 2).alias("mean7"),
+        F.when(
+            (F.col("c") >= 3) & (var > 0),
+            dround((F.col("n") - mean) / F.sqrt(var), 4),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("z"),
+    )

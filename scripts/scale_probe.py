@@ -82,6 +82,9 @@ PROBES = [
     ("kmeans_silhouette", "embeddings", "N*k map-side dists, k-row rollup"),
     ("event_path_topn", "events", "one lead-window shuffle + TakeOrdered"),
     ("funnel_latency", "events", "two keyed aggs + per-cohort percentile"),
+    ("embedding_top_pc", "embeddings", "2 power rounds, dim-bounded agg"),
+    ("ewma_forecast", "events", "daily rollup + bounded array fold"),
+    ("daily_anomaly_bands", "events", "keyed rolling frame, int-exact"),
 ]
 REPS = 3
 
