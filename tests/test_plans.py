@@ -551,3 +551,57 @@ def test_dynamic_partition_pruning_reaches_fact_scan(plans):
     p = plans("dynamic_partition_prune")
     assert "dynamicpruning" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_doc_shingles_tokenizer_not_duplicated_into_scan_filters(spark, sf_dir):
+    """The regexp tokenizer must run ONCE per document, in its own
+    projection above the fan-out exchange. A bare explode over the
+    shingle array makes InferFiltersFromGenerate push a size/isnotnull
+    filter — with the whole tokenize→shingle expression inlined — below
+    the exchange into the serial scan task (measured 8x at sf0.1);
+    doc_shingles uses explode_outer + an explicit null filter to keep
+    the inference out. Pin: exactly one regexp node in the plan, none
+    below inside a Filter."""
+    from multichannel_commerce_data_pipeline_spark.operators.dedup import (
+        doc_shingles,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import (
+        load,
+        parallelize_small_scan,
+    )
+
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    plan = (
+        doc_shingles(d, "doc_id", "text", 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_extract_all") == 1
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "regexp_extract_all" not in line
+
+
+def test_jaccard_and_containment_share_one_tokenization_pass(plans):
+    """Both self-join queries read the persisted per-corpus shingle
+    index (InMemoryTableScan), so the tokenize->shingle pipeline runs
+    once at index build, not once per join side per call. The cached
+    relation's lineage still PRINTS its build plan, so assert on the
+    cache node count: every tokenizer occurrence must sit under an
+    InMemoryRelation, never in a live (re-executed) subtree."""
+    for name in ("jaccard_near_dupes", "containment_dupes"):
+        p = plans(name)
+        assert "InMemoryTableScan" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_triangle_query_runs_on_cached_orientation(plans):
+    """copurchase_triangles consumes the persisted apex-partitioned
+    orientation (InMemoryTableScan — the graph-layout index), with the
+    per-triangle fan-out as a Generate (array explode), not a triple
+    union re-evaluating the triangle subtree."""
+    p = plans("copurchase_triangles")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p
+    assert "Generate" in p
