@@ -88,6 +88,10 @@ HEADLINE = [
     "embedding_top_pc",
     "ewma_forecast",
     "daily_anomaly_bands",
+    "negative_samples",
+    # stream_join_rollup spins a checkpointed streaming query into temp
+    # dirs per call (like the other stream_* rollups) — covered by the
+    # streaming tests + driver row, not warm-throughput timing.
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
     # skew_profile / compaction_plan / fs_record_linkage /

@@ -85,6 +85,8 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
     "embedding_top_pc": (_ADDED_R7, 8),
     "ewma_forecast": (_ADDED_R7, 8),
     "daily_anomaly_bands": (_ADDED_R7, 8),
+    "stream_join_rollup": (_ADDED_R7, 8),
+    "negative_samples": (_ADDED_R7, 8),
 }
 
 # Round 7 window (50 slots, priorities as above):

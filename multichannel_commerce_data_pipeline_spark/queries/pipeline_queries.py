@@ -499,3 +499,63 @@ def dq_profile_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("quantity") <= 0).cast("long")).alias("n_nonpositive_qty"),
         F.sum((F.col("unit_price") < 0).cast("long")).alias("n_negative_price"),
     )
+
+
+@query(
+    "stream_join_rollup",
+    oracle=f"""
+    WITH o AS ({silver.oracle_conform_joor()}),
+    f AS ({silver.oracle_conform_freight()}),
+    j AS (
+      SELECT o.order_id, o.quantity, o.unit_price,
+             f.shipment_id, f.cost, f.carrier
+      FROM o JOIN f ON o.order_id = f.order_reference
+       AND TRY_CAST(f.bronze_timestamp AS TIMESTAMP)
+           >= TRY_CAST(o.bronze_timestamp AS TIMESTAMP) - INTERVAL 2 DAY
+       AND TRY_CAST(f.bronze_timestamp AS TIMESTAMP)
+           <= TRY_CAST(o.bronze_timestamp AS TIMESTAMP) + INTERVAL 2 DAY
+    )
+    SELECT carrier,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(quantity) AS BIGINT) AS total_qty,
+           {oracle_dround("SUM(cost)", 2)} AS freight_cost,
+           {oracle_dround("SUM(unit_price * quantity)", 2)} AS order_value
+    FROM j GROUP BY carrier
+    """,
+)
+def stream_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-surface: the STREAM-STREAM JOIN made driver-checkable (the
+    stream_sessionize_rollup pattern) — run the real two-sided-watermark
+    orders⨝freight join (streaming/jobs.stream_orders_with_freight:
+    event-time range constraint bounds BOTH join states, append emits
+    each pair exactly once when the watermark passes) with
+    Trigger.AvailableNow over the bronze fixtures, then roll the landed
+    pairs up per carrier. The oracle is the BATCH join over the same
+    conformed bronze with the same ±2-day constraint, so the row is
+    green only if streamed ≡ batch pair-for-pair — the
+    test_stream_stream_join_matches_batch equivalence promoted to
+    driver evidence. Reference behavior replaced: the silver_to_gold
+    left-join freight enrichment (silver_to_gold.py:512-516), computed
+    in-flight instead of by rescanning Postgres."""
+    import tempfile
+
+    from multichannel_commerce_data_pipeline_spark.pipeline.schemas import (
+        BRONZE_ROOT,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_orders_with_freight,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mcdp_stream_join_")
+    stream_orders_with_freight(
+        spark, BRONZE_ROOT, f"{tmp}/joined", f"{tmp}/ckpt"
+    )
+    j = spark.read.parquet(f"{tmp}/joined")
+    return j.groupBy("carrier").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("quantity").alias("total_qty"),
+        dround(F.sum("cost"), 2).alias("freight_cost"),
+        dround(F.sum(F.col("unit_price") * F.col("quantity")), 2).alias(
+            "order_value"
+        ),
+    )

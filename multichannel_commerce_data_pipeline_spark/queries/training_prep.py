@@ -910,3 +910,117 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("rep").alias("n_identities"),
         (F.count(F.lit(1)) - F.countDistinct("rep")).alias("n_dup_docs"),
     )
+
+
+_NEG_K = 4       # negatives kept per user
+_NEG_CANDS = 8   # hash candidates drawn before the positive anti-join
+_NEG_SEED = 73
+
+# part-key cardinality is a corpus scalar (p_partkey is dense 0..P-1 in
+# the fixture): one bounded count per sf_dir, cached like the BM25
+# corpus stats, embedded as a literal on both engines.
+_N_PARTS_CACHE: dict[str, int] = {}
+
+
+def _n_parts(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _N_PARTS_CACHE:
+        _N_PARTS_CACHE[sf_dir] = load(spark, sf_dir, "part").count()
+    return _N_PARTS_CACHE[sf_dir]
+
+
+def _neg_oracle() -> str:
+    h = oracle_hash64(
+        "concat(CAST(cust AS VARCHAR), ':', CAST(i AS VARCHAR))", _NEG_SEED
+    )
+    return f"""
+    WITH np AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM part),
+    u AS (SELECT DISTINCT o_custkey AS cust FROM orders),
+    pos AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    cand AS (
+      SELECT u.cust, i.i, {h} % np.p AS part
+      FROM u
+      CROSS JOIN (SELECT unnest(range(1, {_NEG_CANDS + 1})) AS i) i
+      CROSS JOIN np
+    ),
+    neg AS (
+      SELECT c.cust, c.i, c.part FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos WHERE pos.cust = c.cust AND pos.part = c.part
+      )
+    ),
+    dedup AS (
+      SELECT cust, i, part,
+             ROW_NUMBER() OVER (PARTITION BY cust, part ORDER BY i) AS dup
+      FROM neg
+    )
+    SELECT cust AS custkey, part AS neg_part,
+           CAST(rnk AS BIGINT) AS neg_rank
+    FROM (
+      SELECT cust, part, i,
+             ROW_NUMBER() OVER (PARTITION BY cust ORDER BY i) AS rnk
+      FROM dedup WHERE dup = 1
+    ) WHERE rnk <= {_NEG_K}
+    """
+
+
+@query("negative_samples", oracle=_neg_oracle())
+def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: deterministic negative sampling for recommender/contrastive
+    training — per customer, 4 part ids the customer did NOT buy,
+    drawn by a seeded portable hash so every epoch and every engine
+    regenerates the identical triplet set (the reproducibility property
+    dataset_split/weighted_corpus_sample are built on; rand() would be
+    unauditable). Per user: 8 hash candidates generated
+    MAP-SIDE (sequence explode — no candidate table, no shuffle),
+    anti-joined against the purchased (cust, part) set, collision-
+    deduped, first 4 by draw index kept via a keyed window. The
+    anti-join is the only fact-sized shuffle; candidate generation is
+    O(users x 8) arithmetic. Hash-space coverage means a
+    user with few purchases almost always fills all 4 slots;
+    under-filled users surface naturally rather than silently sampling
+    positives."""
+    nparts = _n_parts(spark, sf_dir)
+    users = (
+        load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust")).distinct()
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    cand = users.select(
+        "cust", F.explode(F.sequence(F.lit(1), F.lit(_NEG_CANDS))).alias("i")
+    ).select(
+        "cust",
+        "i",
+        (
+            portable_hash64(
+                F.concat_ws(
+                    ":", F.col("cust").cast("string"), F.col("i").cast("string")
+                ),
+                _NEG_SEED,
+            )
+            % F.lit(nparts)
+        ).alias("part"),
+    )
+    neg = cand.join(pos, ["cust", "part"], "left_anti")
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("cust", "part").orderBy("i")
+    wr = Window.partitionBy("cust").orderBy("i")
+    return (
+        neg.withColumn("dup", F.row_number().over(wd))
+        .filter(F.col("dup") == 1)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _NEG_K)
+        .select(
+            F.col("cust").alias("custkey"),
+            F.col("part").alias("neg_part"),
+            F.col("rnk").cast("long").alias("neg_rank"),
+        )
+    )
