@@ -53,15 +53,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # check.py green is never a substitute — the r5 lesson); (3) the
 # queries with the OLDEST latest green driver row, oldest first, until
 # the 50 slots are full. Invariant, enforced by the test: a query
-# whose green evidence would become older than ROTATION_AGE_BOUND
-# rounds must be in this window or carry a declared, unexpired
-# exception in ROTATION_EXCEPTIONS. The bound is 4 because that is
-# what a 190-query registry with a 50-slot window can actually
-# sustain (ceil(190/50) rounds for a full sweep; the original 2-round
-# prose bound was arithmetically unsatisfiable and silently drifted —
-# exactly why it is now code). The unchecked tail stays guarded by
-# scripts/check.py over the full registry.
-ROTATION_AGE_BOUND = 4
+# whose green evidence would become older than the rotation age bound
+# must be in this window or carry a declared, unexpired exception in
+# ROTATION_EXCEPTIONS. The bound is COMPUTED as
+# max(ROTATION_AGE_BOUND_FLOOR, ceil(registry_size / 50)) — the
+# fastest full sweep a 50-slot window can physically sustain (the
+# original 2-round prose bound was arithmetically unsatisfiable for a
+# 190-query registry and silently drifted — exactly why this is code,
+# and why a registry that grows past the next multiple of 50 loosens
+# the bound automatically instead of making the test permanently red).
+# See tests/test_rotation.py:rotation_age_bound(). The unchecked tail
+# stays guarded by scripts/check.py over the full registry.
+ROTATION_AGE_BOUND_FLOOR = 4
 
 # Declared exceptions: name -> (reason, expiry_round). The test fails
 # on any undeclared overage and on any exception past its expiry, so
@@ -91,8 +94,11 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
 
 # Round 7 window (50 slots, priorities as above):
 #   1 flagship + 4 never-checked/new + 5 code-changed-this-round +
-#   40 oldest-evidence rows (all r2/r3 vintage). The 49 r4-vintage
-#   rows are within the bound until r9 and rotate r8 (oldest-first).
+#   40 oldest-evidence rows (all r2/r3 vintage). r8 allocation sketch:
+#   flagship + the 15 r7-added queries (+ stream_join_rollup etc. under
+#   their expiring exceptions) + any r7-changed rows, remainder filled
+#   oldest-first from the r4 cohort; the computed age bound (ceil(206/
+#   50) = 5) keeps the rest of the r4 cohort in-bound until r9.
 #   Value-identical refactors this round (session_memo cache keying)
 #   touched incremental_lsh_dedup / ann_ivfpq_topk /
 #   embedding_semantic_dedup / entity_golden_record /

@@ -342,6 +342,84 @@ COMMENTARY = {
         "exchange carries every distinct key). The estimator itself is "
         "a single-row arithmetic projection."
     ),
+    "copurchase_triangles": (
+        "Runs on the persisted apex-partitioned orientation (the graph "
+        "layout index — InMemoryTableScan, no lineitem re-scan). Both "
+        "wedge sides derive from the SAME cached exchange layout, so the "
+        "self-join shuffles nothing; the closing (v1, v2) equi-join is the "
+        "only new exchange, and the per-triangle node fan-out is one "
+        "3-element array explode feeding a partial-aggregated count — a "
+        "triple union here would re-execute the triangle subtree three "
+        "times (the shape the r7 fix removed). Degree orientation bounds "
+        "wedge generation at O(m^1.5) regardless of hub skew."
+    ),
+    "copurchase_communities": (
+        "Two LPA rounds as two (join + two partial-aggregated group-bys) "
+        "blocks over the cached src-partitioned edge frame: only the "
+        "label vector moves per round, the edge side never re-shuffles. "
+        "The argmax is a max(struct(s, -label)) group-by, not a window — "
+        "map-side collapse to one row per node before the exchange. "
+        "Integral weights make the sums exact at any partitioning."
+    ),
+    "containment_dupes": (
+        "Consumes the persisted capped shingle index (one tokenization "
+        "pass per corpus version, shared with jaccard_near_dupes) — the "
+        "un-cached plan re-scanned documents 4x with the tokenizer inlined "
+        "into scan filters. One shared-count aggregate per unordered pair, "
+        "then BOTH directed readings fan out of a single array explode "
+        "(a union of two selects would re-run the join+aggregate per "
+        "branch). The df cap bounds the candidate join at sum(df^2)."
+    ),
+    "basket_association_rules": (
+        "The rules frame is the cached symmetrized co-purchase edge index "
+        "joined twice onto per-item basket counts (shuffle on part key, "
+        "partial-aggregated), with n_baskets embedded as a bounded "
+        "collected scalar — the support/confidence/lift arithmetic is "
+        "pure map-side Column work, dround-quantized for the oracle."
+    ),
+    "pit_scd2_join": (
+        "The SCD2 history build is the single-shuffle gaps-and-islands "
+        "plan (one hash exchange on user_id serves the snapshot window, "
+        "the island windows, and the version aggregate); the "
+        "point-in-time join is then an equi-join on user_id with the "
+        "validity interval as a post-join filter — match amplification "
+        "bounded by versions-per-key, each side shuffles once. Revenue "
+        "is decimal-quantized per row before the rollup sum."
+    ),
+    "ivf_index_merge": (
+        "Both assignment passes are the broadcast-centroid max(struct) "
+        "argmax: the k-row centroid frame (built from the BASE corpus "
+        "stride only) broadcasts, every vector scores map-side, and the "
+        "partial aggregate collapses C scored rows to one per vector "
+        "before the single N-row exchange. The per-list occupancy rollup "
+        "is a k-bounded group-by — merge cost tracks the batch, the "
+        "index never rebuilds."
+    ),
+    "kmeans_silhouette": (
+        "Consumes the persisted trained model (no retraining in-plan): "
+        "assignments join the broadcast k-row centroid frame, the k-1 "
+        "other-centroid distances reduce through a partial-aggregated "
+        "min per vector (exchange carries N rows once), and the per-cell "
+        "mean is a k-row rollup with DECIMAL-quantized terms. N*k "
+        "map-side arithmetic replaces the O(N^2) pairwise silhouette."
+    ),
+    "embedding_top_pc": (
+        "Each power round is: broadcast the 1-row direction frame onto "
+        "the corpus (map-side dot product), posexplode into ONE (dim) "
+        "group-by whose exchange is bounded by dim*partitions rows "
+        "(DECIMAL-quantized addends), rebuild the 64-struct direction "
+        "and normalize in-plan — no driver collect between rounds, the "
+        "whole 2-round fit is one lazy plan. Corpus is touched twice "
+        "total regardless of N."
+    ),
+    "negative_samples": (
+        "Candidate generation is a map-side sequence explode + portable "
+        "hash over the distinct-user frame (no candidate table); the only "
+        "fact-sized work is the left-anti join against the distinct "
+        "(cust, part) positives. Collision dedup and first-k both run as "
+        "keyed windows over user-bounded frames. Deterministic by seed: "
+        "every epoch regenerates the identical triplet set."
+    ),
 }
 
 

@@ -6,7 +6,7 @@ registry entries (queries/__init__.py CHECK_FIRST). The standing policy
 never-checked queries always prioritized — lived in prose comments
 through round 6 and silently drifted (41 queries aged past the stated
 bound). This module is the r6 verdict's fix: the policy is now DATA
-(ROTATION_AGE_BOUND, ROTATION_EXCEPTIONS) plus these tests, which parse
+(the computed rotation age bound, ROTATION_EXCEPTIONS) plus these tests, which parse
 the actual CORRECTNESS_r*.json evidence and fail the suite when the
 planned window would let any non-excepted query age out.
 """
@@ -18,10 +18,22 @@ from pathlib import Path
 
 from multichannel_commerce_data_pipeline_spark.queries import (
     CHECK_FIRST,
-    ROTATION_AGE_BOUND,
+    ROTATION_AGE_BOUND_FLOOR,
     ROTATION_EXCEPTIONS,
     load_registry,
 )
+
+
+def rotation_age_bound(reg) -> int:
+    """The tightest evidence-age bound a 50-slot window can physically
+    sustain: a full sweep of the oracle-paired registry takes
+    ceil(n/50) rounds, so demanding fresher-than-that evidence for
+    every query is unsatisfiable (the failure mode of the original
+    2-round prose bound). Grows automatically with the registry;
+    never drops below the historical floor."""
+    n = sum(1 for q in reg.values() if q.oracle is not None)
+    return max(ROTATION_AGE_BOUND_FLOOR, -(-n // 50))
+
 
 REPO = Path(__file__).resolve().parents[1]
 
@@ -63,7 +75,7 @@ def test_window_is_exactly_the_driver_width():
 
 def test_no_query_ages_past_the_bound():
     """A query is DUE when its latest green driver row is
-    ROTATION_AGE_BOUND rounds old (or it has never been green): it must
+    rotation_age_bound() rounds old (or it has never been green): it must
     hold a slot in the planned window or carry an unexpired declared
     exception. This is the check that would have flagged round 6's 41
     silently-stale queries."""
@@ -74,7 +86,7 @@ def test_no_query_ages_past_the_bound():
         if q.oracle is None:
             continue  # rows-only checks; the driver records them weaker
         age = current - latest.get(name, -(10**6))
-        if age < ROTATION_AGE_BOUND or name in CHECK_FIRST:
+        if age < rotation_age_bound(reg) or name in CHECK_FIRST:
             continue
         exc = ROTATION_EXCEPTIONS.get(name)
         if exc is not None and exc[1] >= current:
