@@ -89,6 +89,8 @@ HEADLINE = [
     "ewma_forecast",
     "daily_anomaly_bands",
     "negative_samples",
+    "hard_negative_samples",
+    "keyword_extraction",
     # stream_join_rollup spins a checkpointed streaming query into temp
     # dirs per call (like the other stream_* rollups) — covered by the
     # streaming tests + driver row, not warm-throughput timing.

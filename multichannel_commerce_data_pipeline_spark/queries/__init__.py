@@ -90,6 +90,9 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
     "daily_anomaly_bands": (_ADDED_R7, 8),
     "stream_join_rollup": (_ADDED_R7, 8),
     "negative_samples": (_ADDED_R7, 8),
+    "hard_negative_samples": (_ADDED_R7, 8),
+    "keyword_extraction": (_ADDED_R7, 8),
+    "referential_integrity": (_ADDED_R7, 8),
 }
 
 # Round 7 window (50 slots, priorities as above):

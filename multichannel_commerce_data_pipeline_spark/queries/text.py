@@ -780,3 +780,152 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_terms_matched",
         )
     )
+
+
+_RAKE_MAX_LEN = 4
+_RAKE_TOP = 20
+
+
+def _rake_oracle() -> str:
+    ratio = oracle_dround("CAST(deg AS DOUBLE) / freq", 6)
+    score = oracle_dround("CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE)", 6)
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id AS doc, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents
+    ),
+    pe AS (
+      SELECT doc, pos, toks[pos] AS tk FROM (
+        SELECT doc, toks, unnest(range(1, len(toks) + 1)) AS pos FROM tok
+      )
+    ),
+    marked AS (
+      SELECT doc, pos, tk,
+             CASE WHEN tk IN ({_STOP_IN}) THEN 1 ELSE 0 END AS brk
+      FROM pe
+    ),
+    islands AS (
+      SELECT doc, pos, tk, brk,
+             SUM(brk) OVER (PARTITION BY doc ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS pid
+      FROM marked
+    ),
+    phr AS (
+      SELECT doc, pid,
+             string_agg(tk, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM islands WHERE brk = 0
+      GROUP BY doc, pid
+      HAVING COUNT(*) <= {_RAKE_MAX_LEN}
+    ),
+    wocc AS (
+      SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phr
+    ),
+    wstats AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM wocc GROUP BY w
+    ),
+    pcounts AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM phr GROUP BY phrase
+    ),
+    pscore AS (
+      SELECT p.phrase, {score} AS score
+      FROM (SELECT DISTINCT phrase FROM phr) p,
+           unnest(string_split(p.phrase, ' ')) AS u(w)
+      JOIN wstats s ON s.w = u.w,
+      LATERAL (SELECT {ratio} AS r) x
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, score, rank FROM (
+      SELECT c.phrase, c.n_occurrences, s.score,
+             ROW_NUMBER() OVER (ORDER BY s.score DESC, c.phrase) AS rank
+      FROM pcounts c JOIN pscore s ON c.phrase = s.phrase
+    ) WHERE rank <= {_RAKE_TOP}
+    """
+
+
+@query("keyword_extraction", oracle=_rake_oracle())
+def keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: RAKE-style keyword extraction — candidate phrases are the
+    maximal stopword-free token runs (gaps-and-islands over the token
+    stream, capped at 4 words), scored by the classic degree/frequency
+    word statistic: deg(w) = total length of phrases containing w,
+    freq(w) = occurrences, phrase score = sum of deg/freq over its
+    words. Corpus-level keyword surfacing with zero model weights —
+    the cheap first pass before embedding-based topic work. Plan: one
+    tokenize + posexplode, ONE keyed running-sum window per document
+    (pos-ordered, doc-bounded frames), two partial-aggregated word/
+    phrase rollups, and the per-word ratios re-joined onto distinct
+    phrases with DECIMAL-quantized addends so the <=4-term score sum is
+    order-independent. Top-20 via TakeOrderedAndProject with the rank
+    window over the survivors (the corpus_top_terms lesson)."""
+    from pyspark.sql import Window
+
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.col("doc_id").alias("doc"), T.tokens(F.col("text")).alias("toks")
+    )
+    pe = toks.select(
+        "doc", F.posexplode_outer("toks").alias("pos0", "tk")
+    ).filter(F.col("tk").isNotNull())
+    marked = pe.select(
+        "doc",
+        (F.col("pos0") + 1).alias("pos"),
+        "tk",
+        F.when(F.col("tk").isin(*T.STOPWORDS), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    wi = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn("pid", F.sum("brk").over(wi))
+    phr = (
+        islands.filter(F.col("brk") == 0)
+        .groupBy("doc", "pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tk"))),
+                    lambda s: s["tk"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    wocc = phr.select(
+        F.explode(F.split("phrase", " ")).alias("w"), "plen"
+    )
+    wstats = wocc.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    pcounts = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    pwords = (
+        pcounts.select("phrase")
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wstats, "w")
+    )
+    pscore = pwords.groupBy("phrase").agg(
+        dround(
+            F.sum(
+                dround(F.col("deg").cast("double") / F.col("freq"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("score")
+    )
+    ranked = pcounts.join(pscore, "phrase")
+    top = ranked.orderBy(F.desc("score"), F.asc("phrase")).limit(_RAKE_TOP)
+    wr = Window.orderBy(F.desc("score"), F.asc("phrase"))
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "phrase", "n_occurrences", "score", "rank"
+    )

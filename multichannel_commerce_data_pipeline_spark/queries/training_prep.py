@@ -1024,3 +1024,90 @@ def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("neg_rank"),
         )
     )
+
+
+_HARD_K = 4
+
+
+def _hard_neg_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.queries.joins import (
+        _CP_EDGES_CTE,
+    )
+
+    return f"""
+    WITH {_CP_EDGES_CTE},
+    pos AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    cand AS (
+      SELECT p.cust, e.dst AS part, CAST(SUM(e.w) AS BIGINT) AS affinity
+      FROM pos p JOIN edges e ON p.part = e.src
+      GROUP BY 1, 2
+    ),
+    hard AS (
+      SELECT c.cust, c.part, c.affinity FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos WHERE pos.cust = c.cust AND pos.part = c.part
+      )
+    )
+    SELECT cust AS custkey, part AS neg_part, affinity,
+           CAST(rnk AS BIGINT) AS neg_rank
+    FROM (
+      SELECT cust, part, affinity,
+             ROW_NUMBER() OVER (PARTITION BY cust
+                                ORDER BY affinity DESC, part) AS rnk
+      FROM hard
+    ) WHERE rnk <= {_HARD_K}
+    """
+
+
+@query("hard_negative_samples", oracle=_hard_neg_oracle())
+def hard_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: HARD negative mining — the contrastive-training complement to
+    negative_samples' uniform draws: per customer, the parts most
+    strongly co-purchased with what they DID buy (summed co-purchase
+    edge weight) that they did NOT buy. These near-miss negatives are
+    what sharpens a retrieval/recommendation model once random
+    negatives become trivial (the in-batch-negatives -> hard-negatives
+    curriculum). One join of the positive (cust, part) set onto the
+    cached symmetrized co-purchase edge index (shuffle on part key),
+    one partial-aggregated affinity sum, one anti-join back against
+    positives, and a per-customer top-4 window over the
+    bounded candidate frame. Affinity is an integer co-order count —
+    exact at any partitioning."""
+    from multichannel_commerce_data_pipeline_spark.queries.joins import (
+        _copurchase_edges,
+    )
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    edges = _copurchase_edges(spark, sf_dir)
+    cand = (
+        pos.join(edges, pos["part"] == edges["src"])
+        .groupBy("cust", F.col("dst").alias("npart"))
+        .agg(F.sum("w").alias("affinity"))
+    )
+    hard = cand.join(
+        pos.select("cust", F.col("part").alias("npart")),
+        ["cust", "npart"],
+        "left_anti",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cust").orderBy(F.desc("affinity"), F.asc("npart"))
+    return (
+        hard.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HARD_K)
+        .select(
+            F.col("cust").alias("custkey"),
+            F.col("npart").alias("neg_part"),
+            F.col("affinity"),
+            F.col("rnk").cast("long").alias("neg_rank"),
+        )
+    )

@@ -1264,3 +1264,59 @@ def pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("val").cast("double").alias("revenue"),
     )
+
+
+def _ri_oracle() -> str:
+    def pair(rel, child, ck, parent, pk):
+        return f"""
+      SELECT '{rel}' AS relationship,
+             CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,
+             CAST((SELECT COUNT(*) FROM {child} c
+                   WHERE NOT EXISTS (
+                     SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}
+                   )) AS BIGINT) AS n_orphans"""
+
+    rels = [
+        pair("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        pair("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        pair("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        pair("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        pair("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    return "\nUNION ALL\n".join(rels)
+
+
+@query("referential_integrity", oracle=_ri_oracle())
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ: foreign-key orphan audit across the star schema — the
+    constraint check a lakehouse cannot delegate to the storage layer
+    (parquet enforces nothing): per relationship, child row count and
+    rows whose FK matches no parent. Each relationship is ONE
+    projected-key left join (the dim side broadcasts) collapsed to a
+    single partial-aggregated row — child count and null-parent count
+    come from the same pass, so each child table is scanned once. The
+    query every MERGE/CDC/erasure pipeline should run after itself;
+    snapshot_diff_cdf and cdc_apply_snapshot produce the changes, this
+    proves they left the graph closed."""
+    specs = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for rel, child, ck, parent, pk in specs:
+        c = load(spark, sf_dir, child).select(ck)
+        p = load(spark, sf_dir, parent).select(pk).distinct()
+        j = c.join(p, c[ck] == p[pk], "left")
+        row = j.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(
+                F.when(F.col(pk).isNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(F.lit(rel).alias("relationship"), "n_child", "n_orphans")
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -85,6 +85,10 @@ PROBES = [
     ("embedding_top_pc", "embeddings", "2 power rounds, dim-bounded agg"),
     ("ewma_forecast", "events", "daily rollup + bounded array fold"),
     ("daily_anomaly_bands", "events", "keyed rolling frame, int-exact"),
+    ("negative_samples", "orders x part", "map-side candidates + anti-join"),
+    ("hard_negative_samples", "lineitem graph", "pos x edge join + top-k window"),
+    ("keyword_extraction", "documents", "island window + 2 word rollups"),
+    ("referential_integrity", "star schema", "5 key-pruned left joins"),
 ]
 REPS = 3
 
