@@ -559,3 +559,95 @@ def stream_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_value"
         ),
     )
+
+
+def _stream_psi_oracle() -> str:
+    p_ref = "(cr + 0.5) / (tr + 5.0)"
+    p_cur = "(cc + 0.5) / (tc + 5.0)"
+    term = oracle_dround(
+        f"(({p_cur}) - ({p_ref})) * ln(({p_cur}) / ({p_ref}))", 9
+    )
+    return f"""
+    WITH s AS ({silver.oracle_conform_joor()}),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(unit_price / 25.0) AS INTEGER), 9) AS bin,
+             CASE WHEN order_ts < TIMESTAMP '2025-06-02' THEN 1 ELSE 0 END
+               AS is_ref
+      FROM s
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(SUM(is_ref) AS DOUBLE) AS cr,
+             CAST(SUM(1 - is_ref) AS DOUBLE) AS cc
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(cr) AS tr, SUM(cc) AS tc FROM cells),
+    terms AS (
+      SELECT CAST({term} AS DECIMAL(28,9)) AS t, cr, cc
+      FROM cells CROSS JOIN tot
+    )
+    SELECT CAST(SUM(cr) AS BIGINT) AS n_ref,
+           CAST(SUM(cc) AS BIGINT) AS n_cur,
+           CAST(SUM(t) AS DOUBLE) AS psi,
+           (CAST(SUM(t) AS DOUBLE) > 0.1) AS drifted
+    FROM terms
+    """
+
+
+@query("stream_psi_rollup", oracle=_stream_psi_oracle())
+def stream_psi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ × T5 made driver-checkable: the STREAMING drift monitor — a
+    cumulative (bin, window) price profile maintained as native
+    stateful aggregation in checkpointed state (streaming/jobs.py
+    stream_binned_profile; state bounded at 2·n_bins rows, additive
+    like the CM sketch, cumulative across restarts), landed per
+    batch_id and PSI-scored at read time with exactly
+    psi_drift_monitor's smoothed, DECIMAL-quantized arithmetic (the
+    10-bin smoothing constant 0.5·n_bins = 5.0). The oracle recomputes
+    bins and PSI in batch SQL over the same conformed bronze, so the
+    row is green only if the stream's cumulative profile equals the
+    batch profile count-for-count — the monitoring-surface analogue of
+    the stream≡batch rollup rows."""
+    import tempfile
+
+    from multichannel_commerce_data_pipeline_spark.pipeline.schemas import (
+        BRONZE_ROOT,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_latest_binned_profile,
+        stream_binned_profile,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mcdp_stream_psi_")
+    stream_binned_profile(
+        spark, "joor", BRONZE_ROOT, f"{tmp}/prof", f"{tmp}/ckpt"
+    )
+    prof = read_latest_binned_profile(spark, f"{tmp}/prof")
+    cells = prof.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref") == 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("cr"),
+        F.sum(F.when(F.col("is_ref") == 0, F.col("n")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("cc"),
+    )
+    tot = cells.agg(
+        F.sum("cr").alias("tr"), F.sum("cc").alias("tc")
+    ).withColumn("_k", F.lit(1))
+    cells = cells.withColumn("_k", F.lit(1))
+    p_ref = (F.col("cr") + 0.5) / (F.col("tr") + 5.0)
+    p_cur = (F.col("cc") + 0.5) / (F.col("tc") + 5.0)
+    terms = cells.join(F.broadcast(tot), "_k").select(
+        dround((p_cur - p_ref) * F.log(p_cur / p_ref), 9)
+        .cast("decimal(28,9)")
+        .alias("t"),
+        "cr",
+        "cc",
+    )
+    psi = F.sum("t").cast("double")
+    return terms.agg(
+        F.sum("cr").cast("long").alias("n_ref"),
+        F.sum("cc").cast("long").alias("n_cur"),
+        psi.alias("psi"),
+        (psi > 0.1).alias("drifted"),
+    )

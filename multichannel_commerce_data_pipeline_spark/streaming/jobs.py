@@ -815,3 +815,73 @@ def stream_sessionize(
     )
     query.awaitTermination()
     return query
+
+
+def stream_binned_profile(
+    spark: SparkSession,
+    source: str,
+    bronze_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "unit_price",
+    ref_before: str = "2025-06-02",
+    bin_w: float = 25.0,
+    n_bins: int = 10,
+    watermark: str = "1 day",
+) -> StreamingQuery:
+    """Streaming distribution profile (DQ × T5): cumulative per-(bin,
+    window) counts of a conformed value column, the state a streaming
+    DRIFT MONITOR reads. Like ``stream_cm_sketch``, the profile merges
+    by addition, so native stateful aggregation IS the streaming form:
+    state is bounded by 2·n_bins rows regardless of stream length,
+    restored from the checkpoint across restarts (cumulative over the
+    whole feed), re-emitted in full each trigger (complete mode over a
+    ≤2·n_bins frame) and landed idempotently per batch_id. Rows before
+    ``ref_before`` (event time) accumulate into the reference window,
+    the rest into the current window; the PSI arithmetic itself runs at
+    read time over the landed profile — the monitor stays pure
+    aggregation in-flight."""
+    conformed = conform_stream(
+        read_bronze_stream(spark, source, bronze_root), source, watermark
+    )
+    binned = conformed.select(
+        F.least(
+            F.floor(F.col(value_col) / F.lit(bin_w)).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        F.when(
+            F.col("order_ts") < F.lit(ref_before).cast("timestamp"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_ref"),
+    )
+    prof = binned.groupBy("bin", "is_ref").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    query = (
+        prof.writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("__bid", F.lit(bid))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch-{bid}")
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def read_latest_binned_profile(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The current (bin, is_ref, n) profile: complete mode re-emits the
+    whole bounded frame each batch, so the max-batch rows are it."""
+    from pyspark.sql import Window
+
+    all_rows = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    w_ = Window.partitionBy()
+    return (
+        all_rows.withColumn("__mx", F.max("__bid").over(w_))
+        .filter(F.col("__bid") == F.col("__mx"))
+        .select("bin", "is_ref", "n")
+    )

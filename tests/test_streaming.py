@@ -837,3 +837,69 @@ def test_streaming_session_windows_close_once_and_match_batch(spark, tmp_path):
     canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert len(rows) > 0
     assert canon(streamed) == canon(batch)
+
+
+def test_stream_binned_profile_cumulative_across_restart(spark, tmp_path):
+    """The streaming drift profile is checkpointed aggregation state:
+    a second drain after new data lands must fold it into the SAME
+    cumulative counts (restart-proof), and the profile must equal the
+    batch recount at every point."""
+    import shutil
+
+    from multichannel_commerce_data_pipeline_spark.pipeline.bronze import (
+        flatten_envelope,
+        read_bronze,
+    )
+    from multichannel_commerce_data_pipeline_spark.pipeline.silver import (
+        conform_joor,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_latest_binned_profile,
+        stream_binned_profile,
+    )
+
+    bronze = tmp_path / "bronze"
+    shutil.copytree(FIXTURES / "joor", bronze / "joor")
+
+    def drain():
+        stream_binned_profile(
+            spark, "joor", str(bronze), str(tmp_path / "prof"),
+            str(tmp_path / "ckpt"),
+        )
+        return read_latest_binned_profile(spark, str(tmp_path / "prof"))
+
+    def batch_counts():
+        s = conform_joor(
+            flatten_envelope(read_bronze(spark, "joor", str(bronze)))
+        )
+        return {
+            (r.bin, r.is_ref): r.n
+            for r in s.select(
+                F.least(
+                    F.floor(F.col("unit_price") / 25.0).cast("int"), F.lit(9)
+                ).alias("bin"),
+                F.when(
+                    F.col("order_ts") < F.lit("2025-06-02").cast("timestamp"),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .alias("is_ref"),
+            )
+            .groupBy("bin", "is_ref")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    first = {(r.bin, r.is_ref): r.n for r in drain().collect()}
+    assert first == batch_counts()
+    assert sum(first.values()) > 0
+
+    # replay one existing day's file as a new late batch -> counts grow
+    src = next((bronze / "joor").rglob("*.json"))
+    late = bronze / "joor" / "2025" / "06" / "09"
+    late.mkdir(parents=True)
+    (late / "batch.json").write_text(src.read_text())
+
+    second = {(r.bin, r.is_ref): r.n for r in drain().collect()}
+    assert second == batch_counts()
+    assert sum(second.values()) > sum(first.values())
