@@ -94,6 +94,7 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
     "keyword_extraction": (_ADDED_R7, 8),
     "referential_integrity": (_ADDED_R7, 8),
     "stream_psi_rollup": (_ADDED_R7, 8),
+    "rec_hitrate_eval": (_ADDED_R7, 8),
 }
 
 # Round 7 window (50 slots, priorities as above):

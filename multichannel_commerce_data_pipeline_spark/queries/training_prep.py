@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.functions import (
+    dround,
     oracle_dround,
     oracle_hash64,
     portable_hash64,
@@ -1110,4 +1111,159 @@ def hard_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("affinity"),
             F.col("rnk").cast("long").alias("neg_rank"),
         )
+    )
+
+
+_REC_CUTOFF = "2000-01-01"
+_REC_K = 3
+
+
+def _rec_eval_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.functions import oracle_dround
+
+    return f"""
+    WITH train_orders AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_REC_CUTOFF}'
+    ),
+    test_orders AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_REC_CUTOFF}'
+    ),
+    train_items AS (
+      SELECT DISTINCT t.o_orderkey, t.o_custkey, l.l_partkey
+      FROM train_orders t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+    ),
+    capped AS (
+      SELECT o_orderkey, l_partkey FROM (
+        SELECT o_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                  ORDER BY l_partkey) AS rn
+        FROM (SELECT DISTINCT o_orderkey, l_partkey FROM train_items)
+      ) WHERE rn <= 64
+    ),
+    cp AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM capped a JOIN capped b
+        ON a.o_orderkey = b.o_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    recs AS (
+      SELECT pa, pb FROM (
+        SELECT pa, pb,
+               ROW_NUMBER() OVER (PARTITION BY pa ORDER BY w DESC, pb) AS rn
+        FROM cp
+      ) WHERE rn <= {_REC_K}
+    ),
+    profile AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part FROM train_items
+    ),
+    user_recs AS (
+      SELECT DISTINCT p.cust, r.pb AS part
+      FROM profile p JOIN recs r ON p.part = r.pa
+      WHERE NOT EXISTS (
+        SELECT 1 FROM profile q WHERE q.cust = p.cust AND q.part = r.pb
+      )
+    ),
+    test_pos AS (
+      SELECT DISTINCT t.o_custkey AS cust, l.l_partkey AS part
+      FROM test_orders t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+      WHERE t.o_custkey IN (SELECT cust FROM profile)
+    ),
+    scored AS (
+      SELECT tp.cust, tp.part,
+             CASE WHEN ur.part IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM test_pos tp
+      LEFT JOIN user_recs ur ON tp.cust = ur.cust AND tp.part = ur.part
+    )
+    SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_test_purchases,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           {oracle_dround("CAST(SUM(hit) AS DOUBLE) / COUNT(*)", 6)}
+             AS hit_rate
+    FROM scored
+    """
+
+
+@query("rec_hitrate_eval", oracle=_rec_eval_oracle())
+def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/X10: offline recommender evaluation, end-to-end in-engine —
+    the measurement loop every "frequently bought together" model
+    needs before shipping: TEMPORAL split (train < 2000-01-01 <= test,
+    the only leakage-safe split for behavioral data — a random split
+    would let the model see the future), item-to-item recommendations
+    from TRAIN co-purchases only (top-3 companions per part by
+    co-order count), each user's rec set = companions of their train
+    profile minus already-bought, and held-out hit rate = fraction of
+    test purchases that were in the buyer's rec set. Plan: the
+    per-basket-quadratic pair build on the train subset under the
+    64-item mega-basket cap (copurchase_pairs' straggler guard), a keyed top-k window over part-bounded frames, two
+    distinct-collapsed joins, one left join scoring pass, and a single
+    global rollup — every count exact, the rate dround-quantized."""
+    from pyspark.sql import Window
+
+    cutoff = F.lit(_REC_CUTOFF).cast("timestamp")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    train_items = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_orderkey", "o_custkey", "l_partkey")
+        .distinct()
+    )
+    from multichannel_commerce_data_pipeline_spark.operators.basket import (
+        cap_basket_size,
+    )
+
+    baskets = cap_basket_size(
+        train_items.select("o_orderkey", "l_partkey").distinct(),
+        "o_orderkey",
+        "l_partkey",
+        64,
+    )
+    a = baskets.select(F.col("o_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = baskets.select(F.col("o_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    cp = (
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wr = Window.partitionBy("pa").orderBy(F.desc("w"), F.asc("pb"))
+    recs = (
+        cp.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _REC_K)
+        .select("pa", "pb")
+    )
+    profile = train_items.select(
+        F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+    ).distinct()
+    user_recs = (
+        profile.join(recs, profile["part"] == recs["pa"])
+        .select("cust", F.col("pb").alias("part"))
+        .distinct()
+        .join(profile, ["cust", "part"], "left_anti")
+    )
+    test_pos = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .join(profile.select("cust").distinct(), "cust", "left_semi")
+    )
+    scored = test_pos.join(
+        user_recs.withColumn("_hit", F.lit(1)), ["cust", "part"], "left"
+    )
+    return scored.agg(
+        F.countDistinct("cust").alias("n_users"),
+        F.count(F.lit(1)).alias("n_test_purchases"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+        dround(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hit_rate"),
     )

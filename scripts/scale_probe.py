@@ -89,6 +89,7 @@ PROBES = [
     ("hard_negative_samples", "lineitem graph", "pos x edge join + top-k window"),
     ("keyword_extraction", "documents", "island window + 2 word rollups"),
     ("referential_integrity", "star schema", "5 key-pruned left joins"),
+    ("rec_hitrate_eval", "orders x lineitem", "train pair build + eval joins"),
 ]
 REPS = 3
 
