@@ -104,13 +104,14 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
 #   their expiring exceptions) + any r7-changed rows, remainder filled
 #   oldest-first from the r4 cohort; the computed age bound (ceil(206/
 #   50) = 5) keeps the rest of the r4 cohort in-bound until r9.
-#   Value-identical refactors this round (session_memo cache keying)
-#   touched incremental_lsh_dedup / ann_ivfpq_topk /
-#   embedding_semantic_dedup / entity_golden_record /
-#   cluster_safe_split / copurchase_pagerank — evaluation strategy
-#   only; each re-verified green via scripts/check.py this session;
-#   those with r5+ evidence wait for ordinary rotation rather than
-#   displace strictly-older rows (the accepted r6 convention).
+#   Value-identical refactors this round (session_memo cache keying;
+#   the explode_outer fix in operators/dedup.doc_shingles + the
+#   persisted shingle index, touching every shingle consumer —
+#   jaccard_near_dupes most directly) are evaluation strategy only;
+#   each re-verified green via the FULL 206-query scripts/check.py
+#   gate at sf0.01 after the change landed; those with r4+ evidence
+#   wait for ordinary rotation rather than displace strictly-older
+#   rows (the accepted r6 convention).
 CHECK_FIRST: tuple[str, ...] = (
     # (1) flagship — always slot 1
     "exec_daily_kpi",
