@@ -92,6 +92,7 @@ HEADLINE = [
     "hard_negative_samples",
     "keyword_extraction",
     "rec_hitrate_eval",
+    "nb_calibration_report",
     # stream_join_rollup spins a checkpointed streaming query into temp
     # dirs per call (like the other stream_* rollups) — covered by the
     # streaming tests + driver row, not warm-throughput timing.

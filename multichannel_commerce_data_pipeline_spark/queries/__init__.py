@@ -95,6 +95,7 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
     "referential_integrity": (_ADDED_R7, 8),
     "stream_psi_rollup": (_ADDED_R7, 8),
     "rec_hitrate_eval": (_ADDED_R7, 8),
+    "nb_calibration_report": (_ADDED_R7, 8),
 }
 
 # Round 7 window (50 slots, priorities as above):

@@ -20,6 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multichannel_commerce_data_pipeline_spark.functions import (
+    dround,
+    oracle_dround,
+)
 from multichannel_commerce_data_pipeline_spark.operators import importance as I
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import (
@@ -325,4 +329,145 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_logp"),
         dround(F.exp(-F.col("avg_raw")), 4).alias("ppl"),
+    )
+
+
+_CAL_BIN_W = 5.0
+_CAL_N_BINS = 8
+
+
+@query(
+    "nb_calibration_report",
+    oracle=rf"""
+    WITH {_BUCKET_CTES},
+    prof AS (
+      SELECT lang AS cls, b, COUNT(*) AS cnt FROM ex GROUP BY 1, 2
+    ),
+    cls_tot AS (
+      SELECT cls, SUM(cnt) AS tot FROM prof GROUP BY cls
+    ),
+    csize AS (
+      SELECT lang AS cls, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    priors AS (
+      SELECT cls,
+             {_quant(
+                 "ln(CAST(n AS DOUBLE)"
+                 " / CAST((SELECT SUM(n) FROM csize) AS DOUBLE))"
+             )} AS lp
+      FROM csize
+    ),
+    lls AS (
+      SELECT t.cls, u.b,
+             {_quant(
+                 f"ln(CAST(COALESCE(p.cnt, 0) + 1 AS DOUBLE)"
+                 f" / CAST(t.tot + {_D} AS DOUBLE))"
+             )} AS ll
+      FROM cls_tot t
+      CROSS JOIN (SELECT DISTINCT b FROM prof) u
+      LEFT JOIN prof p ON p.cls = t.cls AND p.b = u.b
+    ),
+    sc AS (
+      SELECT e.doc_id, l.cls, SUM(l.ll) AS s
+      FROM ex e JOIN lls l ON e.b = l.b
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT sc.doc_id, sc.cls, pr.lp + sc.s AS logp,
+             ROW_NUMBER() OVER (
+               PARTITION BY sc.doc_id
+               ORDER BY pr.lp + sc.s DESC, sc.cls DESC) AS rn
+      FROM sc JOIN priors pr ON pr.cls = sc.cls
+    ),
+    top2 AS (
+      SELECT a.doc_id, a.cls AS pred, a.logp AS s1, b.logp AS s2
+      FROM ranked a JOIN ranked b
+        ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(CAST(s1 - s2 AS DOUBLE) / {_CAL_BIN_W})
+                        AS INTEGER), {_CAL_N_BINS - 1}) AS margin_bin,
+             CASE WHEN t.pred = bk.lang THEN 1 ELSE 0 END AS ok
+      FROM top2 t JOIN bk ON bk.doc_id = t.doc_id
+    )
+    SELECT margin_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           {oracle_dround("CAST(SUM(ok) AS DOUBLE) / COUNT(*)", 6)}
+             AS accuracy
+    FROM binned GROUP BY margin_bin
+    """,
+)
+def nb_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: classifier calibration — does the NB language filter's
+    CONFIDENCE mean anything? Documents bucket by decision margin
+    (best minus runner-up log-posterior, the monotone confidence proxy
+    that needs no cross-engine exp/softmax) and each bin reports its
+    empirical accuracy: a well-calibrated filter shows accuracy rising
+    with margin, and the low-margin bins tell a curation pipeline
+    exactly which documents to route to a stronger (costlier) model —
+    the confidence-thresholding decision every cascade filter stack
+    needs measured, not assumed. Scoring reuses the cached NB model
+    (bounded collect) with the same map-side DECIMAL folds as
+    nb_lang_posterior; top-2 selection is an array_sort over the
+    |classes|-element score array per document (map-side, no window);
+    the report is one <=8-bin rollup."""
+    d = parallelize_small_scan(
+        spark, load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    with_b = d.select(
+        "doc_id", "lang", I.feature_buckets(F.col("text")).alias("bs")
+    )
+
+    def _fit():
+        prof = I.bucket_class_profile(with_b, "bs", "lang").collect()
+        sizes = {
+            r["lang"]: r["n"]
+            for r in d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return sizes, I.nb_log_model(prof, sizes)
+
+    sizes, (priors, lls) = _cached("nb", sf_dir, _fit)
+    per_class = F.array(
+        *[
+            F.struct(
+                I.score_buckets(
+                    F.col("bs"),
+                    {b: lp for (c, b), lp in lls.items() if c == cls},
+                    base=priors[cls],
+                ).alias("s"),
+                F.lit(cls).alias("c"),
+            )
+            for cls in sorted(sizes)
+        ]
+    )
+    # ascending sort: last = argmax (ties -> larger class, matching the
+    # oracle's ORDER BY logp DESC, cls DESC), second-to-last = runner-up
+    ordered = F.array_sort(per_class)
+    best = F.element_at(ordered, -1)
+    second = F.element_at(ordered, -2)
+    scored = with_b.select(
+        "lang",
+        best["c"].alias("pred"),
+        (best["s"].cast("double") - second["s"].cast("double")).alias(
+            "margin"
+        ),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("margin") / _CAL_BIN_W).cast("int"),
+            F.lit(_CAL_N_BINS - 1),
+        ).alias("margin_bin"),
+        F.when(F.col("pred") == F.col("lang"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ok"),
+    )
+    return binned.groupBy("margin_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_correct"),
+        dround(F.sum("ok").cast("double") / F.count(F.lit(1)), 6).alias(
+            "accuracy"
+        ),
     )

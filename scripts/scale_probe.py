@@ -90,6 +90,7 @@ PROBES = [
     ("keyword_extraction", "documents", "island window + 2 word rollups"),
     ("referential_integrity", "star schema", "5 key-pruned left joins"),
     ("rec_hitrate_eval", "orders x lineitem", "train pair build + eval joins"),
+    ("nb_calibration_report", "documents", "cached-model score + 8-bin rollup"),
 ]
 REPS = 3
 
