@@ -93,6 +93,7 @@ HEADLINE = [
     "keyword_extraction",
     "rec_hitrate_eval",
     "nb_calibration_report",
+    "embedding_anisotropy",
     # stream_join_rollup spins a checkpointed streaming query into temp
     # dirs per call (like the other stream_* rollups) — covered by the
     # streaming tests + driver row, not warm-throughput timing.

@@ -1262,3 +1262,85 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
     pc = power_iteration(e, n_iters=_PC_ITERS, dim=_KM_DIM)
     return pc.select(F.posexplode("pv").alias("dim", "loading"))
+
+
+def _anisotropy_oracle() -> str:
+    dot = _DOT.format(a="c.v", b="p.pv")
+    along = f"CAST({oracle_dround('s * s', 6)} AS DECIMAL(28,6))"
+    norm2 = _DOT.format(a="c.v", b="c.v")
+    total = f"CAST({oracle_dround(norm2, 6)} AS DECIMAL(28,6))"
+    ratio = oracle_dround("CAST(va AS DOUBLE) / CAST(vt AS DOUBLE)", 6)
+    return f"""
+    WITH {_pc_chain()},
+    proj AS (
+      SELECT {dot} AS s, c.v FROM corpus c CROSS JOIN p{_PC_ITERS} p
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             SUM({along}) AS va,
+             SUM({total.replace('c.v', 'v')}) AS vt
+      FROM proj
+    )
+    SELECT n_vectors,
+           CAST(va AS DOUBLE) AS var_pc1,
+           CAST(vt AS DOUBLE) AS var_total,
+           {ratio} AS anisotropy
+    FROM sums
+    """
+
+
+# the unrolled power-iteration chain, shared with _top_pc_oracle (the
+# one-text pattern of _km_chain): strip the final SELECT off the full
+# oracle so both consumers read the identical CTE chain
+def _pc_chain(iters: int = _PC_ITERS, dim: int = _KM_DIM) -> str:
+    full = _top_pc_oracle(iters, dim)
+    head, _, _ = full.rpartition("SELECT i - 1 AS dim")
+    return head.strip().removeprefix("WITH ").rstrip().rstrip(",")
+
+
+@query("embedding_anisotropy", oracle=_anisotropy_oracle())
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: embedding-space anisotropy — the fraction of total
+    (uncentered) variance captured by the top principal direction, the
+    one-number "are my embeddings collapsing to a cone?" diagnostic
+    (Ethayarajh-style anisotropy; high = dominant common direction,
+    retrieval quality degrades and whitening is indicated). Reuses the
+    power-iteration direction (embedding_top_pc's chain), then one
+    corpus pass computes per-vector projection energy and norm with
+    DECIMAL-quantized addends folding into a single global aggregate —
+    two corpus passes total, nothing ever gathers vectors."""
+    from multichannel_commerce_data_pipeline_spark.operators.clustering import (
+        power_iteration,
+    )
+
+    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+    pc = power_iteration(e, n_iters=_PC_ITERS, dim=_KM_DIM)
+    corpus = e.select(S._as_double(F.col("embedding")).alias("v"))
+    mul = lambda x, y: x * y  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+    proj = corpus.join(F.broadcast(pc)).select(
+        "v",
+        F.aggregate(F.zip_with("v", "pv", mul), F.lit(0.0), add).alias("s"),
+    )
+    sums = proj.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(
+            dround(F.col("s") * F.col("s"), 6).cast("decimal(28,6)")
+        ).alias("va"),
+        F.sum(
+            dround(
+                F.aggregate(
+                    F.zip_with("v", "v", mul), F.lit(0.0), add
+                ),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("vt"),
+    )
+    return sums.select(
+        "n_vectors",
+        F.col("va").cast("double").alias("var_pc1"),
+        F.col("vt").cast("double").alias("var_total"),
+        dround(
+            F.col("va").cast("double") / F.col("vt").cast("double"), 6
+        ).alias("anisotropy"),
+    )

@@ -91,6 +91,7 @@ PROBES = [
     ("referential_integrity", "star schema", "5 key-pruned left joins"),
     ("rec_hitrate_eval", "orders x lineitem", "train pair build + eval joins"),
     ("nb_calibration_report", "documents", "cached-model score + 8-bin rollup"),
+    ("embedding_anisotropy", "embeddings", "2 power rounds + 1 energy pass"),
 ]
 REPS = 3
 
