@@ -94,6 +94,7 @@ HEADLINE = [
     "rec_hitrate_eval",
     "nb_calibration_report",
     "embedding_anisotropy",
+    "rfm_kmeans_segments",
     # stream_join_rollup spins a checkpointed streaming query into temp
     # dirs per call (like the other stream_* rollups) — covered by the
     # streaming tests + driver row, not warm-throughput timing.

@@ -97,6 +97,7 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
     "rec_hitrate_eval": (_ADDED_R7, 8),
     "nb_calibration_report": (_ADDED_R7, 8),
     "embedding_anisotropy": (_ADDED_R7, 8),
+    "rfm_kmeans_segments": (_ADDED_R7, 8),
 }
 
 # Round 7 window (50 slots, priorities as above):

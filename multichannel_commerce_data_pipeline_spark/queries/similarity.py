@@ -962,20 +962,26 @@ def _km_update_cte(assign: str, t: int) -> str:
     )"""
 
 
+_KM_EMB_CORPUS = """SELECT vec_id AS vid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings"""
+
+
 def _km_chain(
     k: int = _KM_K,
     gap: int = _KM_GAP,
     iters: int = _KM_ITERS,
     dim: int = _KM_DIM,
+    corpus_sql: str = _KM_EMB_CORPUS,
 ) -> str:
     """The unrolled training chain (corpus → c0 → a0/c1 → … → afinal),
     shared by the fit oracle and every consumer of the trained model
-    (silhouette): one text, one tie-break/quantization semantics."""
+    (silhouette, the RFM segmentation): one text, one tie-break/
+    quantization semantics. ``corpus_sql`` must yield (vid, v) — the
+    trainer is corpus-agnostic, exactly like the operator."""
     parts = [
         f"""corpus AS (
-      SELECT vec_id AS vid,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      {corpus_sql}
     ),
     sp AS (SELECT unnest(range(1, {dim + 1})) AS i),
     c0 AS (
@@ -1343,4 +1349,121 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(
             F.col("va").cast("double") / F.col("vt").cast("double"), 6
         ).alias("anisotropy"),
+    )
+
+
+_RFM_ANCHOR = "2001-08-02"  # fixed recency anchor past the fixture span
+_RFM_K, _RFM_GAP, _RFM_ITERS = 4, 7, 2
+
+
+def _rfm_corpus_sql() -> str:
+    m = "CAST(ROUND(CAST((o_totalprice) AS DECIMAL(38,6)), 2) AS DECIMAL(18,2))"
+    comp = lambda e: oracle_dround(e, 6)  # noqa: E731
+    return f"""SELECT cust - 1 AS vid,
+             [{comp('CAST(r AS DOUBLE) / mr')},
+              {comp('CAST(f AS DOUBLE) / mf')},
+              {comp('CAST(m AS DOUBLE) / CAST(mm AS DOUBLE)')}] AS v
+      FROM (
+        SELECT o_custkey AS cust,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                         DATE '{_RFM_ANCHOR}') AS r,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               SUM({m}) AS m
+        FROM orders GROUP BY 1
+      )
+      CROSS JOIN (
+        SELECT MAX(r) AS mr, MAX(f) AS mf, MAX(m) AS mm FROM (
+          SELECT date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                           DATE '{_RFM_ANCHOR}') AS r,
+                 CAST(COUNT(*) AS BIGINT) AS f,
+                 SUM({m}) AS m
+          FROM orders GROUP BY o_custkey
+        )
+      )"""
+
+
+def _rfm_segments_oracle() -> str:
+    chain = _km_chain(
+        k=_RFM_K, gap=_RFM_GAP, iters=_RFM_ITERS, dim=3,
+        corpus_sql=_rfm_corpus_sql(),
+    )
+    mean = lambda i: oracle_dround(  # noqa: E731
+        f"CAST(SUM(CAST({oracle_dround(f'v[{i}]', 6)} AS DECIMAL(28,6)))"
+        f" AS DOUBLE) / COUNT(*)", 6
+    )
+    return f"""
+    WITH {chain}
+    SELECT cell AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {mean(1)} AS mean_recency,
+           {mean(2)} AS mean_frequency,
+           {mean(3)} AS mean_monetary
+    FROM afinal GROUP BY cell
+    """
+
+
+@query("rfm_kmeans_segments", oracle=_rfm_segments_oracle())
+def rfm_kmeans_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 × X18: behavioral customer segmentation — the in-engine
+    k-means trainer applied to a DIFFERENT feature space than the one
+    it was built on: per-customer RFM vectors (recency to a fixed
+    anchor, order count, decimal-exact spend, each max-scaled to [0,1]
+    so no axis dominates the distance), clustered with 2 Lloyd rounds
+    into 4 segments and profiled per cell. This is the composition the
+    operator library exists for — customer_rfm hand-binned quartiles;
+    this discovers the segment structure instead, and the
+    corpus-agnostic unrolled oracle (the _km_chain shared with the
+    embedding fit) hash-matches the whole train→assign→profile
+    pipeline. Feature build is one keyed aggregate over orders +
+    3 bounded max scalars; training cost is the k-means shape
+    (broadcast centroids, N-row exchange, dim-bounded mean rollups)."""
+    from multichannel_commerce_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.datediff(
+            F.lit(_RFM_ANCHOR).cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("r"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(
+            F.round(F.col("o_totalprice").cast("decimal(38,6)"), 2).cast(
+                "decimal(18,2)"
+            )
+        ).alias("m"),
+    )
+    mx = rfm.agg(
+        F.max("r").alias("mr"), F.max("f").alias("mf"), F.max("m").alias("mm")
+    ).withColumn("_k", F.lit(1))
+    corpus = (
+        rfm.withColumn("_k", F.lit(1))
+        .join(F.broadcast(mx), "_k")
+        .select(
+            (F.col("cust") - 1).alias("vid"),
+            F.array(
+                dround(F.col("r").cast("double") / F.col("mr"), 6),
+                dround(F.col("f").cast("double") / F.col("mf"), 6),
+                dround(
+                    F.col("m").cast("double") / F.col("mm").cast("double"), 6
+                ),
+            ).alias("v"),
+        )
+    )
+    assign, _ = kmeans_fit(
+        corpus, k=_RFM_K, n_iters=_RFM_ITERS, gap=_RFM_GAP,
+        id_col="vid", vec_col="v",
+    )
+    comp = lambda i: dround(  # noqa: E731
+        F.sum(
+            dround(F.element_at("v", i), 6).cast("decimal(28,6)")
+        ).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    return assign.groupBy(F.col("cell").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        comp(1).alias("mean_recency"),
+        comp(2).alias("mean_frequency"),
+        comp(3).alias("mean_monetary"),
     )

@@ -92,6 +92,7 @@ PROBES = [
     ("rec_hitrate_eval", "orders x lineitem", "train pair build + eval joins"),
     ("nb_calibration_report", "documents", "cached-model score + 8-bin rollup"),
     ("embedding_anisotropy", "embeddings", "2 power rounds + 1 energy pass"),
+    ("rfm_kmeans_segments", "orders", "RFM agg + 2 Lloyd rounds, k=4"),
 ]
 REPS = 3
 
