@@ -929,6 +929,35 @@ def _n_parts(spark: SparkSession, sf_dir: str) -> int:
     return _N_PARTS_CACHE[sf_dir]
 
 
+# The distinct (customer, part) purchase set is the shared positives
+# index of the sampling family (uniform negatives, hard negatives):
+# one orders x lineitem join per corpus version, persisted partitioned
+# on the anti-join key.
+_POS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _positives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        from pyspark import StorageLevel
+
+        orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        pos = (
+            orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .select(
+                F.col("o_custkey").alias("cust"),
+                F.col("l_partkey").alias("part"),
+            )
+            .distinct()
+            .repartition(spark.sparkContext.defaultParallelism, "cust")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pos.count()
+        return pos
+
+    return session_memo(spark, _POS_CACHE, sf_dir, build)
+
+
 def _neg_oracle() -> str:
     h = oracle_hash64(
         "concat(CAST(cust AS VARCHAR), ':', CAST(i AS VARCHAR))", _NEG_SEED
@@ -987,13 +1016,7 @@ def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = (
         load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust")).distinct()
     )
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pos = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    )
+    pos = _positives(spark, sf_dir)
     cand = users.select(
         "cust", F.explode(F.sequence(F.lit(1), F.lit(_NEG_CANDS))).alias("i")
     ).select(
@@ -1081,13 +1104,7 @@ def hard_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copurchase_edges,
     )
 
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pos = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    )
+    pos = _positives(spark, sf_dir)
     edges = _copurchase_edges(spark, sf_dir)
     cand = (
         pos.join(edges, pos["part"] == edges["src"])
