@@ -36,6 +36,29 @@ def oracle_dround(expr: str, scale: int = 2) -> str:
     return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(38,{scale + 4})), {scale}) AS DOUBLE)"
 
 
+def py_dround(x: float, scale: int = 2) -> float:
+    """Python twin of :func:`dround` for DRIVER-SIDE constant folding
+    (e.g. log-odds weights computed from a collected fitted model and
+    injected as literals): must produce bit-identical doubles to the
+    DuckDB rendering of :func:`oracle_dround` on the same input.
+
+    Both engines cast DOUBLE→DECIMAL through the SHORTEST round-trip
+    decimal rendering (DuckDB's double→decimal cast and Java
+    BigDecimal.valueOf both stringify first), NOT the exact binary
+    expansion — so a tie at ``scale+4`` digits IS possible and resolves
+    HALF_UP. ``Decimal(repr(x))`` reproduces exactly that rendering;
+    validated bit-exact against DuckDB on 300k random doubles at
+    scales 2/6/9 (a Decimal(x)-based twin diverged on repr-boundary
+    ties like -16.84968754049995 at scale 9).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-(scale + 4)), rounding=ROUND_HALF_UP
+    )
+    return float(d.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
 def portable_hash64(col: Column, seed: int) -> Column:
     """Portable 60-bit integer hash: leading 15 hex chars of
     md5(seed:value), identical in DuckDB as

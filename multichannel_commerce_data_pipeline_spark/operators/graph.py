@@ -139,16 +139,25 @@ def orient_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     return oriented, deg
 
 
-def oriented_triangle_counts(oriented: DataFrame, deg: DataFrame) -> DataFrame:
+def oriented_triangle_counts(
+    oriented: DataFrame, deg: DataFrame, pre_partitioned: bool = False
+) -> DataFrame:
     """Triangle counts from a degree-oriented edge frame (see
     :func:`orient_edges`). The wedge self-join derives BOTH sides from
     one apex-partitioned frame, so the exchange subtrees are
     canonically identical and ReuseExchange materializes the oriented
     frame once, not twice; the per-triangle node fan-out is a 3-element
     array explode — one pass over the (small) triangle set instead of
-    a triple union re-evaluating it."""
-    n_parts = oriented.sparkSession.sparkContext.defaultParallelism
-    ore = oriented.repartition(n_parts, "u")
+    a triple union re-evaluating it. Callers holding a layout already
+    hash-partitioned on ``u`` (the persisted per-corpus orientation
+    cache) pass ``pre_partitioned=True`` to skip the apex repartition —
+    the cached distribution already satisfies the self-join, and the
+    extra exchange over the InMemoryTableScan is pure waste."""
+    if pre_partitioned:
+        ore = oriented
+    else:
+        n_parts = oriented.sparkSession.sparkContext.defaultParallelism
+        ore = oriented.repartition(n_parts, "u")
     a = ore.select("u", F.col("v").alias("v1"), F.col("v_deg").alias("d1"))
     b = ore.select("u", F.col("v").alias("v2"), F.col("v_deg").alias("d2"))
     wedges = a.join(b, "u").filter(

@@ -68,116 +68,89 @@ ROTATION_AGE_BOUND_FLOOR = 4
 
 # Declared exceptions: name -> (reason, expiry_round). The test fails
 # on any undeclared overage and on any exception past its expiry, so
-# exceptions cannot silently accumulate. The transitive-coverage
-# exceptions for scd2_user_status / merge_upsert_customers are retired
-# at r7 — both hold their own window slots below. Queries ADDED during
-# r7 (after the 50 slots were committed to draining the r2/r3 staleness
-# backlog) are excepted until r8, where they take priority-(2) slots.
-_ADDED_R7 = "added r7 after window allocation; priority-(2) slot at r8"
-ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
-    "copurchase_triangles": (_ADDED_R7, 8),
-    "copurchase_communities": (_ADDED_R7, 8),
-    "containment_dupes": (_ADDED_R7, 8),
-    "basket_association_rules": (_ADDED_R7, 8),
-    "psi_drift_monitor": (_ADDED_R7, 8),
-    "pit_scd2_join": (_ADDED_R7, 8),
-    "ivf_index_merge": (_ADDED_R7, 8),
-    "kmeans_silhouette": (_ADDED_R7, 8),
-    "event_path_topn": (_ADDED_R7, 8),
-    "funnel_latency": (_ADDED_R7, 8),
-    "embedding_top_pc": (_ADDED_R7, 8),
-    "ewma_forecast": (_ADDED_R7, 8),
-    "daily_anomaly_bands": (_ADDED_R7, 8),
-    "stream_join_rollup": (_ADDED_R7, 8),
-    "negative_samples": (_ADDED_R7, 8),
-    "hard_negative_samples": (_ADDED_R7, 8),
-    "keyword_extraction": (_ADDED_R7, 8),
-    "referential_integrity": (_ADDED_R7, 8),
-    "stream_psi_rollup": (_ADDED_R7, 8),
-    "rec_hitrate_eval": (_ADDED_R7, 8),
-    "nb_calibration_report": (_ADDED_R7, 8),
-    "embedding_anisotropy": (_ADDED_R7, 8),
-    "rfm_kmeans_segments": (_ADDED_R7, 8),
-}
+# exceptions cannot silently accumulate. All 23 r7-vintage exceptions
+# are RETIRED at r8: every r7-added query holds its own priority-(2)
+# slot in the window below. No exceptions are currently needed.
+ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {}
 
-# Round 7 window (50 slots, priorities as above):
-#   1 flagship + 4 never-checked/new + 5 code-changed-this-round +
-#   40 oldest-evidence rows (all r2/r3 vintage). r8 allocation sketch:
-#   flagship + the 15 r7-added queries (+ stream_join_rollup etc. under
-#   their expiring exceptions) + any r7-changed rows, remainder filled
-#   oldest-first from the r4 cohort; the computed age bound (ceil(206/
-#   50) = 5) keeps the rest of the r4 cohort in-bound until r9.
-#   Value-identical refactors this round (session_memo cache keying;
-#   the explode_outer fix in operators/dedup.doc_shingles + the
-#   persisted shingle index, touching every shingle consumer —
-#   jaccard_near_dupes most directly) are evaluation strategy only;
-#   each re-verified green via the FULL 206-query scripts/check.py
-#   gate at sf0.01 after the change landed; those with r4+ evidence
-#   wait for ordinary rotation rather than displace strictly-older
-#   rows (the accepted r6 convention).
+# Round 8 window (50 slots, priorities as above): the evidence round
+# the r7 verdict prescribed. 1 flagship + all 23 r7-added queries
+# (their exceptions expired here; judge-verified green r7, now owed
+# driver rows) + 2 round-8 FS rows (fs_em_fit NEW — the in-engine EM
+# parameter fit retiring the "m/u are a deployment swap" caveat — and
+# fs_record_linkage, whose code AND oracle materially changed to
+# consume the fitted model) + 24 oldest-evidence rows from the r4
+# cohort, alphabetical within the tied age class. The other 24 r4 rows
+# sit at age 4 < bound 5 and take the r9 window by the same rule.
+# Registry growth at r8 is held to ONE new query (fs_em_fit, 215
+# total): the computed bound stays ceil(215/50) = 5 — an explicit
+# evidence-round decision per the r7 verdict's item 7, not drift.
+# Value-identical refactors this round (fresh_stream_dir temp-dir
+# lifecycle in the stream_*/file_format queries, the binned-profile
+# batch-dir prune, the pre_partitioned triangle flag, the _pc_chain
+# oracle-text rebuild, session_memo eviction unpersist) are evaluation
+# strategy only — each re-verified green via the FULL registry
+# scripts/check.py gate after landing; those with r4+ evidence wait
+# for ordinary rotation rather than displace strictly-older rows (the
+# accepted r6 convention).
 CHECK_FIRST: tuple[str, ...] = (
     # (1) flagship — always slot 1
     "exec_daily_kpi",
-    # (2a) never-checked: added after the r6 window froze / owed own
-    # rows now the transitive-coverage exception is retired
-    "dynamic_partition_prune",
-    "scd2_user_status",
-    "merge_upsert_customers",
-    # (2b) new this round: streaming session windows promoted to a
-    # driver row (stream≡batch oracle)
-    "stream_sessionize_rollup",
-    # (2c) code/oracle changed this round: exact KM-hash split
-    # (bloom_semi_prune, cm_sketch_estimate), k-means model cache +
-    # oracle carry-forward, corpus_top_terms pre-limit, customer_rfm
-    # cut-point quartiles (also r3-stale)
-    "bloom_semi_prune",
-    "cm_sketch_estimate",
-    "kmeans_centroid_fit",
-    "corpus_top_terms",
-    "customer_rfm",
-    # (3) oldest-evidence rotation — the three r2 rows, then every
-    # r3-vintage row (oldest-first fill; exactly drains the r2/r3
-    # backlog this round)
-    "limit_zero_schema",
-    "simhash_fingerprints",
-    "multimodal_frame_plan",
-    "array_agg_per_group",
-    "silver_conform_tiktok",
-    "silver_conform_freight",
-    "gold_cm1_shopify",
-    "gold_cm1_livestreaming",
-    "dim_date_generate",
-    "table_counts",
-    "string_normalization",
-    "messy_value_cleaning",
-    "json_extraction",
-    "array_sheet_promotion",
-    "map_functions",
-    "union_channels",
-    "set_intersect",
-    "set_except",
-    "ann_cosine_topk",
-    "ann_srp_topk",
-    "embedding_near_dupes",
-    "ann_ivf_topk",
-    "near_dup_quality_survivors",
-    "sql_exists_subquery",
-    "sql_not_exists_subquery",
-    "sql_scalar_subquery",
-    "text_token_stats",
-    "text_quality_filter",
-    "doc_fingerprint",
-    "lang_id_heuristic",
-    "chunk_documents",
-    "tfidf_top_terms",
-    "stratified_sample_mix",
-    "tumbling_daily_events",
-    "sliding_window_events",
-    "session_window_events",
-    "window_rank_in_segment",
-    "window_running_sum",
-    "current_week_revenue",
-    "monthly_revenue_trend",
+    # (2a) the 23 r7-added queries: never driver-checked, exceptions
+    # expired at r8 — the whole of the r7 verdict's priority-(2) debt
+    "basket_association_rules",
+    "containment_dupes",
+    "copurchase_communities",
+    "copurchase_triangles",
+    "daily_anomaly_bands",
+    "embedding_anisotropy",
+    "embedding_top_pc",
+    "event_path_topn",
+    "ewma_forecast",
+    "funnel_latency",
+    "hard_negative_samples",
+    "ivf_index_merge",
+    "keyword_extraction",
+    "kmeans_silhouette",
+    "nb_calibration_report",
+    "negative_samples",
+    "pit_scd2_join",
+    "psi_drift_monitor",
+    "rec_hitrate_eval",
+    "referential_integrity",
+    "rfm_kmeans_segments",
+    "stream_join_rollup",
+    "stream_psi_rollup",
+    # (2b) round-8 FS model rows: fs_em_fit is new; fs_record_linkage
+    # now consumes the EM-fitted constants (code + oracle changed)
+    "fs_em_fit",
+    "fs_record_linkage",
+    # (3) oldest-evidence rotation — 24 of the 48 r4-vintage rows,
+    # alphabetical within the tied age class; the rest rotate at r9
+    "approx_distinct_kpi",
+    "approx_percentile_summary",
+    "asof_join_latest_order",
+    "benchmark_decontamination",
+    "bucketed_join_rollup",
+    "corpus_composition",
+    "corpus_prepare",
+    "dataset_split",
+    "date_dimensions",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "doc_length_histogram",
+    "doc_segment_split",
+    "dq_profile_silver",
+    "embedding_quantize_int8",
+    "embedding_semantic_dedup",
+    "event_funnel",
+    "event_gap_detection",
+    "event_sessionize",
+    "exact_dedup_docs",
+    "gold_cm2_livestreaming",
+    "gold_cm2_shopify",
+    "gold_cm2_wholesale",
+    "gopher_quality_flags",
 )
 
 

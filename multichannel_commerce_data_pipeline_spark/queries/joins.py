@@ -698,7 +698,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     oriented, deg = _oriented_copurchase(spark, sf_dir)
-    t = oriented_triangle_counts(oriented, deg)
+    t = oriented_triangle_counts(oriented, deg, pre_partitioned=True)
     return t.select(
         F.col("node").alias("part"),
         F.col("deg").alias("degree"),

@@ -280,13 +280,12 @@ def stream_landing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     making the date grouping session-timezone independent. Reference
     behavior replaced: bronze_to_silver_all_sources.py:9-17,93-94 (60 s
     poll loop + high-watermark file)."""
-    import tempfile
-
     from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        fresh_stream_dir,
         stream_bronze_to_silver,
     )
 
-    tmp = tempfile.mkdtemp(prefix="mcdp_stream_landing_")
+    tmp = fresh_stream_dir("mcdp_stream_landing_")
     silver_dir, ckpt = f"{tmp}/silver", f"{tmp}/ckpt"
     stream_bronze_to_silver(spark, "joor", None, silver_dir, ckpt)
     landed = spark.read.parquet(silver_dir)
@@ -327,13 +326,12 @@ def stream_gold_refresh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to driver evidence. Reference behavior replaced:
     silver_to_gold.py re-run on cadence (Dockerfile.silver-to-gold CMD
     loop), minus its recompute-from-Postgres read amplification."""
-    import tempfile
-
     from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        fresh_stream_dir,
         stream_gold_cm2_refresh,
     )
 
-    tmp = tempfile.mkdtemp(prefix="mcdp_gold_refresh_")
+    tmp = fresh_stream_dir("mcdp_gold_refresh_")
     stream_gold_cm2_refresh(
         spark, None, f"{tmp}/silver", f"{tmp}/gold", f"{tmp}/ckpt"
     )
@@ -391,17 +389,17 @@ def stream_sessionize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq_profile_silver convention) for tz-independence."""
     import json as _json
     import shutil
-    import tempfile
     from pathlib import Path
 
     from multichannel_commerce_data_pipeline_spark.pipeline.schemas import (
         BRONZE_ROOT,
     )
     from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        fresh_stream_dir,
         stream_sessionize,
     )
 
-    tmp = tempfile.mkdtemp(prefix="mcdp_stream_sess_")
+    tmp = fresh_stream_dir("mcdp_stream_sess_")
     bronze = Path(tmp) / "bronze"
     shutil.copytree(Path(BRONZE_ROOT) / "joor", bronze / "joor")
 
@@ -537,16 +535,15 @@ def stream_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver evidence. Reference behavior replaced: the silver_to_gold
     left-join freight enrichment (silver_to_gold.py:512-516), computed
     in-flight instead of by rescanning Postgres."""
-    import tempfile
-
     from multichannel_commerce_data_pipeline_spark.pipeline.schemas import (
         BRONZE_ROOT,
     )
     from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        fresh_stream_dir,
         stream_orders_with_freight,
     )
 
-    tmp = tempfile.mkdtemp(prefix="mcdp_stream_join_")
+    tmp = fresh_stream_dir("mcdp_stream_join_")
     stream_orders_with_freight(
         spark, BRONZE_ROOT, f"{tmp}/joined", f"{tmp}/ckpt"
     )
@@ -608,17 +605,16 @@ def stream_psi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row is green only if the stream's cumulative profile equals the
     batch profile count-for-count — the monitoring-surface analogue of
     the stream≡batch rollup rows."""
-    import tempfile
-
     from multichannel_commerce_data_pipeline_spark.pipeline.schemas import (
         BRONZE_ROOT,
     )
     from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        fresh_stream_dir,
         read_latest_binned_profile,
         stream_binned_profile,
     )
 
-    tmp = tempfile.mkdtemp(prefix="mcdp_stream_psi_")
+    tmp = fresh_stream_dir("mcdp_stream_psi_")
     stream_binned_profile(
         spark, "joor", BRONZE_ROOT, f"{tmp}/prof", f"{tmp}/ckpt"
     )

@@ -1204,13 +1204,20 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PC_ITERS = 2
 
 
-def _top_pc_oracle(iters: int = _PC_ITERS, dim: int = _KM_DIM) -> str:
+def _pc_chain(iters: int = _PC_ITERS, dim: int = _KM_DIM) -> str:
+    """The unrolled power-iteration CTE chain, built once and composed
+    by BOTH _top_pc_oracle and _anisotropy_oracle (the _km_chain
+    pattern) — never derived by parsing rendered SQL. The start value
+    is rendered from the SAME driver-side expression the engine uses
+    (operators/clustering.py power_iteration: ``1.0 / dim**0.5``), so
+    any dim stays engine/oracle-exact, not just dim=64."""
     dot = _DOT.format(a="c.v", b="p.pv")
     addend = f"CAST({oracle_dround('v[i] * s', 9)} AS DECIMAL(28,9))"
     norm = (
         "sqrt(list_reduce(list_transform(w, y -> y * y), (a, b) -> a + b))"
     )
     unit = oracle_dround("x / nrm", 9)
+    start = repr(1.0 / dim**0.5)
     blocks = [
         f"""corpus AS (
       SELECT vec_id AS vid,
@@ -1218,7 +1225,7 @@ def _top_pc_oracle(iters: int = _PC_ITERS, dim: int = _KM_DIM) -> str:
       FROM embeddings
     ),
     sp AS (SELECT unnest(range(1, {dim + 1})) AS i),
-    p0 AS (SELECT list_transform(range(1, {dim + 1}), i -> 0.125) AS pv)"""
+    p0 AS (SELECT list_transform(range(1, {dim + 1}), i -> CAST({start} AS DOUBLE)) AS pv)"""
     ]
     for t in range(iters):
         blocks.append(
@@ -1237,14 +1244,14 @@ def _top_pc_oracle(iters: int = _PC_ITERS, dim: int = _KM_DIM) -> str:
       FROM (SELECT w, {norm} AS nrm FROM w{t + 1})
     )"""
         )
-    return (
-        "WITH "
-        + ",\n    ".join(blocks)
-        + f"""
+    return ",\n    ".join(blocks)
+
+
+def _top_pc_oracle(iters: int = _PC_ITERS, dim: int = _KM_DIM) -> str:
+    return f"""WITH {_pc_chain(iters, dim)}
     SELECT i - 1 AS dim, pv[i] AS loading
     FROM p{iters} CROSS JOIN sp
     """
-    )
 
 
 # The fitted direction is a per-corpus-version model artifact (64
@@ -1312,15 +1319,6 @@ def _anisotropy_oracle() -> str:
            {ratio} AS anisotropy
     FROM sums
     """
-
-
-# the unrolled power-iteration chain, shared with _top_pc_oracle (the
-# one-text pattern of _km_chain): strip the final SELECT off the full
-# oracle so both consumers read the identical CTE chain
-def _pc_chain(iters: int = _PC_ITERS, dim: int = _KM_DIM) -> str:
-    full = _top_pc_oracle(iters, dim)
-    head, _, _ = full.rpartition("SELECT i - 1 AS dim")
-    return head.strip().removeprefix("WITH ").rstrip().rstrip(",")
 
 
 @query("embedding_anisotropy", oracle=_anisotropy_oracle())

@@ -26,6 +26,9 @@ from multichannel_commerce_data_pipeline_spark.sources.warehouse import (
     read_table,
     write_bucketed,
 )
+from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+    fresh_stream_dir,
+)
 from multichannel_commerce_data_pipeline_spark.tables import load
 
 
@@ -391,7 +394,11 @@ def _merge_snapshot_chain(spark: SparkSession, sf_dir: str) -> str:
         stream_merge_snapshot,
     )
 
-    tmp = tempfile.mkdtemp(prefix="mcdp_stream_merge_")
+    # Prefix keyed by sf_dir: the snapshot chain is memoized per
+    # sf_dir, so a same-prefix call for ANOTHER sf_dir must not evict
+    # this one's still-referenced snapshot dir.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = fresh_stream_dir(f"mcdp_stream_merge_{tag}_")
     upd, snap, ckpt = f"{tmp}/updates", f"{tmp}/snap", f"{tmp}/ckpt"
     schema = (
         "c_custkey long, c_mktsegment string, c_acctbal double,"
@@ -516,7 +523,7 @@ def file_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     column pruning at 100 TB. CSV is row-oriented glue for small
     exports, not a fact-table format — the query uses it only for the
     25-row rollup."""
-    tmp = tempfile.mkdtemp(prefix="mcdp_fmt_")
+    tmp = fresh_stream_dir("mcdp_fmt_")
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity"
     )

@@ -49,6 +49,40 @@ CONFORMERS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "gsheets": silver_mod.conform_gsheets,
 }
 
+# One live scratch dir per stream-query prefix (see fresh_stream_dir).
+_STREAM_DIRS: dict[str, str] = {}
+_STREAM_DIRS_SWEEP = False
+
+
+def fresh_stream_dir(prefix: str) -> str:
+    """A fresh temp working dir (landing + checkpoint) for a
+    driver-checkable stream run, with a bounded lifetime: the PREVIOUS
+    dir created under the same prefix is removed first (its rollup was
+    consumed by the earlier call before this one could start), and
+    whatever is still live is swept at interpreter exit. Repeated
+    stream_* query invocations (bench cold+warm passes, test loops)
+    therefore hold at most ONE scratch dir per query instead of
+    accumulating one per call."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _STREAM_DIRS_SWEEP
+    prev = _STREAM_DIRS.pop(prefix, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    if not _STREAM_DIRS_SWEEP:
+        _STREAM_DIRS_SWEEP = True
+        atexit.register(
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True)
+                for d in _STREAM_DIRS.values()
+            ]
+        )
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    _STREAM_DIRS[prefix] = tmp
+    return tmp
+
 
 def read_bronze_stream(
     spark: SparkSession,
@@ -858,12 +892,29 @@ def stream_binned_profile(
     prof = binned.groupBy("bin", "is_ref").agg(
         F.count(F.lit(1)).alias("n")
     )
-    query = (
-        prof.writeStream.foreachBatch(
-            lambda df, bid: df.withColumn("__bid", F.lit(bid))
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/batch-{bid}")
+
+    def _land(df: DataFrame, bid: int) -> None:
+        df.withColumn("__bid", F.lit(bid)).write.mode("overwrite").parquet(
+            f"{out_dir}/batch-{bid}"
         )
+        # Complete mode re-emits the WHOLE (bounded) state each
+        # trigger, so every older batch-<id> directory is dead the
+        # moment this one commits. Prune them here so a long-lived
+        # cumulative monitor's storage and read-side listing stay
+        # O(state), not O(triggers). Hadoop FS API, so the same prune
+        # works on an object store, not just local paths.
+        jvm = df.sparkSession._jvm
+        root = jvm.org.apache.hadoop.fs.Path(out_dir)
+        fs = root.getFileSystem(
+            df.sparkSession._jsc.hadoopConfiguration()
+        )
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("batch-") and name != f"batch-{bid}":
+                fs.delete(st.getPath(), True)
+
+    query = (
+        prof.writeStream.foreachBatch(_land)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("complete")
         .trigger(availableNow=True)
@@ -874,8 +925,11 @@ def stream_binned_profile(
 
 
 def read_latest_binned_profile(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The current (bin, is_ref, n) profile: complete mode re-emits the
-    whole bounded frame each batch, so the max-batch rows are it."""
+    """The current (bin, is_ref, n) profile. The writer prunes
+    superseded batch dirs at commit time, so normally exactly one
+    ``batch-<id>`` dir exists; the max-__bid filter keeps the read
+    correct in the one crash window where the new dir landed before
+    the old one was pruned."""
     from pyspark.sql import Window
 
     all_rows = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)

@@ -139,7 +139,16 @@ def session_memo(spark: SparkSession, cache: dict, sf_dir: str, build):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in cache:
         for stale in [k for k in cache if k[1] == sf_dir and k != key]:
-            del cache[stale]
+            evicted = cache.pop(stale)
+            # Best-effort release of the evicted frame's cached blocks:
+            # in the common harness case its session is already dead
+            # (unpersist raises, nothing to free), but a live
+            # concurrent session's artifact would otherwise leak its
+            # storage until that session exits.
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass
         cache[key] = build()
     return cache[key]
 
