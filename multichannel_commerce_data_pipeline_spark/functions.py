@@ -24,9 +24,13 @@ def dround(col: Column, scale: int = 2) -> Column:
       Spark:  CAST(ROUND(CAST(x AS DECIMAL(38,scale+4)), scale) AS DOUBLE)
       DuckDB: identical SQL (see :func:`oracle_dround`)
 
-    Validated: both engines agree on the double→decimal cast (round to
-    nearest at scale+4 digits of the exact binary expansion — never a
-    tie) and on decimal ROUND (HALF_UP / away from zero).
+    Validated: both engines agree on the double→decimal cast — both
+    quantize the SHORTEST round-trip decimal rendering of the double
+    (DuckDB's cast and Java BigDecimal.valueOf both stringify first,
+    NOT the exact binary expansion), so a tie at scale+4 digits IS
+    possible and resolves HALF_UP identically in both — and on decimal
+    ROUND (HALF_UP / away from zero). See :func:`py_dround` for the
+    bit-exactness validation of this account.
     """
     return F.round(col.cast(f"decimal(38,{scale + 4})"), scale).cast("double")
 

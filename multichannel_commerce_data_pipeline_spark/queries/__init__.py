@@ -73,84 +73,83 @@ ROTATION_AGE_BOUND_FLOOR = 4
 # slot in the window below. No exceptions are currently needed.
 ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {}
 
-# Round 8 window (50 slots, priorities as above): the evidence round
-# the r7 verdict prescribed. 1 flagship + all 23 r7-added queries
-# (their exceptions expired here; judge-verified green r7, now owed
-# driver rows) + 2 round-8 FS rows (fs_em_fit NEW — the in-engine EM
-# parameter fit retiring the "m/u are a deployment swap" caveat — and
-# fs_record_linkage, whose code AND oracle materially changed to
-# consume the fitted model) + 24 oldest-evidence rows from the r4
-# cohort, alphabetical within the tied age class. The other 24 r4 rows
-# sit at age 4 < bound 5 and take the r9 window by the same rule.
-# Registry growth at r8 is held to ONE new query (fs_em_fit, 215
-# total): the computed bound stays ceil(215/50) = 5 — an explicit
-# evidence-round decision per the r7 verdict's item 7, not drift.
-# Value-identical refactors this round (fresh_stream_dir temp-dir
-# lifecycle in the stream_*/file_format queries, the binned-profile
-# batch-dir prune, the pre_partitioned triangle flag, the _pc_chain
-# oracle-text rebuild, session_memo eviction unpersist) are evaluation
-# strategy only — each re-verified green via the FULL registry
-# scripts/check.py gate after landing; those with r4+ evidence wait
-# for ordinary rotation rather than displace strictly-older rows (the
-# accepted r6 convention).
+# Round 9 window (50 slots, priorities as above): 1 flagship + the 24
+# remaining r4-vintage rows (age 5 = the computed bound at r9 — the
+# exact set tests/test_rotation.py named when the r8 evidence landed;
+# these are the other half of the r4 cohort whose first 24 rotated at
+# r8) + 1 changed row (fs_record_linkage: r9 adds the splink-style
+# m/u clamp from the r8 advice — code AND oracle text change, values
+# unchanged on non-degenerate fits, so it re-earns its driver row per
+# priority (2)) + the 24 alphabetically-first rows of the 47-strong r5
+# cohort (age 4 — seated one round EARLY so the r10 window needs only
+# the remaining 23 + flagship and never runs a deficit). Registry
+# growth at r9: NONE (215 total, bound stays ceil(214/50) = 5) — the
+# r8 verdict's item 7 prescribed a lean round (rotation + process
+# debt), and that is what this window is. Value-identical refactors
+# this round (session_memo tuple-aware eviction, fresh_stream_dir
+# generation-2 retention, the rec_hitrate_eval shared cold build) are
+# evaluation strategy only — re-verified green via the FULL registry
+# scripts/check.py gate after landing; per the accepted r6 convention
+# they wait for ordinary rotation rather than displace older rows.
 CHECK_FIRST: tuple[str, ...] = (
     # (1) flagship — always slot 1
     "exec_daily_kpi",
-    # (2a) the 23 r7-added queries: never driver-checked, exceptions
-    # expired at r8 — the whole of the r7 verdict's priority-(2) debt
-    "basket_association_rules",
-    "containment_dupes",
-    "copurchase_communities",
-    "copurchase_triangles",
-    "daily_anomaly_bands",
-    "embedding_anisotropy",
-    "embedding_top_pc",
-    "event_path_topn",
-    "ewma_forecast",
-    "funnel_latency",
-    "hard_negative_samples",
-    "ivf_index_merge",
-    "keyword_extraction",
-    "kmeans_silhouette",
-    "nb_calibration_report",
-    "negative_samples",
-    "pit_scd2_join",
-    "psi_drift_monitor",
-    "rec_hitrate_eval",
-    "referential_integrity",
-    "rfm_kmeans_segments",
-    "stream_join_rollup",
-    "stream_psi_rollup",
-    # (2b) round-8 FS model rows: fs_em_fit is new; fs_record_linkage
-    # now consumes the EM-fitted constants (code + oracle changed)
-    "fs_em_fit",
+    # (2) changed this round: m/u degenerate-fit clamp (r8 advice #3)
+    # applied identically to the Spark weight fold and the oracle wts
+    # CTE — code + oracle text changed, so it re-earns evidence
     "fs_record_linkage",
-    # (3) oldest-evidence rotation — 24 of the 48 r4-vintage rows,
-    # alphabetical within the tied age class; the rest rotate at r9
-    "approx_distinct_kpi",
-    "approx_percentile_summary",
-    "asof_join_latest_order",
-    "benchmark_decontamination",
-    "bucketed_join_rollup",
-    "corpus_composition",
-    "corpus_prepare",
-    "dataset_split",
-    "date_dimensions",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "doc_length_histogram",
-    "doc_segment_split",
-    "dq_profile_silver",
-    "embedding_quantize_int8",
-    "embedding_semantic_dedup",
-    "event_funnel",
-    "event_gap_detection",
-    "event_sessionize",
-    "exact_dedup_docs",
-    "gold_cm2_livestreaming",
-    "gold_cm2_shopify",
-    "gold_cm2_wholesale",
-    "gopher_quality_flags",
+    # (3a) the 24 due r4-vintage rows — age = bound(5) at r9
+    "incremental_watermark",
+    "interval_join_views_purchases",
+    "jdbc_roundtrip_rollup",
+    "lang_bigram_score",
+    "minhash_lsh_dupes",
+    "pack_sequences",
+    "pack_utilization",
+    "pandas_apply_zscore",
+    "pandas_map_batches",
+    "percentile_summary",
+    "pii_redaction",
+    "pipeline_exec_daily_kpi",
+    "pricing_summary",
+    "repetition_quality",
+    "rolling_fingerprints",
+    "salted_skew_agg",
+    "source_epoch_expand",
+    "source_mixture_weights",
+    "subword_token_count",
+    "training_shard_layout",
+    "union_distinct_parties",
+    "window_distribution",
+    "window_first_last",
+    "window_lag_lead",
+    # (3b) oldest-evidence rotation, one round early — the 24
+    # alphabetically-first of the 47 r5-vintage rows (age 4); the
+    # remaining 23 rotate at r10
+    "ann_ivfpq_topk",
+    "ann_recall_at_k",
+    "anti_join",
+    "arithmetic_margin",
+    "balanced_class_sample",
+    "bpe_segment_stats",
+    "bpe_train_merges",
+    "broadcast_dim_join",
+    "cube_agg",
+    "dedup_corpus",
+    "deterministic_bucket",
+    "distinct_ratio_kpi",
+    "dsir_importance_weights",
+    "event_heavy_hitters",
+    "filter_pushdown",
+    "fuzzy_name_pairs",
+    "global_max_checkpoint",
+    "grouping_sets_agg",
+    "incremental_lsh_dedup",
+    "jaccard_near_dupes",
+    "latest_snapshot_per_key",
+    "left_join_enrich",
+    "local_table_constructor",
+    "multimodal_binary_stats",
 )
 
 

@@ -963,6 +963,27 @@ def fs_em_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Degenerate-fit guard (splink-style): an EM fit that quantizes a u_i
+# to 0.0 (or an m_i to 1.0) at 9 dp would make the log-odds infinite —
+# CPython math.log raises, DuckDB ln() errors on the matching cast.
+# Both engines clamp the fitted probabilities into [_FS_EPS, 1-_FS_EPS]
+# BEFORE the logs, with the same decimal literals so the folded doubles
+# stay bit-identical (both sides parse '1e-9'/'0.999999999' to the same
+# nearest double; no arithmetic like 1-eps that could differ by an
+# ulp). No-op on non-degenerate fits — the current registries' fitted
+# m/u sit well inside the clamp.
+_FS_EPS_LO = "1e-9"
+_FS_EPS_HI = "0.999999999"
+
+
+def _fs_clamp_sql(expr: str) -> str:
+    return f"LEAST(GREATEST({expr}, {_FS_EPS_LO}), {_FS_EPS_HI})"
+
+
+def _fs_clamp_py(x: float) -> float:
+    return min(max(x, float(_FS_EPS_LO)), float(_FS_EPS_HI))
+
+
 def _fs_oracle() -> str:
     n_agree = (
         "(CASE WHEN c.regno = s.regno THEN 1 ELSE 0 END"
@@ -980,7 +1001,7 @@ def _fs_oracle() -> str:
     wts AS (
       SELECT list({oracle_dround('ln(mi / ui)', 6)} ORDER BY i) AS wa,
              list({oracle_dround('ln((1.0 - mi) / (1.0 - ui))', 6)} ORDER BY i) AS wd
-      FROM (SELECT i, m[i] AS mi, u[i] AS ui
+      FROM (SELECT i, {_fs_clamp_sql('m[i]')} AS mi, {_fs_clamp_sql('u[i]')} AS ui
             FROM e{_FS_EM_ITERS} CROSS JOIN sp)
     ),
     scored AS (
@@ -1007,7 +1028,9 @@ def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     of per-field log-odds under the EM-FITTED model (fs_em_fit's
     per-corpus artifact — no hand-set m/u anywhere): agreement on a
     field adds ln(m/u), disagreement adds ln((1-m)/(1-u)), thresholds
-    split link / possible. The ln() runs driver-side on the collected
+    split link / possible. Fitted probabilities are clamped into
+    [1e-9, 1-1e-9] on both engines before the logs (_fs_clamp_py /
+    _fs_clamp_sql) so a degenerate fit cannot blow up either ln(). The ln() runs driver-side on the collected
     3-field fit and is quantized with functions.py_dround, so both
     engines fold bit-identical double literals into the scoring plan
     (CPython math.log and DuckDB ln() are the same libm on this host
@@ -1023,6 +1046,8 @@ def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     m, u, p = _fs_fitted(spark, sf_dir)
+    m = [_fs_clamp_py(v) for v in m]
+    u = [_fs_clamp_py(v) for v in u]
     cust, supp = _fs_sides(spark, sf_dir)
     agree_cols = [
         F.col("regno") == F.col("s_regno"),

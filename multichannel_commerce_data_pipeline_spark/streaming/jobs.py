@@ -49,38 +49,46 @@ CONFORMERS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "gsheets": silver_mod.conform_gsheets,
 }
 
-# One live scratch dir per stream-query prefix (see fresh_stream_dir).
-_STREAM_DIRS: dict[str, str] = {}
+# Live scratch dirs per stream-query prefix, newest last; at most the
+# two most recent generations are retained (see fresh_stream_dir).
+_STREAM_DIRS: dict[str, list[str]] = {}
 _STREAM_DIRS_SWEEP = False
 
 
 def fresh_stream_dir(prefix: str) -> str:
     """A fresh temp working dir (landing + checkpoint) for a
-    driver-checkable stream run, with a bounded lifetime: the PREVIOUS
-    dir created under the same prefix is removed first (its rollup was
-    consumed by the earlier call before this one could start), and
-    whatever is still live is swept at interpreter exit. Repeated
+    driver-checkable stream run, with a bounded lifetime: the TWO most
+    recent dirs per prefix are retained and anything older is removed,
+    with whatever is still live swept at interpreter exit. Repeated
     stream_* query invocations (bench cold+warm passes, test loops)
-    therefore hold at most ONE scratch dir per query instead of
-    accumulating one per call."""
+    therefore hold at most two scratch dirs per query instead of
+    accumulating one per call — and, because the stream_* queries
+    return LAZY readers over the landing dir, a caller that still
+    holds the previous invocation's DataFrame (e.g. a harness
+    re-collecting the cold-pass result after the warm pass has begun)
+    reads intact parquet rather than a deleted directory. Only the
+    generation before that — which would require holding a frame
+    across TWO newer invocations of the same query — is reclaimed
+    eagerly."""
     import atexit
     import shutil
     import tempfile
 
     global _STREAM_DIRS_SWEEP
-    prev = _STREAM_DIRS.pop(prefix, None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
+    live = _STREAM_DIRS.setdefault(prefix, [])
+    while len(live) >= 2:
+        shutil.rmtree(live.pop(0), ignore_errors=True)
     if not _STREAM_DIRS_SWEEP:
         _STREAM_DIRS_SWEEP = True
         atexit.register(
             lambda: [
                 shutil.rmtree(d, ignore_errors=True)
-                for d in _STREAM_DIRS.values()
+                for dirs in _STREAM_DIRS.values()
+                for d in dirs
             ]
         )
     tmp = tempfile.mkdtemp(prefix=prefix)
-    _STREAM_DIRS[prefix] = tmp
+    live.append(tmp)
     return tmp
 
 

@@ -140,15 +140,24 @@ def session_memo(spark: SparkSession, cache: dict, sf_dir: str, build):
     if key not in cache:
         for stale in [k for k in cache if k[1] == sf_dir and k != key]:
             evicted = cache.pop(stale)
-            # Best-effort release of the evicted frame's cached blocks:
-            # in the common harness case its session is already dead
-            # (unpersist raises, nothing to free), but a live
+            # Best-effort release of the evicted artifact's cached
+            # blocks: in the common harness case its session is already
+            # dead (unpersist raises, nothing to free), but a live
             # concurrent session's artifact would otherwise leak its
-            # storage until that session exits.
-            try:
-                evicted.unpersist()
-            except Exception:
-                pass
+            # storage until that session exits. Artifacts are either a
+            # DataFrame or a tuple/list that may CONTAIN DataFrames
+            # (e.g. (centroids_df, assignments_df)) — unwrap and
+            # unpersist each frame explicitly; scalar members
+            # (collected constants) have nothing to free.
+            members = (
+                evicted if isinstance(evicted, (tuple, list)) else (evicted,)
+            )
+            for member in members:
+                if isinstance(member, DataFrame):
+                    try:
+                        member.unpersist()
+                    except Exception:
+                        pass  # dead session: nothing to free
         cache[key] = build()
     return cache[key]
 
