@@ -122,6 +122,16 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # Box-load watermark (r8 verdict item #2): the r8 driver record was
+    # +25% across 57 queries with ZERO plan changes — external load the
+    # harness could not flag, adjudicated only by the judge's idle-box
+    # re-run. Recording 1/5/15-min loadavg before and after, plus the
+    # run's wall-clock span, makes a contaminated run machine-detectable:
+    # loadavg_before well above ~0 (or loadavg_after far above what this
+    # run's own 32 threads explain) marks the record suspect.
+    load_before = os.getloadavg()
+    run_t0 = time.perf_counter()
+
     spark = get_spark("mcdp-bench")
     registry = load_registry()
 
@@ -188,6 +198,7 @@ def main() -> None:
     # past the driver's tail capture and BENCH_r05.json recorded
     # "parsed": null. The final stdout line stays compact and is the
     # only thing the driver needs to parse.
+    load_after = os.getloadavg()
     detail = {
         "metric": "headline_queries_warm_total",
         "value": round(sum(warm.values()), 3),
@@ -196,6 +207,9 @@ def main() -> None:
         "queries_warm": warm,
         "value_cold": round(sum(timings.values()), 3),
         "sf": sf,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "wall_clock_sec": round(time.perf_counter() - run_t0, 1),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_detail.json"), "w") as f:
@@ -209,6 +223,9 @@ def main() -> None:
                 "value_cold": round(sum(timings.values()), 3),
                 "n_queries": len(HEADLINE),
                 "sf": sf,
+                # contamination watermark: 1-min loadavg at start (idle
+                # box ≈ 0) — see bench_detail.json for the full triple
+                "load1_before": round(load_before[0], 2),
                 "queries_detail": "bench_detail.json",
             }
         )
