@@ -249,6 +249,79 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stream_stream_join_drops_beyond_horizon_late_row(spark, tmp_path):
+    """T5 negative case — the state-eviction guarantee the two-sided
+    watermark + range constraint exist for: a freight row arriving
+    BEYOND the watermark+join-window horizon must NOT emit a pair,
+    even though a batch join over the same bronze data would produce
+    one. A second, in-horizon freight row lands in the same late batch
+    and MUST pair (control: proves the second drain processed its
+    input rather than silently no-oping)."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_orders_with_freight,
+    )
+
+    bronze = tmp_path / "bronze"
+    shutil.copytree(FIXTURES / "joor", bronze / "joor")
+    shutil.copytree(FIXTURES / "freight", bronze / "freight")
+
+    def drain():
+        stream_orders_with_freight(
+            spark, str(bronze), str(tmp_path / "joined"), str(tmp_path / "ckpt")
+        )
+        return spark.read.parquet(str(tmp_path / "joined"))
+
+    first = drain()
+    n1 = first.count()
+    assert n1 > 0
+
+    # Fixture event times span 2025-06-01..03; with the default 2-day
+    # watermark the checkpointed global watermark after drain 1 sits
+    # ≈ 2025-06-01, and the order-side state horizon extends one more
+    # join_window (2 days) below it. SHP-LATE01 at 2025-05-20 is ~10
+    # days beyond that horizon: its input is below the restored
+    # watermark and its matching orders' state is evicted, so no pair
+    # may emit — though the equivalent batch join WOULD pair it with
+    # JOOR-010000. SHP-CTRL01 at 2025-06-03T20:00 is above the
+    # watermark and within ±2 days of JOOR-030001's event time, and
+    # that order is still buffered in join state: it must pair.
+    def freight_row(shipment, order_ref, ts):
+        return json.dumps(
+            {
+                "raw_api_data": {
+                    "shipment_id": shipment,
+                    "order_reference": order_ref,
+                    "cost": "$10.00",
+                    "weight": "1.0 kg",
+                    "carrier": "DHL",
+                    "shipped_at": f"{ts}Z",
+                },
+                "kafka_metadata": {
+                    "topic": "raw-freight",
+                    "partition": 0,
+                    "offset": 99,
+                    "stream_timestamp": ts,
+                    "bronze_timestamp": ts,
+                },
+            }
+        )
+
+    late_dir = bronze / "freight" / "2025" / "06" / "04"
+    late_dir.mkdir(parents=True)
+    (late_dir / "batch.json").write_text(
+        freight_row("SHP-LATE01", "JOOR-010000", "2025-05-20T00:00:00")
+        + "\n"
+        + freight_row("SHP-CTRL01", "JOOR-030001", "2025-06-03T20:00:00")
+        + "\n"
+    )
+
+    second = drain()
+    ships = {r.shipment_id for r in second.select("shipment_id").collect()}
+    assert "SHP-CTRL01" in ships  # in-horizon row paired
+    assert "SHP-LATE01" not in ships  # beyond-horizon row dropped
+    assert second.count() == n1 + 1
+
+
 def test_stream_to_jdbc_silver_landing(spark, tmp_path):
     """The reference's bronze→silver→relational-store path as a
     checkpointed stream: foreachBatch JDBC append lands exactly the
