@@ -1152,29 +1152,37 @@ def _rec_model(
         from multichannel_commerce_data_pipeline_spark.operators.basket import (
             cap_basket_size,
         )
+        from multichannel_commerce_data_pipeline_spark.queries.joins import (
+            _basket_items,
+        )
 
         cutoff = F.lit(_REC_CUTOFF).cast("timestamp")
-        orders = load(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_orderdate"
+        train_orders = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate") < cutoff)
+            .select("o_orderkey", "o_custkey")
         )
-        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        train_items = (
-            orders.filter(F.col("o_orderdate") < cutoff)
-            .join(li, orders["o_orderkey"] == li["l_orderkey"])
-            .select("o_orderkey", "o_custkey", "l_partkey")
-            .distinct()
-        )
+        # Shared cold build (r8 verdict item #4): the train-side basket
+        # frame derives from the SAME persisted l_orderkey-partitioned
+        # item index the co-purchase edge build reads, instead of its
+        # own orders⨝lineitem + distinct. Exact: the basket cap is
+        # per-order and an order's distinct item set does not depend on
+        # which other orders exist, so cap(all baskets) semi-joined to
+        # the train keys equals cap(train baskets); the broadcast
+        # semi-join keeps the index's partitioning, so the pair
+        # self-join below stays exchange-free.
         baskets = cap_basket_size(
-            train_items.select("o_orderkey", "l_partkey").distinct(),
-            "o_orderkey",
-            "l_partkey",
-            64,
+            _basket_items(spark, sf_dir), "l_orderkey", "l_partkey", 64
+        ).join(
+            F.broadcast(train_orders.select("o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
         )
         a = baskets.select(
-            F.col("o_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
         )
         b = baskets.select(
-            F.col("o_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
         )
         cp = (
             a.join(b, "ok")
@@ -1193,8 +1201,18 @@ def _rec_model(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         recs.count()
+        # Train profile off the same shared index: custkey is
+        # functionally dependent on orderkey, so broadcast-joining the
+        # (already per-order-distinct) basket frame to the train orders
+        # and collapsing to (cust, part) equals the old three-column
+        # distinct over orders⨝lineitem — one shuffle instead of two.
         profile = (
-            train_items.select(
+            _basket_items(spark, sf_dir)
+            .join(
+                F.broadcast(train_orders),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
                 F.col("o_custkey").alias("cust"),
                 F.col("l_partkey").alias("part"),
             )

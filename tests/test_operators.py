@@ -1394,6 +1394,44 @@ def test_fs_linkage_planted_pairs(spark):
     assert got[3] < 0.5
 
 
+def test_fs_clamp_degenerate_fit_cross_engine():
+    """The splink-style degenerate-fit guard: m/u quantized to exactly
+    0.0 or 1.0 must clamp so the log-odds stay finite, and the clamped
+    weights must be bit-identical between the Python driver-side fold
+    (py_dround(log(...))) and the DuckDB oracle rendering
+    (oracle_dround(ln(...)) over _fs_clamp_sql) — the same contract the
+    non-degenerate path already satisfies. No SparkSession needed: the
+    Spark side folds plain Python doubles into literals."""
+    import math
+
+    import duckdb
+
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        oracle_dround,
+        py_dround,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.dedup import (
+        _fs_clamp_py,
+        _fs_clamp_sql,
+    )
+
+    cases = [(0.0, 0.0), (1.0, 1.0), (1.0, 0.0), (0.9, 0.0), (1.0, 0.05),
+             (0.9, 0.001)]
+    for m, u in cases:
+        mc, uc = _fs_clamp_py(m), _fs_clamp_py(u)
+        wa = py_dround(math.log(mc / uc), 6)
+        wd = py_dround(math.log((1.0 - mc) / (1.0 - uc)), 6)
+        assert math.isfinite(wa) and math.isfinite(wd), (m, u)
+        sql = (
+            f"SELECT {oracle_dround('ln(mi / ui)', 6)} AS wa,"
+            f" {oracle_dround('ln((1.0 - mi) / (1.0 - ui))', 6)} AS wd"
+            f" FROM (SELECT {_fs_clamp_sql(repr(m))} AS mi,"
+            f" {_fs_clamp_sql(repr(u))} AS ui)"
+        )
+        got = duckdb.sql(sql).fetchone()
+        assert got == (wa, wd), (m, u, got, (wa, wd))
+
+
 def test_skew_profile_shape(spark, sf_dir):
     """Top-N is ordered by count desc, shares are consistent with a
     common denominator, and n_keys is the same on every row."""
