@@ -596,6 +596,46 @@ def test_jaccard_and_containment_share_one_tokenization_pass(plans):
         assert "CartesianProduct" not in p, name
 
 
+def test_pair_builds_read_shared_basket_index_without_key_shuffle(
+    spark, sf_dir
+):
+    """The r9 shared-cold-build guarantee: both per-basket-quadratic
+    pair builds (co-purchase edges, rec-model train pairs) self-join
+    the persisted l_orderkey-partitioned basket index, and that
+    partitioning must satisfy the join — the plan may shuffle the pair
+    AGGREGATE (on the part-pair key) but never the join input on the
+    basket key. A regression re-introducing an Exchange on ok/
+    l_orderkey would re-shuffle the corpus-sized side on every cold
+    build."""
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.queries.joins import (
+        _basket_items,
+    )
+
+    items = _basket_items(spark, sf_dir)
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    cp = (
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = cp._jdf.queryExecution().explainString(mode)
+    assert p.count("InMemoryTableScan") >= 2  # both sides read the index
+    # no shuffle on the basket join key (the cached layout satisfies it)
+    assert "hashpartitioning(ok#" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_triangle_query_runs_on_cached_orientation(plans):
     """copurchase_triangles consumes the persisted apex-partitioned
     orientation (InMemoryTableScan — the graph-layout index), with the
