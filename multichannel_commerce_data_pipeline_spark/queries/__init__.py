@@ -83,7 +83,8 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {}
 # priority (2)) + the 24 alphabetically-first rows of the 47-strong r5
 # cohort (age 4 — seated one round EARLY so the r10 window needs only
 # the remaining 23 + flagship and never runs a deficit). Registry
-# growth at r9: NONE (215 total, bound stays ceil(214/50) = 5) — the
+# growth at r9: NONE (215 total, all oracle-paired; bound stays
+# ceil(215/50) = 5) — the
 # r8 verdict's item 7 prescribed a lean round (rotation + process
 # debt), and that is what this window is. Value-identical refactors
 # this round (session_memo tuple-aware eviction, fresh_stream_dir
