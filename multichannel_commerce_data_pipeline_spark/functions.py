@@ -8,7 +8,7 @@ a form both engines evaluate bit-identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,6 +61,35 @@ def py_dround(x: float, scale: int = 2) -> float:
         Decimal(1).scaleb(-(scale + 4)), rounding=ROUND_HALF_UP
     )
     return float(d.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
+def stage_filter(df: DataFrame, cond: Column) -> DataFrame:
+    """Filter that stays WHERE IT IS WRITTEN instead of being pushed
+    down to the scan.
+
+    Catalyst pushes any deterministic predicate through Project and
+    Repartition all the way into the parquet scan's DataFilters. For a
+    compute-heavy DERIVED predicate (a tokenizer fold, a model scoring
+    aggregate) over a single-row-group table, that re-serializes the
+    whole corpus into the one scan task — silently defeating
+    tables.parallelize_small_scan's fan-out the same way the inferred
+    explode filter did in r7 (plan audit r9: corpus_prepare,
+    corpus_prepare_curated, text_quality_filter, lm_perplexity_score,
+    hybrid_search_rrf all carried their scoring fold in DataFilters).
+    OR-ing a never-true NONDETERMINISTIC sentinel pins the filter:
+    Catalyst only pushes deterministic predicates, and codegen's
+    short-circuit ``||`` skips the sentinel whenever the real
+    predicate holds. monotonically_increasing_id() is non-negative by
+    construction, so ``< -1`` is statically never true — no rand(),
+    no value change, bit-identical results.
+
+    At real multi-split scale the pin costs nothing: the filter still
+    runs pipelined inside the scan stage, and a derived expression
+    never contributes parquet row-group pruning stats anyway. Use for
+    expensive predicates only — cheap column comparisons SHOULD push
+    into the scan.
+    """
+    return df.filter(cond | (F.monotonically_increasing_id() < F.lit(-1)))
 
 
 def portable_hash64(col: Column, seed: int) -> Column:

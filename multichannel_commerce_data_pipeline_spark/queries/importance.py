@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from multichannel_commerce_data_pipeline_spark.functions import (
     dround,
     oracle_dround,
+    stage_filter,
 )
 from multichannel_commerce_data_pipeline_spark.operators import importance as I
 from multichannel_commerce_data_pipeline_spark.queries import query
@@ -311,7 +312,9 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from multichannel_commerce_data_pipeline_spark.functions import dround
 
-    staged = with_k.filter(F.size("ks") > 0).select(
+    # stage_filter: size(ks) re-runs the bigram key builder if pushed
+    # into the serial scan task — pin it above the fan-out
+    staged = stage_filter(with_k, F.size("ks") > 0).select(
         "doc_id",
         F.size("ks").cast("long").alias("n_bigrams"),
         I.score_buckets(F.col("ks"), model).alias("s"),

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multichannel_commerce_data_pipeline_spark.functions import dround, oracle_dround
+from multichannel_commerce_data_pipeline_spark.functions import (
+    dround,
+    oracle_dround,
+    stage_filter,
+)
 from multichannel_commerce_data_pipeline_spark.operators import similarity as S
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import (
@@ -804,7 +808,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("id"), F.col("rank").alias("dr")
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = parallelize_small_scan(
+        spark, load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
     scored = docs.select(
         "doc_id", T.tokens(F.col("text")).alias("tk")
@@ -812,8 +818,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"size(filter(tk, t -> t IN ({terms})))").alias("score"),
     )
+    # stage_filter + fan-out: the sparse side's tokenizer ran single-
+    # task (unwrapped scan, term filter pushed into it) before r9
     sparse = (
-        scored.filter(F.col("score") > 0)
+        stage_filter(scored, F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(50)
         .withColumn(

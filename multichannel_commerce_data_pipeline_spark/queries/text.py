@@ -14,6 +14,7 @@ from multichannel_commerce_data_pipeline_spark.functions import (
     dround,
     oracle_dround,
     oracle_hash32,
+    stage_filter,
 )
 from multichannel_commerce_data_pipeline_spark.operators import text as T
 from multichannel_commerce_data_pipeline_spark.queries import query
@@ -92,9 +93,16 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: composite quality score + keep-filter — the canonical
     'filter the crawl' step of a training-data pipeline."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
-    return (
-        d.select("doc_id", "lang", "source", T.quality_score(F.col("text")).alias("quality_score"))
-        .filter(F.col("quality_score") >= 0.5)
+    # stage_filter: keep the composite-score predicate above the
+    # small-scan fan-out instead of serialized into the scan task
+    return stage_filter(
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            T.quality_score(F.col("text")).alias("quality_score"),
+        ),
+        F.col("quality_score") >= 0.5,
     )
 
 

@@ -16,6 +16,7 @@ from multichannel_commerce_data_pipeline_spark.functions import (
     oracle_dround,
     oracle_hash64,
     portable_hash64,
+    stage_filter,
 )
 from multichannel_commerce_data_pipeline_spark.operators import text as T
 from multichannel_commerce_data_pipeline_spark.operators import training_prep as TP
@@ -343,8 +344,8 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multichannel_commerce_data_pipeline_spark.operators.dedup import exact_dedup
 
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
-    kept = d.select("doc_id", "text").filter(
-        T.quality_score(F.col("text")) >= 0.5
+    kept = stage_filter(
+        d.select("doc_id", "text"), T.quality_score(F.col("text")) >= 0.5
     )
     uniq = exact_dedup(
         kept.withColumn("f", T.fingerprint(F.col("text"))), ["f"], "doc_id"
@@ -652,11 +653,12 @@ def corpus_prepare_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
             IQ._TARGET_LANG,
         ),
     )
-    sel = (
-        with_b.withColumn("lw", I.score_buckets(F.col("bs"), ratios))
-        .filter(F.col("lw") > 0)
-        .select("doc_id", "text")
-    )
+    # stage_filter: the DSIR scoring fold must run AFTER the small-scan
+    # fan-out, not pushed into the serial parquet scan task
+    sel = stage_filter(
+        with_b.withColumn("lw", I.score_buckets(F.col("bs"), ratios)),
+        F.col("lw") > 0,
+    ).select("doc_id", "text")
     uniq = exact_dedup(
         sel.withColumn("f", T.fingerprint(F.col("text"))), ["f"], "doc_id"
     ).drop("f")
