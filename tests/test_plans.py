@@ -636,6 +636,32 @@ def test_pair_builds_read_shared_basket_index_without_key_shuffle(
     assert "CartesianProduct" not in p
 
 
+def test_no_heavy_predicates_in_scan_datafilters(plans):
+    """functions.stage_filter regression guard: a compute-heavy derived
+    predicate (tokenizer fold, scoring aggregate) pushed into the
+    parquet scan's DataFilters re-serializes the corpus into the one
+    scan task on single-row-group tables. The five plans the r9 audit
+    fixed must stay clean; a failure here means a new filter site needs
+    stage_filter (or a Spark upgrade started pushing nondeterministic
+    predicates — far worse)."""
+    import re
+
+    heavy = ("aggregate(", "transform(", "regexp_extract_all(", "zip_with(")
+    for name in (
+        "corpus_prepare",
+        "corpus_prepare_curated",
+        "text_quality_filter",
+        "lm_perplexity_score",
+        "hybrid_search_rrf",
+    ):
+        p = plans(name)
+        for m in re.finditer(r"DataFilters: \[([^\]]*)", p):
+            assert not any(k in m.group(1) for k in heavy), (
+                name,
+                m.group(1)[:120],
+            )
+
+
 def test_triangle_query_runs_on_cached_orientation(plans):
     """copurchase_triangles consumes the persisted apex-partitioned
     orientation (InMemoryTableScan — the graph-layout index), with the
