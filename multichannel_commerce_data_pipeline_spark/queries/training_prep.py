@@ -1323,15 +1323,28 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-item mega-basket cap (copurchase_pairs' straggler guard), a keyed top-k window over part-bounded frames, two
     distinct-collapsed joins, one left join scoring pass, and a single
     global rollup — every count exact, the rate dround-quantized."""
-    user_recs, profile = _rec_model(spark, sf_dir)
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    from multichannel_commerce_data_pipeline_spark.queries.joins import (
+        _basket_items,
     )
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+
+    user_recs, profile = _rec_model(spark, sf_dir)
     cutoff = F.lit(_REC_CUTOFF).cast("timestamp")
+    test_orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= cutoff)
+        .select("o_orderkey", "o_custkey")
+    )
+    # Test side reads the same persisted basket index as the train
+    # side (exact: the index is distinct per (order, part) and custkey
+    # is a function of orderkey, so the (cust, part) collapse equals
+    # the old raw orders⨝lineitem + distinct) — the warm pass pays one
+    # broadcast join + one distinct instead of re-scanning lineitem.
     test_pos = (
-        orders.filter(F.col("o_orderdate") >= cutoff)
-        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        _basket_items(spark, sf_dir)
+        .join(
+            F.broadcast(test_orders),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
         .join(profile.select("cust").distinct(), "cust", "left_semi")
