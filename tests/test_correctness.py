@@ -15,6 +15,16 @@ REGISTRY = load_registry()
 def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     q = REGISTRY[name]
     df = q.fn(spark, sf_dir)
+    # Registry-wide scale invariant (r9 audit: zero hits across all 215
+    # plans): an unconditioned CartesianProduct is quadratic in the
+    # corpus and never acceptable — a 1-row model broadcast plans as
+    # BroadcastNestedLoopJoin, which is the allowed shape.
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    assert "CartesianProduct" not in df._jdf.queryExecution().explainString(
+        mode
+    ), f"{name}: cartesian product in physical plan"
     if q.oracle is None:
         # rows-only check, mirroring the driver's weaker path
         assert df.count() >= 0
