@@ -63,6 +63,29 @@ def py_dround(x: float, scale: int = 2) -> float:
     return float(d.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
 
 
+# Memoized constant Column expression trees. A pyspark Column is an
+# immutable wrapper over an UNRESOLVED Catalyst expression — reusable
+# across any number of DataFrames (the analyzer re-resolves attribute
+# references per plan). Building one, though, costs py4j round trips:
+# a higher-order function like zip_with pays ~20 ms (lambda transport
+# + invocation), so a 16-slot MinHash signature burns ~0.35 s of pure
+# bridge time PER QUERY CONSTRUCTION. Config-keyed memoization builds
+# each constant column list once per process; the JVM gateway lives as
+# long as the process in local mode, so the cached trees stay valid
+# across SparkSession restarts.
+_COL_MEMO: dict[tuple, list] = {}
+
+
+def memo_cols(key: tuple, builder) -> list[Column]:
+    """Cache the Column list ``builder()`` under ``key`` (must encode
+    every config the expressions depend on, e.g. ``("mh_sig", k)``).
+    Only for columns over FIXED input-column names — anything
+    parameterized by data or caller-chosen names belongs in the key."""
+    if key not in _COL_MEMO:
+        _COL_MEMO[key] = list(builder())
+    return _COL_MEMO[key]
+
+
 def stage_filter(df: DataFrame, cond: Column) -> DataFrame:
     """Filter that stays WHERE IT IS WRITTEN instead of being pushed
     down to the scan.

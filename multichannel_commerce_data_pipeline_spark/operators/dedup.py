@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.functions import (
     dround,
+    memo_cols,
     portable_hash64,
 )
 from multichannel_commerce_data_pipeline_spark.operators.text import tokens
@@ -355,15 +356,37 @@ def _km_hash_arrays(sh_frame: DataFrame) -> DataFrame:
     map-side, no explode, no shuffle. Bit-identical to
     ``md5(concat('1:', shingle))`` slicing in any SQL engine."""
     hx = lambda s: F.md5(F.concat(F.lit("1:"), s))  # noqa: E731
-    return sh_frame.select(
-        "doc",
-        "n_sh",
-        F.transform(
-            "sh", lambda s: F.conv(F.substring(hx(s), 1, 15), 16, 10).cast("long")
-        ).alias("h1a"),
-        F.transform(
-            "sh", lambda s: F.conv(F.substring(hx(s), 17, 8), 16, 10).cast("long")
-        ).alias("h2a"),
+    # constant expression trees (functions.memo_cols): built once per
+    # process, ~40 ms of higher-order-function bridge calls per reuse
+    cols = memo_cols(
+        ("km_hash_arrays",),
+        lambda: [
+            F.transform(
+                "sh",
+                lambda s: F.conv(F.substring(hx(s), 1, 15), 16, 10).cast("long"),
+            ).alias("h1a"),
+            F.transform(
+                "sh",
+                lambda s: F.conv(F.substring(hx(s), 17, 8), 16, 10).cast("long"),
+            ).alias("h2a"),
+        ],
+    )
+    return sh_frame.select("doc", "n_sh", *cols)
+
+
+def _mh_slot_cols(k: int):
+    """k memoized Kirsch-Mitzenmacher signature slots
+    ``array_min(zip_with(h1a, h2a, x + j*y))`` — each zip_with costs a
+    ~20 ms py4j lambda round trip, so the k=16 list is ~0.35 s of pure
+    plan-build per call without the memo."""
+    return memo_cols(
+        ("mh_slots", k),
+        lambda: [
+            F.array_min(
+                F.zip_with("h1a", "h2a", lambda x, y: x + F.lit(j) * y)
+            ).alias(f"mh_{j}")
+            for j in range(k)
+        ],
     )
 
 
@@ -384,15 +407,7 @@ def minhash_signature(
     no group-by shuffle. Measured 7.4s → 0.8s at sf0.1 local[32] vs the
     explode+groupBy formulation, identical values."""
     hashed = _km_hash_arrays(doc_shingle_arrays(df, id_col, text_col, n))
-    return hashed.select(
-        "doc",
-        *[
-            F.array_min(
-                F.zip_with("h1a", "h2a", lambda x, y: x + F.lit(j) * y)
-            ).alias(f"mh_{j}")
-            for j in range(k)
-        ],
-    )
+    return hashed.select("doc", *_mh_slot_cols(k))
 
 
 def minhash_lsh_pairs(
@@ -441,17 +456,7 @@ def minhash_lsh_pairs(
 
     rows = k // bands
     hashed = _km_hash_arrays(doc_shingle_arrays(df, id_col, text_col, n))
-    sig = hashed.select(
-        "doc",
-        "n_sh",
-        "h1a",
-        *[
-            F.array_min(
-                F.zip_with("h1a", "h2a", lambda x, y: x + F.lit(j) * y)
-            ).alias(f"mh_{j}")
-            for j in range(k)
-        ],
-    )
+    sig = hashed.select("doc", "n_sh", "h1a", *_mh_slot_cols(k))
     if persist:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     # Band key = the r raw minhash values (array<long>), not a re-hash of
@@ -459,13 +464,18 @@ def minhash_lsh_pairs(
     # is oracle-reproducible in any SQL engine. The shuffle key is a few
     # longs instead of one — negligible vs. xxhash64 bucketing, and it
     # removes the (tiny) false-merge probability of 64-bit re-hashing.
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.array(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bh"),
-        )
-        for b in range(bands)
-    ]
+    band_cols = memo_cols(
+        ("mh_band_cols", k, bands),
+        lambda: [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array(
+                    *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ],
+    )
     keyed = sig.select(
         "doc", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
@@ -523,13 +533,18 @@ def _band_keys(sig: DataFrame, k: int, bands: int) -> DataFrame:
     LSH join key: bh is the raw r-tuple of minhash values (value
     equality IS band collision, oracle-reproducible)."""
     rows = k // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.array(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bh"),
-        )
-        for b in range(bands)
-    ]
+    band_cols = memo_cols(
+        ("mh_band_cols", k, bands),
+        lambda: [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array(
+                    *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ],
+    )
     return sig.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
