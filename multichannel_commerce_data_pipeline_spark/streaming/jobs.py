@@ -71,6 +71,7 @@ def fresh_stream_dir(prefix: str) -> str:
     across TWO newer invocations of the same query — is reclaimed
     eagerly."""
     import atexit
+    import os
     import shutil
     import tempfile
 
@@ -87,6 +88,25 @@ def fresh_stream_dir(prefix: str) -> str:
                 for d in dirs
             ]
         )
+        # Orphan sweep, once per process: atexit never fires for a
+        # killed process (harness timeouts, SIGKILL), so mcdp_* scratch
+        # from dead runs accumulates in the temp dir across rounds
+        # (observed: 665 orphans). Anything older than 12h predates any
+        # process that could still hold a lazy reader over it.
+        import time
+
+        horizon = time.time() - 12 * 3600
+        tmp_root = tempfile.gettempdir()
+        try:
+            for entry in os.scandir(tmp_root):
+                if (
+                    entry.name.startswith("mcdp_")
+                    and entry.is_dir(follow_symlinks=False)
+                    and entry.stat(follow_symlinks=False).st_mtime < horizon
+                ):
+                    shutil.rmtree(entry.path, ignore_errors=True)
+        except OSError:
+            pass  # unreadable temp dir: skip the sweep, never fail a query
     tmp = tempfile.mkdtemp(prefix=prefix)
     live.append(tmp)
     return tmp
