@@ -88,14 +88,16 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {}
 # r8 verdict's item 7 prescribed a lean round (rotation + process
 # debt), and that is what this window is. Value-identical refactors
 # this round (session_memo tuple-aware eviction, fresh_stream_dir
-# generation-2 retention, the shared basket index feeding the edge /
-# rec-model / rec-eval builds, and the stage_filter pushdown pins in
-# corpus_prepare, corpus_prepare_curated, text_quality_filter,
-# lm_perplexity_score, hybrid_search_rrf) are evaluation strategy
-# only — each re-verified green via scripts/check.py at sf0.01 after
-# landing, plus a full 215-query sf0.01 sweep at round end; per the
-# accepted r6 convention they wait for ordinary rotation rather than
-# displace strictly-older rows.
+# generation-2 retention + dead-scratch sweep, the shared basket index
+# feeding the edge / rec-model / rec-eval builds, the stage_filter
+# pushdown pins in corpus_prepare, corpus_prepare_curated,
+# text_quality_filter, lm_perplexity_score, hybrid_search_rrf, the
+# tables.load per-session memo, and the memo_cols constant-expression
+# cache in the MinHash family) are evaluation strategy only — each
+# re-verified green via scripts/check.py at sf0.01 after landing, plus
+# full 215-query sweeps at sf0.01 and sf0.001 with all changes in; per
+# the accepted r6 convention they wait for ordinary rotation rather
+# than displace strictly-older rows.
 CHECK_FIRST: tuple[str, ...] = (
     # (1) flagship — always slot 1
     "exec_daily_kpi",
