@@ -58,11 +58,25 @@ def _vectorized(
 ) -> DataFrame:
     """(id, v: array<double>, n: double) with the cast array and its
     norm materialized once per row (two stacked projections so the cast
-    is not inlined into the norm)."""
-    out = df.select(
-        F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
+    is not inlined into the norm). The expression trees depend only on
+    the column names, so they are memoized per name tuple
+    (functions.memo_cols — each aggregate/transform costs a ~20 ms
+    py4j lambda round trip, and every similarity query rebuilds this
+    pair of projections at least twice)."""
+    from multichannel_commerce_data_pipeline_spark.functions import memo_cols
+
+    proj = memo_cols(
+        ("vectorized", id_col, vec_col, id_alias, vec_alias),
+        lambda: [
+            F.col(id_col).alias(id_alias),
+            _as_double(F.col(vec_col)).alias(vec_alias),
+        ],
     )
-    return out.withColumn(f"{vec_alias}_n", _norm(F.col(vec_alias)))
+    ncol = memo_cols(
+        ("vectorized_norm", vec_alias),
+        lambda: [_norm(F.col(vec_alias)).alias(f"{vec_alias}_n")],
+    )
+    return df.select(*proj).select("*", *ncol)
 
 
 def cosine_topk(
