@@ -1,26 +1,31 @@
 """Machine-checked rotation policy for the driver's 50-slot window.
 
 The driver's per-round correctness gate checks only the first 50
-registry entries (queries/__init__.py CHECK_FIRST). The standing policy
-— keep every query's green driver evidence fresh, oldest rotated first,
-never-checked queries always prioritized — lived in prose comments
-through round 6 and silently drifted (41 queries aged past the stated
-bound). This module is the r6 verdict's fix: the policy is now DATA
-(the computed rotation age bound, ROTATION_EXCEPTIONS) plus these tests, which parse
-the actual CORRECTNESS_r*.json evidence and fail the suite when the
-planned window would let any non-excepted query age out.
+registry entries. Through round 9 the window (queries/__init__.py
+CHECK_FIRST) was a hand-written tuple, and this suite's job was to
+catch a human letting evidence go stale — which it did, but with a
+design flaw: the driver writes CORRECTNESS_r{N}.json AFTER the
+builder's turn, so the hand-typed window was one round stale (and this
+suite red) at every round boundary until someone re-typed 50 names.
+Since round 10 the window is COMPUTED from the on-disk evidence by
+queries.plan_window(); these tests now guard the PLANNER's invariants
+(flagship first, no overdue query omitted, changed/never-green queries
+seated, determinism) instead of guarding a human against typos. The
+suite is green the moment a new CORRECTNESS file lands, with zero
+manual edits.
 """
 
 from __future__ import annotations
 
-import json
-from pathlib import Path
-
+from multichannel_commerce_data_pipeline_spark import queries as Q
 from multichannel_commerce_data_pipeline_spark.queries import (
-    CHECK_FIRST,
+    CHANGED_THIS_ROUND,
+    FLAGSHIP,
     ROTATION_AGE_BOUND_FLOOR,
     ROTATION_EXCEPTIONS,
+    evidence,
     load_registry,
+    plan_window,
 )
 
 
@@ -35,74 +40,103 @@ def rotation_age_bound(reg) -> int:
     return max(ROTATION_AGE_BOUND_FLOOR, -(-n // 50))
 
 
-REPO = Path(__file__).resolve().parents[1]
-
-
-def _evidence() -> tuple[int, dict[str, int]]:
-    """(current_round, latest GREEN driver round per query). A red row
-    is not evidence of correctness: only fully-matching rows count.
-    current_round = the round whose window CHECK_FIRST currently plans
-    (one past the newest recorded file)."""
-    latest: dict[str, int] = {}
-    rounds = []
-    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        r = int(f.stem.split("_r")[1])
-        rounds.append(r)
-        for name, res in json.loads(f.read_text()).items():
-            green = (
-                res.get("err") is None
-                and res.get("rows_match")
-                and res.get("schema_match") is not False
-                and res.get("hash_match") is not False
-            )
-            if green:
-                latest[name] = max(latest.get(name, 0), r)
-    assert rounds, "no CORRECTNESS_r*.json evidence found"
-    return max(rounds) + 1, latest
-
-
 def test_window_is_exactly_the_driver_width():
     """The driver checks registry positions 1-50; a short window wastes
     slots on whatever sorts first in the tail, a long one silently
-    truncates. 50 names, no duplicates, all registered, flagship
-    first."""
-    assert len(CHECK_FIRST) == 50
-    assert len(set(CHECK_FIRST)) == 50
+    truncates. 50 names, no duplicates, all registered and
+    oracle-paired, flagship first, and load_registry() actually seats
+    them in positions 1-50."""
+    window = Q.CHECK_FIRST
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    assert window[0] == FLAGSHIP
     reg = load_registry()
-    assert set(CHECK_FIRST) <= set(reg)
-    assert CHECK_FIRST[0] == "exec_daily_kpi"
+    assert set(window) <= set(reg)
+    assert all(reg[n].oracle is not None for n in window)
+    assert list(reg)[:50] == list(window)
 
 
 def test_no_query_ages_past_the_bound():
     """A query is DUE when its latest green driver row is
-    rotation_age_bound() rounds old (or it has never been green): it must
-    hold a slot in the planned window or carry an unexpired declared
-    exception. This is the check that would have flagged round 6's 41
-    silently-stale queries."""
-    current, latest = _evidence()
+    rotation_age_bound() rounds old (or it has never been green): the
+    planner must seat it. Oldest-first filling makes this hold by
+    construction for any registry that once swept clean; this test is
+    the tripwire against a planner bug (or a registry growth spurt)
+    breaking that."""
+    current, latest = evidence()
     reg = load_registry()
+    window = set(Q.CHECK_FIRST)
+    bound = rotation_age_bound(reg)
     overdue = []
     for name, q in reg.items():
         if q.oracle is None:
             continue  # rows-only checks; the driver records them weaker
         age = current - latest.get(name, -(10**6))
-        if age < rotation_age_bound(reg) or name in CHECK_FIRST:
+        if age < bound or name in window:
             continue
         exc = ROTATION_EXCEPTIONS.get(name)
         if exc is not None and exc[1] >= current:
             continue
         overdue.append((name, latest.get(name)))
     assert not overdue, (
-        f"queries due for rotation but not in CHECK_FIRST and not "
-        f"excepted (name, latest green round): {sorted(overdue)}"
+        f"queries due for rotation omitted from the planned window and "
+        f"not excepted (name, latest green round): {sorted(overdue)}"
     )
+
+
+def test_changed_and_never_green_are_seated():
+    """Priority (2): every query declared changed this round and every
+    oracle-paired query with no green driver row ever must hold a slot.
+    If this ever exceeds 49 names the planner drops some — fail loudly
+    rather than silently."""
+    _, latest = evidence()
+    reg = load_registry()
+    window = set(Q.CHECK_FIRST)
+    p2 = {
+        n
+        for n, q in reg.items()
+        if q.oracle is not None and (n in CHANGED_THIS_ROUND or n not in latest)
+    }
+    assert len(p2) <= 49, f"priority-2 set overflows the window: {len(p2)}"
+    unseated = p2 - window
+    assert not unseated, f"changed/never-green queries not seated: {sorted(unseated)}"
+    for n in CHANGED_THIS_ROUND:
+        assert n in reg and reg[n].oracle is not None, (
+            f"CHANGED_THIS_ROUND names an unregistered or no-oracle query: {n}"
+        )
+
+
+def test_planner_is_deterministic():
+    """Same evidence + same changed-set -> byte-identical window, and
+    the cached module attribute agrees with a fresh computation."""
+    assert plan_window() == plan_window() == Q.CHECK_FIRST
+
+
+def test_planner_priorities_on_synthetic_evidence():
+    """Unit-test the planner against hand-built evidence: flagship
+    first, changed seated even when fresh, never-green seated, then
+    strictly oldest-first alphabetical fill."""
+    reg = load_registry()
+    paired = sorted(n for n in reg if reg[n].oracle is not None)
+    # everything green last round except one never-green and one stale
+    latest = {n: 9 for n in paired}
+    stale = paired[5]
+    latest[stale] = 2
+    never = paired[7]
+    del latest[never]
+    fresh_changed = paired[11]
+    w = plan_window(latest=latest, changed=(fresh_changed,))
+    assert w[0] == FLAGSHIP
+    assert set(w[1:3]) == {never, fresh_changed}  # priority 2, alphabetical
+    assert w[3] == stale  # oldest green evidence rotates first
+    assert len(w) == 50 and len(set(w)) == 50
 
 
 def test_exceptions_are_live_and_real():
     """Exceptions are data with an expiry so they cannot silently
     accumulate: each must name a registered query, carry a reason, and
     not be past its expiry round."""
-    current, _ = _evidence()
+    current, _ = evidence()
     reg = load_registry()
     for name, (reason, expiry) in ROTATION_EXCEPTIONS.items():
         assert name in reg, f"exception for unregistered query {name}"
