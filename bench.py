@@ -74,6 +74,8 @@ HEADLINE = [
     "cm_sketch_estimate",
     "kmeans_centroid_fit",
     "cluster_safe_split",
+    # round 10 addition (suffix-granularity exact-substring dedup)
+    "substring_dedup_spans",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",
@@ -129,6 +131,21 @@ def main() -> None:
     # run's wall-clock span, makes a contaminated run machine-detectable:
     # loadavg_before well above ~0 (or loadavg_after far above what this
     # run's own 32 threads explain) marks the record suspect.
+    #
+    # Refuse-and-retry (r9 verdict #5): the r8 AND r9 driver records
+    # were both taken on a busy box (r9: load1 5.58), forcing a
+    # clean-run adjudication in BENCH.md each round. If the box is
+    # loaded at start, wait — bounded, ONE retry window of up to 120 s
+    # in 10 s probes — for load1 to fall under the threshold, then
+    # proceed regardless and let the watermark tell the story. Bounded
+    # so a permanently-busy box delays the record by at most 2 min.
+    LOAD1_THRESHOLD = 2.0
+    load_wait = 0
+    if os.getloadavg()[0] > LOAD1_THRESHOLD:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and os.getloadavg()[0] > LOAD1_THRESHOLD:
+            time.sleep(10)
+            load_wait += 10
     load_before = os.getloadavg()
     run_t0 = time.perf_counter()
 
@@ -209,6 +226,7 @@ def main() -> None:
         "sf": sf,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
+        "load_wait_sec": load_wait,
         "wall_clock_sec": round(time.perf_counter() - run_t0, 1),
     }
     here = os.path.dirname(os.path.abspath(__file__))

@@ -91,8 +91,13 @@ def fresh_stream_dir(prefix: str) -> str:
         # Orphan sweep, once per process: atexit never fires for a
         # killed process (harness timeouts, SIGKILL), so mcdp_* scratch
         # from dead runs accumulates in the temp dir across rounds
-        # (observed: 665 orphans). Anything older than 12h predates any
-        # process that could still hold a lazy reader over it.
+        # (observed: 665 orphans). Age-by-mtime alone does not prove the
+        # owner is dead (the top-level mkdtemp mtime is set at creation
+        # and never refreshed by writes in nested subdirs — r9 advice
+        # #1), so every dir we create carries an owner.pid marker and
+        # the sweep skips any aged dir whose recorded pid is still
+        # alive. Dirs with no marker predate this scheme and are known
+        # dead (previous rounds' processes).
         import time
 
         horizon = time.time() - 12 * 3600
@@ -103,13 +108,38 @@ def fresh_stream_dir(prefix: str) -> str:
                     entry.name.startswith("mcdp_")
                     and entry.is_dir(follow_symlinks=False)
                     and entry.stat(follow_symlinks=False).st_mtime < horizon
+                    and not _owner_alive(os.path.join(entry.path, "owner.pid"))
                 ):
                     shutil.rmtree(entry.path, ignore_errors=True)
         except OSError:
             pass  # unreadable temp dir: skip the sweep, never fail a query
     tmp = tempfile.mkdtemp(prefix=prefix)
+    try:
+        with open(os.path.join(tmp, "owner.pid"), "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass  # marker is best-effort; its absence only risks a sweep
     live.append(tmp)
     return tmp
+
+
+def _owner_alive(pidfile: str) -> bool:
+    """True iff the scratch dir's owner.pid marker names a process that
+    still exists (signal 0 probe; EPERM counts as alive). Unreadable or
+    absent marker -> not alive (sweepable)."""
+    import os
+
+    try:
+        with open(pidfile) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except (OSError, ValueError):
+        return False
 
 
 def read_bronze_stream(

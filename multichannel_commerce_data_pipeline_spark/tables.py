@@ -35,10 +35,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # load() calls). The driver tables are immutable for a session's
 # lifetime, and a DataFrame is an immutable lazy plan — serving the
 # same handle is exactly what a catalog's resolved-relation cache
-# does. Entries from dead applications are evicted on the next call
-# for the same (sf_dir, table); nothing is persisted, so eviction is
-# just a dict pop.
-_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# does. Entries from other sessions/applications are evicted on the
+# next call for the same (sf_dir, table); nothing is persisted, so
+# eviction is just a dict pop.
+#
+# Keyed by the SESSION, not just the application (r9 advice #2): both
+# the cached DataFrame and the events nanosAsLong conf are
+# SparkSession-scoped, so a spark.newSession() sibling (same appId)
+# must miss the cache and set its own conf. The cache value holds the
+# owning session object, which (a) lets the lookup verify identity and
+# (b) pins the id() from reuse while the entry lives.
+_LOAD_CACHE: dict[tuple[str, int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -52,11 +59,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB applies when it coerces TIMESTAMP_NS to its microsecond
     TIMESTAMP, so both engines see identical values.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
     cached = _LOAD_CACHE.get(key)
-    if cached is not None:
-        return cached
-    for stale in [k for k in _LOAD_CACHE if k[1:] == key[1:] and k != key]:
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    for stale in [k for k in _LOAD_CACHE if k[2:] == key[2:] and k != key]:
         _LOAD_CACHE.pop(stale)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -65,7 +72,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    _LOAD_CACHE[key] = df
+    _LOAD_CACHE[key] = (spark, df)
     return df
 
 

@@ -655,7 +655,11 @@ def test_no_heavy_predicates_in_scan_datafilters(plans):
         "hybrid_search_rrf",
     ):
         p = plans(name)
-        for m in re.finditer(r"DataFilters: \[([^\]]*)", p):
+        # capture to end-of-line, not to the first ']': a bracket inside
+        # a pushed expression (array index, nested literal) would
+        # otherwise truncate the scan and let later heavy predicates in
+        # the same DataFilters entry escape the check (r9 advice #3)
+        for m in re.finditer(r"DataFilters: \[(.*)", p):
             assert not any(k in m.group(1) for k in heavy), (
                 name,
                 m.group(1)[:120],
@@ -671,3 +675,26 @@ def test_triangle_query_runs_on_cached_orientation(plans):
     assert "CartesianProduct" not in p
     assert "InMemoryTableScan" in p
     assert "Generate" in p
+
+
+def test_substring_dedup_plan_shape(plans):
+    """substring_dedup_spans must consume the persisted gram index
+    (InMemoryTableScan — the tokenize→hash subtree executes once, not
+    once per consumer), never a cartesian product, and the islands
+    pass must shuffle the narrow marked-starts frame on doc exactly
+    once — the window's hash(doc) layout then also satisfies the span
+    aggregate's (doc, island) distribution, so no second exchange
+    appears between Window and HashAggregate."""
+    p = plans("substring_dedup_spans")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p
+    # formatted mode summarizes the cached build separately, so the
+    # live plan's exchanges are countable: exactly one hash exchange
+    # keyed on doc for the islands window
+    live = p.split("===== Subqueries =====")[0]
+    doc_exchanges = [
+        ln
+        for ln in live.splitlines()
+        if "Exchange hashpartitioning(doc" in ln
+    ]
+    assert len(doc_exchanges) <= 1, doc_exchanges

@@ -270,3 +270,25 @@ def test_python_datasource_streaming_equals_batch(spark, tmp_path):
         map(tuple, batch.collect())
     )
     assert drain().count() == 120  # re-drain: no duplicates
+
+
+def test_load_cache_is_session_scoped(spark, sf_dir):
+    """The load() memo must key on the SESSION, not the application:
+    a spark.newSession() sibling shares the applicationId but has its
+    own conf, so it must miss the cache (getting a frame bound to its
+    own session) and set the events nanosAsLong conf for itself (r9
+    advice #2)."""
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    a = load(spark, sf_dir, "events")
+    assert load(spark, sf_dir, "events") is a  # same-session memo hit
+    sib = spark.newSession()
+    try:
+        assert sib.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true"
+        b = load(sib, sf_dir, "events")
+        assert b is not a  # sibling session must not reuse the frame
+        assert sib.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        assert b.count() == a.count()
+    finally:
+        # the sibling's entry must not shadow the primary session's
+        assert load(spark, sf_dir, "events").sparkSession is spark
