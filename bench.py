@@ -102,6 +102,8 @@ HEADLINE = [
     # streaming tests + driver row, not warm-throughput timing.
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
+    # substring_dedup_rewrite likewise composes substring_dedup_spans
+    # (timed above) with a map-side array rewrite.
     # skew_profile / compaction_plan / fs_record_linkage /
     # equi_depth_histogram / table_reconcile / snapshot_diff_cdf are
     # planning/metadata-sized queries, covered by the scale probe

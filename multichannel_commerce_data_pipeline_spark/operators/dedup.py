@@ -989,3 +989,170 @@ def dup_ngram_fraction(grams):
         total > 0,
         F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
     ).otherwise(F.lit(0.0))
+
+
+def doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, words) — the space-split word array per document, the
+    shared tokenization both halves of the substring-dedup pipeline
+    derive from (the gram index hashes windows of it; the span emitter
+    re-slices it). Pure map-side projection."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("words")
+    )
+
+
+def substring_grams(words: DataFrame, min_words: int = 8) -> DataFrame:
+    """Sliding-window gram index for exact-substring dedup: one narrow
+    ``(doc, pos, pdigest)`` row per word position that starts a
+    ``min_words``-word window (1-based ``pos``, matching SQL array
+    indexing) of a :func:`doc_words` frame. The gram TEXT never leaves
+    the map side — only its md5 crosses the wire, so a shuffled row is
+    ~40 bytes regardless of document size. Docs shorter than
+    ``min_words`` contribute no rows.
+
+    Built with ``posexplode_outer`` + an explicit null filter on the
+    generator OUTPUT (never a bare ``explode``): the optimizer's
+    InferFiltersFromGenerate would otherwise inline the whole window
+    expression into the scan filter and re-evaluate it per reference
+    inside the serial scan task (the r7 shingle lesson)."""
+    n_starts = F.greatest(F.size("words") - (min_words - 1), F.lit(0))
+    grams = F.when(
+        n_starts > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_starts),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("words"), i, min_words))),
+        ),
+    )
+    return (
+        words.select("doc", F.posexplode_outer(grams).alias("__k", "pdigest"))
+        .filter(F.col("pdigest").isNotNull())
+        .select("doc", (F.col("__k") + 1).cast("long").alias("pos"), "pdigest")
+    )
+
+
+def substring_dedup_spans(
+    grams: DataFrame, words: DataFrame, min_words: int = 8
+) -> DataFrame:
+    """Exact-substring dedup at arbitrary granularity — the actual
+    Lee et al. 2022 (arXiv:2107.06499) ExactSubstr semantics, where
+    every duplicated substring of >= ``min_words`` words is removed at
+    all but its globally-first occurrence. ``passage_dedup`` is the
+    fixed-boundary approximation (a shared span straddling a passage
+    boundary is invisible to it); this operator is boundary-free: a
+    substring of length >= L duplicates somewhere iff every one of its
+    length-L windows duplicates, so marking duplicated non-survivor
+    window STARTS and coalescing overlapping/adjacent start intervals
+    recovers exactly the maximal removable spans.
+
+    The reference algorithm builds one suffix array over the corpus —
+    a global sort that does not shard. The distributable form never
+    sorts suffixes: window identity is a hash group-by, and span
+    coalescing is a per-document gaps-and-islands pass.
+
+    100 TB shape:
+      1. ``grams`` is the narrow (doc, pos, md5) index — hash-partition
+         it on ``pdigest`` and persist before calling (the caller owns
+         the storage-investment decision): the survivor aggregate and
+         the mark join then both run exchange-free on that layout.
+      2. survivor per window = ``min(struct(doc, pos))`` through a
+         hash aggregate with map-side partial aggregation — a
+         boilerplate window duplicated a billion times collapses to
+         one candidate per mapper instead of flooding one reducer
+         (the skew case a row_number window cannot partial-away).
+      3. non-survivor marks = grams joined to the duplicated-window
+         survivors on ``pdigest`` (co-partitioned; AQE broadcasts the
+         survivor side when it is small, which it is by construction:
+         |duplicated distinct windows| << |window occurrences|).
+      4. islands: marked starts shuffle ONCE more, on ``doc``; two
+         start positions merge iff their L-word intervals overlap or
+         touch (``pos - prev <= L``), a lag + running-sum pass whose
+         window partitioning also satisfies the span aggregate's
+         distribution (no further exchange).
+      5. span text is re-sliced map-side from the document's own word
+         array after a co-partitioned join on ``doc`` — duplicated
+         text still never shuffles.
+
+    Returns (doc, span_start, span_end, span_words, span_text): the
+    spans a remover would cut. Emitting spans rather than rewritten
+    documents keeps the operator composable (audit, cut, or weight) —
+    and a doc with no removable span simply has no row.
+    """
+    surv = grams.groupBy("pdigest").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct("doc", "pos")).alias("__first"),
+    )
+    dup = surv.filter(F.col("__c") >= 2).select("pdigest", "__first")
+    starts = (
+        grams.join(dup, "pdigest")
+        .filter(
+            ~(
+                (F.col("doc") == F.col("__first.doc"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+        .select("doc", "pos")
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= min_words, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    islands = starts.withColumn("__brk", brk).withColumn(
+        "__isl", F.sum("__brk").over(w)
+    )
+    spans = islands.groupBy("doc", "__isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (min_words - 1)).alias("span_end"),
+    )
+    return spans.join(words, "doc").select(
+        "doc",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("span_words"),
+        F.array_join(
+            F.slice(
+                F.col("words"),
+                F.col("span_start").cast("int"),
+                (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+            ),
+            " ",
+        ).alias("span_text"),
+    )
+
+
+def substring_dedup_rewrite(spans: DataFrame, words: DataFrame) -> DataFrame:
+    """The remove step of ExactSubstr dedup: cut every removable span
+    (from :func:`substring_dedup_spans`) out of its document and
+    rebuild the text from the surviving words. Total over the corpus —
+    a document with no removable span passes through unchanged, and a
+    document that was entirely duplicated elsewhere survives with
+    empty text (dropped words, never dropped rows).
+
+    100 TB shape: the spans fold to one small per-doc array (hash
+    aggregate, partial-merged), join to the words frame co-partitioned
+    on doc, and the rewrite is pure map-side array math — an indexed
+    ``filter`` keeps each word iff no span covers its position, so the
+    cost is O(words x spans-per-doc) with no per-word explode and no
+    extra shuffle."""
+    per_doc = spans.groupBy("doc").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    joined = words.join(per_doc, "doc", "left")
+    sp = F.coalesce(
+        F.col("__sp"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        F.col("words"),
+        lambda w, i: ~F.exists(
+            sp,
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc",
+        F.size("words").cast("long").alias("n_words"),
+        (F.size("words") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

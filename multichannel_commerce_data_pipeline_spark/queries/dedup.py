@@ -1077,3 +1077,154 @@ def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("possible")
         .alias("decision"),
     )
+
+
+# Substring-dedup gram index, persisted per corpus version and
+# hash-partitioned on the window digest (the storage-investment rule):
+# the survivor aggregate and the non-survivor mark join both consume it
+# on that key, so neither pays an exchange, and the tokenize→hash
+# subtree executes once instead of once per consumer (Spark has no
+# DataFrame-level CSE).
+_SUBSTR_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SUBSTR_MIN_WORDS = 8
+
+
+def _substring_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        from pyspark import StorageLevel
+
+        d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+        g = D.substring_grams(
+            D.doc_words(d, "doc_id", "text"), _SUBSTR_MIN_WORDS
+        )
+        n_parts = spark.sparkContext.defaultParallelism
+        g = g.repartition(n_parts, "pdigest").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        g.count()
+        return g
+
+    return session_memo(spark, _SUBSTR_GRAM_CACHE, sf_dir, build)
+
+
+# The spans pipeline as shared CTEs: both substring queries (the span
+# report and the rewrite) verify against the identical oracle text, so
+# a semantics drift in one shows up as a hash mismatch in both.
+_SUBSTR_SPAN_CTES = rf"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(
+               list_slice(w, i, i + {_SUBSTR_MIN_WORDS - 1}), ' ') AS g
+      FROM ws, LATERAL unnest(
+        generate_series(1, greatest(len(w) - {_SUBSTR_MIN_WORDS - 1}, 0))
+      ) AS t(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY g) AS c,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      FROM grams
+    ),
+    starts AS (
+      SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos)
+                       <= {_SUBSTR_MIN_WORDS}
+                  THEN 0 ELSE 1 END AS brk
+      FROM starts
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s,
+             MAX(pos) + {_SUBSTR_MIN_WORDS - 1} AS e
+      FROM islands GROUP BY doc_id, isl
+    )
+"""
+
+
+@query(
+    "substring_dedup_spans",
+    oracle=_SUBSTR_SPAN_CTES
+    + r"""
+    SELECT sp.doc_id,
+           CAST(sp.s AS BIGINT) AS span_start,
+           CAST(sp.e AS BIGINT) AS span_end,
+           CAST(sp.e - sp.s + 1 AS BIGINT) AS span_words,
+           array_to_string(list_slice(ws.w, sp.s, sp.e), ' ') AS span_text
+    FROM spans sp JOIN ws USING (doc_id)
+    """,
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1++: exact-substring dedup at arbitrary granularity — the
+    actual Lee et al. 2022 ExactSubstr semantics (every duplicated
+    substring of >= 8 words, removed at all but its globally-first
+    occurrence), where passage_dedup_docs is the fixed-boundary
+    approximation that misses spans straddling a passage cut. Emits
+    the maximal removable (doc_id, span_start, span_end, span_words,
+    span_text) spans. The reference algorithm's corpus-wide suffix
+    array is replaced by a sharded hash group-by over sliding-window
+    digests + a per-document gaps-and-islands coalesce — no global
+    sort, no all-pairs, text never shuffles (operators/dedup.py
+    substring_dedup_spans has the full 100 TB shape)."""
+    grams = _substring_gram_index(spark, sf_dir)
+    # no fan-out repartition here: the words frame only feeds the final
+    # span re-slice join (the compute-heavy gram build happens inside
+    # the persisted index), so an extra round-robin exchange of the
+    # full text would be pure cost
+    words = D.doc_words(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return D.substring_dedup_spans(grams, words, _SUBSTR_MIN_WORDS).select(
+        F.col("doc").alias("doc_id"),
+        "span_start",
+        "span_end",
+        "span_words",
+        "span_text",
+    )
+
+
+@query(
+    "substring_dedup_rewrite",
+    oracle=_SUBSTR_SPAN_CTES
+    + r"""
+    , kept AS (
+      SELECT ws.doc_id, string_agg(ws.w[i], ' ' ORDER BY i) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM ws, LATERAL unnest(generate_series(1, len(ws.w))) AS t(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = ws.doc_id AND i BETWEEN sp.s AND sp.e
+      )
+      GROUP BY ws.doc_id
+    )
+    SELECT ws.doc_id,
+           CAST(len(ws.w) AS BIGINT) AS n_words,
+           CAST(len(ws.w) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(kept.clean_text, '') AS clean_text
+    FROM ws LEFT JOIN kept USING (doc_id)
+    """,
+)
+def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1++: the REMOVE step of ExactSubstr dedup — every removable
+    span from substring_dedup_spans is cut and the document rebuilt
+    from its surviving words (Lee et al. 2022 drop the duplicated
+    bytes; this is that, at 8-word granularity). Total over the
+    corpus: unduplicated docs pass through unchanged; a doc that first
+    appeared elsewhere in full survives with empty text. The rewrite
+    itself is map-side array math over the per-doc span list — no
+    per-word explode, no extra shuffle (operators/dedup.py
+    substring_dedup_rewrite)."""
+    grams = _substring_gram_index(spark, sf_dir)
+    words = D.doc_words(load(spark, sf_dir, "documents"), "doc_id", "text")
+    spans = D.substring_dedup_spans(grams, words, _SUBSTR_MIN_WORDS)
+    return D.substring_dedup_rewrite(spans, words).select(
+        F.col("doc").alias("doc_id"), "n_words", "n_removed", "clean_text"
+    )

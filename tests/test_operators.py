@@ -2141,3 +2141,97 @@ def test_kmeans_silhouette_bounds_and_final_assignment_consistency(spark, sf_dir
         assert -1.0 <= r.mean_silhouette <= 1.0
         assert r.mean_silhouette >= 0.0  # argmin assignment => b >= a
         assert r.n_members > 0
+
+
+def test_substring_dedup_planted_overlap(spark):
+    """ExactSubstr semantics (Lee et al. 2022): a 12-word span shared
+    across docs — deliberately straddling where a 10-word passage cut
+    would fall, the case passage_dedup cannot see — is reported at its
+    exact word boundaries in every NON-first occurrence, and only
+    there."""
+    span = " ".join(f"s{i}" for i in range(12))
+    pre_a = " ".join(f"a{i}" for i in range(5))
+    post_a = " ".join(f"x{i}" for i in range(6))
+    pre_b = " ".join(f"b{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [
+            (0, pre_a + " " + span + " " + post_a),  # first occurrence
+            (1, pre_b + " " + span),                 # repeat, offset 10
+            (2, "too short to gram"),                # < 8 words: no rows
+        ],
+        "doc_id long, text string",
+    )
+    words = D.doc_words(df, "doc_id", "text")
+    out = D.substring_dedup_spans(D.substring_grams(words, 8), words, 8).collect()
+    assert len(out) == 1  # doc 0 is the survivor; doc 2 has no grams
+    r = out[0]
+    assert r.doc == 1
+    assert (r.span_start, r.span_end, r.span_words) == (10, 21, 12)
+    assert r.span_text == span
+
+
+def test_substring_dedup_within_doc_and_merge(spark):
+    """Within-document repeats mark the LATER occurrence, and marked
+    window starts whose 8-word intervals overlap or touch coalesce
+    into one maximal span."""
+    run = " ".join(f"r{i}" for i in range(8))
+    mid = " ".join(f"m{i}" for i in range(3))
+    # doc: run mid run  -> second run (positions 12..19) is the repeat
+    df = spark.createDataFrame(
+        [(5, run + " " + mid + " " + run)], "doc_id long, text string"
+    )
+    words = D.doc_words(df, "doc_id", "text")
+    out = D.substring_dedup_spans(D.substring_grams(words, 8), words, 8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc, r.span_start, r.span_end, r.span_words) == (5, 12, 19, 8)
+    assert r.span_text == run
+
+
+def test_substring_dedup_distinct_spans_stay_separate(spark):
+    """Two repeated spans in one doc separated by more than the window
+    length produce TWO span rows, not one merged region."""
+    s1 = " ".join(f"p{i}" for i in range(8))
+    s2 = " ".join(f"q{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(9))  # > min_words: no merge
+    df = spark.createDataFrame(
+        [
+            (0, s1 + " " + s2),                    # survivors
+            (1, s1 + " " + gap + " " + s2),        # two separated repeats
+        ],
+        "doc_id long, text string",
+    )
+    words = D.doc_words(df, "doc_id", "text")
+    rows = sorted(
+        D.substring_dedup_spans(D.substring_grams(words, 8), words, 8).collect(),
+        key=lambda r: r.span_start,
+    )
+    assert [(r.doc, r.span_start, r.span_end) for r in rows] == [
+        (1, 1, 8),
+        (1, 18, 25),
+    ]
+    assert [r.span_text for r in rows] == [s1, s2]
+
+
+def test_substring_dedup_rewrite_cuts_exactly_the_spans(spark):
+    span = " ".join(f"s{i}" for i in range(12))
+    pre_a = " ".join(f"a{i}" for i in range(5))
+    pre_b = " ".join(f"b{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [
+            (0, pre_a + " " + span),   # survivor: untouched
+            (1, pre_b + " " + span),   # repeat: span cut, prefix kept
+            (2, span),                 # fully duplicated: emptied
+            (3, "tiny doc"),           # < 8 words: untouched
+        ],
+        "doc_id long, text string",
+    )
+    words = D.doc_words(df, "doc_id", "text")
+    spans = D.substring_dedup_spans(D.substring_grams(words, 8), words, 8)
+    out = {r.doc: r for r in D.substring_dedup_rewrite(spans, words).collect()}
+    assert len(out) == 4  # total over the corpus: every doc has a row
+    assert out[0].clean_text == pre_a + " " + span and out[0].n_removed == 0
+    assert out[1].clean_text == pre_b and out[1].n_removed == 12
+    assert out[2].clean_text == "" and out[2].n_removed == 12
+    assert out[3].clean_text == "tiny doc" and out[3].n_removed == 0
+    assert out[1].n_words == 21 and out[3].n_words == 2
