@@ -99,7 +99,8 @@ HEADLINE = [
     "rfm_kmeans_segments",
     # stream_join_rollup spins a checkpointed streaming query into temp
     # dirs per call (like the other stream_* rollups) — covered by the
-    # streaming tests + driver row, not warm-throughput timing.
+    # streaming tests + driver row, not warm-throughput timing;
+    # stream_ann_assign likewise (checkpointed micro-batch drains).
     # ann_recall_at_k is deliberately NOT here: it is the composition of
     # ann_cosine_topk + ann_ivf_topk, both already timed above.
     # substring_dedup_rewrite likewise composes substring_dedup_spans

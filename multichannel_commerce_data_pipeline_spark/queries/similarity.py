@@ -1513,3 +1513,99 @@ def _rfm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus
+
+
+# Streaming IVF assignment: landed once per (session, sf_dir) — the
+# stream run is durable state (checkpoint + per-batch parquet), so
+# re-running it per DataFrame build would only re-prove what the first
+# drain already materialized (same rationale as the MERGE snapshot
+# chain in warehouse_queries).
+_STREAM_ASSIGN_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _stream_assign_run(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import hashlib
+
+        from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+            fresh_stream_dir,
+            stream_ivf_assign,
+        )
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tmp = fresh_stream_dir(f"mcdp_stream_ann_{tag}_")
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        # two arrival chunks (even/odd vec_id) -> two micro-batches
+        # under maxFilesPerTrigger=1: the assignment must come out
+        # right INCREMENTALLY, not because the whole corpus happened
+        # to share one batch
+        e.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        e.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b1")
+        cents = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % _IVF_STRIDE == 0)
+            .select(
+                F.col("vec_id").alias("cell"),
+                S._as_double(F.col("embedding")).alias("cv"),
+            )
+        )
+        stream_ivf_assign(
+            spark,
+            f"{src}/b*",
+            "vec_id bigint, embedding array<float>",
+            out,
+            ckpt,
+            cents,
+        )
+        return out
+
+    return session_memo(spark, _STREAM_ASSIGN_DIRS, sf_dir, build)
+
+
+@query(
+    "stream_ann_assign",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id % {_IVF_STRIDE} = 0
+    )
+    SELECT vid AS vec_id, cell, ccos FROM (
+      SELECT c.vec_id AS vid, t.cell,
+             {oracle_dround(_COSINE.replace('qv', 'c.v').replace('cv', 't.cv'), 6)}
+               AS ccos,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {oracle_dround(_COSINE.replace('qv', 'c.v').replace('cv', 't.cv'), 6)}
+                        DESC, t.cell
+             ) AS rn
+      FROM c, cents t
+    ) WHERE rn = 1
+    """,
+)
+def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 × T5: streaming IVF coarse assignment — the index-serving
+    path where embeddings ARRIVE as a feed and are routed to their
+    nearest pre-trained coarse centroid incrementally (two parquet
+    chunks drained as two checkpointed micro-batches,
+    maxFilesPerTrigger=1, idempotent per-batch landing). The oracle is
+    the BATCH assignment SQL over the full corpus: stream output must
+    equal what a from-scratch batch assigner computes, proving the
+    incremental path loses nothing (streaming/jobs.stream_ivf_assign
+    runs the same partial-aggregated broadcast-argmax as the batch
+    operator inside foreachBatch)."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_stream_assignments,
+    )
+
+    out = _stream_assign_run(spark, sf_dir)
+    return read_stream_assignments(spark, out).select(
+        F.col("vid").alias("vec_id"), "cell", "ccos"
+    )

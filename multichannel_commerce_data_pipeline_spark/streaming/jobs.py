@@ -997,3 +997,70 @@ def read_latest_binned_profile(spark: SparkSession, out_dir: str) -> DataFrame:
         .filter(F.col("__bid") == F.col("__mx"))
         .select("bin", "is_ref", "n")
     )
+
+
+def stream_ivf_assign(
+    spark: SparkSession,
+    src_glob: str,
+    schema_ddl: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Streaming IVF coarse assignment (X2 × T5) — the index-serving
+    side of ANN at 100 TB: vectors ARRIVE (a parquet/Kafka feed of
+    fresh embeddings) and are routed to their nearest coarse centroid
+    incrementally, instead of re-running the batch assigner over the
+    whole corpus per refresh. The centroid set is the pre-trained
+    per-corpus model artifact (bounded: a broadcast-sized frame), so
+    the per-vector work is the same map-side broadcast-join +
+    partial-aggregated argmax as the batch ``ivf_assign`` — run HERE
+    inside ``foreachBatch``, which is exactly the batch/stream seam:
+    one assignment implementation, two drivers, so stream output ≡
+    batch output by construction (the driver oracle for
+    ``stream_ann_assign`` is the BATCH assignment SQL).
+
+    Checkpointed and idempotent: each micro-batch lands to its own
+    ``batch-{id}`` dir with mode=overwrite, so a replayed batch after
+    a crash overwrites its own output instead of duplicating rows
+    (same contract as ``stream_cm_sketch``). ``maxFilesPerTrigger=1``
+    makes each landed chunk its own micro-batch, proving the
+    incremental path rather than draining everything in one gulp."""
+    from multichannel_commerce_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_glob)
+
+    def assign_batch(batch_df: DataFrame, bid: int) -> None:
+        out, _ = ivf_assign(
+            batch_df, 0, id_col=id_col, vec_col=vec_col, centroids=centroids
+        )
+        (
+            out.select("vid", "cell", "ccos")
+            .withColumn("__bid", F.lit(bid))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch-{bid}")
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(assign_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def read_stream_assignments(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All landed assignment rows across micro-batches (each vector
+    arrives once, so append-across-batches is the full assignment
+    set)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)

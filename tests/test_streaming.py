@@ -976,3 +976,58 @@ def test_stream_binned_profile_cumulative_across_restart(spark, tmp_path):
     second = {(r.bin, r.is_ref): r.n for r in drain().collect()}
     assert second == batch_counts()
     assert sum(second.values()) > sum(first.values())
+
+
+def test_stream_ivf_assign_incremental_and_idempotent(spark, tmp_path):
+    """Streaming IVF assignment (X2 x T5): two planted chunks drain as
+    two micro-batches (maxFilesPerTrigger=1) whose union equals the
+    batch assignment; a re-drain over the same checkpoint adds NOTHING
+    (exactly-once); a chunk landed later is assigned incrementally as
+    its own batch without reprocessing earlier vectors."""
+    from multichannel_commerce_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        ivf_assign,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_stream_assignments,
+        stream_ivf_assign,
+    )
+
+    # tiny deterministic corpus: 12 vectors in 3 dims, 2 centroids
+    vecs = [(i, [float(i % 3 + 1), float((i * 7) % 5 + 1), 1.0]) for i in range(12)]
+    schema = "vec_id bigint, embedding array<float>"
+    full = spark.createDataFrame(vecs, schema)
+    cents = (
+        full.filter(F.col("vec_id") % 6 == 0)
+        .select(F.col("vec_id").alias("cell"), _as_double(F.col("embedding")).alias("cv"))
+    )
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    full.filter(F.col("vec_id") < 4).coalesce(1).write.parquet(str(src / "b0"))
+    full.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    stream_ivf_assign(spark, f"{src}/b*", schema, str(out), str(ckpt), cents)
+    landed = read_stream_assignments(spark, str(out))
+    assert landed.select("__bid").distinct().count() == 2  # one per chunk
+    assert landed.count() == 8
+
+    # exactly-once: nothing new to drain -> no new rows, no new batches
+    stream_ivf_assign(spark, f"{src}/b*", schema, str(out), str(ckpt), cents)
+    again = read_stream_assignments(spark, str(out))
+    assert again.count() == 8
+
+    # late chunk: assigned as its own micro-batch, prior rows untouched
+    full.filter(F.col("vec_id") >= 8).coalesce(1).write.parquet(str(src / "b2"))
+    stream_ivf_assign(spark, f"{src}/b*", schema, str(out), str(ckpt), cents)
+    final = read_stream_assignments(spark, str(out))
+    assert final.count() == 12
+    assert final.select("__bid").distinct().count() == 3
+
+    # stream union == batch assignment, value for value
+    batch, _ = ivf_assign(full, 0, centroids=cents)
+    got = sorted(
+        tuple(r) for r in final.select("vid", "cell", "ccos").collect()
+    )
+    want = sorted(tuple(r) for r in batch.select("vid", "cell", "ccos").collect())
+    assert got == want
