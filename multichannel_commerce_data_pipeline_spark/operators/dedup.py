@@ -1030,6 +1030,41 @@ def substring_grams(words: DataFrame, min_words: int = 8) -> DataFrame:
     )
 
 
+def substring_span_bounds(grams: DataFrame, min_words: int = 8) -> DataFrame:
+    """The narrow half of ExactSubstr dedup: maximal removable
+    (doc, span_start, span_end) intervals, with NO text attached —
+    consumers that only need boundaries (the rewrite's per-doc span
+    fold, removal accounting) use this directly and skip the
+    words-frame join entirely. See :func:`substring_dedup_spans` for
+    the semantics and the 100 TB shape of each stage."""
+    surv = grams.groupBy("pdigest").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct("doc", "pos")).alias("__first"),
+    )
+    dup = surv.filter(F.col("__c") >= 2).select("pdigest", "__first")
+    starts = (
+        grams.join(dup, "pdigest")
+        .filter(
+            ~(
+                (F.col("doc") == F.col("__first.doc"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+        .select("doc", "pos")
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= min_words, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    islands = starts.withColumn("__brk", brk).withColumn(
+        "__isl", F.sum("__brk").over(w)
+    )
+    return islands.groupBy("doc", "__isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (min_words - 1)).alias("span_end"),
+    )
+
+
 def substring_dedup_spans(
     grams: DataFrame, words: DataFrame, min_words: int = 8
 ) -> DataFrame:
@@ -1077,33 +1112,7 @@ def substring_dedup_spans(
     documents keeps the operator composable (audit, cut, or weight) —
     and a doc with no removable span simply has no row.
     """
-    surv = grams.groupBy("pdigest").agg(
-        F.count(F.lit(1)).alias("__c"),
-        F.min(F.struct("doc", "pos")).alias("__first"),
-    )
-    dup = surv.filter(F.col("__c") >= 2).select("pdigest", "__first")
-    starts = (
-        grams.join(dup, "pdigest")
-        .filter(
-            ~(
-                (F.col("doc") == F.col("__first.doc"))
-                & (F.col("pos") == F.col("__first.pos"))
-            )
-        )
-        .select("doc", "pos")
-    )
-    w = Window.partitionBy("doc").orderBy("pos")
-    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= min_words, F.lit(0)).otherwise(
-        F.lit(1)
-    )
-    islands = starts.withColumn("__brk", brk).withColumn(
-        "__isl", F.sum("__brk").over(w)
-    )
-    spans = islands.groupBy("doc", "__isl").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + (min_words - 1)).alias("span_end"),
-    )
-    return spans.join(words, "doc").select(
+    return substring_span_bounds(grams, min_words).join(words, "doc").select(
         "doc",
         F.col("span_start").cast("long").alias("span_start"),
         F.col("span_end").cast("long").alias("span_end"),
@@ -1123,7 +1132,9 @@ def substring_dedup_spans(
 
 def substring_dedup_rewrite(spans: DataFrame, words: DataFrame) -> DataFrame:
     """The remove step of ExactSubstr dedup: cut every removable span
-    (from :func:`substring_dedup_spans`) out of its document and
+    (from :func:`substring_span_bounds` — the narrow boundaries frame,
+    NOT the text-joined report, whose words-join would otherwise be
+    executed once here and once in the report) out of its document and
     rebuild the text from the surviving words. Total over the corpus —
     a document with no removable span passes through unchanged, and a
     document that was entirely duplicated elsewhere survives with

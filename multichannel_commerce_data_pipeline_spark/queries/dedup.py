@@ -1224,7 +1224,7 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring_dedup_rewrite)."""
     grams = _substring_gram_index(spark, sf_dir)
     words = D.doc_words(load(spark, sf_dir, "documents"), "doc_id", "text")
-    spans = D.substring_dedup_spans(grams, words, _SUBSTR_MIN_WORDS)
+    spans = D.substring_span_bounds(grams, _SUBSTR_MIN_WORDS)
     return D.substring_dedup_rewrite(spans, words).select(
         F.col("doc").alias("doc_id"), "n_words", "n_removed", "clean_text"
     )

@@ -93,6 +93,8 @@ PROBES = [
     ("nb_calibration_report", "documents", "cached-model score + 8-bin rollup"),
     ("embedding_anisotropy", "embeddings", "2 power rounds + 1 energy pass"),
     ("rfm_kmeans_segments", "orders", "RFM agg + 2 Lloyd rounds, k=4"),
+    ("substring_dedup_spans", "documents word windows", "partial-agg survivor + islands window"),
+    ("substring_dedup_rewrite", "documents word windows", "spans + map-side indexed-filter cut"),
 ]
 REPS = 3
 

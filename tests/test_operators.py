@@ -2227,7 +2227,7 @@ def test_substring_dedup_rewrite_cuts_exactly_the_spans(spark):
         "doc_id long, text string",
     )
     words = D.doc_words(df, "doc_id", "text")
-    spans = D.substring_dedup_spans(D.substring_grams(words, 8), words, 8)
+    spans = D.substring_span_bounds(D.substring_grams(words, 8), 8)
     out = {r.doc: r for r in D.substring_dedup_rewrite(spans, words).collect()}
     assert len(out) == 4  # total over the corpus: every doc has a row
     assert out[0].clean_text == pre_a + " " + span and out[0].n_removed == 0
