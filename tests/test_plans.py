@@ -698,3 +698,16 @@ def test_substring_dedup_plan_shape(plans):
         if "Exchange hashpartitioning(doc" in ln
     ]
     assert len(doc_exchanges) <= 1, doc_exchanges
+
+
+def test_substring_rewrite_joins_words_once(plans):
+    """The rewrite consumes the NARROW span bounds, so its live plan
+    has exactly two joins — the per-doc span fold onto the words frame
+    and the gram-index mark join — never a third from re-deriving the
+    text-joined span report (whose words join Catalyst cannot prune:
+    join multiplicity is not provably 1)."""
+    p = plans("substring_dedup_rewrite")
+    assert "CartesianProduct" not in p
+    # formatted mode prints one "Join type:" detail block per join node
+    live = p.split("===== Subqueries =====")[0]
+    assert live.count("Join type:") <= 2, live.count("Join type:")
