@@ -6,7 +6,8 @@ The spark-sql-kafka connector jar is not bundled in this environment, so
 ``load()``/``start()`` paths are exercised only when the connector is
 present; the *frame shaping* (value JSON encode/decode against the
 explicit envelope schemas) is plain DataFrame code and is unit-tested
-without a broker.
+without a broker. (Sandbox re-checked every round — still no broker or
+connector jar as of r10.)
 
 Topology parity with the reference (docker-compose.yml:156-168): five
 ``raw-*`` topics, message = JSON ``{data, stream_timestamp}``.

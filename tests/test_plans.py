@@ -688,6 +688,11 @@ def test_substring_dedup_plan_shape(plans):
     p = plans("substring_dedup_spans")
     assert "CartesianProduct" not in p
     assert "InMemoryTableScan" in p
+    # the survivor-per-window aggregate must partial-aggregate: a
+    # boilerplate window duplicated a billion times collapses map-side
+    # instead of flooding one reducer (the skew case a row_number
+    # window cannot partial away)
+    assert "partial_min" in p and "partial_count" in p
     # formatted mode summarizes the cached build separately, so the
     # live plan's exchanges are countable: exactly one hash exchange
     # keyed on doc for the islands window
