@@ -91,7 +91,13 @@ WINDOW_SLOTS = 50
 # refactors (evaluation-strategy-only changes re-verified via
 # scripts/check.py sweeps) wait for ordinary rotation instead, per the
 # accepted r6 convention. Reset this tuple at the start of each round.
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+#
+# r10: tfidf_top_terms and bm25_search now serve the persisted
+# token-partitioned doc-term index (queries/text.py _doc_term_index)
+# instead of re-tokenizing the corpus per consumer — evaluation
+# strategy only (oracles unchanged, re-verified green at sf0.01), but
+# the plan rewrite is substantial enough to re-earn evidence.
+CHANGED_THIS_ROUND: tuple[str, ...] = ("bm25_search", "tfidf_top_terms")
 
 
 def _import_all() -> None:

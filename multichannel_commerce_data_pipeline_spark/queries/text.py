@@ -18,9 +18,54 @@ from multichannel_commerce_data_pipeline_spark.functions import (
 )
 from multichannel_commerce_data_pipeline_spark.operators import text as T
 from multichannel_commerce_data_pipeline_spark.queries import query
-from multichannel_commerce_data_pipeline_spark.tables import load, parallelize_small_scan
+from multichannel_commerce_data_pipeline_spark.tables import (
+    load,
+    parallelize_small_scan,
+    session_memo,
+)
 
 _STOP_IN = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+# Doc-term frequency index — the corpus's term-statistics artifact
+# (what an inverted index's postings carry), persisted per corpus
+# version and hash-partitioned on token (the storage-investment rule,
+# same as the shingle/LSH/basket indexes). Consumers:
+#   - tfidf_top_terms reads it twice (document frequency + the scored
+#     join); without the persisted index the tokenize→explode→TF
+#     subtree executes once per consumer (no DataFrame-level CSE) and
+#     the token join re-shuffles the (doc, token) frame;
+#   - bm25_search derives its per-doc length + per-term tf row from it
+#     (sum of tf replaces re-tokenizing the corpus).
+# Build order matters for skew: the TF aggregate runs FIRST on its
+# natural (doc_id, token) key — partial aggregation collapses each
+# mapper's copies of a hot token ("the") before any shuffle — and only
+# the aggregated tf rows are re-laid-out on token for serving. A
+# pre-aggregation repartition on token would funnel every occurrence
+# of a hot token through one reducer. The serving layout makes the
+# df-aggregate and the token join exchange-free.
+_TF_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_term_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        from pyspark import StorageLevel
+
+        d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+        tok = d.select(
+            "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+        )
+        n_parts = spark.sparkContext.defaultParallelism
+        tf = (
+            tok.groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .repartition(n_parts, "token")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        tf.count()
+        return tf
+
+    return session_memo(spark, _TF_INDEX_CACHE, sf_dir, build)
 
 
 @query(
@@ -336,18 +381,19 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3: TF-IDF top-5 terms per document — term frequency (one
-    doc-term group-by), document frequency (one term group-by; counts
-    rows of the already-distinct doc-term frame, no second distinct),
-    corpus size as a broadcast scalar, keyed row_number for top-k.
-    The salient-keyword extraction step of a corpus summarizer."""
-    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
-    tok = d.select(
-        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    """X3: TF-IDF top-5 terms per document — term frequency served
+    from the persisted token-partitioned doc-term index (see
+    _doc_term_index: before r10 the tokenize→TF subtree executed once
+    per consumer and the token join re-shuffled it), document
+    frequency counting rows of that already-distinct frame (no second
+    distinct, no exchange on the cached layout), corpus size as a
+    broadcast scalar, keyed row_number for top-k. The salient-keyword
+    extraction step of a corpus summarizer."""
+    tf = _doc_term_index(spark, sf_dir)
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    n = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     scored = (
         tf.join(df_t, "token")
         .join(F.broadcast(n))
@@ -718,10 +764,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document against a fixed term set — the lexical scorer behind
     the sparse side of hybrid search (hybrid_search_rrf ranks by raw
     tf; this is the production formula with saturation and length
-    normalization). The corpus is tokenized ONCE: a single keyed
-    aggregation produces doc length AND one conditional tf counter per
-    query term (columns, not rows — |Q| is small by definition), so
-    the whole query is one explode + one doc-keyed shuffle. The corpus
+    normalization). A single keyed aggregation over the persisted
+    doc-term index produces doc length AND one conditional tf counter
+    per query term (columns, not rows — |Q| is small by definition),
+    so the whole query is one doc-keyed shuffle of tf-sized rows —
+    the corpus is never re-tokenized per call (r10; before, one
+    explode over the raw text per invocation). The corpus
     model (N, avgdl, per-term df) is one bounded collect off that
     frame, entering the scoring projection as literals — the
     fit-then-broadcast shape every model query here uses. Per-term
@@ -730,12 +778,16 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the decayed_popularity convention); ln() itself agrees
     cross-engine per the tfidf_top_terms precedent (the oracle fits
     the same model relationally — same values, different plan)."""
-    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
-    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
-    per_doc = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl"),
+    # doc length and per-term tf fold out of the persisted doc-term
+    # index (sum of tf == token count): the corpus is not re-tokenized
+    # per call, and the shuffle to doc_id carries tf-sized rows
+    tf_idx = _doc_term_index(spark, sf_dir)
+    per_doc = tf_idx.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl"),
         *[
-            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            F.sum(F.when(F.col("token") == t, F.col("tf")).otherwise(0)).alias(
+                f"tf_{i}"
+            )
             for i, t in enumerate(_BM25_TERMS)
         ],
     )
