@@ -74,8 +74,10 @@ HEADLINE = [
     "cm_sketch_estimate",
     "kmeans_centroid_fit",
     "cluster_safe_split",
-    # round 10 addition (suffix-granularity exact-substring dedup)
+    # round 10 additions (suffix-granularity exact-substring dedup +
+    # substring-level benchmark decontamination, shared gram index)
     "substring_dedup_spans",
+    "decontaminate_spans",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",

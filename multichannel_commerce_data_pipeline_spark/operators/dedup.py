@@ -1030,6 +1030,25 @@ def substring_grams(words: DataFrame, min_words: int = 8) -> DataFrame:
     )
 
 
+def _coalesce_start_islands(starts: DataFrame, min_words: int) -> DataFrame:
+    """Shared gaps-and-islands pass: marked window-start positions
+    whose ``min_words``-word intervals overlap or touch merge into one
+    maximal (doc, span_start, span_end) interval. One narrow shuffle
+    on doc; the window's hash(doc) layout also satisfies the span
+    aggregate's (doc, island) distribution, so no second exchange."""
+    w = Window.partitionBy("doc").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= min_words, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    islands = starts.withColumn("__brk", brk).withColumn(
+        "__isl", F.sum("__brk").over(w)
+    )
+    return islands.groupBy("doc", "__isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (min_words - 1)).alias("span_end"),
+    )
+
+
 def substring_span_bounds(grams: DataFrame, min_words: int = 8) -> DataFrame:
     """The narrow half of ExactSubstr dedup: maximal removable
     (doc, span_start, span_end) intervals, with NO text attached —
@@ -1052,16 +1071,53 @@ def substring_span_bounds(grams: DataFrame, min_words: int = 8) -> DataFrame:
         )
         .select("doc", "pos")
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= min_words, F.lit(0)).otherwise(
-        F.lit(1)
+    return _coalesce_start_islands(starts, min_words)
+
+
+def contamination_spans(
+    train_grams: DataFrame,
+    eval_grams: DataFrame,
+    words: DataFrame,
+    min_words: int = 8,
+) -> DataFrame:
+    """Substring-level benchmark decontamination — the Lee et al. 2022
+    use case the doc-level flag pass (:func:`decontaminate_flags`)
+    cannot localize: every maximal span of a TRAINING document that
+    reproduces >= ``min_words`` consecutive words appearing ANYWHERE
+    in the held-out evaluation set, with its exact word boundaries, so
+    the remover can cut the leaked span instead of dropping (or
+    worse, keeping) the whole document.
+
+    Marking rule differs from dedup: there is no survivor — every
+    train occurrence of an eval window is contaminated (the eval set
+    is ground truth to protect, not a corpus member to dedup against).
+
+    100 TB shape: the eval side reduces to DISTINCT window digests —
+    |eval docs| x tokens, tiny by definition — and broadcasts onto the
+    train gram index, so the train corpus never shuffles for the
+    marking; coalescing is the shared per-document gaps-and-islands
+    pass; span text re-slices map-side after a co-partitioned join on
+    doc (duplicated text never shuffles)."""
+    eval_digests = eval_grams.select("pdigest").distinct()
+    starts = train_grams.join(F.broadcast(eval_digests), "pdigest").select(
+        "doc", "pos"
     )
-    islands = starts.withColumn("__brk", brk).withColumn(
-        "__isl", F.sum("__brk").over(w)
-    )
-    return islands.groupBy("doc", "__isl").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + (min_words - 1)).alias("span_end"),
+    spans = _coalesce_start_islands(starts, min_words)
+    return spans.join(words, "doc").select(
+        "doc",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("span_words"),
+        F.array_join(
+            F.slice(
+                F.col("words"),
+                F.col("span_start").cast("int"),
+                (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+            ),
+            " ",
+        ).alias("span_text"),
     )
 
 

@@ -1107,10 +1107,11 @@ def _substring_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, _SUBSTR_GRAM_CACHE, sf_dir, build)
 
 
-# The spans pipeline as shared CTEs: both substring queries (the span
-# report and the rewrite) verify against the identical oracle text, so
-# a semantics drift in one shows up as a hash mismatch in both.
-_SUBSTR_SPAN_CTES = rf"""
+# The spans pipeline as shared SQL fragments: every substring query
+# (the dedup span report, the rewrite, and substring decontamination)
+# verifies against the identical gram + islands oracle text, so a
+# semantics drift in one shows up as a hash mismatch in all.
+_SUBSTR_WS_GRAMS = rf"""
     WITH ws AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
@@ -1121,16 +1122,10 @@ _SUBSTR_SPAN_CTES = rf"""
       FROM ws, LATERAL unnest(
         generate_series(1, greatest(len(w) - {_SUBSTR_MIN_WORDS - 1}, 0))
       ) AS t(i)
-    ),
-    marked AS (
-      SELECT doc_id, pos,
-             COUNT(*) OVER (PARTITION BY g) AS c,
-             ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-      FROM grams
-    ),
-    starts AS (
-      SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1
-    ),
+    )"""
+
+# gaps-and-islands over a `starts(doc_id, pos)` CTE -> spans(doc_id, s, e)
+_SUBSTR_ISLANDS_TAIL = rf""",
     flagged AS (
       SELECT doc_id, pos,
              CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
@@ -1151,18 +1146,35 @@ _SUBSTR_SPAN_CTES = rf"""
     )
 """
 
+_SUBSTR_SPAN_CTES = (
+    _SUBSTR_WS_GRAMS
+    + rf""",
+    marked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY g) AS c,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      FROM grams
+    ),
+    starts AS (
+      SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1
+    )"""
+    + _SUBSTR_ISLANDS_TAIL
+)
 
-@query(
-    "substring_dedup_spans",
-    oracle=_SUBSTR_SPAN_CTES
-    + r"""
+# final projection shared by the span-report queries
+_SUBSTR_SPAN_SELECT = r"""
     SELECT sp.doc_id,
            CAST(sp.s AS BIGINT) AS span_start,
            CAST(sp.e AS BIGINT) AS span_end,
            CAST(sp.e - sp.s + 1 AS BIGINT) AS span_words,
            array_to_string(list_slice(ws.w, sp.s, sp.e), ' ') AS span_text
     FROM spans sp JOIN ws USING (doc_id)
-    """,
+    """
+
+
+@query(
+    "substring_dedup_spans",
+    oracle=_SUBSTR_SPAN_CTES + _SUBSTR_SPAN_SELECT,
 )
 def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1++: exact-substring dedup at arbitrary granularity — the
@@ -1227,4 +1239,48 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = D.substring_span_bounds(grams, _SUBSTR_MIN_WORDS)
     return D.substring_dedup_rewrite(spans, words).select(
         F.col("doc").alias("doc_id"), "n_words", "n_removed", "clean_text"
+    )
+
+
+@query(
+    "decontaminate_spans",
+    oracle=_SUBSTR_WS_GRAMS
+    + rf""",
+    ev AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < {_BENCH_CUT}
+    ),
+    starts AS (
+      SELECT doc_id, pos FROM grams
+      WHERE doc_id >= {_BENCH_CUT} AND g IN (SELECT g FROM ev)
+    )"""
+    + _SUBSTR_ISLANDS_TAIL
+    + _SUBSTR_SPAN_SELECT,
+)
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X3: substring-level benchmark decontamination — every maximal
+    span of a training document (docs >= 20) reproducing >= 8
+    consecutive words found anywhere in the held-out benchmark slice
+    (docs 0..19), with exact word boundaries, so the leaked span can be
+    cut instead of dropping or keeping the whole document — the
+    localization the doc-level flag pass (benchmark_decontamination)
+    cannot provide, and the train-vs-test form of the Lee et al. 2022
+    dedup. No survivor rule here: EVERY train occurrence of an eval
+    window is contaminated. Serves the same persisted gram index as
+    the substring-dedup family (third consumer); the eval side reduces
+    to a broadcast digest set, so the train corpus never shuffles for
+    the marking (operators/dedup.py contamination_spans)."""
+    grams = _substring_gram_index(spark, sf_dir)
+    train_grams = grams.filter(F.col("doc") >= _BENCH_CUT)
+    eval_grams = grams.filter(F.col("doc") < _BENCH_CUT)
+    words = D.doc_words(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    ).filter(F.col("doc") >= _BENCH_CUT)
+    return D.contamination_spans(
+        train_grams, eval_grams, words, _SUBSTR_MIN_WORDS
+    ).select(
+        F.col("doc").alias("doc_id"),
+        "span_start",
+        "span_end",
+        "span_words",
+        "span_text",
     )

@@ -29,7 +29,7 @@ PROBES = [
     ("window_running_sum", "orders", "one hash exchange + per-key sort"),
     ("salted_skew_agg", "lineitem", "two-phase salted agg"),
     ("pack_sequences", "documents", "per-shard window cumsum"),
-    ("tfidf_top_terms", "documents tokens", "two group-bys + broadcast scalar"),
+    ("tfidf_top_terms", "documents tokens", "tf-index df rollup + token join"),
     ("minhash_lsh_dupes", "documents", "map-side signatures + band join"),
     ("embedding_near_dupes", "embeddings", "SRP buckets (fixed planes)"),
     ("ann_ivf_topk", "embeddings", "map-side argmax + probed cells"),
@@ -67,7 +67,7 @@ PROBES = [
     ("skew_profile", "lineitem keys", "partial agg + TakeOrdered"),
     ("table_reconcile", "customer x replica", "two digest scans + 64-row join"),
     ("snapshot_diff_cdf", "events", "two max(struct) collapses + FO join"),
-    ("bm25_search", "documents tokens", "one explode + one doc-keyed agg"),
+    ("bm25_search", "documents tokens", "doc-keyed fold of the tf index"),
     ("cm_sketch_estimate", "events", "map-side explode + d*w-cell agg"),
     ("kmeans_centroid_fit", "embeddings", "2 Lloyd rounds, bounded collects"),
     ("cluster_safe_split", "documents graph", "LSH pairs + CC + hash split"),
@@ -95,6 +95,7 @@ PROBES = [
     ("rfm_kmeans_segments", "orders", "RFM agg + 2 Lloyd rounds, k=4"),
     ("substring_dedup_spans", "documents word windows", "partial-agg survivor + islands window"),
     ("substring_dedup_rewrite", "documents word windows", "spans + map-side indexed-filter cut"),
+    ("decontaminate_spans", "documents word windows", "broadcast eval digests + islands window"),
 ]
 REPS = 3
 

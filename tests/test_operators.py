@@ -2235,3 +2235,36 @@ def test_substring_dedup_rewrite_cuts_exactly_the_spans(spark):
     assert out[2].clean_text == "" and out[2].n_removed == 12
     assert out[3].clean_text == "tiny doc" and out[3].n_removed == 0
     assert out[1].n_words == 21 and out[3].n_words == 2
+
+
+def test_contamination_spans_planted_leak(spark):
+    """A 10-word benchmark passage leaked into two train docs is
+    reported at exact boundaries in BOTH (no survivor rule: every
+    train occurrence of an eval window is contaminated), and train
+    text absent from the eval set is never flagged."""
+    leak = " ".join(f"l{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (0, "eval set doc " + leak),               # benchmark (doc < 2)
+            (1, "another eval doc with nothing else"),
+            (2, leak + " " + " ".join(f"t{i}" for i in range(5))),
+            (3, " ".join(f"u{i}" for i in range(4)) + " " + leak),
+            (4, " ".join(f"v{i}" for i in range(12))),  # clean train doc
+        ],
+        "doc_id long, text string",
+    )
+    words = D.doc_words(df, "doc_id", "text")
+    grams = D.substring_grams(words, 8)
+    out = sorted(
+        D.contamination_spans(
+            grams.filter(F.col("doc") >= 2),
+            grams.filter(F.col("doc") < 2),
+            words.filter(F.col("doc") >= 2),
+            8,
+        ).collect(),
+        key=lambda r: r.doc,
+    )
+    assert [(r.doc, r.span_start, r.span_end, r.span_text) for r in out] == [
+        (2, 1, 10, leak),
+        (3, 5, 14, leak),
+    ]
