@@ -90,13 +90,21 @@ WINDOW_SLOTS = 50
 # they re-earn their driver row per priority (2). Value-identical
 # refactors (evaluation-strategy-only changes re-verified via
 # scripts/check.py sweeps) wait for ordinary rotation instead, per the
-# accepted r6 convention. Reset this tuple at the start of each round.
+# accepted r6 convention.
+#
+# SELF-EXPIRING: the declaration names the round it was made for
+# (CHANGED_IN_ROUND); once the driver writes that round's CORRECTNESS
+# file and the planner is planning a LATER round, a stale declaration
+# is ignored automatically — forgetting to clear it can never waste
+# window slots (the declared queries hold fresh evidence by then, so
+# oldest-first would not re-seat them either).
 #
 # r10: tfidf_top_terms and bm25_search now serve the persisted
 # token-partitioned doc-term index (queries/text.py _doc_term_index)
 # instead of re-tokenizing the corpus per consumer — evaluation
 # strategy only (oracles unchanged, re-verified green at sf0.01), but
 # the plan rewrite is substantial enough to re-earn evidence.
+CHANGED_IN_ROUND = 10
 CHANGED_THIS_ROUND: tuple[str, ...] = ("bm25_search", "tfidf_top_terms")
 
 
@@ -157,15 +165,21 @@ def evidence(repo_root=None) -> tuple[int, dict[str, int]]:
 def plan_window(
     latest: dict[str, int] | None = None,
     changed: tuple[str, ...] | None = None,
+    current: int | None = None,
 ) -> tuple[str, ...]:
     """Compute the 50-slot checked window from the on-disk evidence,
     per the standing rotation policy documented above. Deterministic:
     same evidence files + same CHANGED_THIS_ROUND -> same tuple."""
     _import_all()
     if latest is None:
-        latest = evidence()[1]
+        current, latest = evidence()
     if changed is None:
-        changed = CHANGED_THIS_ROUND
+        # a declaration made for an earlier round has expired
+        changed = (
+            CHANGED_THIS_ROUND
+            if current is None or current <= CHANGED_IN_ROUND
+            else ()
+        )
     names = [n for n in REGISTRY if REGISTRY[n].oracle is not None]
     window = [FLAGSHIP]
     seated = {FLAGSHIP}

@@ -145,3 +145,29 @@ def test_exceptions_are_live_and_real():
             f"exception for {name} expired at round {expiry} "
             f"(current {current}) — rotate it or renew with a reason"
         )
+
+
+def test_changed_declaration_expires_after_its_round():
+    """A CHANGED_THIS_ROUND declaration made for round N must be
+    ignored when planning round N+1 (the driver has written N's
+    evidence by then) — forgetting to clear the tuple can never waste
+    priority-2 slots in a later round."""
+    from multichannel_commerce_data_pipeline_spark.queries import (
+        CHANGED_IN_ROUND,
+    )
+
+    if not CHANGED_THIS_ROUND:
+        return  # nothing declared this round; nothing to expire
+    reg = load_registry()
+    paired = sorted(n for n in reg if reg[n].oracle is not None)
+    pick = CHANGED_THIS_ROUND[0]
+    # declared query FRESH, everything else one round older
+    latest = {n: CHANGED_IN_ROUND - 1 for n in paired}
+    latest[pick] = CHANGED_IN_ROUND
+    # planning the declaration's own round: seated as priority 2
+    w_now = plan_window(latest=latest, current=CHANGED_IN_ROUND)
+    assert pick in w_now[1 : 1 + len(CHANGED_THIS_ROUND)]
+    # planning a later round: expired — fresh evidence, oldest-first
+    # fill passes it over (hundreds of older candidates for 49 slots)
+    w_next = plan_window(latest=latest, current=CHANGED_IN_ROUND + 1)
+    assert pick not in w_next
