@@ -1030,6 +1030,31 @@ def substring_grams(words: DataFrame, min_words: int = 8) -> DataFrame:
     )
 
 
+def _span_report(spans: DataFrame, words: DataFrame) -> DataFrame:
+    """Shared span-report projection: join the narrow (doc, span_start,
+    span_end) bounds to the words frame and emit the public
+    (doc, span_start, span_end, span_words, span_text) shape — the
+    text re-slice happens map-side after the co-partitioned join, in
+    exactly one place so the dedup and decontamination reports cannot
+    drift."""
+    return spans.join(words, "doc").select(
+        "doc",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("span_words"),
+        F.array_join(
+            F.slice(
+                F.col("words"),
+                F.col("span_start").cast("int"),
+                (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+            ),
+            " ",
+        ).alias("span_text"),
+    )
+
+
 def _coalesce_start_islands(starts: DataFrame, min_words: int) -> DataFrame:
     """Shared gaps-and-islands pass: marked window-start positions
     whose ``min_words``-word intervals overlap or touch merge into one
@@ -1046,7 +1071,7 @@ def _coalesce_start_islands(starts: DataFrame, min_words: int) -> DataFrame:
     return islands.groupBy("doc", "__isl").agg(
         F.min("pos").alias("span_start"),
         (F.max("pos") + (min_words - 1)).alias("span_end"),
-    )
+    ).drop("__isl")
 
 
 def substring_span_bounds(grams: DataFrame, min_words: int = 8) -> DataFrame:
@@ -1102,23 +1127,7 @@ def contamination_spans(
     starts = train_grams.join(F.broadcast(eval_digests), "pdigest").select(
         "doc", "pos"
     )
-    spans = _coalesce_start_islands(starts, min_words)
-    return spans.join(words, "doc").select(
-        "doc",
-        F.col("span_start").cast("long").alias("span_start"),
-        F.col("span_end").cast("long").alias("span_end"),
-        (F.col("span_end") - F.col("span_start") + 1)
-        .cast("long")
-        .alias("span_words"),
-        F.array_join(
-            F.slice(
-                F.col("words"),
-                F.col("span_start").cast("int"),
-                (F.col("span_end") - F.col("span_start") + 1).cast("int"),
-            ),
-            " ",
-        ).alias("span_text"),
-    )
+    return _span_report(_coalesce_start_islands(starts, min_words), words)
 
 
 def substring_dedup_spans(
@@ -1168,22 +1177,7 @@ def substring_dedup_spans(
     documents keeps the operator composable (audit, cut, or weight) —
     and a doc with no removable span simply has no row.
     """
-    return substring_span_bounds(grams, min_words).join(words, "doc").select(
-        "doc",
-        F.col("span_start").cast("long").alias("span_start"),
-        F.col("span_end").cast("long").alias("span_end"),
-        (F.col("span_end") - F.col("span_start") + 1)
-        .cast("long")
-        .alias("span_words"),
-        F.array_join(
-            F.slice(
-                F.col("words"),
-                F.col("span_start").cast("int"),
-                (F.col("span_end") - F.col("span_start") + 1).cast("int"),
-            ),
-            " ",
-        ).alias("span_text"),
-    )
+    return _span_report(substring_span_bounds(grams, min_words), words)
 
 
 def substring_dedup_rewrite(spans: DataFrame, words: DataFrame) -> DataFrame:

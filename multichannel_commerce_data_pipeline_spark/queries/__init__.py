@@ -172,7 +172,11 @@ def plan_window(
     same evidence files + same CHANGED_THIS_ROUND -> same tuple."""
     _import_all()
     if latest is None:
-        current, latest = evidence()
+        ev_current, latest = evidence()
+        # an explicit `current` (what-if planning) wins over the
+        # evidence-derived round; without one, use the evidence
+        if current is None:
+            current = ev_current
     if changed is None:
         # a declaration made for an earlier round has expired
         changed = (
@@ -190,8 +194,13 @@ def plan_window(
         if len(window) < WINDOW_SLOTS:
             window.append(n)
             seated.add(n)
-    # (3) oldest green evidence first, ties alphabetical
-    for n in sorted((n for n in names if n not in seated), key=lambda n: (latest[n], n)):
+    # (3) oldest green evidence first, ties alphabetical. latest.get
+    # (not latest[n]): with no evidence files at all, more never-green
+    # queries can remain after priority (2) fills the window — they
+    # must sort (as round 0), not raise
+    for n in sorted(
+        (n for n in names if n not in seated), key=lambda n: (latest.get(n, 0), n)
+    ):
         if len(window) >= WINDOW_SLOTS:
             break
         window.append(n)

@@ -63,7 +63,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _LOAD_CACHE.get(key)
     if cached is not None and cached[0] is spark:
         return cached[1]
-    for stale in [k for k in _LOAD_CACHE if k[2:] == key[2:] and k != key]:
+    # Evict only entries from OTHER applications (their context is
+    # gone in the one-active-context harness). Same-app sibling
+    # sessions keep their own entries: evicting them would make two
+    # live sessions thrash the memo on every alternating load, and a
+    # sibling's entry dies with the shared context anyway (sessions
+    # have no independent stop), so same-app entries stay bounded by
+    # live-sessions x tables.
+    for stale in [
+        k for k in _LOAD_CACHE if k[2:] == key[2:] and k[0] != key[0]
+    ]:
         _LOAD_CACHE.pop(stale)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -171,3 +171,13 @@ def test_changed_declaration_expires_after_its_round():
     # fill passes it over (hundreds of older candidates for 49 slots)
     w_next = plan_window(latest=latest, current=CHANGED_IN_ROUND + 1)
     assert pick not in w_next
+
+
+def test_planner_survives_a_fresh_checkout_with_no_evidence():
+    """Before any driver run (no CORRECTNESS_r*.json), every query is
+    never-green; the planner must fill the window alphabetically and
+    never raise — CHECK_FIRST gates load_registry(), so a crash here
+    would take down bench.py, check.py, and the driver contract."""
+    w = plan_window(latest={}, changed=(), current=1)
+    assert len(w) == 50 and w[0] == FLAGSHIP
+    assert list(w[1:]) == sorted(w[1:])
