@@ -75,9 +75,11 @@ HEADLINE = [
     "kmeans_centroid_fit",
     "cluster_safe_split",
     # round 10 additions (suffix-granularity exact-substring dedup +
-    # substring-level benchmark decontamination, shared gram index)
+    # substring-level benchmark decontamination, shared gram index;
+    # histogram-threshold token-budget corpus selection)
     "substring_dedup_spans",
     "decontaminate_spans",
+    "token_budget_select",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",

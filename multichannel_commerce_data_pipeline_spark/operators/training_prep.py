@@ -345,3 +345,66 @@ def bpe_train(
     finally:
         state.unpersist()
     return merges
+
+
+def token_budget_select(
+    scored: DataFrame, budget: int, q_col: str = "q", tok_col: str = "n_tokens"
+) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget — keep the
+    highest-quality documents whose cumulative token count fits in
+    ``budget`` (the FineWeb-style "train on the best X tokens" gate,
+    with the budget expressed in tokens rather than a doc percentile).
+    Semantics: order docs by (quality DESC, doc ASC) and keep the
+    maximal prefix whose inclusive token sum is <= budget.
+
+    The naive form is a GLOBAL running sum — one total-order window,
+    every row through one reducer, dead at corpus scale. This is the
+    two-phase threshold-selection shape instead:
+
+      1. docs histogram into quality buckets (floor(q*1000): bucketing
+         is Spark-internal, so only monotonicity in q matters, and the
+         bucket count is bounded by the score's codomain, not the
+         corpus); the per-bucket token totals are a bounded aggregate
+         (partial-merged map-side) collected like any fitted model.
+      2. walking the histogram best-first on the driver yields the
+         THRESHOLD bucket: everything above it is kept by a map-side
+         filter (no shuffle, no ordering), everything below dropped,
+         and only the one boundary bucket — ~1/buckets of the corpus —
+         pays an exact (q DESC, doc) running-sum window for the
+         residual budget. At extreme scale the same step recurses on
+         the boundary bucket instead of windowing it.
+
+    Ties at the budget edge resolve identically to the oracle's
+    ORDER BY q DESC, doc: the boundary window orders by exactly that.
+    Returns the kept (doc, q, n_tokens) rows; column names preserved.
+    """
+    doc_col = [c for c in scored.columns if c not in (q_col, tok_col)][0]
+    bucketed = scored.withColumn(
+        "__qb", F.floor(F.col(q_col) * 1000).cast("int")
+    )
+    hist = (
+        bucketed.groupBy("__qb")
+        .agg(F.sum(tok_col).alias("__toks"))
+        .collect()
+    )
+    acc = 0
+    threshold, residual = None, 0
+    for row in sorted(hist, key=lambda r: -r["__qb"]):
+        if acc + row["__toks"] <= budget:
+            acc += row["__toks"]
+        else:
+            threshold, residual = row["__qb"], budget - acc
+            break
+    if threshold is None:
+        # whole corpus fits (or histogram empty): no boundary work
+        return scored
+    kept_whole = bucketed.filter(F.col("__qb") > threshold)
+    w = Window.orderBy(F.desc(q_col), doc_col)
+    boundary = (
+        bucketed.filter(F.col("__qb") == threshold)
+        .withColumn("__cum", F.sum(tok_col).over(w))
+        .filter(F.col("__cum") <= residual)
+    )
+    return kept_whole.select(*scored.columns).unionByName(
+        boundary.select(*scored.columns)
+    )

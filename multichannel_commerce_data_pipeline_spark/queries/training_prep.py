@@ -1362,3 +1362,49 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hit_rate"),
     )
+
+
+_BUDGET_TOKENS = 12_000
+
+
+@query(
+    "token_budget_select",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '\S+') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             {T.oracle_quality_score('t', 'text')} AS q,
+             len(t) AS n_tokens
+      FROM tok
+    ),
+    cum AS (
+      SELECT doc_id, q, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY q DESC, doc_id) AS c
+      FROM scored
+    )
+    SELECT doc_id, q, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM cum WHERE c <= {_BUDGET_TOKENS}
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: token-budget corpus selection — keep the highest-quality
+    documents whose cumulative token count fits a {B}-token training
+    budget (quality DESC, doc_id tie-break; the FineWeb-style "train
+    on the best X tokens" gate). The oracle is the naive global
+    running sum; the engine computes the identical prefix WITHOUT a
+    total order: a bounded quality-bucket histogram finds the
+    threshold bucket, everything above it is kept by a map-side
+    filter, and only the one boundary bucket pays an exact window for
+    the residual budget (operators/training_prep.py
+    token_budget_select)."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("q"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return TP.token_budget_select(scored, _BUDGET_TOKENS)

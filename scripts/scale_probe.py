@@ -96,6 +96,7 @@ PROBES = [
     ("substring_dedup_spans", "documents word windows", "partial-agg survivor + islands window"),
     ("substring_dedup_rewrite", "documents word windows", "spans + map-side indexed-filter cut"),
     ("decontaminate_spans", "documents word windows", "broadcast eval digests + islands window"),
+    ("token_budget_select", "documents", "bounded histogram + boundary window"),
 ]
 REPS = 3
 

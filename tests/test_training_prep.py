@@ -149,3 +149,34 @@ def test_bpe_train_learns_textbook_merges(spark):
     )
     merges = bpe_train(words, "w", "cnt", 3)
     assert merges == [(0, "u g", "ug"), (1, "u n", "un"), (2, "h ug", "hug")]
+
+
+def test_token_budget_select_threshold_and_boundary(spark):
+    """The histogram-threshold path must reproduce the naive global
+    prefix exactly: whole high-quality buckets kept map-side, the
+    boundary bucket truncated by the residual budget with (q DESC,
+    doc ASC) tie-breaks, everything below dropped."""
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        token_budget_select,
+    )
+
+    rows = [
+        # (doc, q, n_tokens) — distinct quality buckets by construction
+        (1, 0.9, 40),
+        (2, 0.9, 40),   # same bucket+q as doc 1: doc order decides
+        (3, 0.9, 40),
+        (4, 0.5, 30),
+        (5, 0.1, 100),
+    ]
+    df = spark.createDataFrame(rows, "doc long, q double, n_tokens long")
+
+    def picked(budget):
+        out = token_budget_select(df, budget)
+        assert out.columns == ["doc", "q", "n_tokens"]
+        return sorted(r.doc for r in out.collect())
+
+    assert picked(100) == [1, 2]        # boundary cuts inside the 0.9 bucket
+    assert picked(120) == [1, 2, 3]     # exact fit keeps the whole bucket
+    assert picked(150) == [1, 2, 3, 4]  # next bucket fits whole
+    assert picked(39) == []             # budget below the first doc
+    assert picked(10_000) == [1, 2, 3, 4, 5]  # everything fits: early out
