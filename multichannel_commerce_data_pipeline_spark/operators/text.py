@@ -91,8 +91,21 @@ def avg_token_len(toks: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1]: length band + stopword presence
     + alpha ratio. Heuristic mirror of C4/Gopher-style filters, kept
-    SQL-portable."""
-    toks = tokens(text)
+    SQL-portable.
+
+    Inlines the tokenizer at every reference — fine in a one-shot
+    projection, but a caller scoring a large corpus should project
+    ``tokens(text)`` into its own column first and call
+    :func:`quality_score_from` (the regex then runs once per row; see
+    the shingles docstring for why)."""
+    return quality_score_from(tokens(text), text)
+
+
+def quality_score_from(toks: Column, text: Column) -> Column:
+    """quality_score over a MATERIALIZED token-array column: the
+    formula references the token list three times (length band,
+    stopword ratio numerator and denominator), and Spark re-evaluates
+    an inlined tokenizer expression at every reference."""
     n = F.size(toks)
     length_ok = F.when((n >= 5) & (n <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
     stop_ok = F.when(stopword_ratio(toks) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))

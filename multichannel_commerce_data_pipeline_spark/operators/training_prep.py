@@ -378,33 +378,68 @@ def token_budget_select(
     ORDER BY q DESC, doc: the boundary window orders by exactly that.
     Returns the kept (doc, q, n_tokens) rows; column names preserved.
     """
-    doc_col = [c for c in scored.columns if c not in (q_col, tok_col)][0]
-    bucketed = scored.withColumn(
-        "__qb", F.floor(F.col(q_col) * 1000).cast("int")
+    return token_budget_apply(
+        scored, token_budget_fit(scored, budget, q_col, tok_col), q_col, tok_col
     )
+
+
+def token_budget_fit(
+    scored: DataFrame, budget: int, q_col: str = "q", tok_col: str = "n_tokens"
+) -> tuple[int, int] | None:
+    """Phase 1: the fitted threshold — walk the bounded quality-bucket
+    histogram best-first and return (threshold_bucket, residual_tokens),
+    or None when the whole corpus fits the budget. A corpus statistic
+    like the BM25 (N, avgdl, df) triple: it depends only on
+    (corpus version, budget), so callers cache it per sf_dir and warm
+    invocations skip the histogram scan entirely."""
     hist = (
-        bucketed.groupBy("__qb")
+        scored.select(_q_bucket(q_col), F.col(tok_col))
+        .groupBy("__qb")
         .agg(F.sum(tok_col).alias("__toks"))
         .collect()
     )
     acc = 0
-    threshold, residual = None, 0
     for row in sorted(hist, key=lambda r: -r["__qb"]):
         if acc + row["__toks"] <= budget:
             acc += row["__toks"]
         else:
-            threshold, residual = row["__qb"], budget - acc
-            break
-    if threshold is None:
-        # whole corpus fits (or histogram empty): no boundary work
-        return scored
-    kept_whole = bucketed.filter(F.col("__qb") > threshold)
-    w = Window.orderBy(F.desc(q_col), doc_col)
-    boundary = (
-        bucketed.filter(F.col("__qb") == threshold)
-        .withColumn("__cum", F.sum(tok_col).over(w))
-        .filter(F.col("__cum") <= residual)
+            return row["__qb"], budget - acc
+    return None
+
+
+def token_budget_apply(
+    scored: DataFrame,
+    fit: tuple[int, int] | None,
+    q_col: str = "q",
+    tok_col: str = "n_tokens",
+) -> DataFrame:
+    """Phase 2: apply a fitted threshold in ONE pass — a map-side
+    bucket filter drops everything below the threshold (the corpus
+    majority never shuffles), then a window PARTITIONED BY bucket
+    computes the within-bucket running sum for the survivors and the
+    final predicate keeps above-threshold buckets whole and truncates
+    the boundary bucket at the residual budget. No union (a union
+    would re-execute the scoring subtree once per branch — Spark has
+    no DataFrame-level CSE), no unpartitioned window (the per-bucket
+    partitioning distributes; only the boundary bucket's rows sort
+    against each other)."""
+    if fit is None:
+        return scored  # whole corpus fits: no boundary work
+    threshold, residual = fit
+    doc_col = [c for c in scored.columns if c not in (q_col, tok_col)][0]
+    candidates = scored.withColumn("__qb", _q_bucket(q_col)).filter(
+        F.col("__qb") >= threshold
     )
-    return kept_whole.select(*scored.columns).unionByName(
-        boundary.select(*scored.columns)
+    w = Window.partitionBy("__qb").orderBy(F.desc(q_col), doc_col)
+    return (
+        candidates.withColumn("__cum", F.sum(tok_col).over(w))
+        .filter((F.col("__qb") > threshold) | (F.col("__cum") <= residual))
+        .select(*scored.columns)
     )
+
+
+def _q_bucket(q_col: str):
+    """floor(q*1000): Spark-internal bucketing — only monotonicity in q
+    matters (the oracle never buckets), and the bucket count is bounded
+    by the score's codomain, not the corpus."""
+    return F.floor(F.col(q_col) * 1000).cast("int").alias("__qb")

