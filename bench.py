@@ -80,6 +80,11 @@ HEADLINE = [
     "substring_dedup_spans",
     "decontaminate_spans",
     "token_budget_select",
+    # round 11 additions (C4/CCNet corpus-frequency boilerplate removal;
+    # the end-to-end prep pipeline with substring decontamination wired
+    # between dedup and packing)
+    "boilerplate_line_removal",
+    "corpus_prepare_decontaminated",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",

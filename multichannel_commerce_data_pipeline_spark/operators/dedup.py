@@ -128,6 +128,97 @@ def passage_dedup(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_words: int = 10,
+    df_threshold: int = 2,
+) -> DataFrame:
+    """Corpus-frequency line-level boilerplate removal — the C4 /
+    CCNet-style curation pass (Raffel et al. 2020 §2.2; Wenzek et al.
+    2020 §4.1): a line that recurs verbatim across MANY documents (nav
+    bars, cookie banners, boilerplate headers) is removed from EVERY
+    document once its corpus-wide document frequency exceeds
+    ``df_threshold``. Distinct from all three dedup forms already in
+    the family: the unit is the line, the signal is document frequency
+    (each document counts once no matter how often it repeats the line
+    internally), and there is NO first-occurrence survivor — over the
+    threshold, the line dies everywhere.
+
+    Lines here are non-overlapping ``line_words``-word chunks — the
+    same synthetic-corpus convention :func:`passage_dedup` established
+    (the driver's documents carry no newline structure); on real text
+    split on ``\\n`` first and the rest of the pipeline is unchanged.
+
+    100 TB shape — the same digests-not-text discipline as
+    :func:`substring_grams`:
+      1. a narrow ``(doc, lidx, ldigest)`` frame is projected map-side
+         (``posexplode_outer`` + null filter — never a bare explode,
+         whose InferFiltersFromGenerate inlining re-evaluates the
+         window expression serially inside the scan; the r7 lesson);
+         line TEXT never leaves the scan stage, only its md5 (~40-byte
+         shuffle rows).
+      2. document frequency = distinct ``(doc, ldigest)`` (hash
+         aggregate, partial-merged — a nav bar repeated on every page
+         of one site collapses map-side) then ``count`` per digest.
+      3. the over-threshold digest set is tiny by construction
+         (boilerplate is the head of the df distribution), so the
+         removal join is a LEFT ANTI that AQE converts to a broadcast
+         hash anti-join: the corpus-sized line frame is cut map-side
+         and never shuffles for the removal.
+      4. surviving line indices fold per doc (one narrow shuffle) and
+         join back to the words frame on the id, where clean text is
+         rebuilt map-side by re-slicing the word array — line text
+         never shuffles at any stage.
+
+    Returns (id_col, n_lines, n_kept, n_removed, clean_text); total
+    over the corpus — a document whose every line is boilerplate
+    survives with empty text (dropped words, never dropped rows).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__ws")
+    )
+    n_lines = F.ceil(F.size("__ws") / F.lit(line_words)).cast("long")
+
+    def line_at(k):
+        return F.concat_ws(
+            " ", F.slice(F.col("__ws"), k * line_words + 1, line_words)
+        )
+
+    digests = F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+            lambda k: F.md5(line_at(k)),
+        ),
+    )
+    narrow = (
+        base.select("doc", F.posexplode_outer(digests).alias("lidx", "ldigest"))
+        .filter(F.col("ldigest").isNotNull())
+    )
+    dfreq = (
+        narrow.select("doc", "ldigest")
+        .distinct()
+        .groupBy("ldigest")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    hot = dfreq.filter(F.col("__df") > df_threshold).select("ldigest")
+    kept_idx = (
+        narrow.join(hot, "ldigest", "left_anti")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list("lidx")).alias("__kept"))
+    )
+    kept = F.coalesce(F.col("__kept"), F.array().cast("array<int>"))
+    return base.join(kept_idx, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        n_lines.alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (n_lines - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, line_at), " ").alias("clean_text"),
+    )
+
+
 def shingles(toks_col, n: int = 3):
     """Distinct word n-gram shingles from a *materialized* token-array
     column.
@@ -1123,11 +1214,27 @@ def contamination_spans(
     marking; coalescing is the shared per-document gaps-and-islands
     pass; span text re-slices map-side after a co-partitioned join on
     doc (duplicated text never shuffles)."""
+    return _span_report(
+        contamination_span_bounds(train_grams, eval_grams, min_words), words
+    )
+
+
+def contamination_span_bounds(
+    train_grams: DataFrame, eval_grams: DataFrame, min_words: int = 8
+) -> DataFrame:
+    """The narrow half of :func:`contamination_spans` — maximal
+    contaminated (doc, span_start, span_end) intervals with no text
+    attached, for consumers that CUT rather than report (the composed
+    prep pipeline feeds these straight into
+    :func:`substring_dedup_rewrite`). Same 100 TB shape: the eval side
+    reduces to a broadcast distinct-digest set, the train corpus never
+    shuffles for the marking, coalescing is the shared per-document
+    gaps-and-islands pass."""
     eval_digests = eval_grams.select("pdigest").distinct()
     starts = train_grams.join(F.broadcast(eval_digests), "pdigest").select(
         "doc", "pos"
     )
-    return _span_report(_coalesce_start_islands(starts, min_words), words)
+    return _coalesce_start_islands(starts, min_words)
 
 
 def substring_dedup_spans(

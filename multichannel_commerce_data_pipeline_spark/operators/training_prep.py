@@ -371,8 +371,14 @@ def token_budget_select(
          filter (no shuffle, no ordering), everything below dropped,
          and only the one boundary bucket — ~1/buckets of the corpus —
          pays an exact (q DESC, doc) running-sum window for the
-         residual budget. At extreme scale the same step recurses on
-         the boundary bucket instead of windowing it.
+         residual budget. At extreme scale the fit RECURSES on the
+         boundary bucket with 1000x-finer buckets (up to
+         ``max_levels``), so the windowed remainder shrinks
+         geometrically — each level's histogram is still a bounded
+         partial-merged aggregate, never a sort. Recursion stops early
+         when a finer split gains nothing (every boundary row shares
+         one score to the finer precision — identical scores are
+         unrankable except by doc, the irreducible worst case).
 
     Ties at the budget edge resolve identically to the oracle's
     ORDER BY q DESC, doc: the boundary window orders by exactly that.
@@ -383,63 +389,108 @@ def token_budget_select(
     )
 
 
+_Q_SCALE = 1000  # buckets per fit level; each level refines 1000x
+
+# fit = ((scale, threshold_bucket) per level, residual_tokens) or None
+BudgetFit = tuple[tuple[tuple[int, int], ...], int] | None
+
+
 def token_budget_fit(
-    scored: DataFrame, budget: int, q_col: str = "q", tok_col: str = "n_tokens"
-) -> tuple[int, int] | None:
-    """Phase 1: the fitted threshold — walk the bounded quality-bucket
-    histogram best-first and return (threshold_bucket, residual_tokens),
-    or None when the whole corpus fits the budget. A corpus statistic
-    like the BM25 (N, avgdl, df) triple: it depends only on
-    (corpus version, budget), so callers cache it per sf_dir and warm
-    invocations skip the histogram scan entirely."""
-    hist = (
-        scored.select(_q_bucket(q_col), F.col(tok_col))
-        .groupBy("__qb")
-        .agg(F.sum(tok_col).alias("__toks"))
-        .collect()
-    )
-    acc = 0
-    for row in sorted(hist, key=lambda r: -r["__qb"]):
-        if acc + row["__toks"] <= budget:
-            acc += row["__toks"]
-        else:
-            return row["__qb"], budget - acc
-    return None
+    scored: DataFrame,
+    budget: int,
+    q_col: str = "q",
+    tok_col: str = "n_tokens",
+    max_levels: int = 2,
+) -> BudgetFit:
+    """Phase 1: the fitted threshold chain — walk the bounded
+    quality-bucket histogram best-first; while the boundary bucket is
+    ambiguous and levels remain, re-histogram ONLY the boundary
+    bucket's rows at 1000x finer buckets against the residual budget.
+    Returns ``((scale, threshold) per level, residual)`` or None when
+    the whole corpus fits. A corpus statistic like the BM25
+    (N, avgdl, df) triple: it depends only on (corpus version,
+    budget), so callers cache it per sf_dir and warm invocations skip
+    the histogram scans entirely."""
+    levels: list[tuple[int, int]] = []
+    frame = scored
+    scale = _Q_SCALE
+    residual = budget
+    for _ in range(max_levels):
+        hist = (
+            frame.select(_q_bucket(q_col, scale).alias("__qb"), F.col(tok_col))
+            .groupBy("__qb")
+            .agg(F.sum(tok_col).alias("__toks"))
+            .collect()
+        )
+        acc = 0
+        boundary = None
+        for row in sorted(hist, key=lambda r: -r["__qb"]):
+            if acc + row["__toks"] <= residual:
+                acc += row["__toks"]
+            else:
+                boundary = row
+                break
+        if boundary is None:
+            # only reachable at level 0 (a deeper level's frame is a
+            # boundary bucket, whose total exceeds its residual by
+            # definition): the whole corpus fits the budget
+            return None
+        levels.append((scale, boundary["__qb"]))
+        residual -= acc
+        if len(hist) == 1 and len(levels) > 1:
+            # the finer split changed nothing (all boundary rows share
+            # one score at this precision); deeper levels can't either
+            break
+        frame = frame.filter(_q_bucket(q_col, scale) == boundary["__qb"])
+        scale *= _Q_SCALE
+    return tuple(levels), residual
 
 
 def token_budget_apply(
     scored: DataFrame,
-    fit: tuple[int, int] | None,
+    fit: BudgetFit,
     q_col: str = "q",
     tok_col: str = "n_tokens",
 ) -> DataFrame:
-    """Phase 2: apply a fitted threshold in ONE pass — a map-side
-    bucket filter drops everything below the threshold (the corpus
-    majority never shuffles), then a window PARTITIONED BY bucket
-    computes the within-bucket running sum for the survivors and the
-    final predicate keeps above-threshold buckets whole and truncates
-    the boundary bucket at the residual budget. No union (a union
+    """Phase 2: apply a fitted threshold chain in ONE pass — a
+    map-side filter drops everything strictly below the chain (the
+    corpus majority never shuffles), then a window PARTITIONED BY the
+    full bucket chain computes within-bucket running sums and the
+    final predicate keeps above-chain buckets whole and truncates the
+    innermost boundary bucket at the residual budget. Each extra fit
+    level makes the window partitioning strictly FINER, so recursion
+    only ever shrinks the largest sorted partition. No union (a union
     would re-execute the scoring subtree once per branch — Spark has
-    no DataFrame-level CSE), no unpartitioned window (the per-bucket
-    partitioning distributes; only the boundary bucket's rows sort
-    against each other)."""
+    no DataFrame-level CSE), no unpartitioned window."""
     if fit is None:
         return scored  # whole corpus fits: no boundary work
-    threshold, residual = fit
+    levels, residual = fit
     doc_col = [c for c in scored.columns if c not in (q_col, tok_col)][0]
-    candidates = scored.withColumn("__qb", _q_bucket(q_col)).filter(
-        F.col("__qb") >= threshold
-    )
-    w = Window.partitionBy("__qb").orderBy(F.desc(q_col), doc_col)
+    frame = scored
+    bcols: list[str] = []
+    prefix_eq = F.lit(True)  # all outer levels sit AT their threshold
+    cand = F.lit(True)
+    for i, (scale, thr) in enumerate(levels):
+        b = f"__qb{i}"
+        frame = frame.withColumn(b, _q_bucket(q_col, scale))
+        # at each level, rows on the boundary of every outer level must
+        # meet this level's threshold; rows above some outer threshold
+        # are already decided (kept) and skip the inner conditions
+        cand = cand & (~prefix_eq | (F.col(b) >= F.lit(thr)))
+        prefix_eq = prefix_eq & (F.col(b) == F.lit(thr))
+        bcols.append(b)
+    candidates = frame.filter(cand)
+    w = Window.partitionBy(*bcols).orderBy(F.desc(q_col), doc_col)
     return (
         candidates.withColumn("__cum", F.sum(tok_col).over(w))
-        .filter((F.col("__qb") > threshold) | (F.col("__cum") <= residual))
+        .filter(~prefix_eq | (F.col("__cum") <= residual))
         .select(*scored.columns)
     )
 
 
-def _q_bucket(q_col: str):
-    """floor(q*1000): Spark-internal bucketing — only monotonicity in q
-    matters (the oracle never buckets), and the bucket count is bounded
-    by the score's codomain, not the corpus."""
-    return F.floor(F.col(q_col) * 1000).cast("int").alias("__qb")
+def _q_bucket(q_col: str, scale: int = _Q_SCALE):
+    """floor(q*scale): Spark-internal bucketing — only monotonicity in
+    q matters (the oracle never buckets), and the bucket count is
+    bounded by the score's codomain times the level's scale, not the
+    corpus."""
+    return F.floor(F.col(q_col) * scale).cast("long")

@@ -104,8 +104,32 @@ WINDOW_SLOTS = 50
 # instead of re-tokenizing the corpus per consumer — evaluation
 # strategy only (oracles unchanged, re-verified green at sf0.01), but
 # the plan rewrite is substantial enough to re-earn evidence.
-CHANGED_IN_ROUND = 10
-CHANGED_THIS_ROUND: tuple[str, ...] = ("bm25_search", "tfidf_top_terms")
+CHANGED_IN_ROUND = 11
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # r11 new queries (priority-2 until their first green driver row)
+    "boilerplate_line_removal",
+    "corpus_prepare_decontaminated",
+    # r11 material plan change: token_budget_fit now recurses 1000x
+    # finer on the boundary bucket (VERDICT r10 #6) — the apply window
+    # partitions by the full bucket chain and the fit runs a second
+    # bounded histogram; oracle unchanged, re-earns evidence per policy
+    "token_budget_select",
+)
+
+
+def changed_effective(current: int | None) -> tuple[str, ...]:
+    """The CHANGED_THIS_ROUND declaration, with the self-expiry rule
+    applied: a declaration made for round CHANGED_IN_ROUND is ignored
+    when planning any LATER round (the driver has written that round's
+    evidence by then, so the declared queries hold fresh rows and
+    re-seating them would waste slots). Single-sourced here so the
+    planner, the rotation tests, and scripts/window_audit.py can never
+    disagree about which declarations are live — the r10 lesson, where
+    plan_window() applied the expiry but the test read the raw constant
+    and went red at the round boundary."""
+    if current is not None and current > CHANGED_IN_ROUND:
+        return ()
+    return CHANGED_THIS_ROUND
 
 
 def _import_all() -> None:
@@ -178,22 +202,46 @@ def plan_window(
         if current is None:
             current = ev_current
     if changed is None:
-        # a declaration made for an earlier round has expired
-        changed = (
-            CHANGED_THIS_ROUND
-            if current is None or current <= CHANGED_IN_ROUND
-            else ()
-        )
+        changed = changed_effective(current)
     names = [n for n in REGISTRY if REGISTRY[n].oracle is not None]
     window = [FLAGSHIP]
     seated = {FLAGSHIP}
     # (2) changed this round, or never green under the driver
-    for n in sorted(names):
-        if n in seated or (n not in changed and n in latest):
-            continue
-        if len(window) < WINDOW_SLOTS:
-            window.append(n)
-            seated.add(n)
+    p2 = [
+        n
+        for n in sorted(names)
+        if n != FLAGSHIP and (n in changed or n not in latest)
+    ]
+    for n in p2:
+        if len(window) >= WINDOW_SLOTS:
+            break
+        window.append(n)
+        seated.add(n)
+    dropped = [n for n in p2 if n not in seated]
+    if dropped:
+        # Silently omitting due work hands the driver a window that
+        # quietly skips it (ADVICE r10). A dropped CHANGED declaration
+        # is a hard error — its fresh-evidence obligation cannot be
+        # met any other round. A never-green backlog larger than the
+        # window is the normal bootstrap state (fresh checkout, early
+        # rounds): those names fall to priority (3), where zero
+        # evidence sorts first, so they seat in the very next rounds —
+        # warn, don't crash the registry load.
+        missing_changed = [n for n in dropped if n in changed]
+        if missing_changed:
+            raise RuntimeError(
+                f"CHANGED_THIS_ROUND declarations overflow the "
+                f"{WINDOW_SLOTS}-slot window and would be silently "
+                f"dropped: {missing_changed}; stage them across rounds"
+            )
+        import warnings
+
+        warnings.warn(
+            f"priority-2 overflow: {len(dropped)} never-green queries "
+            f"deferred past this round's window (bootstrap backlog); "
+            f"oldest-first filling seats them in subsequent rounds",
+            stacklevel=2,
+        )
     # (3) oldest green evidence first, ties alphabetical. latest.get
     # (not latest[n]): with no evidence files at all, more never-green
     # queries can remain after priority (2) fills the window — they

@@ -667,6 +667,59 @@ def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.passage_dedup(d, "doc_id", "text", passage_words=10)
 
 
+@query(
+    "boilerplate_line_removal",
+    oracle=r"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS k
+      FROM ws
+    ),
+    ln AS (
+      SELECT doc_id, k AS lidx,
+             array_to_string(list_slice(w, k * 10 + 1, k * 10 + 10), ' ')
+               AS line
+      FROM idx
+    ),
+    dfq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS dfreq FROM ln GROUP BY line
+    ),
+    kept AS (
+      SELECT ln.doc_id, ln.lidx, ln.line
+      FROM ln JOIN dfq USING (line) WHERE dfq.dfreq <= 2
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, ' ' ORDER BY lidx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           CAST(ceil(len(ws.w) / 10.0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(ceil(len(ws.w) / 10.0) AS BIGINT)
+             - CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM ws LEFT JOIN agg USING (doc_id)
+    """,
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+: C4/CCNet-style corpus-frequency boilerplate removal — any
+    10-word line appearing verbatim in MORE THAN 2 distinct documents
+    is removed from every document (no survivor), and each document is
+    rebuilt from its surviving lines. Complements the survivor-based
+    dedup family: passage/substring dedup keep a first occurrence;
+    boilerplate removal kills the over-threshold line everywhere. The
+    df decision shuffles only (doc, lidx, md5) triples; the removal cut
+    is a broadcast anti-join; line text never leaves the map side."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    return D.boilerplate_lines(
+        d, "doc_id", "text", line_words=10, df_threshold=2
+    )
+
+
 def _golden_oracle() -> str:
     return f"""
     WITH RECURSIVE

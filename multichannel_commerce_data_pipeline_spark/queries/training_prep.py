@@ -680,6 +680,184 @@ def corpus_prepare_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split", "n_tokens", "shard", "pack_id", "pack_offset")
 
 
+def _decon_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.queries.dedup import (
+        _SUBSTR_ISLANDS_TAIL,
+    )
+
+    quality = T.oracle_quality_score(
+        "regexp_extract_all(lower(text), '\\S+')", "text"
+    )
+    return (
+        rf"""
+    WITH kept AS (
+      SELECT doc_id, text FROM documents
+      WHERE {quality} >= 0.5
+    ),
+    uniq AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                 ORDER BY doc_id
+               ) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    lab AS (
+      SELECT doc_id, text,
+             CASE WHEN {_ID_HASH(13)} % 100 < 80 THEN 'train'
+                  WHEN {_ID_HASH(13)} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM uniq
+    ),
+    ws AS (
+      SELECT doc_id, split, string_split(text, ' ') AS w FROM lab
+    ),
+    grams AS (
+      SELECT doc_id, split, i AS pos,
+             array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      FROM ws, LATERAL unnest(
+        generate_series(1, greatest(len(w) - 7, 0))
+      ) AS t(i)
+    ),
+    ev AS (
+      SELECT DISTINCT g FROM grams WHERE split <> 'train'
+    ),
+    starts AS (
+      SELECT doc_id, pos FROM grams
+      WHERE split = 'train' AND g IN (SELECT g FROM ev)
+    )"""
+        + _SUBSTR_ISLANDS_TAIL
+        + rf""",
+    cleanw AS (
+      SELECT ws.doc_id, string_agg(ws.w[i], ' ' ORDER BY i) AS ct
+      FROM ws, LATERAL unnest(generate_series(1, len(ws.w))) AS t(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = ws.doc_id AND i BETWEEN sp.s AND sp.e
+      )
+      GROUP BY ws.doc_id
+    ),
+    cleaned AS (
+      SELECT ws.doc_id, ws.split, COALESCE(cleanw.ct, '') AS text
+      FROM ws LEFT JOIN cleanw USING (doc_id)
+    ),
+    base AS (
+      SELECT doc_id, split,
+             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+               AS n_tokens,
+             {_ID_HASH(7)} % 8 AS shard
+      FROM cleaned
+    ),
+    cum AS (
+      SELECT doc_id, split, n_tokens, shard,
+             CAST(SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS cum_excl
+      FROM base
+    )
+    SELECT doc_id, split, n_tokens, shard,
+           CAST(FLOOR(cum_excl / 256) AS BIGINT) AS pack_id,
+           cum_excl % 256 AS pack_offset
+    FROM cum
+    """
+    )
+
+
+# The curated-and-labeled words frame (quality filter -> exact dedup),
+# persisted per (session, sf_dir) because the decontaminated pipeline's
+# DAG is a diamond — the gram index AND the rewrite both hang off it,
+# and Spark has no DataFrame-level CSE, so without materialization the
+# filter+dedup subtree would execute twice. At 100 TB this persist is
+# the natural pipeline checkpoint anyway: you materialize the curated
+# corpus once, then derive the contamination index and the rewrite
+# from the stored table.
+_DECON_WORDS_CACHE: dict = {}
+
+
+def _curated_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        from pyspark import StorageLevel
+
+        from multichannel_commerce_data_pipeline_spark.operators.dedup import (
+            exact_dedup,
+        )
+
+        d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+        kept = stage_filter(
+            d.select("doc_id", "text"), T.quality_score(F.col("text")) >= 0.5
+        )
+        uniq = exact_dedup(
+            kept.withColumn("f", T.fingerprint(F.col("text"))), ["f"], "doc_id"
+        ).drop("f")
+        w = uniq.select(
+            F.col("doc_id").alias("doc"),
+            F.split(F.col("text"), " ").alias("words"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        w.count()
+        return w
+
+    return session_memo(spark, _DECON_WORDS_CACHE, sf_dir, build)
+
+
+@query("corpus_prepare_decontaminated", oracle=_decon_oracle())
+def corpus_prepare_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6xX1: the composed pipeline with the one step a real
+    pretraining pipeline cannot ship without — substring-level
+    DECONTAMINATION between dedup and packing. Quality filter (>= 0.5)
+    -> exact dedup -> deterministic 80/10/10 split -> every maximal
+    >= 8-word span of a TRAIN document that also appears anywhere in
+    the val/test splits is CUT from the train document
+    (contamination_span_bounds + substring_dedup_rewrite, the Lee et
+    al. 2022 train-vs-eval form) -> per-(split, shard) packing over the
+    POST-CUT token counts. The resulting train split provably shares no
+    8-word window with the held-out splits — the guarantee
+    corpus_prepare's split-scoped packing alone cannot give.
+
+    Shuffle budget: dedup survivor window, one narrow digest-triple
+    group-by for the eval digest set (which then BROADCASTS onto the
+    train grams — the train corpus never shuffles for the marking),
+    the per-doc islands window, and the pack window. Split membership
+    is a pure hash of doc_id, recomputed map-side wherever needed — no
+    label joins anywhere; the curated words frame is persisted once
+    (the DAG diamond's natural checkpoint)."""
+    from multichannel_commerce_data_pipeline_spark.operators import dedup as D
+    from multichannel_commerce_data_pipeline_spark.queries.dedup import (
+        _SUBSTR_MIN_WORDS,
+    )
+
+    words = _curated_words(spark, sf_dir)
+    grams = D.substring_grams(words, _SUBSTR_MIN_WORDS)
+    bucket = F.pmod(
+        portable_hash64(F.col("doc").cast("string"), 13), F.lit(100)
+    )
+    bounds = D.contamination_span_bounds(
+        grams.filter(bucket < 80),
+        grams.filter(bucket >= 80),
+        _SUBSTR_MIN_WORDS,
+    )
+    cleaned = D.substring_dedup_rewrite(bounds, words).select(
+        F.col("doc").alias("doc_id"), F.col("clean_text").alias("text")
+    )
+    split_bucket = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string"), 13), F.lit(100)
+    )
+    labeled = cleaned.withColumn(
+        "split",
+        F.when(split_bucket < 80, F.lit("train"))
+        .when(split_bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    return TP.assign_packs(
+        labeled,
+        F.size(T.tokens(F.col("text"))),
+        budget=256,
+        n_shards=8,
+        extra_partition_cols=("split",),
+    ).select("doc_id", "split", "n_tokens", "shard", "pack_id", "pack_offset")
+
+
 @query(
     "balanced_class_sample",
     oracle=f"""
@@ -1365,7 +1543,7 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BUDGET_TOKENS = 12_000
-_BUDGET_FIT_CACHE: dict[str, tuple[int, int] | None] = {}
+_BUDGET_FIT_CACHE: dict[str, TP.BudgetFit] = {}
 
 
 @query(
@@ -1399,7 +1577,8 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum; the engine computes the identical prefix WITHOUT a
     total order: a bounded quality-bucket histogram finds the
     threshold bucket, everything above it is kept by a map-side
-    filter, and only the one boundary bucket pays an exact window for
+    filter, the fit recurses 1000x finer on the boundary bucket, and
+    only the innermost boundary sub-bucket pays an exact window for
     the residual budget (operators/training_prep.py
     token_budget_select)."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))

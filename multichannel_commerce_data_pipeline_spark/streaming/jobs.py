@@ -125,21 +125,31 @@ def fresh_stream_dir(prefix: str) -> str:
 
 def _owner_alive(pidfile: str) -> bool:
     """True iff the scratch dir's owner.pid marker names a process that
-    still exists (signal 0 probe; EPERM counts as alive). Unreadable or
-    absent marker -> not alive (sweepable)."""
+    still exists (signal 0 probe; EPERM counts as alive). ABSENT or
+    UNPARSEABLE marker -> not alive (sweepable: missing means the
+    best-effort write never happened and the 12 h age gate already
+    passed; garbage means the same). A marker that EXISTS but cannot be
+    READ (permissions on a shared temp dir) -> alive: the sweep must
+    never rmtree a dir whose owner it could not actually check (r10
+    advice #4)."""
     import os
 
     try:
         with open(pidfile) as f:
             pid = int(f.read().strip())
+    except FileNotFoundError:
+        return False  # no marker: sweepable
+    except ValueError:
+        return False  # unparseable marker: sweepable
+    except OSError:
+        return True  # marker exists but is unreadable: assume alive
+    try:
         os.kill(pid, 0)
         return True
     except ProcessLookupError:
         return False
-    except PermissionError:
-        return True
-    except (OSError, ValueError):
-        return False
+    except OSError:
+        return True  # EPERM etc.: the pid exists
 
 
 def read_bronze_stream(

@@ -45,7 +45,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # must miss the cache and set its own conf. The cache value holds the
 # owning session object, which (a) lets the lookup verify identity and
 # (b) pins the id() from reuse while the entry lives.
+#
+# Same-app entries are bounded (r10 advice #3): a weakref on the
+# session cannot work here — every cached DataFrame strongly
+# references its owning session internally, so the weakref would never
+# die while the entry lives. Instead the cache keeps entries for at
+# most _SAME_APP_SESSION_CAP sibling sessions per application,
+# evicting the OLDEST sibling's entries (dict insertion order) when a
+# newer session pushes past the cap — a caller that churns
+# spark.newSession() in a loop now pins at most cap x tables lazy
+# frames instead of growing without bound.
 _LOAD_CACHE: dict[tuple[str, int, str, str], tuple[SparkSession, DataFrame]] = {}
+_SAME_APP_SESSION_CAP = 4
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -82,6 +93,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     _LOAD_CACHE[key] = (spark, df)
+    # bound same-app sibling sessions (oldest-session eviction, never
+    # the session that just inserted)
+    sessions = list(
+        dict.fromkeys(k[1] for k in _LOAD_CACHE if k[0] == key[0])
+    )
+    for sid in sessions[: max(0, len(sessions) - _SAME_APP_SESSION_CAP)]:
+        if sid == key[1]:
+            continue
+        for stale in [
+            k for k in _LOAD_CACHE if k[0] == key[0] and k[1] == sid
+        ]:
+            _LOAD_CACHE.pop(stale)
     return df
 
 

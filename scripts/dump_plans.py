@@ -420,6 +420,31 @@ COMMENTARY = {
         "keyed windows over user-bounded frames. Deterministic by seed: "
         "every epoch regenerates the identical triplet set."
     ),
+    "boilerplate_line_removal": (
+        "C4/CCNet corpus-frequency line removal: line TEXT never leaves "
+        "the map side — only (doc, lidx, md5) triples shuffle. Document "
+        "frequency is a distinct-(doc, digest) partial-merged aggregate "
+        "then a per-digest count; the over-threshold digest set is tiny "
+        "by construction (the head of the df distribution), so the cut "
+        "is a LEFT ANTI join the optimizer executes broadcast "
+        "(BroadcastHashJoin LeftAnti) — the corpus-sized line frame is "
+        "filtered map-side and never shuffles for the removal. Surviving "
+        "indices fold per doc and clean text is re-sliced map-side after "
+        "the doc-id join."
+    ),
+    "corpus_prepare_decontaminated": (
+        "The end-to-end prep pipeline with the contamination cut wired "
+        "between dedup and packing. The curated words frame is persisted "
+        "once (InMemoryTableScan — the DAG diamond's checkpoint: grams "
+        "and rewrite both consume it without re-running filter+dedup). "
+        "Eval-split window digests reduce to a distinct set that "
+        "BROADCASTS onto the train grams (the train corpus never "
+        "shuffles for the marking); islands and the per-doc span fold "
+        "share one hash(doc) layout; the rewrite is map-side indexed "
+        "array filtering; split and shard are pure hashes of doc_id so "
+        "no label join exists anywhere. Exchanges: dedup survivor, eval "
+        "digest distinct, islands window, pack window."
+    ),
 }
 
 

@@ -97,6 +97,8 @@ PROBES = [
     ("substring_dedup_rewrite", "documents word windows", "spans + map-side indexed-filter cut"),
     ("decontaminate_spans", "documents word windows", "broadcast eval digests + islands window"),
     ("token_budget_select", "documents", "bounded histogram + boundary window"),
+    ("boilerplate_line_removal", "documents lines", "line-df agg + broadcast anti cut"),
+    ("corpus_prepare_decontaminated", "documents", "curate + decon cut + pack, 4 exchanges"),
 ]
 REPS = 3
 

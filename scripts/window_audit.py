@@ -17,9 +17,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from multichannel_commerce_data_pipeline_spark import queries as Q  # noqa: E402
 from multichannel_commerce_data_pipeline_spark.queries import (  # noqa: E402
-    CHANGED_IN_ROUND,
-    CHANGED_THIS_ROUND,
     FLAGSHIP,
+    changed_effective,
     evidence,
     load_registry,
 )
@@ -29,9 +28,8 @@ def main() -> None:
     current, latest = evidence()
     reg = load_registry()
     window = Q.CHECK_FIRST
-    # reproduce the planner's self-expiry: a declaration made for an
-    # earlier round no longer grants (or explains) a slot
-    changed = CHANGED_THIS_ROUND if current <= CHANGED_IN_ROUND else ()
+    # same single-sourced expiry rule the planner and tests consume
+    changed = changed_effective(current)
     n_paired = sum(1 for q in reg.values() if q.oracle is not None)
     print(
         f"window plan for round {current}: {len(window)} slots, "

@@ -696,6 +696,42 @@ def test_passage_dedup_planted_boilerplate(spark):
     assert out[2].n_passages == 1 and out[2].n_dropped == 1
 
 
+def test_boilerplate_lines_planted_navbar(spark):
+    """df > threshold kills the line EVERYWHERE (no survivor — the rule
+    that distinguishes boilerplate removal from every dedup form), a
+    line at exactly the threshold survives everywhere, and within-doc
+    repeats count the document ONCE toward df."""
+    nav = " ".join(f"n{i}" for i in range(10))  # in 3 docs: df=3 > 2
+    foot = " ".join(f"f{i}" for i in range(10))  # in 2 docs: df=2, kept
+    ua = " ".join(f"a{i}" for i in range(10))
+    ub = " ".join(f"b{i}" for i in range(4))  # short tail line
+    df = spark.createDataFrame(
+        [
+            (0, nav + " " + ua),
+            (1, nav + " " + foot),
+            (2, nav + " " + foot + " " + ub),
+            # doc 3 repeats nav internally — still ONE df vote, and both
+            # copies are removed once nav is over threshold
+            (3, nav + " " + nav),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.boilerplate_lines(
+            df, "doc_id", "text", line_words=10, df_threshold=2
+        ).collect()
+    }
+    assert out[0].clean_text == ua and out[0].n_removed == 1
+    assert out[1].clean_text == foot  # nav cut, df=2 footer survives
+    assert out[2].clean_text == foot + " " + ub
+    assert out[2].n_lines == 3 and out[2].n_removed == 1
+    # emptied, never dropped: the all-boilerplate doc keeps its row
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[3].n_lines == 2 and out[3].n_removed == 2
+    assert set(out) == {0, 1, 2, 3}
+
+
 def test_passage_dedup_within_document_repeat(spark):
     # the SAME doc repeating a passage keeps only the first occurrence
     p = " ".join(f"w{i}" for i in range(10))
@@ -2186,6 +2222,47 @@ def test_substring_dedup_within_doc_and_merge(spark):
     r = out[0]
     assert (r.doc, r.span_start, r.span_end, r.span_words) == (5, 12, 19, 8)
     assert r.span_text == run
+
+
+def test_decontamination_cut_leaves_no_shared_window(spark):
+    """The composed decontaminate-then-rewrite chain (the heart of the
+    corpus_prepare_decontaminated pipeline): after cutting the
+    contamination span bounds out of the train docs, NO 8-word window
+    of any rewritten train doc appears anywhere in the eval set — the
+    guarantee checked by recomputing grams on the rewritten output."""
+    leak = " ".join(f"l{i}" for i in range(10))
+    tr_pre = " ".join(f"t{i}" for i in range(6))
+    ev_pre = " ".join(f"e{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (0, ev_pre + " " + leak),            # eval
+            (1, tr_pre + " " + leak),            # train: leaked tail
+            (2, " ".join(f"c{i}" for i in range(12))),  # train: clean
+        ],
+        "doc_id long, text string",
+    )
+    words = D.doc_words(docs, "doc_id", "text")
+    grams = D.substring_grams(words, 8)
+    bounds = D.contamination_span_bounds(
+        grams.filter(F.col("doc") != 0), grams.filter(F.col("doc") == 0), 8
+    )
+    out = D.substring_dedup_rewrite(bounds, words.filter(F.col("doc") != 0))
+    rows = {r.doc: r for r in out.collect()}
+    assert rows[1].n_removed == 10 and rows[1].clean_text == tr_pre
+    assert rows[2].n_removed == 0  # clean doc passes through unchanged
+    # recompute grams over the rewritten train docs: zero overlap left
+    clean_words = out.select(
+        "doc", F.split("clean_text", " ").alias("words")
+    )
+    eval_digests = (
+        D.substring_grams(words.filter(F.col("doc") == 0), 8)
+        .select("pdigest")
+        .distinct()
+    )
+    residue = (
+        D.substring_grams(clean_words, 8).join(eval_digests, "pdigest").count()
+    )
+    assert residue == 0
 
 
 def test_substring_dedup_distinct_spans_stay_separate(spark):

@@ -716,3 +716,28 @@ def test_substring_rewrite_joins_words_once(plans):
     # formatted mode prints one "Join type:" detail block per join node
     live = p.split("===== Subqueries =====")[0]
     assert live.count("Join type:") <= 2, live.count("Join type:")
+
+
+def test_boilerplate_removal_cut_is_broadcast_anti(plans):
+    """The over-threshold digest set is the head of the df distribution
+    — tiny by construction — so the removal cut must plan as a
+    BroadcastHashJoin LeftAnti: the corpus-sized line frame is filtered
+    map-side and never shuffles for the removal. Line text must never
+    appear in a shuffle: the only hash exchanges carry digest/index
+    columns, not the line strings."""
+    p = plans("boilerplate_line_removal")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin LeftAnti" in p
+
+
+def test_decontaminated_pipeline_broadcasts_eval_digests(plans):
+    """corpus_prepare_decontaminated: the eval-split digest set must
+    broadcast onto the train grams (the train corpus never shuffles
+    for the marking), the curated words frame must be served from the
+    persisted checkpoint (InMemoryTableScan — the DAG diamond's two
+    consumers share one filter+dedup execution), and no label join
+    exists anywhere (split/shard are pure hashes of doc_id)."""
+    p = plans("corpus_prepare_decontaminated")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p
+    assert "BroadcastExchange" in p

@@ -23,6 +23,7 @@ from multichannel_commerce_data_pipeline_spark.queries import (
     FLAGSHIP,
     ROTATION_AGE_BOUND_FLOOR,
     ROTATION_EXCEPTIONS,
+    changed_effective,
     evidence,
     load_registry,
     plan_window,
@@ -85,17 +86,21 @@ def test_no_query_ages_past_the_bound():
 
 
 def test_changed_and_never_green_are_seated():
-    """Priority (2): every query declared changed this round and every
+    """Priority (2): every LIVE changed declaration and every
     oracle-paired query with no green driver row ever must hold a slot.
-    If this ever exceeds 49 names the planner drops some — fail loudly
-    rather than silently."""
-    _, latest = evidence()
+    The changed-set comes from changed_effective() — the SAME function
+    the planner consumes — so the expiry rule cannot diverge between
+    planner and test (the r10 boundary-red bug: this test read the raw
+    CHANGED_THIS_ROUND constant while plan_window() correctly expired
+    it once the declared round's evidence landed)."""
+    current, latest = evidence()
     reg = load_registry()
     window = set(Q.CHECK_FIRST)
+    changed = changed_effective(current)
     p2 = {
         n
         for n, q in reg.items()
-        if q.oracle is not None and (n in CHANGED_THIS_ROUND or n not in latest)
+        if q.oracle is not None and (n in changed or n not in latest)
     }
     assert len(p2) <= 49, f"priority-2 set overflows the window: {len(p2)}"
     unseated = p2 - window

@@ -180,3 +180,37 @@ def test_token_budget_select_threshold_and_boundary(spark):
     assert picked(150) == [1, 2, 3, 4]  # next bucket fits whole
     assert picked(39) == []             # budget below the first doc
     assert picked(10_000) == [1, 2, 3, 4, 5]  # everything fits: early out
+
+
+def test_token_budget_recursion_splits_degenerate_bucket(spark):
+    """The worst case for a single-level fit: ALL mass in one coarse
+    quality bucket (every q in [0.5, 0.501)), so level 1 alone would
+    window the entire corpus. The recursive fit must re-histogram the
+    boundary bucket 1000x finer, keep the high sub-buckets map-side,
+    and still reproduce the naive (q DESC, doc ASC) prefix exactly —
+    including when scores are IDENTICAL to full precision and only the
+    doc tie-break can rank (recursion stops early; the window decides)."""
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        token_budget_apply,
+        token_budget_fit,
+        token_budget_select,
+    )
+
+    # distinct at the 1e6 scale: recursion separates them
+    rows = [(d, 0.5 + d * 1e-5, 10) for d in range(1, 60)]
+    df = spark.createDataFrame(rows, "doc long, q double, n_tokens long")
+    fit = token_budget_fit(df, 100)
+    levels, residual = fit
+    assert len(levels) == 2 and levels[0][0] == 1000 and levels[1][0] == 1_000_000
+    got = sorted(r.doc for r in token_budget_apply(df, fit).collect())
+    # naive prefix: q DESC == doc DESC here, so the 10 highest docs fit
+    assert got == list(range(50, 60))
+
+    # identical scores to full precision: unrankable except by doc —
+    # recursion gains nothing (single finer bucket, early stop) and the
+    # boundary window's doc tie-break still cuts the exact prefix
+    flat = spark.createDataFrame(
+        [(d, 0.5, 10) for d in range(1, 30)], "doc long, q double, n_tokens long"
+    )
+    got_flat = sorted(r.doc for r in token_budget_select(flat, 95).collect())
+    assert got_flat == list(range(1, 10))  # 9 docs * 10 tokens <= 95
