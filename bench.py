@@ -82,9 +82,11 @@ HEADLINE = [
     "token_budget_select",
     # round 11 additions (C4/CCNet corpus-frequency boilerplate removal;
     # the end-to-end prep pipeline with substring decontamination wired
-    # between dedup and packing)
+    # between dedup and packing; per-eval-doc benchmark-integrity score
+    # — fourth consumer of the shared gram index)
     "boilerplate_line_removal",
     "corpus_prepare_decontaminated",
+    "eval_overlap_report",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",

@@ -1219,6 +1219,40 @@ def contamination_spans(
     )
 
 
+def eval_overlap_counts(
+    train_grams: DataFrame, eval_grams: DataFrame
+) -> DataFrame:
+    """Benchmark-integrity counts — the REVERSE direction of
+    :func:`contamination_spans`: for each EVAL document, how many of
+    its sliding windows are reproducible from the training corpus
+    (n_windows, n_contaminated per doc). Decontamination cuts the
+    train side; this measures how compromised each benchmark document
+    already is — the report that decides whether an eval set is still
+    worth scoring against (GPT-3 appendix C / Lee et al. 2022 §6 both
+    publish exactly this per-benchmark overlap statistic).
+
+    100 TB shape: the train corpus never shuffles — the tiny eval
+    digest set broadcasts onto the train gram index, the matched
+    digests reduce through a partial-aggregated distinct (bounded by
+    |eval digests|, not |train|), and the per-eval-doc rollup joins
+    that small matched set back broadcast. Docs shorter than the
+    window length have no grams and no row (nothing to measure)."""
+    eval_digests = eval_grams.select("pdigest").distinct()
+    matched = (
+        train_grams.join(F.broadcast(eval_digests), "pdigest")
+        .select("pdigest")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    flagged = eval_grams.join(F.broadcast(matched), "pdigest", "left")
+    return flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_contaminated"),
+    )
+
+
 def contamination_span_bounds(
     train_grams: DataFrame, eval_grams: DataFrame, min_words: int = 8
 ) -> DataFrame:

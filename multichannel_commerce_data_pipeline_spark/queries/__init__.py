@@ -109,6 +109,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # r11 new queries (priority-2 until their first green driver row)
     "boilerplate_line_removal",
     "corpus_prepare_decontaminated",
+    "eval_overlap_report",
     # r11 material plan change: token_budget_fit now recurses 1000x
     # finer on the boundary bucket (VERDICT r10 #6) — the apply window
     # partitions by the full bucket chain and the fit runs a second

@@ -1296,6 +1296,52 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_overlap_report",
+    oracle=_SUBSTR_WS_GRAMS
+    + rf""",
+    tr AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id >= {_BENCH_CUT}
+    ),
+    ev AS (
+      SELECT doc_id, g FROM grams WHERE doc_id < {_BENCH_CUT}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN g IN (SELECT g FROM tr) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           {oracle_dround(
+               "SUM(CASE WHEN g IN (SELECT g FROM tr) THEN 1 ELSE 0 END) "
+               "* 1.0 / COUNT(*)", 6)} AS overlap_frac
+    FROM ev GROUP BY doc_id
+    """,
+)
+def eval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X3: benchmark-integrity report — the reverse direction of
+    decontaminate_spans: per EVAL document (docs 0..19), the fraction
+    of its 8-word windows reproducible from the training corpus (docs
+    >= 20). Decontamination cuts the train side; this measures how
+    compromised each benchmark document already is — the per-benchmark
+    overlap statistic GPT-3 appendix C and Lee et al. 2022 §6 publish
+    before trusting an eval number. Fourth consumer of the persisted
+    gram index; the train corpus never shuffles (broadcast eval
+    digests, partial-aggregated matched-digest distinct bounded by the
+    eval set; operators/dedup.py eval_overlap_counts)."""
+    grams = _substring_gram_index(spark, sf_dir)
+    counts = D.eval_overlap_counts(
+        grams.filter(F.col("doc") >= _BENCH_CUT),
+        grams.filter(F.col("doc") < _BENCH_CUT),
+    )
+    return counts.select(
+        F.col("doc").alias("doc_id"),
+        "n_windows",
+        "n_contaminated",
+        dround(
+            F.col("n_contaminated").cast("double") / F.col("n_windows"), 6
+        ).alias("overlap_frac"),
+    )
+
+
+@query(
     "decontaminate_spans",
     oracle=_SUBSTR_WS_GRAMS
     + rf""",

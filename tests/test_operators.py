@@ -2265,6 +2265,36 @@ def test_decontamination_cut_leaves_no_shared_window(spark):
     assert residue == 0
 
 
+def test_eval_overlap_counts_fraction(spark):
+    """Per-eval-doc integrity counts: a fully-leaked eval doc scores
+    n_contaminated == n_windows, a partially-leaked one counts exactly
+    its matching windows, a clean one scores zero, and a too-short doc
+    has no row."""
+    leak = " ".join(f"l{i}" for i in range(10))  # 3 windows of 8
+    docs = spark.createDataFrame(
+        [
+            (0, leak),                                   # eval: fully leaked
+            (1, leak + " " + " ".join(f"u{i}" for i in range(8))),  # partial
+            (2, " ".join(f"c{i}" for i in range(9))),    # eval: clean
+            (3, "short eval doc"),                       # < 8 words: no row
+            (100, "x " + leak),                          # train carrier
+        ],
+        "doc_id long, text string",
+    )
+    grams = D.substring_grams(D.doc_words(docs, "doc_id", "text"), 8)
+    out = {
+        r.doc: r
+        for r in D.eval_overlap_counts(
+            grams.filter(F.col("doc") >= 100), grams.filter(F.col("doc") < 100)
+        ).collect()
+    }
+    assert out[0].n_windows == 3 and out[0].n_contaminated == 3
+    # doc 1: 11 windows over 18 words; only the 3 all-inside-leak match
+    assert out[1].n_windows == 11 and out[1].n_contaminated == 3
+    assert out[2].n_windows == 2 and out[2].n_contaminated == 0
+    assert 3 not in out
+
+
 def test_substring_dedup_distinct_spans_stay_separate(spark):
     """Two repeated spans in one doc separated by more than the window
     length produce TWO span rows, not one merged region."""
