@@ -112,6 +112,69 @@ def pack_stats(assignments: DataFrame, budget: int = 256) -> DataFrame:
     )
 
 
+def mixture_quota_sample(
+    docs: DataFrame,
+    class_col: str,
+    shares: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 29,
+    oversample: int = 8,
+) -> DataFrame:
+    """Target-mixture sampling — the Pile/Dolma-style mixing step:
+    given target domain SHARES, keep the largest corpus whose class
+    composition matches them exactly, without oversampling any class.
+    T = min over classes of floor(count/share) is the largest feasible
+    total; each class keeps its floor(share*T) smallest-hash members
+    (deterministic, stable under corpus growth — the same reason the
+    dataset split hashes). Classes absent from ``shares`` are dropped
+    (share zero).
+
+    Entirely in-plan, no driver collect: class counts are a bounded
+    aggregate, the share table and the 1-row T aggregate broadcast,
+    and the per-class top-``n_target`` uses the hash PREFILTER +
+    bounded window idiom (keep fraction ~oversample*n_target/count
+    before the shuffle), so the per-class sort input is bounded by
+    sample size, not corpus size. The oracle applies the identical
+    prefilter, so cross-engine equality is exact by construction.
+
+    Returns (id_col, class_col, n_target) for the kept rows."""
+    spark = docs.sparkSession
+    share_df = spark.createDataFrame(
+        sorted(shares.items()), f"{class_col} string, share double"
+    )
+    counts = docs.groupBy(class_col).agg(F.count(F.lit(1)).alias("cnt"))
+    cs = counts.join(F.broadcast(share_df), class_col)
+    t = cs.agg(
+        F.min(F.floor(F.col("cnt") / F.col("share")))
+        .cast("long")
+        .alias("t_max")
+    )
+    quota = cs.join(F.broadcast(t)).select(
+        class_col,
+        "cnt",
+        F.floor(F.col("share") * F.col("t_max")).cast("long").alias("n_target"),
+    )
+    h = portable_hash64(F.col(id_col).cast("string"), seed)
+    kept = (
+        docs.select(id_col, class_col)
+        .join(F.broadcast(quota), class_col)
+        .withColumn("h", h)
+        .filter(
+            F.col("h") / F.lit(float(1 << 60))
+            < F.least(
+                F.lit(1.0),
+                (F.lit(float(oversample)) * F.col("n_target")) / F.col("cnt"),
+            )
+        )
+    )
+    w = Window.partitionBy(class_col).orderBy("h", id_col)
+    return (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("n_target"))
+        .select(id_col, class_col, "n_target")
+    )
+
+
 def split_assign(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -401,6 +464,7 @@ def token_budget_fit(
     q_col: str = "q",
     tok_col: str = "n_tokens",
     max_levels: int = 2,
+    recurse_min_tokens: int = 1_000_000,
 ) -> BudgetFit:
     """Phase 1: the fitted threshold chain — walk the bounded
     quality-bucket histogram best-first; while the boundary bucket is
@@ -410,7 +474,15 @@ def token_budget_fit(
     the whole corpus fits. A corpus statistic like the BM25
     (N, avgdl, df) triple: it depends only on (corpus version,
     budget), so callers cache it per sf_dir and warm invocations skip
-    the histogram scans entirely."""
+    the histogram scans entirely.
+
+    ``recurse_min_tokens`` gates the recursion on the boundary
+    bucket's token mass: each extra level costs one more pass of the
+    scoring subtree (filtered to the boundary bucket — persist
+    ``scored`` first at real scale), which only pays off when the
+    bucket is big enough that a single-partition window over it would
+    hurt. Below the gate, one sorted partition of < a million tokens
+    is trivially cheap and the fit stops at level 1."""
     levels: list[tuple[int, int]] = []
     frame = scored
     scale = _Q_SCALE
@@ -441,6 +513,8 @@ def token_budget_fit(
             # the finer split changed nothing (all boundary rows share
             # one score at this precision); deeper levels can't either
             break
+        if boundary["__toks"] <= recurse_min_tokens:
+            break  # boundary bucket small enough to window directly
         frame = frame.filter(_q_bucket(q_col, scale) == boundary["__qb"])
         scale *= _Q_SCALE
     return tuple(levels), residual

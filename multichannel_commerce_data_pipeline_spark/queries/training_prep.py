@@ -924,6 +924,65 @@ def balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_SHARES = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+_MIX_VALUES = ", ".join(
+    f"('{k}', CAST({v} AS DOUBLE))" for k, v in sorted(_MIX_SHARES.items())
+)
+
+
+@query(
+    "target_mix_sample",
+    oracle=rf"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ),
+    shares AS (
+      SELECT * FROM (VALUES {_MIX_VALUES}) AS s(lang, share)
+    ),
+    cs AS (
+      SELECT c.lang, c.cnt, s.share FROM counts c JOIN shares s USING (lang)
+    ),
+    t AS (
+      SELECT CAST(MIN(FLOOR(cnt / share)) AS BIGINT) AS t_max FROM cs
+    ),
+    quota AS (
+      SELECT lang, cnt,
+             CAST(FLOOR(share * t_max) AS BIGINT) AS n_target
+      FROM cs, t
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.lang, q.cnt, q.n_target, {_ID_HASH(29)} AS h
+      FROM documents d JOIN quota q USING (lang)
+    ),
+    kept AS (
+      SELECT * FROM keyed
+      WHERE h / 1152921504606846976.0
+            < LEAST(1.0, (8.0 * n_target) / cnt)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_target,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM kept
+    )
+    SELECT doc_id, lang, n_target FROM ranked WHERE rk <= n_target
+    """,
+)
+def target_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: target-mixture sampling (the Pile/Dolma mixing step) — keep
+    the LARGEST corpus whose language composition matches the target
+    shares (en 40 / zh 20 / es 20 / de 10 / fr 10) exactly, without
+    oversampling any class: T = min floor(count/share) is the feasible
+    total, each class keeps its floor(share*T) smallest-hash members.
+    Distinct from balanced_class_sample (equal n per class) and from
+    source_epoch_expand (oversampling WITH replacement): this is the
+    downsampling-to-proportions form real mixture specs need. Entirely
+    in-plan — bounded count agg, broadcast share/T frames, hash
+    prefilter bounding every class's window sort to ~8x its quota
+    (operators/training_prep.py mixture_quota_sample)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return TP.mixture_quota_sample(docs, "lang", _MIX_SHARES)
+
+
 _WS_KEY = (
     f"-ln(({_ID_HASH(137)} + 1) / 1152921504606846976.0)"
     " / CAST(n_chars AS DOUBLE)"

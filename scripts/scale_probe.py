@@ -99,6 +99,8 @@ PROBES = [
     ("token_budget_select", "documents", "bounded histogram + boundary window"),
     ("boilerplate_line_removal", "documents lines", "line-df agg + broadcast anti cut"),
     ("corpus_prepare_decontaminated", "documents", "curate + decon cut + pack, 4 exchanges"),
+    ("eval_overlap_report", "documents word windows", "broadcast eval digests + per-doc rollup"),
+    ("target_mix_sample", "documents", "quota fit + prefilter-bounded class windows"),
 ]
 REPS = 3
 

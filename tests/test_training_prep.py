@@ -182,6 +182,33 @@ def test_token_budget_select_threshold_and_boundary(spark):
     assert picked(10_000) == [1, 2, 3, 4, 5]  # everything fits: early out
 
 
+def test_mixture_quota_sample_matches_target_shares(spark):
+    """The quota fit must pick the LARGEST feasible total (bounded by
+    the scarcest class relative to its share), keep exactly
+    floor(share*T) per class, drop classes without a share, and be
+    deterministic (same hash seed -> same members)."""
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        mixture_quota_sample,
+    )
+
+    rows = [(i, "a") for i in range(100)] + [(i + 100, "b") for i in range(10)]
+    rows += [(900, "junk")]  # no share: dropped entirely
+    df = spark.createDataFrame(rows, "doc_id long, cls string")
+    # b is scarce: T = min(100/0.8, 10/0.2) = 50 -> a: 40, b: 10
+    out = mixture_quota_sample(df, "cls", {"a": 0.8, "b": 0.2}, id_col="doc_id")
+    got = out.groupBy("cls").count().collect()
+    assert {r.cls: r["count"] for r in got} == {"a": 40, "b": 10}
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in mixture_quota_sample(
+            df, "cls", {"a": 0.8, "b": 0.2}, id_col="doc_id"
+        ).collect()
+    )
+    assert ids1 == ids2  # deterministic membership
+    assert all(i < 900 for i in ids1)  # junk class never sampled
+
+
 def test_token_budget_recursion_splits_degenerate_bucket(spark):
     """The worst case for a single-level fit: ALL mass in one coarse
     quality bucket (every q in [0.5, 0.501)), so level 1 alone would
@@ -197,9 +224,13 @@ def test_token_budget_recursion_splits_degenerate_bucket(spark):
     )
 
     # distinct at the 1e6 scale: recursion separates them
+    # (recurse_min_tokens=0 forces the recursion at toy size; the
+    # default gate skips it when one windowed bucket is trivially
+    # cheap — the bench-scale behavior)
     rows = [(d, 0.5 + d * 1e-5, 10) for d in range(1, 60)]
     df = spark.createDataFrame(rows, "doc long, q double, n_tokens long")
-    fit = token_budget_fit(df, 100)
+    assert len(token_budget_fit(df, 100)[0]) == 1  # gated: level 1 only
+    fit = token_budget_fit(df, 100, recurse_min_tokens=0)
     levels, residual = fit
     assert len(levels) == 2 and levels[0][0] == 1000 and levels[1][0] == 1_000_000
     got = sorted(r.doc for r in token_budget_apply(df, fit).collect())
