@@ -1295,6 +1295,164 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One drain of the streaming line-df sketch per (session, sf_dir): the
+# checkpointed stream is a side-effecting run; re-draining per
+# DataFrame build would only re-prove what the first drain landed
+# (same rationale as the stream_ann_assign run).
+_STREAM_LINEDF_DIRS: dict[tuple[str, str], str] = {}
+_LINEDF_W, _LINEDF_D, _LINEDF_SEED = 64, 3, 131
+_LINEDF_PROBE_CUT = 20  # probe the distinct lines of docs 0..19
+
+
+def _stream_linedf_run(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import hashlib
+
+        from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+            fresh_stream_dir,
+            stream_line_df_sketch,
+        )
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tmp = fresh_stream_dir(f"mcdp_linedf_{tag}_")
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        # two arrival chunks (even/odd doc_id) -> two micro-batches:
+        # the cumulative grid must come out right INCREMENTALLY
+        d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b1")
+        stream_line_df_sketch(
+            spark,
+            f"{src}/b*",
+            "doc_id bigint, text string",
+            out,
+            ckpt,
+            w=_LINEDF_W,
+            d=_LINEDF_D,
+            seed=_LINEDF_SEED,
+        )
+        return out
+
+    return session_memo(spark, _STREAM_LINEDF_DIRS, sf_dir, build)
+
+
+def _linedf_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        _oracle_pos,
+    )
+
+    inc = " UNION ALL ".join(
+        f"SELECT {j} AS j,"
+        f" {_oracle_pos('ldig', _LINEDF_W, j, _LINEDF_SEED)} AS bucket"
+        " FROM dln"
+        for j in range(_LINEDF_D)
+    )
+    ppos = " UNION ALL ".join(
+        f"SELECT ldigest, {j} AS j,"
+        f" {_oracle_pos('ldigest', _LINEDF_W, j, _LINEDF_SEED)} AS bucket"
+        " FROM probes"
+        for j in range(_LINEDF_D)
+    )
+    return rf"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    ln AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, k * 10 + 1, k * 10 + 10), ' ')
+               AS line
+      FROM ws, LATERAL unnest(
+        range(CAST(ceil(len(w) / 10.0) AS BIGINT))
+      ) AS t(k)
+    ),
+    dln AS (
+      SELECT DISTINCT doc_id, md5(line) AS ldig FROM ln
+    ),
+    inc AS ({inc}),
+    sketch AS (SELECT j, bucket, COUNT(*) AS cell FROM inc GROUP BY 1, 2),
+    probes AS (
+      SELECT DISTINCT ldig AS ldigest FROM dln WHERE doc_id < {_LINEDF_PROBE_CUT}
+    ),
+    ppos AS ({ppos}),
+    est AS (
+      SELECT ldigest, MIN(COALESCE(s.cell, 0)) AS est_df
+      FROM ppos p LEFT JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+      GROUP BY ldigest
+    ),
+    exact AS (
+      SELECT ldig AS ldigest, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_df
+      FROM dln GROUP BY 1
+    )
+    SELECT e.ldigest, est_df, exact_df, est_df - exact_df AS overcount
+    FROM est e JOIN exact x USING (ldigest)
+    """
+
+
+@query("stream_boilerplate_sketch", oracle=_linedf_oracle())
+def stream_boilerplate_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 x T5 x X12: streaming boilerplate df maintenance — the
+    at-scale deployment of boilerplate_line_removal, where the crawl
+    ARRIVES as a feed and the per-line document-frequency signal is
+    maintained incrementally in a BOUNDED Count-Min grid instead of an
+    unbounded per-distinct-line counter table. Within-doc dedup is
+    map-side (a document is one stream row: array_distinct over its
+    line digests needs no state), df merges by addition, so Structured
+    Streaming's stateful aggregation IS the maintenance (two
+    checkpointed micro-batches here, cumulative complete-mode grid,
+    idempotent per-batch landing). The driver oracle rebuilds the grid
+    and the probe estimates in batch SQL: stream output must equal the
+    from-scratch batch sketch cell-for-cell, and est_df >= exact df
+    always (thresholding the estimate gives a conservative cut — never
+    misses a hot line). Probes: the distinct lines of docs 0..19
+    (streaming/jobs.stream_line_df_sketch)."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        cm_estimate,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_latest_cm_sketch,
+    )
+
+    out = _stream_linedf_run(spark, sf_dir)
+    grid = read_latest_cm_sketch(spark, out)
+    docs = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(ws) / F.lit(10)).cast("int")
+    digs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda k: F.md5(F.concat_ws(" ", F.slice(ws, k * 10 + 1, 10))),
+        )
+    )
+    per_doc = (
+        docs.select("doc_id", F.explode_outer(digs).alias("ldigest"))
+        .filter(F.col("ldigest").isNotNull())
+    )
+    probes = (
+        per_doc.filter(F.col("doc_id") < _LINEDF_PROBE_CUT)
+        .select("ldigest")
+        .distinct()
+    )
+    est = cm_estimate(
+        grid, probes, "ldigest", w=_LINEDF_W, d=_LINEDF_D, seed=_LINEDF_SEED
+    ).withColumnRenamed("est_count", "est_df")
+    exact = (
+        per_doc.select("doc_id", "ldigest")
+        .distinct()
+        .groupBy("ldigest")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_df"))
+    )
+    return est.join(exact, "ldigest").select(
+        "ldigest",
+        "est_df",
+        "exact_df",
+        (F.col("est_df") - F.col("exact_df")).alias("overcount"),
+    )
+
+
 @query(
     "eval_overlap_report",
     oracle=_SUBSTR_WS_GRAMS

@@ -849,6 +849,91 @@ def stream_cm_sketch(
     return query
 
 
+def stream_line_df_sketch(
+    spark: SparkSession,
+    src_glob: str,
+    schema_ddl: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    line_words: int = 10,
+    w: int = 64,
+    d: int = 3,
+    seed: int = 131,
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Streaming boilerplate document-frequency maintenance (X1 x T5 x
+    X12): as a crawl STREAMS in, keep the per-line df signal that
+    ``operators.dedup.boilerplate_lines`` thresholds — without the
+    unbounded per-distinct-line state an exact streaming df would need.
+    Two observations make this a bounded-state streaming aggregation:
+    (1) within-document dedup needs NO state at all, because a document
+    is one stream row — ``array_distinct`` over its line digests runs
+    map-side, so each arriving doc votes once per distinct line, the
+    df semantic; (2) df counts then merge by ADDITION, so a Count-Min
+    grid over the line digests is the streaming form, and Structured
+    Streaming's own stateful aggregation maintains the d x w grid
+    (cumulative across micro-batches, restored from the checkpoint,
+    bounded regardless of how many distinct lines the crawl contains).
+    est_df >= true df always — thresholding the estimate yields a
+    conservative boilerplate cut (may remove a few extra lines, never
+    misses a hot one at the same threshold). Same idempotent per-batch
+    complete-mode landing as ``stream_cm_sketch``; probe the landed
+    grid with the batch ``operators.frequency.cm_estimate``."""
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        _positions,
+    )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_glob)
+
+    ws = F.split(F.col(text_col), " ")
+    n_lines = F.ceil(F.size(ws) / F.lit(line_words)).cast("int")
+    digs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda k: F.md5(
+                F.concat_ws(" ", F.slice(ws, k * line_words + 1, line_words))
+            ),
+        )
+    )
+    exploded = stream.select(F.explode_outer(digs).alias("ldigest")).filter(
+        F.col("ldigest").isNotNull()
+    )
+    pos = _positions(F.col("ldigest"), w, d, seed)
+    inc = exploded.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        p.cast("int").alias("bucket"),
+                    )
+                    for j, p in enumerate(pos)
+                ]
+            )
+        ).alias("c")
+    )
+    grid = inc.groupBy(
+        F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cell"))
+    query = (
+        grid.writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("__bid", F.lit(bid))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch-{bid}")
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def read_latest_cm_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
     """The current grid: complete mode re-emits every cell each batch,
     so the max-batch rows are the whole sketch."""

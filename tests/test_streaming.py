@@ -4,6 +4,7 @@ within the watermark, and date-partitioned stream-to-table landing."""
 
 from __future__ import annotations
 
+import hashlib
 import json
 import shutil
 from pathlib import Path
@@ -819,6 +820,65 @@ def test_streaming_cm_sketch_cumulative_and_restart(spark, tmp_path):
     }
     for r in est.collect():
         assert r.est_count >= exact[r.buyer_name]
+
+
+def test_stream_line_df_sketch_planted_navbar(spark, tmp_path):
+    """X1 × T5: the streamed line-df grid must count each document's
+    DISTINCT lines once (within-doc repeats are deduped map-side, the
+    df semantic), accumulate across micro-batches, and never
+    underestimate — a nav line planted in 3 docs across 2 arrival
+    chunks estimates df >= 3, a unique line >= 1."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        cm_estimate,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_latest_cm_sketch,
+        stream_line_df_sketch,
+    )
+
+    nav = " ".join(f"n{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, nav + " " + uniq),
+            (2, nav + " " + nav),  # within-doc repeat: ONE df vote
+            (1, nav),
+        ],
+        "doc_id long, text string",
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b0")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b1")
+    )
+    stream_line_df_sketch(
+        spark,
+        str(tmp_path / "src" / "b*"),
+        "doc_id bigint, text string",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    grid = read_latest_cm_sketch(spark, str(tmp_path / "out"))
+    probes = spark.createDataFrame(
+        [(hashlib.md5(nav.encode()).hexdigest(), "nav"),
+         (hashlib.md5(uniq.encode()).hexdigest(), "uniq")],
+        "ldigest string, which string",
+    )
+    est = {
+        r.ldigest: r.est_count
+        for r in cm_estimate(grid, probes.select("ldigest"), "ldigest").collect()
+    }
+    nav_h = hashlib.md5(nav.encode()).hexdigest()
+    uniq_h = hashlib.md5(uniq.encode()).hexdigest()
+    assert est[nav_h] >= 3  # never underestimates the hot line
+    assert est[uniq_h] >= 1
+    # total grid mass = total distinct (doc, line) votes * d rows:
+    # 3 nav votes + 1 uniq vote = 4 increments per hash row
+    per_row = {}
+    for r in grid.collect():
+        per_row[r.j] = per_row.get(r.j, 0) + r.cell
+    assert set(per_row.values()) == {4}  # doc 2's repeat counted once
 
 
 def test_streaming_session_windows_close_once_and_match_batch(spark, tmp_path):
