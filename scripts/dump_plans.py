@@ -432,6 +432,23 @@ COMMENTARY = {
         "indices fold per doc and clean text is re-sliced map-side after "
         "the doc-id join."
     ),
+    "eval_overlap_report": (
+        "Benchmark-integrity counts without moving the training corpus: "
+        "the eval digest set broadcasts onto the persisted gram index "
+        "(InMemoryTableScan), matched digests reduce through a "
+        "partial-aggregated distinct bounded by |eval digests|, and the "
+        "per-eval-doc rollup joins that small matched set back broadcast. "
+        "The only exchanges carry digest-width rows."
+    ),
+    "target_mix_sample": (
+        "The whole quota fit is in-plan: a bounded per-class count "
+        "aggregate, a broadcast share table, a 1-row min aggregate for "
+        "the feasible total T, and a broadcast quota join back onto the "
+        "corpus. The per-class top-n_target never sorts a whole class: "
+        "the hash prefilter (~8x quota / count) bounds each window "
+        "partition's input by sample size — the balanced_class_sample "
+        "idiom generalized to per-class quotas."
+    ),
     "corpus_prepare_decontaminated": (
         "The end-to-end prep pipeline with the contamination cut wired "
         "between dedup and packing. The curated words frame is persisted "
