@@ -159,9 +159,12 @@ def boilerplate_lines(
          window expression serially inside the scan; the r7 lesson);
          line TEXT never leaves the scan stage, only its md5 (~40-byte
          shuffle rows).
-      2. document frequency = distinct ``(doc, ldigest)`` (hash
-         aggregate, partial-merged — a nav bar repeated on every page
-         of one site collapses map-side) then ``count`` per digest.
+      2. document frequency needs NO distinct exchange: a document is
+         ONE input row, so within-doc dedup is ``array_distinct`` over
+         its digest array BEFORE the explode — each doc votes once per
+         distinct line entirely map-side (a nav bar repeated on every
+         page of one doc collapses before anything shuffles), and df
+         is then a single partial-merged ``count`` per digest.
       3. the over-threshold digest set is tiny by construction
          (boilerplate is the head of the df distribution), so the
          removal join is a LEFT ANTI that AQE converts to a broadcast
@@ -197,12 +200,11 @@ def boilerplate_lines(
         base.select("doc", F.posexplode_outer(digests).alias("lidx", "ldigest"))
         .filter(F.col("ldigest").isNotNull())
     )
-    dfreq = (
-        narrow.select("doc", "ldigest")
-        .distinct()
-        .groupBy("ldigest")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    doc_votes = (
+        base.select(F.explode_outer(F.array_distinct(digests)).alias("ldigest"))
+        .filter(F.col("ldigest").isNotNull())
     )
+    dfreq = doc_votes.groupBy("ldigest").agg(F.count(F.lit(1)).alias("__df"))
     hot = dfreq.filter(F.col("__df") > df_threshold).select("ldigest")
     kept_idx = (
         narrow.join(hot, "ldigest", "left_anti")
