@@ -112,3 +112,43 @@ def test_substring_rewrite_matches_reference_cut(spark, texts):
         assert got[doc].clean_text == want
         assert got[doc].n_removed == len(removed)
         assert got[doc].n_words == len(ws)
+
+
+def _reference_boilerplate(texts: list[str], lw: int, thr: int) -> dict:
+    """Single-process reference for boilerplate_lines: chunk each doc
+    into lw-word lines, df = per-doc-distinct document frequency,
+    remove every line with df > thr everywhere, rebuild."""
+    lines = []
+    for t in texts:
+        ws = t.split(" ")
+        n = -(-len(ws) // lw)
+        lines.append([" ".join(ws[k * lw : k * lw + lw]) for k in range(n)])
+    df: dict[str, set[int]] = {}
+    for doc, ls in enumerate(lines):
+        for line in ls:
+            df.setdefault(line, set()).add(doc)
+    hot = {line for line, docs in df.items() if len(docs) > thr}
+    out = {}
+    for doc, ls in enumerate(lines):
+        kept = [line for line in ls if line not in hot]
+        out[doc] = (len(ls), len(kept), len(ls) - len(kept), " ".join(kept))
+    return out
+
+
+@SET
+@given(corpora)
+def test_boilerplate_lines_match_reference(spark, texts):
+    """The df-threshold removal must agree with the direct reference on
+    arbitrary corpora — including all-equal docs (everything over
+    threshold, everything emptied) and single-word docs."""
+    lw, thr = 3, 1  # small line + low threshold so tiny corpora trigger
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.n_removed, r.clean_text)
+        for r in D.boilerplate_lines(
+            df, "doc_id", "text", line_words=lw, df_threshold=thr
+        ).collect()
+    }
+    assert got == _reference_boilerplate(texts, lw, thr)
