@@ -142,8 +142,78 @@ def mixture_quota_sample(
     share_df = spark.createDataFrame(
         sorted(shares.items()), f"{class_col} string, share double"
     )
+    return _quota_sample(docs, class_col, share_df, id_col, seed, oversample)
+
+
+def temperature_mix_sample(
+    docs: DataFrame,
+    class_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 29,
+    oversample: int = 8,
+) -> DataFrame:
+    """Temperature-smoothed mixture sampling — the multilingual
+    rebalancing rule (XLM-R / mT5 style): target share of each class
+    proportional to count^alpha, alpha in (0, 1), so head classes are
+    downweighted and tail classes upweighted WITHOUT the hard equality
+    of balanced sampling. Shares are derived from the data IN-PLAN (no
+    share spec to maintain), then the same largest-feasible-quota
+    machinery as :func:`mixture_quota_sample` applies.
+
+    Cross-engine portability: alpha = 0.5 uses ``sqrt`` (correctly
+    rounded in IEEE 754, bit-identical in Spark and DuckDB); other
+    alphas fall back to ``pow``, which is NOT correctly rounded and may
+    differ in the last ulp across libm builds — quantized here via
+    dround(6) before the share division, and the share itself is
+    dround(6)-quantized, so a 1-ulp pow divergence cannot survive into
+    the quotas. The share denominator sums DECIMAL-quantized addends
+    (exact, order-independent — the gold-rollup idiom)."""
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+
     counts = docs.groupBy(class_col).agg(F.count(F.lit(1)).alias("cnt"))
-    cs = counts.join(F.broadcast(share_df), class_col)
+    smoothed = (
+        F.sqrt(F.col("cnt"))
+        if alpha == 0.5
+        else F.pow(F.col("cnt"), F.lit(alpha))
+    )
+    weighted = counts.select(
+        class_col,
+        "cnt",
+        dround(smoothed, 6).cast("decimal(28,6)").alias("__w"),
+    )
+    tot = weighted.agg(F.sum("__w").alias("__tot"))
+    share_df = weighted.join(F.broadcast(tot)).select(
+        class_col,
+        "cnt",
+        dround(
+            F.col("__w").cast("double") / F.col("__tot").cast("double"), 6
+        ).alias("share"),
+    )
+    # share_df carries cnt so the quota tail does not re-aggregate the
+    # corpus (no DataFrame CSE: a second groupBy would be a second scan)
+    return _quota_sample(docs, class_col, share_df, id_col, seed, oversample)
+
+
+def _quota_sample(
+    docs: DataFrame,
+    class_col: str,
+    share_df: DataFrame,
+    id_col: str,
+    seed: int,
+    oversample: int,
+) -> DataFrame:
+    """Shared quota-sampling tail: feasible total T = min
+    floor(count/share), per-class quota floor(share*T), smallest-hash
+    membership behind the prefilter-bounded window (see
+    :func:`mixture_quota_sample` for the full scale argument).
+    ``share_df`` is (class, share) or (class, cnt, share) — the class
+    counts are joined in when not already supplied."""
+    if "cnt" in share_df.columns:
+        cs = share_df
+    else:
+        counts = docs.groupBy(class_col).agg(F.count(F.lit(1)).alias("cnt"))
+        cs = counts.join(F.broadcast(share_df), class_col)
     t = cs.agg(
         F.min(F.floor(F.col("cnt") / F.col("share")))
         .cast("long")

@@ -112,6 +112,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "eval_overlap_report",
     "stream_boilerplate_sketch",
     "target_mix_sample",
+    "temperature_mix_sample",
     # r11 material plan change: token_budget_fit now recurses 1000x
     # finer on the boundary bucket (VERDICT r10 #6) — the apply window
     # partitions by the full bucket chain and the fit runs a second

@@ -924,6 +924,63 @@ def balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temp_mix_oracle() -> str:
+    share = oracle_dround("CAST(w AS DOUBLE) / CAST(tot AS DOUBLE)", 6)
+    return rf"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ),
+    weighted AS (
+      SELECT lang, cnt,
+             CAST({oracle_dround('sqrt(cnt)', 6)} AS DECIMAL(28,6)) AS w
+      FROM counts
+    ),
+    tot AS (SELECT SUM(w) AS tot FROM weighted),
+    cs AS (
+      SELECT lang, cnt, {share} AS share FROM weighted, tot
+    ),
+    t AS (
+      SELECT CAST(MIN(FLOOR(cnt / share)) AS BIGINT) AS t_max FROM cs
+    ),
+    quota AS (
+      SELECT lang, cnt,
+             CAST(FLOOR(share * t_max) AS BIGINT) AS n_target
+      FROM cs, t
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.lang, q.cnt, q.n_target, {_ID_HASH(29)} AS h
+      FROM documents d JOIN quota q USING (lang)
+    ),
+    kept AS (
+      SELECT * FROM keyed
+      WHERE h / 1152921504606846976.0
+            < LEAST(1.0, (8.0 * n_target) / cnt)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_target,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM kept
+    )
+    SELECT doc_id, lang, n_target FROM ranked WHERE rk <= n_target
+    """
+
+
+@query("temperature_mix_sample", oracle=_temp_mix_oracle())
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: temperature-smoothed mixture sampling — the XLM-R/mT5
+    multilingual rebalancing rule: target shares proportional to
+    count^0.5, so head languages are downweighted and tail languages
+    upweighted without balanced sampling's hard equality. Shares are
+    derived from the data IN-PLAN (contrast target_mix_sample's fixed
+    spec), then the same largest-feasible-quota machinery applies.
+    alpha = 0.5 rides on sqrt (correctly rounded in IEEE, bit-identical
+    cross-engine); the share denominator sums DECIMAL-quantized
+    addends so double addition order cannot diverge
+    (operators/training_prep.py temperature_mix_sample)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return TP.temperature_mix_sample(docs, "lang", alpha=0.5)
+
+
 _MIX_SHARES = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
 _MIX_VALUES = ", ".join(
     f"('{k}', CAST({v} AS DOUBLE))" for k, v in sorted(_MIX_SHARES.items())

@@ -101,6 +101,7 @@ PROBES = [
     ("corpus_prepare_decontaminated", "documents", "curate + decon cut + pack, 4 exchanges"),
     ("eval_overlap_report", "documents word windows", "broadcast eval digests + per-doc rollup"),
     ("target_mix_sample", "documents", "quota fit + prefilter-bounded class windows"),
+    ("temperature_mix_sample", "documents", "in-plan count^0.5 shares + quota sample"),
 ]
 REPS = 3
 

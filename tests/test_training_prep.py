@@ -209,6 +209,32 @@ def test_mixture_quota_sample_matches_target_shares(spark):
     assert all(i < 900 for i in ids1)  # junk class never sampled
 
 
+def test_temperature_mix_upweights_tail_classes(spark):
+    """count^0.5 smoothing must land BETWEEN raw proportions and hard
+    balance: the head class keeps more than an equal split but less
+    than its raw share, and every class's kept count respects its
+    sqrt-derived quota exactly."""
+    import math
+
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        temperature_mix_sample,
+    )
+
+    rows = [(i, "head") for i in range(400)] + [
+        (i + 1000, "tail") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cls string")
+    out = temperature_mix_sample(df, "cls", alpha=0.5)
+    got = {r.cls: r["count"] for r in out.groupBy("cls").count().collect()}
+    # shares: sqrt(400)=20, sqrt(25)=5 -> 0.8 / 0.2; T = min(400/.8,
+    # 25/.2) = 125 -> head 100, tail 25
+    assert got == {"head": 100, "tail": 25}
+    raw_head, eq_head = 400 / 425, 0.5
+    smoothed_head = got["head"] / sum(got.values())
+    assert eq_head < smoothed_head < raw_head
+    assert math.isclose(smoothed_head, 0.8)
+
+
 def test_token_budget_recursion_splits_degenerate_bucket(spark):
     """The worst case for a single-level fit: ALL mass in one coarse
     quality bucket (every q in [0.5, 0.501)), so level 1 alone would
