@@ -111,6 +111,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "corpus_prepare_decontaminated",
     "eval_overlap_report",
     "stream_boilerplate_sketch",
+    "stream_decontaminate_rollup",
     "target_mix_sample",
     "temperature_mix_sample",
     # r11 material plan change: token_budget_fit now recurses 1000x

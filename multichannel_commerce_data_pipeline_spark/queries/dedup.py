@@ -1295,6 +1295,106 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One drain of the streaming decontaminate-on-ingest job per
+# (session, sf_dir) — same side-effecting-run rationale as below.
+_STREAM_DECON_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _stream_decon_run(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import hashlib
+
+        from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+            fresh_stream_dir,
+            stream_decontaminate,
+        )
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tmp = fresh_stream_dir(f"mcdp_sdecon_{tag}_")
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        train = d.filter(F.col("doc_id") >= _BENCH_CUT)
+        # two arrival chunks (even/odd doc_id): the cut must come out
+        # right per-micro-batch, not because everything shared a batch
+        train.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        train.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b1")
+        # eval grams from the shared persisted index (fifth consumer)
+        eval_grams = _substring_gram_index(spark, sf_dir).filter(
+            F.col("doc") < _BENCH_CUT
+        )
+        stream_decontaminate(
+            spark,
+            f"{src}/b*",
+            "doc_id bigint, text string",
+            out,
+            ckpt,
+            eval_grams,
+            _SUBSTR_MIN_WORDS,
+        )
+        return out
+
+    return session_memo(spark, _STREAM_DECON_DIRS, sf_dir, build)
+
+
+@query(
+    "stream_decontaminate_rollup",
+    oracle=_SUBSTR_WS_GRAMS
+    + rf""",
+    ev AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < {_BENCH_CUT}
+    ),
+    starts AS (
+      SELECT doc_id, pos FROM grams
+      WHERE doc_id >= {_BENCH_CUT} AND g IN (SELECT g FROM ev)
+    )"""
+    + _SUBSTR_ISLANDS_TAIL
+    + rf""",
+    tr AS (
+      SELECT doc_id, w FROM ws WHERE doc_id >= {_BENCH_CUT}
+    ),
+    kept AS (
+      SELECT tr.doc_id, string_agg(tr.w[i], ' ' ORDER BY i) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM tr, LATERAL unnest(generate_series(1, len(tr.w))) AS t(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = tr.doc_id AND i BETWEEN sp.s AND sp.e
+      )
+      GROUP BY tr.doc_id
+    )
+    SELECT tr.doc_id,
+           CAST(len(tr.w) AS BIGINT) AS n_words,
+           CAST(len(tr.w) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(kept.clean_text, '') AS clean_text
+    FROM tr LEFT JOIN kept USING (doc_id)
+    """,
+)
+def stream_decontaminate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 x T5: decontaminate-on-ingest — training documents arrive as
+    a feed (two checkpointed micro-batches) and every >= 8-word span
+    also present in the held-out eval slice (docs 0..19) is CUT before
+    landing, so leaked spans never touch the corpus. Each micro-batch
+    runs the exact batch operators inside foreachBatch
+    (contamination_span_bounds -> substring_dedup_rewrite; the eval
+    digest set broadcasts, the arriving batch never shuffles for the
+    marking), and the driver oracle is the BATCH decontamination SQL
+    over the same docs — stream ≡ batch is driver evidence, the
+    stream_ann_assign pattern applied to the curation path
+    (streaming/jobs.stream_decontaminate)."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_stream_assignments,
+    )
+
+    out = _stream_decon_run(spark, sf_dir)
+    return read_stream_assignments(spark, out).select(
+        F.col("doc").alias("doc_id"), "n_words", "n_removed", "clean_text"
+    )
+
+
 # One drain of the streaming line-df sketch per (session, sf_dir): the
 # checkpointed stream is a side-effecting run; re-draining per
 # DataFrame build would only re-prove what the first drain landed

@@ -1159,3 +1159,67 @@ def read_stream_assignments(spark: SparkSession, out_dir: str) -> DataFrame:
     arrives once, so append-across-batches is the full assignment
     set)."""
     return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    src_glob: str,
+    schema_ddl: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    eval_grams: DataFrame,
+    min_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Decontaminate-on-ingest (X1 x T5) — the deployment form of the
+    substring-level benchmark decontamination: TRAINING documents
+    ARRIVE as a feed and every maximal span reproducing >=
+    ``min_words`` consecutive words from the held-out eval set is cut
+    before the document ever lands in the corpus — leaked spans never
+    touch storage, instead of being scrubbed by a later batch pass.
+
+    The eval set is a fixed, small reference (benchmarks are bounded
+    by definition), so each micro-batch runs the exact batch operators
+    inside ``foreachBatch`` — ``contamination_span_bounds`` (the eval
+    digest set broadcasts; the arriving batch never shuffles for the
+    marking) feeding ``substring_dedup_rewrite`` (map-side indexed
+    cut) — one implementation, two drivers, so stream output ≡ batch
+    output by construction and the driver oracle is the BATCH
+    decontamination SQL. Same idempotent per-batch landing contract
+    as ``stream_ivf_assign`` (mode=overwrite into ``batch-{id}``);
+    each document arrives once, so append-across-batches is the full
+    decontaminated corpus."""
+    from multichannel_commerce_data_pipeline_spark.operators.dedup import (
+        contamination_span_bounds,
+        doc_words,
+        substring_dedup_rewrite,
+        substring_grams,
+    )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_glob)
+
+    def cut_batch(batch_df: DataFrame, bid: int) -> None:
+        words = doc_words(batch_df, id_col, text_col)
+        bounds = contamination_span_bounds(
+            substring_grams(words, min_words), eval_grams, min_words
+        )
+        (
+            substring_dedup_rewrite(bounds, words)
+            .withColumn("__bid", F.lit(bid))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch-{bid}")
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(cut_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

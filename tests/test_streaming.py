@@ -881,6 +881,56 @@ def test_stream_line_df_sketch_planted_navbar(spark, tmp_path):
     assert set(per_row.values()) == {4}  # doc 2's repeat counted once
 
 
+def test_stream_decontaminate_cuts_leaks_per_batch(spark, tmp_path):
+    """X1 × T5: decontaminate-on-ingest must cut the eval-leaked span
+    from arriving train docs in WHICHEVER micro-batch they arrive
+    (even/odd split), pass clean docs through unchanged, and keep
+    every row (emptied, never dropped)."""
+    from multichannel_commerce_data_pipeline_spark.operators import dedup as D
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_stream_assignments,
+        stream_decontaminate,
+    )
+
+    leak = " ".join(f"l{i}" for i in range(9))
+    pre = " ".join(f"p{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (100, pre + " " + leak),     # even batch: leaked tail
+            (101, leak),                 # odd batch: fully leaked
+            (102, " ".join(f"c{i}" for i in range(10))),  # even: clean
+        ],
+        "doc_id long, text string",
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b0")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b1")
+    )
+    eval_docs = spark.createDataFrame(
+        [(0, "x " + leak + " y")], "doc_id long, text string"
+    )
+    eval_grams = D.substring_grams(D.doc_words(eval_docs, "doc_id", "text"), 8)
+    stream_decontaminate(
+        spark,
+        str(tmp_path / "src" / "b*"),
+        "doc_id bigint, text string",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        eval_grams,
+        min_words=8,
+    )
+    got = {
+        r.doc: r
+        for r in read_stream_assignments(spark, str(tmp_path / "out")).collect()
+    }
+    assert set(got) == {100, 101, 102}
+    assert got[100].clean_text == pre and got[100].n_removed == 9
+    assert got[101].clean_text == "" and got[101].n_removed == 9
+    assert got[102].n_removed == 0
+
+
 def test_streaming_session_windows_close_once_and_match_batch(spark, tmp_path):
     """T4 × T5: native session_window as a stateful streaming agg —
     sessions merge in checkpointed state across drains and emit exactly
