@@ -930,6 +930,40 @@ def test_stream_decontaminate_cuts_leaks_per_batch(spark, tmp_path):
     assert got[101].clean_text == "" and got[101].n_removed == 9
     assert got[102].n_removed == 0
 
+    # exactly-once: a re-drain over the same checkpoint adds nothing
+    stream_decontaminate(
+        spark,
+        str(tmp_path / "src" / "b*"),
+        "doc_id bigint, text string",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        eval_grams,
+        min_words=8,
+    )
+    again = read_stream_assignments(spark, str(tmp_path / "out"))
+    assert again.count() == 3
+
+    # a late-arriving leaked doc is cut as its own micro-batch without
+    # reprocessing earlier documents
+    spark.createDataFrame(
+        [(104, leak + " tail0")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "src" / "b2"))
+    stream_decontaminate(
+        spark,
+        str(tmp_path / "src" / "b*"),
+        "doc_id bigint, text string",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        eval_grams,
+        min_words=8,
+    )
+    final = {
+        r.doc: r
+        for r in read_stream_assignments(spark, str(tmp_path / "out")).collect()
+    }
+    assert len(final) == 4
+    assert final[104].clean_text == "tail0" and final[104].n_removed == 9
+
 
 def test_streaming_session_windows_close_once_and_match_batch(spark, tmp_path):
     """T4 × T5: native session_window as a stateful streaming agg —
