@@ -99,11 +99,6 @@ WINDOW_SLOTS = 50
 # window slots (the declared queries hold fresh evidence by then, so
 # oldest-first would not re-seat them either).
 #
-# r10: tfidf_top_terms and bm25_search now serve the persisted
-# token-partitioned doc-term index (queries/text.py _doc_term_index)
-# instead of re-tokenizing the corpus per consumer — evaluation
-# strategy only (oracles unchanged, re-verified green at sf0.01), but
-# the plan rewrite is substantial enough to re-earn evidence.
 CHANGED_IN_ROUND = 11
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     # r11 new queries (priority-2 until their first green driver row)
