@@ -134,6 +134,7 @@ def boilerplate_lines(
     text_col: str,
     line_words: int = 10,
     df_threshold: int = 2,
+    persist: bool = False,
 ) -> DataFrame:
     """Corpus-frequency line-level boilerplate removal — the C4 /
     CCNet-style curation pass (Raffel et al. 2020 §2.2; Wenzek et al.
@@ -178,6 +179,17 @@ def boilerplate_lines(
     Returns (id_col, n_lines, n_kept, n_removed, clean_text); total
     over the corpus — a document whose every line is boilerplate
     survives with empty text (dropped words, never dropped rows).
+
+    The split+md5 subtree feeds THREE consumers (the index frame, the
+    df votes, the final text rebuild) in separate lineages, and Spark
+    has no DataFrame-level CSE — by default that is an accepted 2x
+    map-side digest recompute plus one extra scan: every repeat stays
+    inside its own scan stage and never shuffles, and at corpus scale
+    caching the text-plus-word-arrays frame usually costs more memory
+    than the repeated narrow scan costs CPU. ``persist=True`` flips
+    the trade (the corpus_prepare_decontaminated choice) for callers
+    whose storage budget allows it — the digest arrays are then
+    computed exactly once.
     """
     base = df.select(
         F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__ws")
@@ -189,19 +201,30 @@ def boilerplate_lines(
             " ", F.slice(F.col("__ws"), k * line_words + 1, line_words)
         )
 
-    digests = F.when(
-        n_lines > 0,
-        F.transform(
-            F.sequence(F.lit(0), (n_lines - 1).cast("int")),
-            lambda k: F.md5(line_at(k)),
+    base = base.withColumn(
+        "__digs",
+        F.when(
+            n_lines > 0,
+            F.transform(
+                F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+                lambda k: F.md5(line_at(k)),
+            ),
         ),
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     narrow = (
-        base.select("doc", F.posexplode_outer(digests).alias("lidx", "ldigest"))
+        base.select(
+            "doc", F.posexplode_outer("__digs").alias("lidx", "ldigest")
+        )
         .filter(F.col("ldigest").isNotNull())
     )
     doc_votes = (
-        base.select(F.explode_outer(F.array_distinct(digests)).alias("ldigest"))
+        base.select(
+            F.explode_outer(F.array_distinct("__digs")).alias("ldigest")
+        )
         .filter(F.col("ldigest").isNotNull())
     )
     dfreq = doc_votes.groupBy("ldigest").agg(F.count(F.lit(1)).alias("__df"))

@@ -214,6 +214,14 @@ def _quota_sample(
     else:
         counts = docs.groupBy(class_col).agg(F.count(F.lit(1)).alias("cnt"))
         cs = counts.join(F.broadcast(share_df), class_col)
+    # share-0 classes leave the feasibility aggregate BEFORE the
+    # division: under heavy skew an extreme-tail class's dround(6)-
+    # quantized share rounds to exactly 0.0, and floor(cnt/0) is an
+    # engine-divergent Infinity (Spark saturates the long cast, DuckDB
+    # errors on CAST(inf AS BIGINT) — ADVICE r11). A share-0 class
+    # contributes quota floor(0*T) = 0 anyway, so dropping it changes
+    # no output row; the oracles apply the identical filter.
+    cs = cs.filter(F.col("share") > 0)
     t = cs.agg(
         F.min(F.floor(F.col("cnt") / F.col("share")))
         .cast("long")
@@ -509,9 +517,11 @@ def token_budget_select(
          ``max_levels``), so the windowed remainder shrinks
          geometrically — each level's histogram is still a bounded
          partial-merged aggregate, never a sort. Recursion stops early
-         when a finer split gains nothing (every boundary row shares
-         one score to the finer precision — identical scores are
-         unrankable except by doc, the irreducible worst case).
+         when the boundary bucket's rows all share ONE score (exact
+         min == max probe riding the same histogram pass — identical
+         scores are unrankable except by doc, the irreducible worst
+         case; a single bucket at the current scale alone would not
+         prove that).
 
     Ties at the budget edge resolve identically to the oracle's
     ORDER BY q DESC, doc: the boundary window orders by exactly that.
@@ -559,9 +569,17 @@ def token_budget_fit(
     residual = budget
     for _ in range(max_levels):
         hist = (
-            frame.select(_q_bucket(q_col, scale).alias("__qb"), F.col(tok_col))
+            frame.select(
+                _q_bucket(q_col, scale).alias("__qb"),
+                F.col(q_col),
+                F.col(tok_col),
+            )
             .groupBy("__qb")
-            .agg(F.sum(tok_col).alias("__toks"))
+            .agg(
+                F.sum(tok_col).alias("__toks"),
+                F.min(q_col).alias("__qmin"),
+                F.max(q_col).alias("__qmax"),
+            )
             .collect()
         )
         acc = 0
@@ -579,9 +597,13 @@ def token_budget_fit(
             return None
         levels.append((scale, boundary["__qb"]))
         residual -= acc
-        if len(hist) == 1 and len(levels) > 1:
-            # the finer split changed nothing (all boundary rows share
-            # one score at this precision); deeper levels can't either
+        if boundary["__qmin"] == boundary["__qmax"]:
+            # every boundary row carries the SAME score — unrankable
+            # except by doc, so no depth of recursion can split the
+            # bucket. min/max ride the same partial-merged histogram
+            # pass for free; a single bucket at the current scale
+            # alone would NOT prove this (scores differing by less
+            # than 1/scale still split one level deeper — ADVICE r11)
             break
         if boundary["__toks"] <= recurse_min_tokens:
             break  # boundary bucket small enough to window directly

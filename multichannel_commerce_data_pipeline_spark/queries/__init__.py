@@ -206,11 +206,19 @@ def plan_window(
     names = [n for n in REGISTRY if REGISTRY[n].oracle is not None]
     window = [FLAGSHIP]
     seated = {FLAGSHIP}
-    # (2) changed this round, or never green under the driver
-    p2 = [
+    # (2) changed this round FIRST (the hard obligation — a dropped
+    # declaration's fresh-evidence requirement cannot be met any other
+    # round), then never-green alphabetically. Seating changed names
+    # before the never-green pool means a zero-evidence bootstrap
+    # (latest == {}, every query never-green) can only ever overflow
+    # the SOFT half: with the old single alphabetical pool, changed
+    # names ranking past slot 49 raised at registry load in exactly
+    # the state the docstring promises to survive (ADVICE r11).
+    changed_set = set(changed)
+    p2 = [n for n in sorted(names) if n != FLAGSHIP and n in changed_set] + [
         n
         for n in sorted(names)
-        if n != FLAGSHIP and (n in changed or n not in latest)
+        if n != FLAGSHIP and n not in changed_set and n not in latest
     ]
     for n in p2:
         if len(window) >= WINDOW_SLOTS:
@@ -221,13 +229,13 @@ def plan_window(
     if dropped:
         # Silently omitting due work hands the driver a window that
         # quietly skips it (ADVICE r10). A dropped CHANGED declaration
-        # is a hard error — its fresh-evidence obligation cannot be
-        # met any other round. A never-green backlog larger than the
-        # window is the normal bootstrap state (fresh checkout, early
-        # rounds): those names fall to priority (3), where zero
-        # evidence sorts first, so they seat in the very next rounds —
-        # warn, don't crash the registry load.
-        missing_changed = [n for n in dropped if n in changed]
+        # is a hard error — only reachable when the declarations ALONE
+        # exceed the window, since they seat first. A never-green
+        # backlog larger than the window is the normal bootstrap state
+        # (fresh checkout, early rounds): those names fall to priority
+        # (3), where zero evidence sorts first, so they seat in the
+        # very next rounds — warn, don't crash the registry load.
+        missing_changed = [n for n in dropped if n in changed_set]
         if missing_changed:
             raise RuntimeError(
                 f"CHANGED_THIS_ROUND declarations overflow the "

@@ -937,7 +937,12 @@ def _temp_mix_oracle() -> str:
     ),
     tot AS (SELECT SUM(w) AS tot FROM weighted),
     cs AS (
-      SELECT lang, cnt, {share} AS share FROM weighted, tot
+      -- share > 0: quantized tail shares can round to exactly 0 under
+      -- heavy skew; floor(cnt/0) diverges cross-engine (Spark
+      -- saturates, DuckDB errors) and a share-0 quota is 0 anyway
+      SELECT lang, cnt, share FROM (
+        SELECT lang, cnt, {share} AS share FROM weighted, tot
+      ) WHERE share > 0
     ),
     t AS (
       SELECT CAST(MIN(FLOOR(cnt / share)) AS BIGINT) AS t_max FROM cs
@@ -997,7 +1002,9 @@ _MIX_VALUES = ", ".join(
       SELECT * FROM (VALUES {_MIX_VALUES}) AS s(lang, share)
     ),
     cs AS (
+      -- share > 0 mirrors the engine's guard (see _temp_mix_oracle)
       SELECT c.lang, c.cnt, s.share FROM counts c JOIN shares s USING (lang)
+      WHERE s.share > 0
     ),
     t AS (
       SELECT CAST(MIN(FLOOR(cnt / share)) AS BIGINT) AS t_max FROM cs

@@ -186,3 +186,27 @@ def test_planner_survives_a_fresh_checkout_with_no_evidence():
     w = plan_window(latest={}, changed=(), current=1)
     assert len(w) == 50 and w[0] == FLAGSHIP
     assert list(w[1:]) == sorted(w[1:])
+
+
+def test_bootstrap_with_live_changed_declaration_does_not_crash():
+    """ADVICE r11 (medium): in the zero-evidence bootstrap every query
+    is never-green; changed declarations that sort alphabetically past
+    slot 49 must still be SEATED (changed-first filling), not dropped —
+    the old single alphabetical priority-2 pool raised RuntimeError at
+    registry load in exactly the state the evidence() docstring
+    promises to survive. Never-green overflow stays a warning."""
+    import warnings
+
+    reg = load_registry()
+    paired = sorted(n for n in reg if reg[n].oracle is not None)
+    late = tuple(n for n in paired if n != FLAGSHIP)[-3:]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        w = plan_window(latest={}, changed=late, current=1)
+        # the direct ADVICE repro: defaulted changed-set, no evidence
+        w_default = plan_window(latest={}, current=1)
+    assert len(w) == 50 and w[0] == FLAGSHIP
+    assert set(late) == set(w[1:4])  # declarations seated first
+    assert len(w_default) == 50 and w_default[0] == FLAGSHIP
+    live = set(changed_effective(1))
+    assert live <= set(w_default), "live declarations dropped at bootstrap"
