@@ -253,6 +253,61 @@ def _quota_sample(
     )
 
 
+def domain_cap_sample(
+    docs: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 43,
+    oversample: int = 8,
+) -> DataFrame:
+    """Per-domain document cap — the C4/RefinedWeb-style URL-level
+    curation pass applied between dedup and mixing: keep at MOST
+    ``cap`` documents per registered domain, chosen deterministically
+    as the domain's smallest-hash members (stable under corpus growth
+    — a kept doc stays kept when the crawl grows, the same reason the
+    dataset split hashes). Distinct from both sampling siblings:
+    :func:`mixture_quota_sample` fills proportional quotas and
+    balanced sampling fills an EQUAL quota, but a cap is one-sided —
+    domains under the cap pass through whole (never oversampled,
+    never trimmed), only the head of the domain distribution (link
+    farms, mirrors, mass-produced subdomains) is flattened.
+
+    Scale shape — the hash-prefilter bounded-window idiom: per-domain
+    counts are one bounded aggregate (broadcast back), a map-side
+    prefilter keeps fraction ``min(1, oversample*cap/count)`` of each
+    domain BEFORE the shuffle, so the per-domain window sorts an
+    expected ``oversample*cap`` rows regardless of domain size — the
+    million-page mirror never funnels through one sort. The oracle
+    applies the identical prefilter, so cross-engine equality is
+    exact by construction (the Binomial shortfall tail at 8x
+    oversampling is shared, not approximated away).
+
+    Returns (id_col, domain_col, domain_docs) for the kept rows —
+    ``domain_docs`` is the domain's pre-cap size, so the caller can
+    report how much the cap actually cut."""
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("domain_docs"))
+    h = portable_hash64(F.col(id_col).cast("string"), seed)
+    kept = (
+        docs.select(id_col, domain_col)
+        .join(F.broadcast(counts), domain_col)
+        .withColumn("__h", h)
+        .filter(
+            F.col("__h") / F.lit(float(1 << 60))
+            < F.least(
+                F.lit(1.0),
+                F.lit(float(oversample * cap)) / F.col("domain_docs"),
+            )
+        )
+    )
+    w = Window.partitionBy(domain_col).orderBy("__h", id_col)
+    return (
+        kept.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .select(id_col, domain_col, "domain_docs")
+    )
+
+
 def split_assign(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -924,6 +924,45 @@ def balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "domain_cap_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS domain_docs FROM documents GROUP BY source
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.source, c.domain_docs,
+             {_ID_HASH(43)} AS h
+      FROM documents d JOIN counts c USING (source)
+    ),
+    kept AS (
+      SELECT * FROM keyed
+      WHERE h / 1152921504606846976.0 < LEAST(1.0, 160.0 / domain_docs)
+    ),
+    ranked AS (
+      SELECT doc_id, source, domain_docs,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      FROM kept
+    )
+    SELECT doc_id, source, domain_docs FROM ranked WHERE rk <= 20
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6+: per-domain document cap — the C4/RefinedWeb URL-level
+    curation pass between dedup and mixing: at most 20 docs per
+    registered domain (here the `source` column), chosen as the
+    domain's smallest-hash members. One-sided, unlike every sampling
+    sibling: under-cap domains pass through WHOLE (never oversampled),
+    only the head of the domain distribution — link farms, mirrors —
+    is flattened. The hash prefilter (keep min(1, 8*20/domain_docs))
+    bounds every domain's window sort to ~160 expected rows regardless
+    of domain size; the oracle applies the identical prefilter, so
+    cross-engine equality is exact (operators/training_prep.py
+    domain_cap_sample)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return TP.domain_cap_sample(docs, "source", cap=20, seed=43)
+
+
 def _temp_mix_oracle() -> str:
     share = oracle_dround("CAST(w AS DOUBLE) / CAST(tot AS DOUBLE)", 6)
     return rf"""

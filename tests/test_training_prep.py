@@ -271,3 +271,63 @@ def test_token_budget_recursion_splits_degenerate_bucket(spark):
     )
     got_flat = sorted(r.doc for r in token_budget_select(flat, 95).collect())
     assert got_flat == list(range(1, 10))  # 9 docs * 10 tokens <= 95
+
+
+def test_token_budget_early_stop_is_exact_not_bucket_inferred(spark):
+    """ADVICE r11: a single bucket at the current scale does NOT mean
+    the scores are unrankable — they may differ beyond 1/scale and
+    split one level deeper. The fit must (a) stop IMMEDIATELY on truly
+    identical scores (min == max probe, no wasted second pass), and
+    (b) keep recursing through single-bucket levels when the scores do
+    still differ."""
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        token_budget_apply,
+        token_budget_fit,
+    )
+
+    # (a) identical scores: one level, not two — the probe proves
+    # unrankability without re-histogramming
+    flat = spark.createDataFrame(
+        [(d, 0.5, 10) for d in range(1, 30)], "doc long, q double, n_tokens long"
+    )
+    levels, _ = token_budget_fit(flat, 95, recurse_min_tokens=0)
+    assert len(levels) == 1
+
+    # (b) scores differ only at the 1e-8 digit: levels 1 AND 2 are both
+    # single-bucket, but level 3 separates them — the old
+    # len(hist)==1 inference abandoned recursion at level 2
+    rows = [(d, 0.5 + d * 1e-8, 10) for d in range(1, 60)]
+    df = spark.createDataFrame(rows, "doc long, q double, n_tokens long")
+    fit = token_budget_fit(df, 100, max_levels=3, recurse_min_tokens=0)
+    levels, _ = fit
+    assert [s for s, _ in levels] == [1000, 1_000_000, 1_000_000_000]
+    got = sorted(r.doc for r in token_budget_apply(df, fit).collect())
+    assert got == list(range(50, 60))  # q DESC == doc DESC prefix
+
+
+def test_domain_cap_keeps_small_domains_whole(spark):
+    """The cap is one-sided: a domain under the cap passes through
+    WHOLE (every doc kept), an over-cap domain keeps exactly `cap`
+    smallest-hash members, and membership is deterministic across
+    invocations (stable under re-runs/corpus growth)."""
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        domain_cap_sample,
+    )
+
+    rows = [(i, "mirror.example") for i in range(500)] + [
+        (i + 1000, "small.example") for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = domain_cap_sample(df, "domain", cap=25).collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert len(by_dom["mirror.example"]) == 25  # capped
+    assert sorted(r.doc_id for r in by_dom["small.example"]) == [
+        1000 + i for i in range(7)
+    ]  # under-cap: complete
+    assert all(r.domain_docs == 500 for r in by_dom["mirror.example"])
+    again = sorted(
+        r.doc_id for r in domain_cap_sample(df, "domain", cap=25).collect()
+    )
+    assert again == sorted(r.doc_id for r in out)
