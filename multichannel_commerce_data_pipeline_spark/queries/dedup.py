@@ -1600,6 +1600,47 @@ def eval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dup_span_histogram",
+    oracle=_SUBSTR_SPAN_CTES
+    + r"""
+    SELECT CAST(sp.e - sp.s + 1 AS BIGINT) AS span_words,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(DISTINCT sp.doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(sp.e - sp.s + 1) AS BIGINT) AS dup_words
+    FROM spans sp
+    GROUP BY 1
+    """,
+)
+def dup_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1++: duplication-profile observability — the train-train dual
+    of eval_overlap_report: the distribution of maximal duplicated-span
+    lengths across the corpus (how many spans, how many documents, and
+    how much text is duplicated at each length >= 8 words). This is
+    the "how dirty is my crawl" report a curator reads BEFORE choosing
+    dedup thresholds: a corpus whose duplication mass sits in 8-word
+    spans wants line/passage removal, one dominated by 200-word spans
+    wants whole-document dedup. Derived entirely from the existing
+    machinery — the persisted gram index feeds the same
+    gaps-and-islands span bounds as substring_dedup_spans (narrow
+    boundaries frame, no text join), then one bounded aggregate keyed
+    on span length; no new shuffle shape, and the output is at most
+    max-doc-words rows regardless of corpus size."""
+    grams = _substring_gram_index(spark, sf_dir)
+    bounds = D.substring_span_bounds(grams, _SUBSTR_MIN_WORDS)
+    lens = bounds.select(
+        "doc",
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("span_words"),
+    )
+    return lens.groupBy("span_words").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.count_distinct("doc").cast("long").alias("n_docs"),
+        F.sum("span_words").cast("long").alias("dup_words"),
+    )
+
+
+@query(
     "decontaminate_spans",
     oracle=_SUBSTR_WS_GRAMS
     + rf""",
