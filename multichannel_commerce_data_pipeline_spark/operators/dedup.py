@@ -244,6 +244,92 @@ def boilerplate_lines(
     )
 
 
+def boilerplate_cut_with_sketch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cells: list[int],
+    line_words: int = 10,
+    df_threshold: int = 2,
+    w: int = 64,
+    d: int = 3,
+    seed: int = 131,
+) -> DataFrame:
+    """The APPLY half of sketch-backed boilerplate removal: cut every
+    line whose ESTIMATED corpus document-frequency (a Count-Min grid,
+    e.g. the one ``streaming.jobs.stream_line_df_sketch`` maintains)
+    exceeds ``df_threshold`` — the same kill-everywhere semantics as
+    :func:`boilerplate_lines`, but thresholding the sketch estimate
+    instead of an exact df, so the decision needs only the d*w-cell
+    grid, never a corpus-wide aggregate. est >= exact always, so the
+    cut is CONSERVATIVE: it may remove a few extra cold lines that
+    collide with hot ones, and never misses a hot line at the same
+    threshold — the safe direction for boilerplate.
+
+    ``cells`` is the grid flattened to a plain list indexed
+    ``j*w + bucket`` (missing cells 0) — a bounded model collect, like
+    a fitted codebook. It enters the plan as ONE foldable
+    ``from_json`` literal (one py4j call, one literal node — the
+    bloom.py lesson), so the whole operator is a single map-side
+    projection: per line, one md5 + d Kirsch-Mitzenmacher probes into
+    the broadcast-free literal, then the doc is rebuilt from its
+    surviving lines. ZERO shuffles at any scale — exactly what a
+    per-micro-batch streaming apply wants. The digest binds once per
+    line through a one-element-array ``exists`` so the md5 is not
+    re-evaluated per probe.
+
+    Returns (id_col, n_lines, n_kept, n_removed, clean_text), total
+    over the input — same contract as :func:`boilerplate_lines`."""
+    import json
+
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        _positions,
+    )
+
+    cells_lit = F.from_json(
+        F.lit(json.dumps([int(c) for c in cells])), "array<bigint>"
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__ws")
+    )
+    n_lines = F.ceil(F.size("__ws") / F.lit(line_words)).cast("long")
+
+    def line_at(k):
+        return F.concat_ws(
+            " ", F.slice(F.col("__ws"), k * line_words + 1, line_words)
+        )
+
+    def est_df(dig):
+        pos = _positions(dig, w, d, seed)
+        return F.least(
+            *[
+                F.element_at(cells_lit, (F.lit(j * w) + p + 1).cast("int"))
+                for j, p in enumerate(pos)
+            ]
+        )
+
+    def line_survives(k):
+        return F.exists(
+            F.array(F.md5(line_at(k))),
+            lambda dig: F.coalesce(est_df(dig), F.lit(0))
+            <= F.lit(df_threshold),
+        )
+
+    kept = F.when(
+        n_lines > 0,
+        F.filter(
+            F.sequence(F.lit(0), (n_lines - 1).cast("int")), line_survives
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        F.col("doc").alias(id_col),
+        n_lines.alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (n_lines - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, line_at), " ").alias("clean_text"),
+    )
+
+
 def shingles(toks_col, n: int = 3):
     """Distinct word n-gram shingles from a *materialized* token-array
     column.

@@ -1553,6 +1553,145 @@ def stream_boilerplate_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One drain of the cut-on-ingest stream per (session, sf_dir); the
+# maintain half is the memoized line-df sketch drain above.
+_STREAM_BPCUT_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _stream_bpcut_run(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import hashlib
+
+        from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+            fresh_stream_dir,
+            read_latest_cm_sketch,
+            stream_boilerplate_cut,
+        )
+
+        # maintain half: the landed cumulative grid (memoized drain)
+        grid_rows = read_latest_cm_sketch(
+            spark, _stream_linedf_run(spark, sf_dir)
+        ).collect()
+        cells = [0] * (_LINEDF_D * _LINEDF_W)
+        for r in grid_rows:
+            cells[r.j * _LINEDF_W + r.bucket] = int(r.cell)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tmp = fresh_stream_dir(f"mcdp_bpcut_{tag}_")
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        # two arrival chunks -> two micro-batches: the cut must come
+        # out right per-micro-batch against the fixed landed grid
+        d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b1")
+        stream_boilerplate_cut(
+            spark,
+            f"{src}/b*",
+            "doc_id bigint, text string",
+            out,
+            ckpt,
+            cells,
+            line_words=10,
+            df_threshold=2,
+            w=_LINEDF_W,
+            d=_LINEDF_D,
+            seed=_LINEDF_SEED,
+        )
+        return out
+
+    return session_memo(spark, _STREAM_BPCUT_DIRS, sf_dir, build)
+
+
+def _bpcut_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        _oracle_pos,
+    )
+
+    inc = " UNION ALL ".join(
+        f"SELECT {j} AS j,"
+        f" {_oracle_pos('ldig', _LINEDF_W, j, _LINEDF_SEED)} AS bucket"
+        " FROM dln"
+        for j in range(_LINEDF_D)
+    )
+    ppos = " UNION ALL ".join(
+        f"SELECT ldigest, {j} AS j,"
+        f" {_oracle_pos('ldigest', _LINEDF_W, j, _LINEDF_SEED)} AS bucket"
+        " FROM probes"
+        for j in range(_LINEDF_D)
+    )
+    return rf"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, k AS lidx,
+             array_to_string(list_slice(w, k * 10 + 1, k * 10 + 10), ' ')
+               AS line
+      FROM ws, LATERAL unnest(
+        range(CAST(ceil(len(w) / 10.0) AS BIGINT))
+      ) AS t(k)
+    ),
+    dln AS (
+      SELECT DISTINCT doc_id, md5(line) AS ldig FROM ln
+    ),
+    inc AS ({inc}),
+    sketch AS (SELECT j, bucket, COUNT(*) AS cell FROM inc GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT md5(line) AS ldigest FROM ln),
+    ppos AS ({ppos}),
+    est AS (
+      SELECT ldigest, MIN(COALESCE(s.cell, 0)) AS est_df
+      FROM ppos p LEFT JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+      GROUP BY ldigest
+    ),
+    kept AS (
+      SELECT ln.doc_id, ln.lidx, ln.line
+      FROM ln JOIN est ON md5(ln.line) = est.ldigest
+      WHERE est.est_df <= 2
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, ' ' ORDER BY lidx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           CAST(ceil(len(ws.w) / 10.0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(ceil(len(ws.w) / 10.0) AS BIGINT)
+             - CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM ws LEFT JOIN agg USING (doc_id)
+    """
+
+
+@query("stream_boilerplate_cut_rollup", oracle=_bpcut_oracle())
+def stream_boilerplate_cut_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 x T5 x X12: boilerplate-cut-on-ingest — the APPLY side
+    composing with stream_boilerplate_sketch's MAINTAIN side, closing
+    the maintain -> threshold -> cut streaming story end-to-end:
+    documents arrive as a feed (two checkpointed micro-batches) and
+    every line whose sketch-ESTIMATED corpus df exceeds 2 is removed
+    before landing — the two-pass C4/CCNet recipe with the stats pass
+    replaced by the bounded streaming Count-Min grid. Each micro-batch
+    runs the batch operator (boilerplate_cut_with_sketch: the landed
+    grid enters as one foldable literal, so a micro-batch pays ZERO
+    shuffles) inside foreachBatch; the driver oracle rebuilds the
+    sketch AND the cut in batch SQL, so stream ≡ batch is driver
+    evidence. est >= exact keeps the cut conservative — collisions may
+    kill a few extra cold lines, never spare a hot one
+    (streaming/jobs.stream_boilerplate_cut)."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_stream_assignments,
+    )
+
+    out = _stream_bpcut_run(spark, sf_dir)
+    return read_stream_assignments(spark, out).select(
+        "doc_id", "n_lines", "n_kept", "n_removed", "clean_text"
+    )
+
+
 @query(
     "eval_overlap_report",
     oracle=_SUBSTR_WS_GRAMS

@@ -934,6 +934,80 @@ def stream_line_df_sketch(
     return query
 
 
+def stream_boilerplate_cut(
+    spark: SparkSession,
+    src_glob: str,
+    schema_ddl: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cells: list[int],
+    line_words: int = 10,
+    df_threshold: int = 2,
+    w: int = 64,
+    d: int = 3,
+    seed: int = 131,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Boilerplate-cut-on-ingest (X1 x T5 x X12) — the APPLY side
+    composing with ``stream_line_df_sketch``'s MAINTAIN side, closing
+    the maintain -> threshold -> cut streaming story: arriving
+    documents have every line whose sketch-estimated corpus df exceeds
+    ``df_threshold`` removed BEFORE landing. This is the two-pass
+    shape every published boilerplate recipe uses at scale (C4/CCNet
+    compute line stats over the crawl, then strip in a second pass) —
+    here the stats pass is the streaming sketch and the strip pass is
+    this job, so neither ever holds per-distinct-line state.
+
+    ``cells`` is the LANDED grid (read_latest_cm_sketch, flattened
+    j*w+bucket — a fixed, d*w-bounded reference exactly like
+    ``stream_decontaminate``'s eval digest set). Each micro-batch runs
+    the batch operator ``operators.dedup.boilerplate_cut_with_sketch``
+    inside ``foreachBatch`` — one implementation, two drivers, so
+    stream output ≡ batch output by construction and the driver oracle
+    is the batch cut SQL. The cut is a single map-side projection
+    (the grid is a foldable literal): a micro-batch pays ZERO
+    shuffles. Same idempotent ``batch-{id}`` landing contract as
+    ``stream_decontaminate``; est >= exact keeps the cut conservative
+    (never misses a hot line)."""
+    from multichannel_commerce_data_pipeline_spark.operators.dedup import (
+        boilerplate_cut_with_sketch,
+    )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_glob)
+
+    def cut_batch(batch_df: DataFrame, bid: int) -> None:
+        (
+            boilerplate_cut_with_sketch(
+                batch_df,
+                id_col,
+                text_col,
+                cells,
+                line_words=line_words,
+                df_threshold=df_threshold,
+                w=w,
+                d=d,
+                seed=seed,
+            )
+            .withColumn("__bid", F.lit(bid))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch-{bid}")
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(cut_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def read_latest_cm_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
     """The current grid: complete mode re-emits every cell each batch,
     so the max-batch rows are the whole sketch."""

@@ -732,6 +732,105 @@ def test_boilerplate_lines_planted_navbar(spark):
     assert set(out) == {0, 1, 2, 3}
 
 
+def test_boilerplate_cut_with_sketch_matches_exact_on_wide_grid(spark):
+    """The sketch-backed APPLY half: with a collision-free grid (w far
+    above the distinct-line count) the cut must equal the exact
+    boilerplate_lines output row-for-row; with a colliding grid the cut
+    is CONSERVATIVE — the removed-line set is a superset of the exact
+    one, never a subset (est >= exact)."""
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        _positions,
+    )
+
+    nav = " ".join(f"n{i}" for i in range(10))
+    foot = " ".join(f"f{i}" for i in range(10))
+    ua = " ".join(f"a{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (0, nav + " " + ua),
+            (1, nav + " " + foot),
+            (2, nav + " " + foot),
+            (3, nav + " " + nav),  # within-doc repeat: one df vote
+        ],
+        "doc_id long, text string",
+    )
+
+    def grid_cells(w, d, seed):
+        # the exact df grid the streaming maintain job would land:
+        # each doc votes once per DISTINCT line
+        votes = df.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.ceil(
+                                F.size(F.split("text", " ")) / F.lit(10)
+                            ).cast("int")
+                            - 1,
+                        ),
+                        lambda k: F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.slice(F.split("text", " "), k * 10 + 1, 10),
+                            )
+                        ),
+                    )
+                )
+            ).alias("ldigest")
+        )
+        pos = _positions(F.col("ldigest"), w, d, seed)
+        rows = (
+            votes.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"), p.cast("int").alias("b")
+                            )
+                            for j, p in enumerate(pos)
+                        ]
+                    )
+                ).alias("c")
+            )
+            .groupBy("c.j", "c.b")
+            .count()
+            .collect()
+        )
+        cells = [0] * (d * w)
+        for r in rows:
+            cells[r.j * w + r.b] = r["count"]
+        return cells
+
+    exact = {
+        r.doc_id: r
+        for r in D.boilerplate_lines(
+            df, "doc_id", "text", line_words=10, df_threshold=2
+        ).collect()
+    }
+    wide = {
+        r.doc_id: r
+        for r in D.boilerplate_cut_with_sketch(
+            df, "doc_id", "text", grid_cells(4096, 3, 131), w=4096
+        ).collect()
+    }
+    assert {k: (v.n_lines, v.n_kept, v.clean_text) for k, v in wide.items()} == {
+        k: (v.n_lines, v.n_kept, v.clean_text) for k, v in exact.items()
+    }
+    # a 2-bucket grid forces collisions: conservative, never permissive
+    tight = {
+        r.doc_id: r
+        for r in D.boilerplate_cut_with_sketch(
+            df, "doc_id", "text", grid_cells(2, 3, 131), w=2
+        ).collect()
+    }
+    for k in exact:
+        assert tight[k].n_removed >= exact[k].n_removed
+        kept_tight = set(tight[k].clean_text.split()) - {""}
+        kept_exact = set(exact[k].clean_text.split()) - {""}
+        assert kept_tight <= kept_exact
+
+
 def test_passage_dedup_within_document_repeat(spark):
     # the SAME doc repeating a passage keeps only the first occurrence
     p = " ".join(f"w{i}" for i in range(10))
