@@ -102,6 +102,130 @@ def assign_packs(
     )
 
 
+def assign_packs_bfd(
+    docs: DataFrame,
+    token_count: Column,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard, pack_id, pack_offset): BEST-FIT-
+    DECREASING packing — the standard upgrade over :func:`assign_packs`
+    first-fit when packing efficiency is tokens-per-dollar at training
+    time: within each hash shard, docs are placed largest-first into
+    the open pack with the LEAST remaining room that still fits (ties
+    to the lowest pack id), opening a new pack when none fits. A doc
+    larger than the budget gets a pack of its own (overfull) — BFD
+    packs are ATOMIC sequences, unlike assign_packs' continuous
+    stream where a doc may straddle a pack boundary. ``pack_offset``
+    is the doc's token start inside its pack (its pack's load at
+    insertion time).
+
+    BFD is inherently SEQUENTIAL within a packing unit — no window
+    trick linearizes "which earlier choice filled which bin". The
+    distributable form makes the shard the unit: one exchange groups
+    each shard's (doc, tokens) pairs into a sorted array, and the
+    whole placement loop runs as ONE in-plan ``aggregate`` fold over
+    that array (the ewma_forecast idiom) — no driver collect, no
+    per-step shuffle, shards fold in parallel. Each fold step
+    evaluates its candidate scan once (the chosen pack id binds
+    through a one-element transform, so the argmin subtree is not
+    re-evaluated per consumer); cost is O(docs_in_shard x open_packs).
+    At 100 TB the shard array is corpus/n_shards docs — size n_shards
+    to the cluster so a shard's (id, count) pairs fit an executor;
+    that bound is the price of true BFD and the reason assign_packs
+    (a pure window) remains the default at extreme scale."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count.cast("long").alias("n_tokens"),
+    ).withColumn(
+        "shard",
+        _pmod(portable_hash64(F.col("doc_id").cast("string"), seed), n_shards),
+    )
+    # decreasing tokens, increasing doc: sort asc on (-tokens, doc)
+    per_shard = base.groupBy("shard").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n_tokens")).alias("negt"),
+                    F.col("doc_id").alias("doc"),
+                    F.col("n_tokens").alias("nt"),
+                )
+            )
+        ).alias("__docs")
+    )
+    out_t = (
+        "array<struct<doc_id:bigint,n_tokens:bigint,"
+        "pack_id:bigint,pack_offset:bigint>>"
+    )
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("loads"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def place(acc, e):
+        n = e["nt"]
+        cands = F.filter(
+            F.transform(
+                acc["loads"],
+                lambda l, i: F.struct(
+                    (F.lit(budget) - l - n).alias("rem"), i.alias("i")
+                ),
+            ),
+            lambda c: c["rem"] >= 0,
+        )
+        pid = F.coalesce(F.array_min(cands)["i"], F.size(acc["loads"]))
+        return F.element_at(
+            F.transform(
+                F.array(pid),
+                lambda p: F.struct(
+                    F.when(
+                        p == F.size(acc["loads"]),
+                        F.concat(acc["loads"], F.array(n)),
+                    )
+                    .otherwise(
+                        F.transform(
+                            acc["loads"],
+                            lambda l, i: F.when(i == p, l + n).otherwise(l),
+                        )
+                    )
+                    .alias("loads"),
+                    F.concat(
+                        acc["out"],
+                        F.array(
+                            F.struct(
+                                e["doc"].alias("doc_id"),
+                                n.alias("n_tokens"),
+                                p.cast("long").alias("pack_id"),
+                                F.coalesce(
+                                    # try_: a NEW pack's index is one
+                                    # past the end — null, offset 0
+                                    F.try_element_at(
+                                        acc["loads"], (p + 1).cast("int")
+                                    ),
+                                    F.lit(0).cast("long"),
+                                ).alias("pack_offset"),
+                            )
+                        ),
+                    ).alias("out"),
+                ),
+            ),
+            1,
+        )
+
+    folded = per_shard.select(
+        "shard", F.aggregate("__docs", init, place)["out"].alias("__out")
+    )
+    return folded.select("shard", F.explode("__out").alias("a")).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.n_tokens").alias("n_tokens"),
+        "shard",
+        F.col("a.pack_id").alias("pack_id"),
+        F.col("a.pack_offset").alias("pack_offset"),
+    )
+
+
 def pack_stats(assignments: DataFrame, budget: int = 256) -> DataFrame:
     """Per-(shard, pack) utilization rollup over :func:`assign_packs`
     output: doc count, token total, and fill ratio vs the budget. One

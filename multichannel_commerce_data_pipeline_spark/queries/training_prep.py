@@ -89,6 +89,87 @@ def pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.pack_stats(packs, budget=256)
 
 
+_BFD_ORACLE = rf"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+               AS n_tokens,
+             {_ID_HASH(7)} % 8 AS shard
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_tokens, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM base
+    ),
+    nsh AS (SELECT shard, COUNT(*) AS n FROM ordered GROUP BY shard),
+    -- one recursion step places one doc per shard (all shards advance
+    -- in lockstep); state = per-pack loads + the assignments so far
+    steps AS (
+      SELECT shard, 0 AS rn, CAST([] AS BIGINT[]) AS loads,
+             CAST([] AS STRUCT(doc_id BIGINT, n_tokens BIGINT,
+                               pack_id BIGINT, pack_offset BIGINT)[])
+               AS assigned
+      FROM nsh
+      UNION ALL
+      SELECT t.shard, t.rn,
+             CASE WHEN t.pid = len(t.loads)
+                  THEN list_append(t.loads, t.n_tokens)
+                  ELSE list_transform(t.loads, (l, i) ->
+                         CASE WHEN i = t.pid + 1 THEN l + t.n_tokens
+                              ELSE l END)
+             END AS loads,
+             list_append(t.assigned,
+                         {{'doc_id': t.doc_id, 'n_tokens': t.n_tokens,
+                           'pack_id': CAST(t.pid AS BIGINT),
+                           'pack_offset': CAST(COALESCE(
+                               t.loads[t.pid + 1], 0) AS BIGINT)}})
+               AS assigned
+      FROM (
+        -- best fit: min (remaining-after-insert, pack index) over the
+        -- packs the doc fits; none -> open pack len(loads)
+        SELECT s.shard, o.rn, s.loads, s.assigned, o.doc_id, o.n_tokens,
+               COALESCE((list_aggregate(
+                 list_transform(
+                   list_filter(
+                     list_transform(s.loads, (l, i) -> {{'l': l, 'i': i - 1}}),
+                     c -> c.l + o.n_tokens <= 256),
+                   c -> {{'rem': 256 - c.l - o.n_tokens, 'i': c.i}}),
+                 'min')).i, len(s.loads)) AS pid
+        FROM steps s JOIN ordered o ON o.shard = s.shard AND o.rn = s.rn + 1
+      ) t
+    )
+    SELECT u.a.doc_id AS doc_id, u.a.n_tokens AS n_tokens, u.shard,
+           u.a.pack_id AS pack_id, u.a.pack_offset AS pack_offset
+    FROM (
+      SELECT s.shard, unnest(s.assigned) AS a
+      FROM steps s JOIN nsh ON s.shard = nsh.shard AND s.rn = nsh.n
+    ) u
+"""
+
+
+@query("pack_sequences_bfd", oracle=_BFD_ORACLE)
+def pack_sequences_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6+: best-fit-decreasing sequence packing — the quality upgrade
+    over pack_sequences' first-fit stream when packs must be ATOMIC
+    (no doc straddling a pack boundary): largest docs first, each into
+    the open pack with least remaining room that fits (ties to the
+    lowest pack id), new pack when none fits. Packing efficiency is
+    tokens-per-dollar at training time; BFD's utilization dominates
+    first-fit on skewed length mixes (asserted in
+    tests/test_training_prep.py). One exchange on the shard key, then
+    the entire placement loop is a single in-plan aggregate fold over
+    the shard-bounded doc array — no driver collect, shards fold in
+    parallel; the DuckDB oracle replays the identical fold as a
+    recursive CTE, one doc per shard per step
+    (operators/training_prep.py assign_packs_bfd)."""
+    d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+    return TP.assign_packs_bfd(
+        d, F.size(T.tokens(F.col("text"))), budget=256, n_shards=8
+    )
+
+
 @query(
     "dataset_split",
     oracle=f"""

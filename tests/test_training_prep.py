@@ -331,3 +331,52 @@ def test_domain_cap_keeps_small_domains_whole(spark):
         r.doc_id for r in domain_cap_sample(df, "domain", cap=25).collect()
     )
     assert again == sorted(r.doc_id for r in out)
+
+
+def test_bfd_packing_beats_first_fit_on_skewed_lengths(spark):
+    """BFD invariants on a skewed length mix: every pack's load <=
+    budget unless it is an oversized singleton, pack_offset equals the
+    sum of the tokens inserted before the doc, every doc is assigned
+    exactly once — and BFD opens no more (here strictly fewer) packs
+    than atomic first-fit-in-decreasing-order needs on the same mix,
+    the utilization claim that justifies the operator."""
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        assign_packs_bfd,
+    )
+
+    # budget 50: first-fit-decreasing burns pack A's slack on the 13
+    # (35+13=48) and strands the 3 in a third pack; best-fit instead
+    # packs 19+17+13=49 tight and closes 35+12+3=50 — 2 packs vs 3
+    budget, sizes = 50, [35, 19, 17, 13, 12, 3]
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = assign_packs_bfd(
+        df, F.col("n_tokens"), budget=budget, n_shards=1
+    ).collect()
+    assert sorted(r.doc_id for r in out) == list(range(len(sizes)))
+    packs: dict[tuple, list] = {}
+    for r in out:
+        packs.setdefault((r.shard, r.pack_id), []).append(r)
+    for members in packs.values():
+        load = sum(r.n_tokens for r in members)
+        assert load <= budget or len(members) == 1
+        # offsets replay the insertion order exactly
+        cum = 0
+        for r in sorted(members, key=lambda r: r.pack_offset):
+            assert r.pack_offset == cum
+            cum += r.n_tokens
+
+    # first-fit over the same decreasing order (atomic packs)
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    ff_loads: list[int] = []
+    for _, n in order:
+        for k, l in enumerate(ff_loads):
+            if l + n <= budget:
+                ff_loads[k] = l + n
+                break
+        else:
+            ff_loads.append(n)
+    assert len(packs) < len(ff_loads)  # BFD strictly wins this mix
+    assert len(packs) == 2 and len(ff_loads) == 3
