@@ -138,6 +138,7 @@ def _import_all() -> None:
         aggregates,
         asof_queries,
         core,
+        curation,
         dedup,
         flagship,
         importance,

@@ -578,9 +578,9 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate_flags(train, bench, n=_DECON_N)
 
 
-@query(
-    "repetition_quality",
-    oracle=rf"""
+# Hoisted so the curation signal mart can embed the identical
+# repetition SQL as a sub-select (single-sourced).
+REPETITION_ORACLE = rf"""
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
     ),
@@ -598,8 +598,10 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       {oracle_dround("CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END", 4)} AS dup_bigram_frac,
       {oracle_dround("CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END", 4)} AS dup_trigram_frac
     FROM grams
-    """,
-)
+    """
+
+
+@query("repetition_quality", oracle=REPETITION_ORACLE)
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher's duplicate-n-gram rules):
     fraction of bigram/trigram occurrences that are repeats. Staged

@@ -48,6 +48,74 @@ def _cached(kind: str, sf_dir: str, fit):
         _MODEL_CACHE[key] = fit()
     return _MODEL_CACHE[key]
 
+
+def lm_model(spark: SparkSession, sf_dir: str):
+    """The fitted hashed-bigram log-prob map (cached per sf_dir) —
+    shared by lm_perplexity_score and the curation signal mart so both
+    score against the SAME fit of the SAME full-corpus profile."""
+    d = parallelize_small_scan(
+        spark, load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    with_k = d.select(
+        "doc_id",
+        I.bigram_bucket_keys(F.col("text"), _LM_D, _LM_SEED).alias("ks"),
+    )
+    return _cached(
+        "lm", sf_dir,
+        lambda: I.lm_log_probs(
+            with_k.select(F.explode("ks").alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect(),
+            _LM_D,
+        ),
+    )
+
+
+def nb_model(spark: SparkSession, sf_dir: str):
+    """(sizes, (priors, lls)): the fitted hashed naive-Bayes language
+    model (cached per sf_dir) — shared for the same single-fit reason
+    as :func:`lm_model`."""
+    d = parallelize_small_scan(
+        spark, load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    with_b = d.select(
+        "doc_id", "lang", I.feature_buckets(F.col("text")).alias("bs")
+    )
+
+    def _fit():
+        prof = I.bucket_class_profile(with_b, "bs", "lang").collect()
+        sizes = {
+            r["lang"]: r["n"]
+            for r in d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return sizes, I.nb_log_model(prof, sizes)
+
+    return _cached("nb", sf_dir, _fit)
+
+
+def nb_best_struct(bs_col, sizes, priors, lls):
+    """argmax-posterior (score s, class c) struct over a bucket-array
+    column — the scoring expression nb_lang_posterior and the curation
+    signal mart share (tie-break: lexicographically larger class,
+    mirrored in the oracle's ORDER BY score DESC, cls DESC)."""
+    per_class = F.array(
+        *[
+            F.struct(
+                I.score_buckets(
+                    bs_col,
+                    {b: lp for (c, b), lp in lls.items() if c == cls},
+                    base=priors[cls],
+                ).alias("s"),
+                F.lit(cls).alias("c"),
+            )
+            for cls in sorted(sizes)
+        ]
+    )
+    return F.array_max(per_class)
+
 # Shared oracle CTEs: tokenize -> unigram+bigram features -> bucket ids.
 # Mirrors operators/importance.py feature_buckets exactly (same md5
 # seed, same % fold, bigrams joined with a single space).
@@ -143,9 +211,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "nb_lang_posterior",
-    oracle=rf"""
+# Full NB train+score oracle, hoisted so the curation signal mart can
+# embed it verbatim as a sub-select (single-sourced: a drift in the
+# model shows up as a hash mismatch in BOTH queries).
+NB_ORACLE = rf"""
     WITH {_BUCKET_CTES},
     prof AS (
       SELECT lang AS cls, b, COUNT(*) AS cnt FROM ex GROUP BY 1, 2
@@ -189,8 +258,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bk.doc_id, bk.lang, r.cls AS pred_lang,
            CAST(r.logp AS DOUBLE) AS best_logp
     FROM bk JOIN ranked r ON r.doc_id = bk.doc_id AND r.rn = 1
-    """,
-)
+    """
+
+
+@query("nb_lang_posterior", oracle=NB_ORACLE)
 def nb_lang_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: hashed naive-Bayes language classifier, trained and served
     in-engine — the stand-in for the fastText-style filters real
@@ -208,31 +279,8 @@ def nb_lang_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_b = d.select(
         "doc_id", "lang", I.feature_buckets(F.col("text")).alias("bs")
     )
-    def _fit():
-        prof = I.bucket_class_profile(with_b, "bs", "lang").collect()
-        sizes = {
-            r["lang"]: r["n"]
-            for r in d.groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        return sizes, I.nb_log_model(prof, sizes)
-
-    sizes, (priors, lls) = _cached("nb", sf_dir, _fit)
-    per_class = F.array(
-        *[
-            F.struct(
-                I.score_buckets(
-                    F.col("bs"),
-                    {b: lp for (c, b), lp in lls.items() if c == cls},
-                    base=priors[cls],
-                ).alias("s"),
-                F.lit(cls).alias("c"),
-            )
-            for cls in sorted(sizes)
-        ]
-    )
-    best = F.array_max(per_class)
+    sizes, (priors, lls) = nb_model(spark, sf_dir)
+    best = nb_best_struct(F.col("bs"), sizes, priors, lls)
     return with_b.select(
         "doc_id",
         "lang",
@@ -245,9 +293,9 @@ _LM_D = 64
 _LM_SEED = 11
 
 
-@query(
-    "lm_perplexity_score",
-    oracle=rf"""
+# Full LM train+score oracle, hoisted for the same single-sourcing
+# reason as NB_ORACLE above.
+LM_ORACLE = rf"""
     WITH tok AS (
       SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
       FROM documents
@@ -281,8 +329,10 @@ _LM_SEED = 11
            CAST(ROUND(CAST(exp(-(CAST(s AS DOUBLE) / nb)) AS DECIMAL(38,8)), 4)
                 AS DOUBLE) AS ppl
     FROM sc
-    """,
-)
+    """
+
+
+@query("lm_perplexity_score", oracle=LM_ORACLE)
 def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: hashed bigram language-model perplexity — the in-engine
     stand-in for CCNet's KenLM quality filter (docs with high
@@ -300,16 +350,7 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         I.bigram_bucket_keys(F.col("text"), _LM_D, _LM_SEED).alias("ks"),
     )
-    model = _cached(
-        "lm", sf_dir,
-        lambda: I.lm_log_probs(
-            with_k.select(F.explode("ks").alias("key"))
-            .groupBy("key")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect(),
-            _LM_D,
-        ),
-    )
+    model = lm_model(spark, sf_dir)
     from multichannel_commerce_data_pipeline_spark.functions import dround
 
     # stage_filter: size(ks) re-runs the bigram key builder if pushed

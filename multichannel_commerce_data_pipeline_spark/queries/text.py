@@ -167,9 +167,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
-@query(
-    "lang_id_heuristic",
-    oracle="""
+# Hoisted for the curation signal mart (same single-sourcing rule).
+LANG_ID_ORACLE = """
     WITH padded AS (
       SELECT doc_id, lang, concat(' ', lower(text), ' ') AS t FROM documents
     )
@@ -183,8 +182,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ELSE 'und'
       END AS guessed_lang
     FROM padded
-    """,
-)
+    """
+
+
+@query("lang_id_heuristic", oracle=LANG_ID_ORACLE)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: language-ID via stopword-marker heuristic (n-gram-profile
     shape; deterministic CASE so it is oracle-checkable)."""
@@ -553,9 +554,9 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.redact_pii(planted).alias("clean_text"))
 
 
-@query(
-    "gopher_quality_flags",
-    oracle=rf"""
+# Hoisted so the curation signal mart can embed the identical flag SQL
+# as a sub-select (single-sourced; a drift fails both hash compares).
+GOPHER_ORACLE = rf"""
     WITH t AS (
       SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
       FROM documents
@@ -584,8 +585,10 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       (symbol_ratio_raw <= 0.1) AS ok_symbols,
       (n_stopword_kinds >= 2) AS ok_stopwords
     FROM m
-    """,
-)
+    """
+
+
+@query("gopher_quality_flags", oracle=GOPHER_ORACLE)
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: Gopher-rule quality flags (Rae et al. 2021 A1 subset) — word
     count / mean word length / symbol ratio bounds and stopword

@@ -741,3 +741,27 @@ def test_decontaminated_pipeline_broadcasts_eval_digests(plans):
     assert "CartesianProduct" not in p
     assert "InMemoryTableScan" in p
     assert "BroadcastExchange" in p
+
+
+def test_curation_signal_table_is_one_owned_shuffle(plans):
+    """The signal mart's claim: every model-backed signal (Gopher,
+    repetition, lang-ID, LM ppl, NB posterior) scores map-side in one
+    projection chain; only the contamination count shuffles. Owned
+    exchanges = hashpartitioning nodes that are NOT the shared gram
+    index's pdigest repartition (the index persists once per corpus
+    version and its build plan collapses to a cached read at runtime).
+    That leaves exactly one keyed shuffle — the per-doc contaminated-
+    window count — with the count joined back broadcast, and no
+    sort-merge or cartesian join anywhere."""
+    import re
+
+    p = plans("curation_signal_table")
+    owned = [
+        m
+        for m in re.findall(r"hashpartitioning\((\w+)", p)
+        if not m.startswith("pdigest")
+    ]
+    assert owned == ["doc"], owned
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in p
