@@ -99,20 +99,21 @@ WINDOW_SLOTS = 50
 # window slots (the declared queries hold fresh evidence by then, so
 # oldest-first would not re-seat them either).
 #
-CHANGED_IN_ROUND = 11
+CHANGED_IN_ROUND = 12
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r11 new queries (priority-2 until their first green driver row)
-    "boilerplate_line_removal",
-    "corpus_prepare_decontaminated",
-    "eval_overlap_report",
-    "stream_boilerplate_sketch",
-    "stream_decontaminate_rollup",
+    # r12 new queries (priority-2 until their first green driver row)
+    "curation_signal_table",
+    "domain_cap_sample",
+    "dup_span_histogram",
+    "pack_sequences_bfd",
+    "stream_boilerplate_cut_rollup",
+    # r12 material changes (ADVICE r11): the quota samplers drop
+    # share-0 classes before the feasibility aggregate IN THE ORACLE
+    # TEXT TOO (cross-engine div-by-zero guard), and token_budget_fit's
+    # recursion early-stop is now an exact min==max score probe riding
+    # the histogram pass — all three re-earn their driver rows
     "target_mix_sample",
     "temperature_mix_sample",
-    # r11 material plan change: token_budget_fit now recurses 1000x
-    # finer on the boundary bucket (VERDICT r10 #6) — the apply window
-    # partitions by the full bucket chain and the fit runs a second
-    # bounded histogram; oracle unchanged, re-earns evidence per policy
     "token_budget_select",
 )
 

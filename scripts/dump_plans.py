@@ -462,6 +462,50 @@ COMMENTARY = {
         "no label join exists anywhere. Exchanges: dedup survivor, eval "
         "digest distinct, islands window, pack window."
     ),
+    "domain_cap_sample": (
+        "Per-domain cap via the hash-prefilter bounded-window idiom: a "
+        "bounded per-domain count aggregate broadcasts back, the map-side "
+        "prefilter keeps ~8x cap expected rows per domain BEFORE the "
+        "shuffle, so the per-domain row_number window sorts sample-sized "
+        "partitions regardless of domain size — the million-page mirror "
+        "never funnels through one sort. One keyed exchange total."
+    ),
+    "dup_span_histogram": (
+        "Duplication profile straight off the persisted gram index "
+        "(InMemoryTableScan): the survivor aggregate and the mark join "
+        "run exchange-free on the index's pdigest layout, islands "
+        "coalesce per doc on one hash(doc) exchange, and the final "
+        "length histogram is a bounded partial-merged aggregate — at "
+        "most max-doc-words output rows. No new shuffle shape vs "
+        "substring_dedup_spans; the text re-slice join is absent "
+        "entirely (boundaries only)."
+    ),
+    "pack_sequences_bfd": (
+        "Best-fit-decreasing is sequential within a packing unit, so the "
+        "shard is the unit: one keyed exchange groups each shard's "
+        "(doc, tokens) pairs into a sorted array and the whole placement "
+        "loop runs as one in-plan aggregate fold — shards fold in "
+        "parallel, no driver collect, no per-step shuffle. The candidate "
+        "argmin binds through a one-element transform so the scan of "
+        "open packs happens once per placement."
+    ),
+    "curation_signal_table": (
+        "The signal mart: Gopher flags, repetition fractions, lang-ID, "
+        "LM perplexity and NB posterior all score MAP-SIDE in one "
+        "projection chain (models are cached bounded-aggregate fits "
+        "shared with their standalone queries). The only owned shuffle "
+        "is the contamination count's hash(doc) groupBy over the "
+        "persisted gram index (eval digests broadcast), and the count "
+        "joins back broadcast — the corpus-wide frame never shuffles. "
+        "The repeated WindowExec 'No Partition Defined' warnings seen "
+        "in bench logs do NOT come from this family — all six "
+        "unpartitioned-window sites in the repo (time_windows.py:886, "
+        "text.py:489/667/988, warehouse_queries.py:743, "
+        "similarity.py:830) operate on frames bounded by construction "
+        "(top-20 survivors, <=50-row RRF fuse, calendar-bounded "
+        "compaction metadata); the warnings are cosmetic, not scale "
+        "hazards."
+    ),
 }
 
 
