@@ -87,6 +87,16 @@ HEADLINE = [
     "boilerplate_line_removal",
     "corpus_prepare_decontaminated",
     "eval_overlap_report",
+    # round 12 additions (the curation-completeness wave): per-domain
+    # cap, duplication profile off the shared gram index, atomic BFD
+    # packing, and the composed per-doc signal mart.
+    # stream_boilerplate_cut_rollup is a checkpointed streaming drain
+    # like the other stream_* rollups — driver row + tests, not timed;
+    # domain_cap_sample/dup_span_histogram are also scale-probe rows.
+    "domain_cap_sample",
+    "dup_span_histogram",
+    "pack_sequences_bfd",
+    "curation_signal_table",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",

@@ -101,6 +101,10 @@ PROBES = [
     ("corpus_prepare_decontaminated", "documents", "curate + decon cut + pack, 4 exchanges"),
     ("eval_overlap_report", "documents word windows", "broadcast eval digests + per-doc rollup"),
     ("target_mix_sample", "documents", "quota fit + prefilter-bounded class windows"),
+    ("domain_cap_sample", "documents", "prefilter bounds per-domain sort to ~8k"),
+    ("dup_span_histogram", "documents word windows", "gram-index islands + bounded length agg"),
+    ("pack_sequences_bfd", "documents", "one shard exchange + in-plan BFD fold"),
+    ("curation_signal_table", "documents", "map-side signal chain + one keyed contam count"),
     ("temperature_mix_sample", "documents", "in-plan count^0.5 shares + quota sample"),
 ]
 REPS = 3
