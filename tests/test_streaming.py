@@ -965,6 +965,106 @@ def test_stream_decontaminate_cuts_leaks_per_batch(spark, tmp_path):
     assert final[104].clean_text == "tail0" and final[104].n_removed == 9
 
 
+def test_stream_boilerplate_cut_applies_grid_per_batch(spark, tmp_path):
+    """X1 x T5 x X12: the APPLY side of the streaming boilerplate story
+    — arriving docs must lose every line whose sketch-estimated corpus
+    df exceeds the threshold, in WHICHEVER micro-batch they arrive,
+    against a FIXED landed grid; a re-drain over the same checkpoint
+    adds nothing; a late-arriving doc is cut as its own micro-batch.
+    The grid here is the exact df (collision-free width), so the cut
+    must equal the batch boilerplate_lines semantics."""
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        _positions,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_stream_assignments,
+        stream_boilerplate_cut,
+    )
+
+    nav = " ".join(f"n{i}" for i in range(10))  # df 3 > 2: cut
+    foot = " ".join(f"f{i}" for i in range(10))  # df 2: survives
+    ua = " ".join(f"a{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(100, nav + " " + ua), (101, nav + " " + foot), (102, nav + " " + foot)],
+        "doc_id long, text string",
+    )
+    w, d_, seed = 1024, 3, 131
+    # exact-df grid the maintain stream would land over this corpus
+    digs = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(F.split("text", " ")) / F.lit(10)).cast("int") - 1,
+            ),
+            lambda k: F.md5(
+                F.concat_ws(" ", F.slice(F.split("text", " "), k * 10 + 1, 10))
+            ),
+        )
+    )
+    votes = docs.select(F.explode(digs).alias("ldigest"))
+    pos = _positions(F.col("ldigest"), w, d_, seed)
+    grid_rows = (
+        votes.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), p.cast("int").alias("b"))
+                        for j, p in enumerate(pos)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.j", "c.b")
+        .count()
+        .collect()
+    )
+    cells = [0] * (d_ * w)
+    for r in grid_rows:
+        cells[r.j * w + r.b] = r["count"]
+
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b0")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b1")
+    )
+    args = (
+        spark,
+        str(tmp_path / "src" / "b*"),
+        "doc_id bigint, text string",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        cells,
+    )
+    kw = dict(line_words=10, df_threshold=2, w=w, d=d_, seed=seed)
+    stream_boilerplate_cut(*args, **kw)
+    got = {
+        r.doc_id: r
+        for r in read_stream_assignments(spark, str(tmp_path / "out")).collect()
+    }
+    assert set(got) == {100, 101, 102}
+    assert got[100].clean_text == ua and got[100].n_removed == 1
+    assert got[101].clean_text == foot  # nav cut, df-2 footer kept
+    assert got[102].clean_text == foot and got[102].n_lines == 2
+
+    # exactly-once: re-drain over the same checkpoint adds nothing
+    stream_boilerplate_cut(*args, **kw)
+    assert read_stream_assignments(spark, str(tmp_path / "out")).count() == 3
+
+    # late arrival: cut as its own micro-batch against the SAME grid,
+    # without reprocessing earlier documents
+    spark.createDataFrame(
+        [(104, nav + " " + nav)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "src" / "b2"))
+    stream_boilerplate_cut(*args, **kw)
+    final = {
+        r.doc_id: r
+        for r in read_stream_assignments(spark, str(tmp_path / "out")).collect()
+    }
+    assert len(final) == 4
+    assert final[104].clean_text == "" and final[104].n_removed == 2
+
+
 def test_streaming_session_windows_close_once_and_match_batch(spark, tmp_path):
     """T4 × T5: native session_window as a stateful streaming agg —
     sessions merge in checkpointed state across drains and emit exactly
