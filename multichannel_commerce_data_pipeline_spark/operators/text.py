@@ -239,6 +239,54 @@ def oracle_redact_pii(expr: str) -> str:
     return out
 
 
+# Unicode hygiene: the normalize-before-anything curation pass (CCNet /
+# Dolma run an equivalent before hashing or language-ID — a zero-width
+# space inside a nav-bar line would otherwise defeat every digest-based
+# dedup above). Ordered stages; each pattern embeds the literal
+# characters (not \\u escapes) so the SAME class text compiles in both
+# Java regex (Spark) and RE2 (DuckDB, which lacks \\uXXXX):
+#   1. strip C0/C1 control chars except tab/newline (kept: collapsed
+#      into spaces by stage 4) and DEL;
+#   2. strip format characters: zero-width space/non-joiner/joiner,
+#      BOM/ZWNBSP, soft hyphen, LTR/RTL marks;
+#   3. NBSP and narrow NBSP become plain spaces;
+#   4. collapse whitespace runs to one space and trim.
+# Stage 1 removes \\x0B explicitly BEFORE stage 4 because Java's \\s
+# includes vertical tab while RE2's does not — the one dialect gap in
+# these patterns.
+NORMALIZE_STAGES: tuple[tuple[str, str], ...] = (
+    # \xNN ESCAPE text (not raw control bytes): a raw NUL inside the
+    # oracle's SQL string literal would break the DuckDB parser; both
+    # Java regex and RE2 compile the \xNN escapes identically
+    (r"[\x00-\x08\x0b-\x1f\x7f-\x9f]", ""),
+    ("[​‌‍﻿­‎‏]", ""),
+    ("[  ]", " "),
+    (r"\s+", " "),
+)
+
+
+def normalize_text(text: Column) -> Column:
+    """Unicode hygiene scrub (see NORMALIZE_STAGES): control and
+    format characters out, NBSP to space, whitespace collapsed,
+    trimmed. Pure chained regexp_replace — JVM-side, codegen-friendly,
+    order-fixed and mirrored exactly by :func:`oracle_normalize_text`."""
+    out = text
+    for pat, repl in NORMALIZE_STAGES:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(out)
+
+
+def oracle_normalize_text(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_text` (same stages, same order,
+    'g' flag; the class literals are raw characters so RE2 compiles
+    the identical classes)."""
+    out = expr
+    for pat, repl in NORMALIZE_STAGES:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
+    return f"trim({out})"
+
+
 # --- Gopher-style document quality flags -------------------------------
 # The repetition/shape heuristics from the Gopher corpus-filtering rules
 # (Rae et al. 2021, table A1) that are computable as pure expressions:

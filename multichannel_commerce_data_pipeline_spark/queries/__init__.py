@@ -107,6 +107,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dup_span_histogram",
     "pack_sequences_bfd",
     "stream_boilerplate_cut_rollup",
+    "text_normalize",
     # r12 material changes (ADVICE r11): the quota samplers drop
     # share-0 classes before the feasibility aggregate IN THE ORACLE
     # TEXT TOO (cross-engine div-by-zero guard), and token_budget_fit's

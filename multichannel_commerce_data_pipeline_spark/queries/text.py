@@ -554,6 +554,59 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.redact_pii(planted).alias("clean_text"))
 
 
+# deterministic Unicode-hygiene fixture: the synthetic corpus is clean
+# ASCII, so the query plants the dirty characters the operator exists
+# to scrub (zero-width space inside a word, soft hyphen, C0 control,
+# NBSP, RTL mark, vertical tab, doubled/trailing whitespace) before
+# normalizing — every row exercises every stage, and the oracle
+# rebuilds the identical planted input from printable chr() calls.
+_NORM_PLANT = (
+    "  zer\u200bo-wid\u00adth bell\x07 nb\u00a0sp\u200f end\x0b\t"
+)
+
+
+def _sql_chars(text: str) -> str:
+    """A printable-ASCII SQL expression producing ``text`` exactly
+    (non-ASCII / control chars via chr(codepoint)) — keeps invisible
+    bytes out of the oracle source."""
+    parts: list[str] = []
+    buf = ""
+    for ch in text:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            buf += ch
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+    if buf:
+        parts.append(f"'{buf}'")
+    return " || ".join(parts)
+
+
+@query(
+    "text_normalize",
+    oracle=f"""
+    SELECT doc_id,
+      {T.oracle_normalize_text(f"(text || {_sql_chars(_NORM_PLANT)})")}
+        AS clean_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: Unicode hygiene — the normalize-before-anything curation
+    pass (CCNet/Dolma run an equivalent before hashing or lang-ID,
+    because a zero-width space inside a boilerplate line defeats every
+    digest-based dedup): control and format characters stripped, NBSP
+    to space, whitespace runs collapsed, trimmed. Chained JVM-side
+    regexp_replace with character classes spelled so Java regex and
+    RE2 compile identically (operators/text.py NORMALIZE_STAGES);
+    pure narrow map, no shuffle, scales with scan."""
+    d = load(spark, sf_dir, "documents")
+    planted = F.concat(F.col("text"), F.lit(_NORM_PLANT))
+    return d.select("doc_id", T.normalize_text(planted).alias("clean_text"))
+
+
 # Hoisted so the curation signal mart can embed the identical flag SQL
 # as a sub-select (single-sourced; a drift fails both hash compares).
 GOPHER_ORACLE = rf"""

@@ -2474,3 +2474,20 @@ def test_contamination_spans_planted_leak(spark):
         (2, 1, 10, leak),
         (3, 5, 14, leak),
     ]
+
+
+def test_normalize_text_scrubs_every_stage(spark):
+    """Each NORMALIZE_STAGES class does its one job: controls and
+    format chars deleted (zero-width INSIDE a word rejoins the word —
+    the property that makes digest dedup work again), NBSP becomes a
+    real space, whitespace runs collapse, edges trim. Clean ASCII
+    passes through byte-identical."""
+    from multichannel_commerce_data_pipeline_spark.operators.text import (
+        normalize_text,
+    )
+
+    dirty = "  zer​o-wid­th bell\x07 nb sp‏ end\x0b\t"
+    df = spark.createDataFrame([(1, dirty), (2, "plain ascii text")], "i long, t string")
+    got = {r.i: r.c for r in df.select("i", normalize_text(F.col("t")).alias("c")).collect()}
+    assert got[1] == "zero-width bell nb sp end"
+    assert got[2] == "plain ascii text"
