@@ -102,6 +102,7 @@ WINDOW_SLOTS = 50
 CHANGED_IN_ROUND = 12
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     # r12 new queries (priority-2 until their first green driver row)
+    "corpus_keep_decision",
     "curation_signal_table",
     "domain_cap_sample",
     "dup_span_histogram",

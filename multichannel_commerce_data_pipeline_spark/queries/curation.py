@@ -29,7 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multichannel_commerce_data_pipeline_spark.functions import dround
+from multichannel_commerce_data_pipeline_spark.functions import (
+    dround,
+    oracle_dround,
+)
 from multichannel_commerce_data_pipeline_spark.operators import dedup as D
 from multichannel_commerce_data_pipeline_spark.operators import importance as I
 from multichannel_commerce_data_pipeline_spark.operators import text as T
@@ -106,18 +109,13 @@ def _signal_oracle() -> str:
     """
 
 
-@query("curation_signal_table", oracle=_signal_oracle())
-def curation_signal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3/X6: the curation signal mart — one wide per-train-document
-    frame of every quality signal the engine computes (Gopher flags,
-    repetition fractions, lang-ID, LM perplexity, NB posterior,
-    eval-contamination window count), the RedPajama-V2 "signals, not
-    decisions" surface that lets a user re-threshold keep/drop rules
-    without recomputing features. Model-backed signals score map-side
-    against the SAME cached fits as their standalone queries (one fit
-    per corpus version); only the contamination count shuffles — a
-    keyed count over the persisted gram index plus the final left
-    join, <= 2 keyed exchanges in the whole plan."""
+def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-side half of the mart (everything except the
+    contamination count): one projection chain over the train slice.
+    Shared by the mart and the keep-decision query — the decision's
+    per-language perplexity cut points aggregate THIS frame, so the
+    cut-point pass re-runs only the zero-shuffle scoring chain and
+    never the contamination join."""
     d = parallelize_small_scan(
         spark,
         load(spark, sf_dir, "documents")
@@ -143,7 +141,7 @@ def curation_signal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes, (priors, lls) = nb_model(spark, sf_dir)
     best = nb_best_struct(F.col("bs"), sizes, priors, lls)
     lm_avg = I.score_buckets(F.col("ks"), lmm).cast("double") / F.size("ks")
-    signals = grammed.select(
+    return grammed.select(
         "doc_id",
         flags["n_words"].alias("n_words"),
         dround(flags["mean_word_len"], 4).alias("mean_word_len"),
@@ -162,6 +160,21 @@ def curation_signal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.size("bs") > 0, best["c"]).alias("nb_pred_lang"),
         F.when(F.size("bs") > 0, best["s"].cast("double")).alias("nb_logp"),
     )
+
+
+@query("curation_signal_table", oracle=_signal_oracle())
+def curation_signal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X6: the curation signal mart — one wide per-train-document
+    frame of every quality signal the engine computes (Gopher flags,
+    repetition fractions, lang-ID, LM perplexity, NB posterior,
+    eval-contamination window count), the RedPajama-V2 "signals, not
+    decisions" surface that lets a user re-threshold keep/drop rules
+    without recomputing features. Model-backed signals score map-side
+    against the SAME cached fits as their standalone queries (one fit
+    per corpus version); only the contamination count shuffles — a
+    keyed count over the persisted gram index plus the final left
+    join, <= 2 keyed exchanges in the whole plan."""
+    signals = _signals(spark, sf_dir)
     grams = _substring_gram_index(spark, sf_dir)
     ev = grams.filter(F.col("doc") < _BENCH_CUT).select("pdigest").distinct()
     ct = (
@@ -176,4 +189,93 @@ def curation_signal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("__ct"), F.lit(0).cast("long")).alias(
             "contam_windows"
         ),
+    )
+
+
+def _decision_oracle() -> str:
+    """The decision layer's oracle embeds the FULL mart oracle as its
+    base CTE, then derives the per-language perplexity terciles and the
+    rule conjunction — definitionally downstream of the mart, never a
+    reimplementation."""
+    c33 = oracle_dround("quantile_cont(ppl, 0.33)", 6)
+    c66 = oracle_dround("quantile_cont(ppl, 0.66)", 6)
+    return rf"""
+    WITH mart AS ({_signal_oracle()}),
+    cuts AS (
+      SELECT guessed_lang, {c33} AS c33, {c66} AS c66
+      FROM mart GROUP BY guessed_lang
+    ),
+    b AS (
+      SELECT m.*,
+             CASE WHEN m.ppl IS NULL THEN 'unknown'
+                  WHEN m.ppl <= c.c33 THEN 'head'
+                  WHEN m.ppl <= c.c66 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM mart m JOIN cuts c USING (guessed_lang)
+    )
+    SELECT doc_id, ppl_bucket,
+           (ok_word_count AND ok_word_len AND ok_symbols AND ok_stopwords)
+             AS keep_gopher,
+           (dup_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.18)
+             AS keep_repetition,
+           (contam_windows = 0) AS keep_clean,
+           (ok_word_count AND ok_word_len AND ok_symbols AND ok_stopwords
+            AND dup_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.18
+            AND contam_windows = 0 AND ppl_bucket <> 'tail') AS keep
+    FROM b
+    """
+
+
+@query("corpus_keep_decision", oracle=_decision_oracle())
+def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X6: the DECISIONS layer over the signal mart — one concrete,
+    re-thresholdable keep/drop policy composing the published recipes:
+    the Gopher rule conjunction (Rae et al. 2021 A1), the Gopher
+    repetition caps (dup-bigram <= 0.2, dup-trigram <= 0.18), a
+    zero-contamination gate, and CCNet's per-language perplexity
+    bucketing (head/middle/tail terciles under the in-domain LM; tail
+    dropped, docs too short to score bucket 'unknown' and pass).
+    Emits the per-rule booleans alongside the verdict so a curator
+    reads WHY a doc died. Tercile cut points are one bounded exact-
+    percentile aggregate over the map-side signal chain (<= one row
+    per language, dround-quantized so both engines compare identical
+    doubles — the equi_depth_histogram idiom) joined back broadcast;
+    the extra pass over the scoring chain never shuffles and skips the
+    contamination join entirely. At 100 TB a curator computes cuts
+    from the persisted mart instead — same values, zero extra scans."""
+    signals = _signals(spark, sf_dir)
+    cuts = signals.groupBy("guessed_lang").agg(
+        dround(F.percentile("ppl", 0.33), 6).alias("c33"),
+        dround(F.percentile("ppl", 0.66), 6).alias("c66"),
+    )
+    mart = curation_signal_table(spark, sf_dir)
+    b = mart.join(F.broadcast(cuts), "guessed_lang").withColumn(
+        "ppl_bucket",
+        F.when(F.col("ppl").isNull(), F.lit("unknown"))
+        .when(F.col("ppl") <= F.col("c33"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("c66"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    keep_gopher = (
+        F.col("ok_word_count")
+        & F.col("ok_word_len")
+        & F.col("ok_symbols")
+        & F.col("ok_stopwords")
+    )
+    keep_rep = (F.col("dup_bigram_frac") <= 0.2) & (
+        F.col("dup_trigram_frac") <= 0.18
+    )
+    keep_clean = F.col("contam_windows") == 0
+    return b.select(
+        "doc_id",
+        "ppl_bucket",
+        keep_gopher.alias("keep_gopher"),
+        keep_rep.alias("keep_repetition"),
+        keep_clean.alias("keep_clean"),
+        (
+            keep_gopher
+            & keep_rep
+            & keep_clean
+            & (F.col("ppl_bucket") != "tail")
+        ).alias("keep"),
     )
