@@ -93,6 +93,9 @@ HEADLINE = [
     # stream_boilerplate_cut_rollup is a checkpointed streaming drain
     # like the other stream_* rollups — driver row + tests, not timed;
     # domain_cap_sample/dup_span_histogram are also scale-probe rows.
+    # corpus_keep_decision composes curation_signal_table (timed above)
+    # with a bounded percentile agg — the ann_recall_at_k rule;
+    # text_normalize is a pure regexp map like pii_redaction.
     "domain_cap_sample",
     "dup_span_histogram",
     "pack_sequences_bfd",
