@@ -187,9 +187,12 @@ def boilerplate_lines(
     inside its own scan stage and never shuffles, and at corpus scale
     caching the text-plus-word-arrays frame usually costs more memory
     than the repeated narrow scan costs CPU. ``persist=True`` flips
-    the trade (the corpus_prepare_decontaminated choice) for callers
-    whose storage budget allows it — the digest arrays are then
-    computed exactly once.
+    the trade — the same storage-investment call
+    corpus_prepare_decontaminated makes for ITS shared words frame —
+    for callers whose memory budget allows it: the digest arrays are
+    then computed exactly once (values identical either way, asserted
+    in tests/test_operators.py; the cache lives until the caller's
+    session drops it, like every session_memo index).
     """
     base = df.select(
         F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__ws")

@@ -155,8 +155,12 @@ def assign_packs_bfd(
             )
         ).alias("__docs")
     )
+    # the accumulator's doc_id type follows the INPUT id column (string
+    # ids pack as well as bigints — the assign_packs contract), so the
+    # fold's appended struct and the init cast can never mismatch
+    id_t = dict(base.dtypes)["doc_id"]
     out_t = (
-        "array<struct<doc_id:bigint,n_tokens:bigint,"
+        f"array<struct<doc_id:{id_t},n_tokens:bigint,"
         "pack_id:bigint,pack_offset:bigint>>"
     )
     init = F.struct(
@@ -356,24 +360,45 @@ def _quota_sample(
         "cnt",
         F.floor(F.col("share") * F.col("t_max")).cast("long").alias("n_target"),
     )
+    keyed = docs.select(id_col, class_col).join(F.broadcast(quota), class_col)
+    return smallest_hash_topn(keyed, class_col, id_col, seed, oversample).select(
+        id_col, class_col, "n_target"
+    )
+
+
+def smallest_hash_topn(
+    keyed: DataFrame,
+    class_col: str,
+    id_col: str,
+    seed: int,
+    oversample: int,
+) -> DataFrame:
+    """The shared tail of every deterministic smallest-hash sampler
+    (balanced / quota-mixture / domain-cap — one idiom, one
+    implementation): ``keyed`` carries (id, class, ``cnt`` = class
+    size, ``n_target`` = rows to keep, ...). A map-side hash prefilter
+    keeps fraction min(1, oversample*n_target/cnt) of each class
+    BEFORE the shuffle — the expected window input is ~oversample*
+    n_target rows per class regardless of class size — then the
+    per-class (hash, id) window keeps the ``n_target`` smallest.
+    Single-sourced so the 2^60 hash normalization and the (h, id)
+    tie-break can never drift between the samplers; every caller's
+    oracle applies the identical prefilter, so cross-engine equality
+    is exact by construction. Returns the surviving rows with the
+    helper's temp columns dropped."""
     h = portable_hash64(F.col(id_col).cast("string"), seed)
-    kept = (
-        docs.select(id_col, class_col)
-        .join(F.broadcast(quota), class_col)
-        .withColumn("h", h)
-        .filter(
-            F.col("h") / F.lit(float(1 << 60))
-            < F.least(
-                F.lit(1.0),
-                (F.lit(float(oversample)) * F.col("n_target")) / F.col("cnt"),
-            )
+    kept = keyed.withColumn("__h", h).filter(
+        F.col("__h") / F.lit(float(1 << 60))
+        < F.least(
+            F.lit(1.0),
+            (F.lit(float(oversample)) * F.col("n_target")) / F.col("cnt"),
         )
     )
-    w = Window.partitionBy(class_col).orderBy("h", id_col)
+    w = Window.partitionBy(class_col).orderBy("__h", id_col)
     return (
-        kept.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.col("n_target"))
-        .select(id_col, class_col, "n_target")
+        kept.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("n_target"))
+        .drop("__h", "__rk")
     )
 
 
@@ -411,24 +436,14 @@ def domain_cap_sample(
     ``domain_docs`` is the domain's pre-cap size, so the caller can
     report how much the cap actually cut."""
     counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("domain_docs"))
-    h = portable_hash64(F.col(id_col).cast("string"), seed)
-    kept = (
+    keyed = (
         docs.select(id_col, domain_col)
         .join(F.broadcast(counts), domain_col)
-        .withColumn("__h", h)
-        .filter(
-            F.col("__h") / F.lit(float(1 << 60))
-            < F.least(
-                F.lit(1.0),
-                F.lit(float(oversample * cap)) / F.col("domain_docs"),
-            )
-        )
+        .withColumn("cnt", F.col("domain_docs"))
+        .withColumn("n_target", F.lit(cap))
     )
-    w = Window.partitionBy(domain_col).orderBy("__h", id_col)
-    return (
-        kept.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= cap)
-        .select(id_col, domain_col, "domain_docs")
+    return smallest_hash_topn(keyed, domain_col, id_col, seed, oversample).select(
+        id_col, domain_col, "domain_docs"
     )
 
 

@@ -208,6 +208,17 @@ def plan_window(
     if changed is None:
         changed = changed_effective(current)
     names = [n for n in REGISTRY if REGISTRY[n].oracle is not None]
+    # a declaration that names nothing checkable (typo, unregistered,
+    # or oracle-less) would otherwise vanish silently — it never enters
+    # the priority-2 pool, so neither the overflow error nor the test
+    # would see it, and the real query's fresh-evidence obligation goes
+    # quietly unmet (exactly the failure the overflow error guards)
+    bogus = [n for n in changed if n not in set(names)]
+    if bogus:
+        raise RuntimeError(
+            f"CHANGED_THIS_ROUND names no oracle-paired registered "
+            f"query (typo or missing oracle?): {bogus}"
+        )
     window = [FLAGSHIP]
     seated = {FLAGSHIP}
     # (2) changed this round FIRST (the hard obligation — a dropped

@@ -40,6 +40,7 @@ from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.queries.dedup import (
     _BENCH_CUT,
     _SUBSTR_WS_GRAMS,
+    REPETITION_ORACLE,
     _substring_gram_index,
 )
 from multichannel_commerce_data_pipeline_spark.queries.importance import (
@@ -54,9 +55,6 @@ from multichannel_commerce_data_pipeline_spark.queries.importance import (
 from multichannel_commerce_data_pipeline_spark.queries.text import (
     GOPHER_ORACLE,
     LANG_ID_ORACLE,
-)
-from multichannel_commerce_data_pipeline_spark.queries.dedup import (
-    REPETITION_ORACLE,
 )
 from multichannel_commerce_data_pipeline_spark.tables import (
     load,

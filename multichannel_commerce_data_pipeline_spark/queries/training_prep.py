@@ -981,27 +981,14 @@ def balanced_class_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     way). Hash = the portable 60-bit md5 (same family as the dataset
     split), so membership is stable under corpus growth and identical
     in DuckDB."""
-    from pyspark.sql import Window
-
-    from multichannel_commerce_data_pipeline_spark.functions import portable_hash64
-
     n_per, oversample = 40, 8
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    h = portable_hash64(F.col("doc_id").cast("string"), 71)
-    kept = (
-        docs.join(F.broadcast(counts), "lang")
-        .withColumn("h", h)
-        .filter(
-            F.col("h") / F.lit(float(1 << 60))
-            < F.least(F.lit(1.0), F.lit(float(oversample * n_per)) / F.col("cnt"))
-        )
+    keyed = docs.join(F.broadcast(counts), "lang").withColumn(
+        "n_target", F.lit(n_per)
     )
-    w = Window.partitionBy("lang").orderBy("h", "doc_id")
-    return (
-        kept.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= n_per)
-        .select("doc_id", "lang", "n_chars")
+    return TP.smallest_hash_topn(keyed, "lang", "doc_id", 71, oversample).select(
+        "doc_id", "lang", "n_chars"
     )
 
 

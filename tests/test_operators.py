@@ -730,6 +730,14 @@ def test_boilerplate_lines_planted_navbar(spark):
     assert out[3].clean_text == "" and out[3].n_kept == 0
     assert out[3].n_lines == 2 and out[3].n_removed == 2
     assert set(out) == {0, 1, 2, 3}
+    # persist=True is an evaluation-strategy knob only: identical rows
+    persisted = D.boilerplate_lines(
+        df, "doc_id", "text", line_words=10, df_threshold=2, persist=True
+    )
+    got_p = {r.doc_id: r for r in persisted.collect()}
+    assert {k: (v.n_lines, v.n_kept, v.clean_text) for k, v in got_p.items()} == {
+        k: (v.n_lines, v.n_kept, v.clean_text) for k, v in out.items()
+    }
 
 
 def test_boilerplate_cut_with_sketch_matches_exact_on_wide_grid(spark):

@@ -380,3 +380,14 @@ def test_bfd_packing_beats_first_fit_on_skewed_lengths(spark):
             ff_loads.append(n)
     assert len(packs) < len(ff_loads)  # BFD strictly wins this mix
     assert len(packs) == 2 and len(ff_loads) == 3
+
+    # the accumulator's id type follows the input (string ids pack too
+    # — the assign_packs contract); same mix, same 2-pack assignment
+    sdf = spark.createDataFrame(
+        [(f"d{i}", n) for i, n in rows], "doc_id string, n_tokens long"
+    )
+    sout = assign_packs_bfd(
+        sdf, F.col("n_tokens"), budget=budget, n_shards=1
+    ).collect()
+    assert len({(r.shard, r.pack_id) for r in sout}) == 2
+    assert sorted(r.doc_id for r in sout) == sorted(f"d{i}" for i, _ in rows)
