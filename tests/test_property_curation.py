@@ -1,0 +1,147 @@
+"""Property-based tests for the r12 curation operators: the in-plan
+best-fit-decreasing fold, the per-domain cap, and the Unicode
+normalizer must agree with direct single-process reference
+implementations on arbitrary inputs — including the degenerate shapes
+hypothesis loves (all-equal sizes, oversized docs, single-member
+domains, strings that are pure control characters).
+
+Each example is one small frame evaluated in one Spark job; example
+counts are capped because a Spark round-trip is ~0.3 s.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from multichannel_commerce_data_pipeline_spark.operators import (
+    training_prep as TP,
+)
+from multichannel_commerce_data_pipeline_spark.operators.text import (
+    normalize_text,
+)
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+BUDGET = 20
+
+
+def _reference_bfd(sizes: list[int], budget: int) -> dict[int, tuple]:
+    """Single-process BFD: largest first (ties by doc id), into the
+    open pack with least remaining room that fits (ties lowest pack),
+    else a new pack. Returns doc -> (pack_id, pack_offset)."""
+    out: dict[int, tuple] = {}
+    loads: list[int] = []
+    for doc, n in sorted(enumerate(sizes), key=lambda t: (-t[1], t[0])):
+        fits = [(budget - l - n, k) for k, l in enumerate(loads) if l + n <= budget]
+        if fits:
+            _, k = min(fits)
+        else:
+            k = len(loads)
+            loads.append(0)
+        out[doc] = (k, loads[k])
+        loads[k] += n
+    return out
+
+
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12))
+@SET
+def test_bfd_fold_matches_reference(spark, sizes):
+    """The in-plan aggregate fold reproduces the sequential reference
+    placement exactly — pack ids, offsets, and ties — for arbitrary
+    size mixes including oversized (> budget) and zero-token docs."""
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in TP.assign_packs_bfd(
+            df, F.col("n_tokens"), budget=BUDGET, n_shards=1
+        ).collect()
+    }
+    assert got == _reference_bfd(sizes, BUDGET)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from("xyz")),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@SET
+def test_domain_cap_reference(spark, rows, cap):
+    """For arbitrary (id, domain) data and caps: every domain keeps
+    min(cap, size) rows, kept ids are the domain's smallest-hash
+    members (checked against a full-ranking reference without the
+    prefilter — the prefilter may only ever drop rows ranked past the
+    cap), and domain_docs reports the pre-cap size."""
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        portable_hash64,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    got: dict[str, list] = {}
+    for r in TP.domain_cap_sample(df, "domain", cap=cap).collect():
+        got.setdefault(r.domain, []).append(r)
+    # reference: full ranking by (hash, id) per domain, no prefilter
+    hashed = df.select(
+        "doc_id",
+        "domain",
+        portable_hash64(F.col("doc_id").cast("string"), 43).alias("h"),
+    ).collect()
+    ref: dict[str, list] = {}
+    for r in sorted(hashed, key=lambda r: (r.h, r.doc_id)):
+        ref.setdefault(r.domain, []).append(r.doc_id)
+    sizes = {d: len(ids) for d, ids in ref.items()}
+    for dom, ids in ref.items():
+        kept = sorted(x.doc_id for x in got.get(dom, []))
+        assert kept == sorted(ids[:cap])
+        assert all(x.domain_docs == sizes[dom] for x in got.get(dom, []))
+
+
+_texts = st.text(
+    alphabet=st.sampled_from(
+        list("ab c") + ["\x00", "\x07", "\x0b", "\t", "​", "­", " ", "‏"]
+    ),
+    max_size=20,
+)
+
+
+def _reference_normalize(s: str) -> str:
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if (o <= 0x08) or (0x0B <= o <= 0x1F) or (0x7F <= o <= 0x9F):
+            continue
+        if ch in "​‌‍﻿­‎‏":
+            continue
+        out.append(" " if ch in "  " else ch)
+    import re
+
+    return re.sub(r"\s+", " ", "".join(out)).strip()
+
+
+@given(st.lists(_texts, min_size=1, max_size=6))
+@SET
+def test_normalize_matches_reference_and_is_idempotent(spark, texts):
+    """normalize_text agrees with a direct character-walk reference on
+    arbitrary dirty strings, and is IDEMPOTENT — normalizing an
+    already-normalized string changes nothing (the property that makes
+    it safe to run defensively at every pipeline stage)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    once = df.select(
+        "i", normalize_text(F.col("t")).alias("c1")
+    ).withColumn("c2", normalize_text(F.col("c1")))
+    for r in once.collect():
+        assert r.c1 == _reference_normalize(texts[r.i])
+        assert r.c2 == r.c1
