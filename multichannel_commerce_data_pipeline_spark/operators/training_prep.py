@@ -131,11 +131,17 @@ def assign_packs_bfd(
     per-step shuffle, shards fold in parallel. Each fold step
     evaluates its candidate scan once (the chosen pack id binds
     through a one-element transform, so the argmin subtree is not
-    re-evaluated per consumer); cost is O(docs_in_shard x open_packs).
-    At 100 TB the shard array is corpus/n_shards docs — size n_shards
-    to the cluster so a shard's (id, count) pairs fit an executor;
-    that bound is the price of true BFD and the reason assign_packs
-    (a pure window) remains the default at extreme scale."""
+    re-evaluated per consumer). Per-shard cost: the candidate scan is
+    O(open_packs), but each step also REBUILDS both accumulator
+    arrays (concat on the placements, transform on the loads) — the
+    fold is O(docs_in_shard^2) copying overall, not
+    O(docs x open_packs); array-append is copy-on-write inside an
+    aggregate expression. At 100 TB that quadratic term, not executor
+    memory, is what sizes n_shards: pick it so docs_in_shard^2 struct
+    copies stay cheap (tens of thousands of docs per shard, not
+    millions) — a tighter bound than the fit-in-one-executor floor,
+    and the reason assign_packs (a pure window) remains the default
+    at extreme scale."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         token_count.cast("long").alias("n_tokens"),

@@ -498,13 +498,14 @@ COMMENTARY = {
         "persisted gram index (eval digests broadcast), and the count "
         "joins back broadcast — the corpus-wide frame never shuffles. "
         "The repeated WindowExec 'No Partition Defined' warnings seen "
-        "in bench logs do NOT come from this family — all six "
-        "unpartitioned-window sites in the repo (time_windows.py:886, "
-        "text.py:489/667/988, warehouse_queries.py:743, "
-        "similarity.py:830) operate on frames bounded by construction "
-        "(top-20 survivors, <=50-row RRF fuse, calendar-bounded "
-        "compaction metadata); the warnings are cosmetic, not scale "
-        "hazards."
+        "in bench logs do NOT come from this family — the repo's "
+        "unpartitioned-window sites (the post-limit rank stamps in "
+        "event_path_topn / corpus_top_terms / keyword_extraction, the "
+        "BPE merge ranking in bpe_pair_counts, hybrid_search_rrf's "
+        "<=50-row fuse, and compaction_plan's per-day metadata window) "
+        "all operate on frames bounded by construction (top-20 "
+        "survivors, <=50-row RRF fuse, calendar-bounded compaction "
+        "metadata); the warnings are cosmetic, not scale hazards."
     ),
 }
 

@@ -25,6 +25,14 @@ from multichannel_commerce_data_pipeline_spark.operators.text import (
 SET = settings(
     max_examples=8,
     deadline=None,
+    # derandomize: the example set is FIXED across runs. The domain-cap
+    # reference below compares the prefiltered sample against the
+    # unprefiltered top-cap ranking, which the 8x-oversampled prefilter
+    # matches with overwhelming but not unit probability — a roaming
+    # example generator could eventually mint the Binomial-shortfall
+    # id set and fail legitimately; a fixed set either contains it
+    # (caught on day one) or never will (no latent flake).
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
