@@ -99,24 +99,18 @@ WINDOW_SLOTS = 50
 # window slots (the declared queries hold fresh evidence by then, so
 # oldest-first would not re-seat them either).
 #
-CHANGED_IN_ROUND = 12
+CHANGED_IN_ROUND = 13
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r12 new queries (priority-2 until their first green driver row)
+    # r13 new queries (priority-2 until their first green driver row)
+    "curation_rule_ablation",
+    "mv_join_delta_merge",
+    "compaction_apply_reconcile",
+    "stream_domain_admit_rollup",
+    # r13 material change (VERDICT r12 "what's wrong"): the keep
+    # decision's cuts join is now a LEFT join with an explicit
+    # 'unknown' bucket for a missing-or-NULL cut row — the oracle text
+    # changed (LEFT JOIN + the c33-NULL CASE arm), so the row re-earns
     "corpus_keep_decision",
-    "curation_signal_table",
-    "domain_cap_sample",
-    "dup_span_histogram",
-    "pack_sequences_bfd",
-    "stream_boilerplate_cut_rollup",
-    "text_normalize",
-    # r12 material changes (ADVICE r11): the quota samplers drop
-    # share-0 classes before the feasibility aggregate IN THE ORACLE
-    # TEXT TOO (cross-engine div-by-zero guard), and token_budget_fit's
-    # recursion early-stop is now an exact min==max score probe riding
-    # the histogram pass — all three re-earn their driver rows
-    "target_mix_sample",
-    "temperature_mix_sample",
-    "token_budget_select",
 )
 
 

@@ -190,11 +190,21 @@ def curation_signal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decision_oracle() -> str:
-    """The decision layer's oracle embeds the FULL mart oracle as its
-    base CTE, then derives the per-language perplexity terciles and the
-    rule conjunction — definitionally downstream of the mart, never a
-    reimplementation."""
+def _decision_full_oracle() -> str:
+    """The decision layer's FULL oracle — the mart oracle as base CTE,
+    the per-language perplexity terciles, and the per-rule booleans
+    (plus ``n_words``, which the ablation report weighs kills by) —
+    definitionally downstream of the mart, never a reimplementation.
+    ``corpus_keep_decision`` selects its public columns from this;
+    ``curation_rule_ablation`` aggregates it — one text, two oracles,
+    so the attribution can never drift from the decision.
+
+    The cuts join is a LEFT join with an explicit 'unknown' bucket for
+    a missing-or-NULL cut row (hardened at r13): today every language
+    in the mart has a cuts row because the cuts aggregate the same
+    frame, but a future where cut points are computed from a SAMPLE
+    must degrade a cutless language to 'unknown' (pass), not silently
+    drop its documents."""
     c33 = oracle_dround("quantile_cont(ppl, 0.33)", 6)
     c66 = oracle_dround("quantile_cont(ppl, 0.66)", 6)
     return rf"""
@@ -205,13 +215,13 @@ def _decision_oracle() -> str:
     ),
     b AS (
       SELECT m.*,
-             CASE WHEN m.ppl IS NULL THEN 'unknown'
+             CASE WHEN m.ppl IS NULL OR c.c33 IS NULL THEN 'unknown'
                   WHEN m.ppl <= c.c33 THEN 'head'
                   WHEN m.ppl <= c.c66 THEN 'middle'
                   ELSE 'tail' END AS ppl_bucket
-      FROM mart m JOIN cuts c USING (guessed_lang)
+      FROM mart m LEFT JOIN cuts c USING (guessed_lang)
     )
-    SELECT doc_id, ppl_bucket,
+    SELECT doc_id, n_words, ppl_bucket,
            (ok_word_count AND ok_word_len AND ok_symbols AND ok_stopwords)
              AS keep_gopher,
            (dup_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.18)
@@ -224,32 +234,35 @@ def _decision_oracle() -> str:
     """
 
 
-@query("corpus_keep_decision", oracle=_decision_oracle())
-def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3/X6: the DECISIONS layer over the signal mart — one concrete,
-    re-thresholdable keep/drop policy composing the published recipes:
-    the Gopher rule conjunction (Rae et al. 2021 A1), the Gopher
-    repetition caps (dup-bigram <= 0.2, dup-trigram <= 0.18), a
-    zero-contamination gate, and CCNet's per-language perplexity
-    bucketing (head/middle/tail terciles under the in-domain LM; tail
-    dropped, docs too short to score bucket 'unknown' and pass).
-    Emits the per-rule booleans alongside the verdict so a curator
-    reads WHY a doc died. Tercile cut points are one bounded exact-
-    percentile aggregate over the map-side signal chain (<= one row
-    per language, dround-quantized so both engines compare identical
-    doubles — the equi_depth_histogram idiom) joined back broadcast;
-    the extra pass over the scoring chain never shuffles and skips the
-    contamination join entirely. At 100 TB a curator computes cuts
-    from the persisted mart instead — same values, zero extra scans."""
+def _decision_oracle() -> str:
+    return f"""
+    SELECT doc_id, ppl_bucket, keep_gopher, keep_repetition, keep_clean,
+           keep
+    FROM ({_decision_full_oracle()})
+    """
+
+
+def _decision_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full decision frame (doc_id, n_words, ppl_bucket, per-rule
+    keep booleans, keep) shared by the decision query and the rule-
+    attribution report — single-sourced so the attribution can never
+    drift from the decision it explains. Cuts join back as a LEFT join
+    with an explicit 'unknown' bucket for a missing-or-NULL cut row
+    (r13 hardening): unreachable today because the cuts aggregate the
+    same ``_signals`` frame, but a curator computing cut points from a
+    SAMPLE must see a cutless language pass as 'unknown', not vanish
+    through an inner join."""
     signals = _signals(spark, sf_dir)
     cuts = signals.groupBy("guessed_lang").agg(
         dround(F.percentile("ppl", 0.33), 6).alias("c33"),
         dround(F.percentile("ppl", 0.66), 6).alias("c66"),
     )
     mart = curation_signal_table(spark, sf_dir)
-    b = mart.join(F.broadcast(cuts), "guessed_lang").withColumn(
+    b = mart.join(F.broadcast(cuts), "guessed_lang", "left").withColumn(
         "ppl_bucket",
-        F.when(F.col("ppl").isNull(), F.lit("unknown"))
+        F.when(
+            F.col("ppl").isNull() | F.col("c33").isNull(), F.lit("unknown")
+        )
         .when(F.col("ppl") <= F.col("c33"), F.lit("head"))
         .when(F.col("ppl") <= F.col("c66"), F.lit("middle"))
         .otherwise(F.lit("tail")),
@@ -266,6 +279,7 @@ def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_clean = F.col("contam_windows") == 0
     return b.select(
         "doc_id",
+        "n_words",
         "ppl_bucket",
         keep_gopher.alias("keep_gopher"),
         keep_rep.alias("keep_repetition"),
@@ -277,3 +291,149 @@ def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ppl_bucket") != "tail")
         ).alias("keep"),
     )
+
+
+@query("corpus_keep_decision", oracle=_decision_oracle())
+def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X6: the DECISIONS layer over the signal mart — one concrete,
+    re-thresholdable keep/drop policy composing the published recipes:
+    the Gopher rule conjunction (Rae et al. 2021 A1), the Gopher
+    repetition caps (dup-bigram <= 0.2, dup-trigram <= 0.18), a
+    zero-contamination gate, and CCNet's per-language perplexity
+    bucketing (head/middle/tail terciles under the in-domain LM; tail
+    dropped, docs too short to score bucket 'unknown' and pass).
+    Emits the per-rule booleans alongside the verdict so a curator
+    reads WHY a doc died. Tercile cut points are one bounded exact-
+    percentile aggregate over the map-side signal chain (<= one row
+    per language, dround-quantized so both engines compare identical
+    doubles — the equi_depth_histogram idiom) joined back broadcast
+    LEFT (missing cuts bucket 'unknown' and pass — the r13 hardening);
+    the extra pass over the scoring chain never shuffles and skips the
+    contamination join entirely. At 100 TB a curator computes cuts
+    from the persisted mart instead — same values, zero extra scans."""
+    return _decision_frame(spark, sf_dir).select(
+        "doc_id",
+        "ppl_bucket",
+        "keep_gopher",
+        "keep_repetition",
+        "keep_clean",
+        "keep",
+    )
+
+
+# The four named kill rules of the keep decision, in report order.
+# Each maps to its kill predicate over the decision frame's columns:
+# the first three are the negated keep booleans; the perplexity rule
+# kills exactly the 'tail' bucket ('unknown' passes, by policy).
+_ABL_RULES = ("gopher", "repetition", "clean", "ppl_tail")
+_ABL_KILL_SQL = {
+    "gopher": "NOT keep_gopher",
+    "repetition": "NOT keep_repetition",
+    "clean": "NOT keep_clean",
+    "ppl_tail": "(ppl_bucket = 'tail')",
+}
+
+
+def _ablation_oracle() -> str:
+    """Conditional sums over the full decision oracle: per rule, docs
+    and tokens killed, kills unique to that rule, and the pairwise
+    kill overlaps — one aggregate row unpivoted to one row per rule
+    via UNION ALL (the self-overlap column equals docs_killed)."""
+    kills = ",\n             ".join(
+        f"{_ABL_KILL_SQL[r]} AS k_{r}" for r in _ABL_RULES
+    )
+    sums = []
+    for r in _ABL_RULES:
+        others = " AND ".join(f"NOT k_{o}" for o in _ABL_RULES if o != r)
+        sums += [
+            f"CAST(SUM(CASE WHEN k_{r} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {r}_docs",
+            f"CAST(SUM(CASE WHEN k_{r} THEN n_words ELSE 0 END) AS BIGINT)"
+            f" AS {r}_toks",
+            f"CAST(SUM(CASE WHEN k_{r} AND {others} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS {r}_uniq",
+        ]
+        sums += [
+            f"CAST(SUM(CASE WHEN k_{r} AND k_{o} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS {r}_ov_{o}"
+            for o in _ABL_RULES
+        ]
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{r}' AS rule, {r}_docs AS docs_killed,
+           {r}_toks AS tokens_killed, {r}_uniq AS unique_kills,
+           {", ".join(f"{r}_ov_{o} AS ov_{o}" for o in _ABL_RULES)}
+    FROM a"""
+        for r in _ABL_RULES
+    )
+    return f"""
+    WITH dec AS ({_decision_full_oracle()}),
+    k AS (
+      SELECT n_words,
+             {kills}
+      FROM dec
+    ),
+    a AS (SELECT {", ".join(sums)} FROM k)
+{rows}
+    """
+
+
+@query("curation_rule_ablation", oracle=_ablation_oracle())
+def curation_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X6: RULE ATTRIBUTION over the keep decision — the "why is my
+    corpus shrinking" report a curator runs right after thresholding:
+    per kill rule (Gopher conjunction, repetition caps, contamination
+    gate, perplexity tail), the documents and tokens it kills, the
+    kills UNIQUE to that rule (what relaxing only it would win back),
+    and the pairwise kill overlaps (which rules are redundant). The
+    third layer of the signals → decisions → attribution stack, and
+    pure composition: one global conditional-sum aggregate over the
+    shared decision frame (map-side partial reduction to a single
+    row — no new shuffle beyond the decision's own), unpivoted to one
+    row per rule by exploding a 4-element literal struct array. At
+    100 TB the report costs one pass over the persisted decision
+    table; every measure is an integer sum, so there is no float
+    hazard anywhere in the comparison."""
+    dec = _decision_frame(spark, sf_dir)
+    k = dec.select(
+        "n_words",
+        (~F.col("keep_gopher")).alias("k_gopher"),
+        (~F.col("keep_repetition")).alias("k_repetition"),
+        (~F.col("keep_clean")).alias("k_clean"),
+        (F.col("ppl_bucket") == "tail").alias("k_ppl_tail"),
+    )
+    aggs = []
+    for r in _ABL_RULES:
+        kr = F.col(f"k_{r}")
+        others = [F.col(f"k_{o}") for o in _ABL_RULES if o != r]
+        uniq = kr & ~others[0] & ~others[1] & ~others[2]
+        aggs += [
+            F.sum(kr.cast("long")).alias(f"{r}_docs"),
+            F.sum(F.when(kr, F.col("n_words")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"{r}_toks"),
+            F.sum(uniq.cast("long")).alias(f"{r}_uniq"),
+        ]
+        aggs += [
+            F.sum((kr & F.col(f"k_{o}")).cast("long")).alias(f"{r}_ov_{o}")
+            for o in _ABL_RULES
+        ]
+    one = k.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"),
+                        F.col(f"{r}_docs").alias("docs_killed"),
+                        F.col(f"{r}_toks").alias("tokens_killed"),
+                        F.col(f"{r}_uniq").alias("unique_kills"),
+                        *[
+                            F.col(f"{r}_ov_{o}").alias(f"ov_{o}")
+                            for o in _ABL_RULES
+                        ],
+                    )
+                    for r in _ABL_RULES
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")

@@ -1826,3 +1826,97 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _BUDGET_FIT_CACHE:
         _BUDGET_FIT_CACHE[sf_dir] = TP.token_budget_fit(scored, _BUDGET_TOKENS)
     return TP.token_budget_apply(scored, _BUDGET_FIT_CACHE[sf_dir])
+
+
+# One drain of the streaming admission-quota job per (session, sf_dir):
+# the checkpointed stream is a side-effecting run (same rationale as
+# the stream_decontaminate / stream_ivf_assign drains).
+_STREAM_ADMIT_DIRS: dict[tuple[str, str], str] = {}
+_ADMIT_CAP = 18
+
+
+def _stream_admit_run(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import hashlib
+        import os
+
+        from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+            fresh_stream_dir,
+            stream_domain_admit,
+        )
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tmp = fresh_stream_dir(f"mcdp_admit_{tag}_")
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        d = load(spark, sf_dir, "documents").select("doc_id", "source")
+        # two arrival chunks split on the id midpoint, so the feed's
+        # global arrival order is doc_id order (chunk boundaries
+        # respect it) and per-domain admissions span BOTH micro-batches
+        # — the cap must come out right across the state boundary, not
+        # because everything shared a batch
+        mid = d.agg((F.max("doc_id") / 2).cast("long")).collect()[0][0]
+        d.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        d.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b1")
+        # The file source drains oldest-modification-time first
+        # (latestFirst defaults false); pin mtimes explicitly so the
+        # two chunks can never tie inside the source's ms granularity
+        # and arrival order is deterministic by construction.
+        now = os.stat(f"{src}/b1").st_mtime
+        for sub, t in (("b0", now - 60), ("b1", now - 30)):
+            root = f"{src}/{sub}"
+            for name in os.listdir(root):
+                os.utime(os.path.join(root, name), (t, t))
+        stream_domain_admit(
+            spark,
+            f"{src}/b*",
+            "doc_id bigint, source string",
+            out,
+            ckpt,
+            cap=_ADMIT_CAP,
+        )
+        return out
+
+    return session_memo(spark, _STREAM_ADMIT_DIRS, sf_dir, build)
+
+
+@query(
+    "stream_domain_admit_rollup",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY doc_id) AS admit_seq
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(admit_seq AS BIGINT) AS admit_seq
+    FROM ranked WHERE admit_seq <= {_ADMIT_CAP}
+    """,
+)
+def stream_domain_admit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 × T5: the streaming ADMISSION QUOTA made driver-checkable —
+    documents arrive as two checkpointed micro-batches (id-ordered
+    chunks with pinned file mtimes, so arrival order is doc_id order
+    by construction) and each domain admits only its first
+    ``_ADMIT_CAP`` arrivals, the per-domain admitted count held as
+    applyInPandasWithState state across batches
+    (streaming/jobs.stream_domain_admit). The landed admissions ARE
+    the result (each doc arrives once; append-across-batches), and
+    the oracle is the batch form of arrival-order admission: rank per
+    domain by doc_id, keep rank <= cap. ``admit_seq`` — the all-time
+    1-based admission index emitted from the state fold — must equal
+    the batch rank exactly, which is only possible if the count
+    survived the batch boundary: the restart-cumulative claim is in
+    the compared values, not just in tests (restart itself is
+    asserted in tests/test_streaming.py)."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_stream_assignments,
+    )
+
+    out = _stream_admit_run(spark, sf_dir)
+    return read_stream_assignments(spark, out).select(
+        "doc_id", "source", "admit_seq"
+    )

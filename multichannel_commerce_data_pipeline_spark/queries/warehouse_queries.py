@@ -750,6 +750,172 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPACT_FP_SQL = [
+    "event_id",
+    "user_id",
+    "event_type",
+    "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
+    "CAST(day AS VARCHAR)",
+]
+
+
+def _compaction_plan_frame(landed: DataFrame) -> DataFrame:
+    """(day, job_id): the compaction_plan assignment derived from the
+    LANDED layout's per-day counts — the same running-total first-fit
+    split, recomputed deterministically wherever the plan is needed.
+    The window runs over one metadata row per day partition (calendar-
+    bounded), never over data."""
+    from pyspark.sql import Window
+
+    daily = landed.groupBy("day").agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        ((F.sum("n_rows").over(w) - F.col("n_rows")) / _COMPACT_TARGET)
+        .cast("long")
+        .alias("job_id"),
+    )
+
+
+def ensure_compacted_layouts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Materialize BOTH sides of the compaction loop once per (session,
+    sf_dir): the small-file date-partitioned landing (what continuous
+    streaming ingestion accretes — one file per task per day partition)
+    and its compacted rewrite (planned day bins coalesced into one
+    ~TARGET-row file per job via repartition on the plan's job_id).
+    Returns (landing_dir, compacted_dir)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag
+    landing, compacted = root / "landing_small", root / "compacted"
+    if not (landing.is_dir() and any(landing.rglob("*.parquet"))):
+        ev = load(spark, sf_dir, "events").select(
+            F.to_date("ts").alias("day"),
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(str(landing))
+    if not (compacted.is_dir() and any(compacted.rglob("*.parquet"))):
+        landed = spark.read.parquet(str(landing))
+        plan = _compaction_plan_frame(landed)
+        (
+            landed.join(F.broadcast(plan), "day")
+            .repartition("job_id")
+            .write.mode("overwrite")
+            .partitionBy("job_id")
+            .parquet(str(compacted))
+        )
+    return str(landing), str(compacted)
+
+
+def _compaction_apply_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        oracle_row_fingerprint,
+    )
+
+    fp = oracle_row_fingerprint(_COMPACT_FP_SQL)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, n_rows,
+             SUM(n_rows) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) - n_rows AS prior
+      FROM daily
+    ),
+    plan AS (
+      SELECT day, CAST(prior // {_COMPACT_TARGET} AS BIGINT) AS job_id
+      FROM cum
+    ),
+    keyed AS (
+      SELECT p.job_id, e.day, {fp} AS fp
+      FROM (
+        SELECT CAST(ts AS DATE) AS day, event_id, user_id, event_type,
+               value
+        FROM events
+      ) e JOIN plan p USING (day)
+    )
+    SELECT job_id,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(fp) AS digest,
+           TRUE AS match
+    FROM keyed GROUP BY job_id
+    """
+
+
+@query("compaction_apply_reconcile", oracle=_compaction_apply_oracle())
+def compaction_apply_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 closed loop: compaction EXECUTION with proof — the
+    plan → rewrite → verify cycle OPTIMIZE actually runs, not just the
+    planner. The small-file date-partitioned landing (one file per
+    task per day — the pathology continuous ingestion accretes) is
+    rewritten per compaction_plan's job bins into one ~TARGET-row file
+    per job, and the rewrite is PROVEN equal to the pre-compaction
+    table with the table_reconcile XOR-digest idiom: per job, row
+    count + order-independent XOR of portable row fingerprints from
+    BOTH layouts, compared. Each side is one partial-aggregated scan
+    of its own layout — at 100 TB the verify costs two scans and
+    shuffles only n_jobs digest rows, which is what makes
+    verify-after-OPTIMIZE affordable nightly. The oracle recomputes
+    the plan AND the per-job digests from the source relationally, so
+    a divergence anywhere (lost row, drifted value, day landed in the
+    wrong job, broken fingerprint fold) turns the row red; doubles
+    enter the row encoding only through DECIMAL cents. File-count
+    reduction is asserted in tests/test_sources.py."""
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        row_fingerprint,
+    )
+
+    landing_dir, compacted_dir = ensure_compacted_layouts(spark, sf_dir)
+    landed = spark.read.parquet(landing_dir)
+    compacted = spark.read.parquet(compacted_dir)
+
+    def fp(df: DataFrame):
+        return row_fingerprint(
+            [
+                df.event_id,
+                df.user_id,
+                df.event_type,
+                (df.value.cast("decimal(18,2)") * 100).cast("bigint"),
+                df.day.cast("string"),
+            ]
+        )
+
+    plan = _compaction_plan_frame(landed)
+    src = (
+        landed.join(F.broadcast(plan), "day")
+        .select("job_id", "day", fp(landed).alias("fp"))
+        .groupBy("job_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_src"),
+            F.bit_xor("fp").alias("d_src"),
+        )
+    )
+    tgt = compacted.select("job_id", "day", fp(compacted).alias("fp")).groupBy(
+        "job_id"
+    ).agg(
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.bit_xor("fp").alias("digest"),
+    )
+    return tgt.join(src, "job_id", "full_outer").select(
+        "job_id",
+        F.coalesce(F.col("n_days"), F.lit(0).cast("long")).alias("n_days"),
+        F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
+        F.coalesce(F.col("digest"), F.lit(0).cast("long")).alias("digest"),
+        (
+            (F.coalesce(F.col("n_rows"), F.lit(0)) == F.coalesce(F.col("n_src"), F.lit(0)))
+            & (F.coalesce(F.col("digest"), F.lit(0)) == F.coalesce(F.col("d_src"), F.lit(0)))
+        ).alias("match"),
+    )
+
+
 _MV_CUTOVER = "2024-01-25"
 
 
@@ -849,6 +1015,127 @@ def mv_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("avg_value"),
+    )
+
+
+# Join-view delta maintenance: the two deltas arrive independently —
+# new ORDERS after the order cutover, new LINEITEM rows (freight-batch
+# style) after the ship cutover. Both cuts sit late in the date range
+# so the deltas are small relative to history, the economics the
+# operator exists for.
+_MVJ_O_CUT = "2001-01-01 00:00:00"
+_MVJ_L_CUT = "2001-03-01 00:00:00"
+
+
+def _mvj_month_agg(joined: DataFrame) -> DataFrame:
+    """Month-grain algebraic accumulators over a joined orders x
+    lineitem frame: (order_month, cnt, decimal revenue sum). The
+    per-row revenue addend quantizes to DECIMAL(18,4) before summing
+    (identical double->decimal quantization in both engines), so every
+    partial state merges addition-order-independently."""
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return joined.groupBy(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(rev).cast("decimal(38,4)").alias("rsum"),
+    )
+
+
+def ensure_mv_join_state(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the JOIN-VIEW aggregate state (month-grain
+    accumulators over old-orders ⋈ old-lineitem) once per (session,
+    sf_dir) — the stored gold view a warehouse maintains instead of
+    re-running the join over all history."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "mvj_state"
+    if not (base.is_dir() and any(base.glob("*.parquet"))):
+        o_old = (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderdate")
+            .filter(F.col("o_orderdate") < F.lit(_MVJ_O_CUT).cast("timestamp"))
+        )
+        l_old = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .filter(F.col("l_shipdate") < F.lit(_MVJ_L_CUT).cast("timestamp"))
+        )
+        state = _mvj_month_agg(
+            o_old.join(l_old, o_old.o_orderkey == l_old.l_orderkey)
+        )
+        state.write.mode("overwrite").parquet(str(base))
+    return str(base)
+
+
+@query(
+    "mv_join_delta_merge",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def mv_join_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an AGGREGATE-OVER-JOIN view — the
+    IVM classic Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, applied to the
+    CM2-style month-revenue gold view over orders ⋈ lineitem. The
+    stored state holds month-grain algebraic accumulators over
+    old ⋈ old; when BOTH sides receive independent deltas (late
+    orders, late-shipping freight lines), the refresh computes the
+    three delta terms and merges accumulators (cnt+cnt, decimal
+    sum+sum) — the join over history is NEVER re-run, which is the
+    entire economics at 100 TB (the reference reruns its whole gold
+    join every 300 s; mv_incremental_merge replaced that for
+    single-table rollups, this closes the join case). Plan shape: each
+    delta term BROADCASTS its delta side, so the two history scans
+    stream map-side through broadcast hash joins with the date filters
+    pushed into the parquet scans — the only exchanges are the bounded
+    month-grain aggregations. Delta cost tracks the DELTA size and
+    per-month group count, flat in history size. The oracle is the
+    full-join recompute over all rows: state + three deltas must equal
+    it exactly (DECIMAL-quantized addends make the merge
+    addition-order-independent, DOUBLE only at the output boundary)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o_cut = F.lit(_MVJ_O_CUT).cast("timestamp")
+    l_cut = F.lit(_MVJ_L_CUT).cast("timestamp")
+    o_old, o_new = (
+        o.filter(F.col("o_orderdate") < o_cut),
+        o.filter(F.col("o_orderdate") >= o_cut),
+    )
+    l_old, l_new = (
+        li.filter(F.col("l_shipdate") < l_cut),
+        li.filter(F.col("l_shipdate") >= l_cut),
+    )
+    key = lambda a, b: a.o_orderkey == b.l_orderkey  # noqa: E731
+    state = spark.read.parquet(ensure_mv_join_state(spark, sf_dir))
+    d1 = _mvj_month_agg(F.broadcast(o_new).join(l_old, key(o_new, l_old)))
+    d2 = _mvj_month_agg(o_old.join(F.broadcast(l_new), key(o_old, l_new)))
+    d3 = _mvj_month_agg(F.broadcast(o_new).join(l_new, key(o_new, l_new)))
+    merged = (
+        state.unionByName(d1)
+        .unionByName(d2)
+        .unionByName(d3)
+        .groupBy("order_month")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_items"),
+            F.sum("rsum").cast("decimal(38,4)").alias("rsum"),
+        )
+    )
+    return merged.select(
+        "order_month",
+        "n_items",
+        F.col("rsum").cast("double").alias("revenue"),
     )
 
 

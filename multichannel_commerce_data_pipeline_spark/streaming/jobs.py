@@ -1297,3 +1297,88 @@ def stream_decontaminate(
     )
     query.awaitTermination()
     return query
+
+
+def stream_domain_admit(
+    spark: SparkSession,
+    src_glob: str,
+    schema_ddl: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Streaming ADMISSION QUOTA (X6 × T5) — the ingest-time half of
+    URL-level curation: documents ARRIVE as a feed and each is admitted
+    only while its domain's all-time admitted count is under ``cap``;
+    once a domain hits the cap, its later arrivals are dropped at the
+    door instead of being trimmed by a later batch pass
+    (``domain_cap_sample`` is the batch/backfill half — smallest-hash
+    survivors for a static corpus; admission is the arrival-order form
+    a live crawl needs, because a stream cannot know future hashes).
+
+    State is ``applyInPandasWithState`` per-domain admitted counts —
+    ONE bigint per domain, the bounded-state discipline of
+    ``stream_binned_profile`` (O(domains), independent of stream
+    length), held in the checkpoint's state store so admission is
+    CUMULATIVE across restarts: a domain capped in yesterday's run
+    stays capped when the stream resumes. Within a micro-batch a
+    domain's arrivals are ordered by ``id_col`` (deterministic where a
+    wall-clock feed would be arrival-ordered); ``admit_seq`` is the
+    doc's 1-based all-time admission index, so the output itself
+    proves the cross-batch state. Landing is idempotent per batch
+    (mode=overwrite into ``batch-{id}``, the ``stream_ivf_assign``
+    contract): a replayed batch rewrites its own output, and since the
+    state store rolls back to the batch's start on replay, the rewrite
+    admits exactly the same rows."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def admit(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(id_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        prior = state.get[0] if state.exists else 0
+        adm = batch.head(max(0, cap - prior))
+        state.update((prior + len(adm),))
+        if len(adm):
+            yield pd.DataFrame(
+                {
+                    id_col: adm[id_col].to_numpy(),
+                    domain_col: [key[0]] * len(adm),
+                    "admit_seq": range(prior + 1, prior + len(adm) + 1),
+                }
+            )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_glob)
+    admitted = (
+        stream.select(id_col, domain_col)
+        .groupBy(domain_col)
+        .applyInPandasWithState(
+            admit,
+            f"{id_col} BIGINT, {domain_col} STRING, admit_seq BIGINT",
+            "admitted BIGINT",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    query = (
+        admitted.writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("__bid", F.lit(bid))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch-{bid}")
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -2499,3 +2499,45 @@ def test_normalize_text_scrubs_every_stage(spark):
     got = {r.i: r.c for r in df.select("i", normalize_text(F.col("t")).alias("c")).collect()}
     assert got[1] == "zero-width bell nb sp end"
     assert got[2] == "plain ascii text"
+
+
+def test_rule_ablation_invariants(spark, sf_dir):
+    """Attribution arithmetic: self-overlap equals docs_killed, pairwise
+    overlaps are symmetric, unique kills never exceed docs killed, and
+    the union bound holds against the decision frame — total docs
+    dropped equals docs failing ANY rule, which the per-rule uniques
+    can never exceed."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    reg = load_registry()
+    abl = {r.rule: r for r in reg["curation_rule_ablation"].fn(spark, sf_dir).collect()}
+    assert set(abl) == {"gopher", "repetition", "clean", "ppl_tail"}
+    for rule, r in abl.items():
+        assert r[f"ov_{rule}"] == r.docs_killed
+        assert 0 <= r.unique_kills <= r.docs_killed
+        assert r.tokens_killed >= r.docs_killed  # every doc has >=1 word
+        for other in abl:
+            assert r[f"ov_{other}"] == abl[other][f"ov_{rule}"], (rule, other)
+            assert r[f"ov_{other}"] <= min(r.docs_killed, abl[other].docs_killed)
+    dec = reg["corpus_keep_decision"].fn(spark, sf_dir).collect()
+    dropped = sum(1 for d in dec if not d.keep)
+    assert sum(r.unique_kills for r in abl.values()) <= dropped
+    # a doc dropped by exactly one rule IS that rule's unique kill:
+    # reconstruct from the decision frame and compare per rule
+    per_doc_kills = [
+        {
+            "gopher": not d.keep_gopher,
+            "repetition": not d.keep_repetition,
+            "clean": not d.keep_clean,
+            "ppl_tail": d.ppl_bucket == "tail",
+        }
+        for d in dec
+    ]
+    for rule, r in abl.items():
+        expect_uniq = sum(
+            1
+            for k in per_doc_kills
+            if k[rule] and not any(v for o, v in k.items() if o != rule)
+        )
+        assert r.unique_kills == expect_uniq, rule
+        assert r.docs_killed == sum(1 for k in per_doc_kills if k[rule])

@@ -765,3 +765,32 @@ def test_curation_signal_table_is_one_owned_shuffle(plans):
     for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
               "BroadcastNestedLoopJoin"):
         assert j not in p
+
+
+def test_mv_join_delta_broadcasts_deltas_never_rejoins_history(plans):
+    """Each Δ(A⋈B) term must BROADCAST its delta side so the two
+    history scans stream map-side (no SortMergeJoin anywhere), the
+    stored state parquet is a source (history months enter as
+    accumulators, never re-joined), and both delta cutovers are pushed
+    into the parquet scans."""
+    p = plans("mv_join_delta_merge")
+    assert "mvj_state" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l and "GreaterThanOrEqual" in l for l in pushed), pushed
+    assert any("l_shipdate" in l and "GreaterThanOrEqual" in l for l in pushed), pushed
+
+
+def test_rule_ablation_is_one_global_aggregate(plans):
+    """The attribution report adds NO shuffle beyond the decision
+    frame's own: its aggregate is a global conditional-sum pass
+    (partial → single row), so the plan gains no new hashpartitioning
+    exchange keyed on anything but the decision's existing ones, and
+    there is no join or window in the added layer."""
+    decision = plans("corpus_keep_decision")
+    ablation = plans("curation_rule_ablation")
+    count_keyed = lambda p: p.count("hashpartitioning")  # noqa: E731
+    # global agg exchanges are SinglePartition, not hashpartitioning:
+    # the ablation may add only non-keyed exchanges over the 1-row frame
+    assert count_keyed(ablation) <= count_keyed(decision)

@@ -292,3 +292,36 @@ def test_load_cache_is_session_scoped(spark, sf_dir):
     finally:
         # the sibling's entry must not shadow the primary session's
         assert load(spark, sf_dir, "events").sparkSession is spark
+
+
+def test_compaction_apply_reduces_files_and_reconciles(spark, sf_dir):
+    """S15 closed loop: the compacted rewrite holds strictly fewer
+    parquet files than the small-file landing (one per job vs one per
+    task per day), every job's XOR digest matches the pre-compaction
+    layout, and the jobs partition the full calendar and row count."""
+    from pathlib import Path
+
+    from multichannel_commerce_data_pipeline_spark.queries import (
+        load_registry,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        ensure_compacted_layouts,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    landing, compacted = ensure_compacted_layouts(spark, sf_dir)
+    n_before = len(list(Path(landing).rglob("*.parquet")))
+    n_after = len(list(Path(compacted).rglob("*.parquet")))
+    assert 0 < n_after < n_before, (n_before, n_after)
+
+    rows = (
+        load_registry()["compaction_apply_reconcile"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows and all(r.match for r in rows)
+    ev = load(spark, sf_dir, "events")
+    assert sum(r.n_rows for r in rows) == ev.count()
+    assert sum(r.n_days for r in rows) == ev.select(
+        F.to_date("ts")
+    ).distinct().count()

@@ -1275,3 +1275,77 @@ def test_stream_ivf_assign_incremental_and_idempotent(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in batch.select("vid", "cell", "ccos").collect())
     assert got == want
+
+
+def test_stream_domain_admit_caps_across_restart(spark, tmp_path):
+    """X6 × T5: the admission quota admits only the first ``cap``
+    arrivals per domain, counting in checkpointed state — a second
+    drain (same checkpoint) over newly-arrived files RESUMES each
+    domain's count: a capped domain admits nothing more, an open one
+    continues its admit_seq where it left off."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_stream_assignments,
+        stream_domain_admit,
+    )
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+
+    def land(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, source string"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def drain():
+        stream_domain_admit(
+            spark,
+            f"{src}/b*",
+            "doc_id bigint, source string",
+            str(out),
+            str(ckpt),
+            cap=2,
+        )
+        return {
+            (r.doc_id, r.source, r.admit_seq)
+            for r in read_stream_assignments(spark, str(out)).collect()
+        }
+
+    # a arrives 3 times (one over cap), b once
+    land("b0", [(0, "a"), (1, "a"), (2, "a"), (10, "b")])
+    got1 = drain()
+    assert got1 == {(0, "a", 1), (1, "a", 2), (10, "b", 1)}
+
+    # new arrivals: a is already capped (drop all), b admits exactly
+    # one more — continuing its all-time sequence — then caps
+    land("b1", [(5, "a"), (11, "b"), (12, "b")])
+    got2 = drain()
+    assert got2 == got1 | {(11, "b", 2)}
+
+
+def test_stream_domain_admit_replay_is_idempotent(spark, tmp_path):
+    """Admission landing is idempotent per micro-batch: re-draining
+    with the same checkpoint and no new files rewrites nothing and
+    duplicates nothing (each batch lands to its own overwritten dir)."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_stream_assignments,
+        stream_domain_admit,
+    )
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b")], "doc_id long, source string"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    for _ in range(2):
+        stream_domain_admit(
+            spark,
+            f"{src}/b*",
+            "doc_id bigint, source string",
+            str(out),
+            str(ckpt),
+            cap=1,
+        )
+    rows = read_stream_assignments(spark, str(out)).collect()
+    assert {(r.doc_id, r.source, r.admit_seq) for r in rows} == {
+        (0, "a", 1),
+        (2, "b", 1),
+    }
+    assert len(rows) == 2  # no duplicate landings
