@@ -100,6 +100,16 @@ HEADLINE = [
     "dup_span_histogram",
     "pack_sequences_bfd",
     "curation_signal_table",
+    # round 13 additions: the attribution layer over the keep decision
+    # (one extra global conditional-sum pass), the join-view delta MV
+    # refresh (broadcast delta terms, history never re-joined), and the
+    # compaction rewrite+verify loop (two layout scans + digest join;
+    # the layout writes are memoized per session like ensure_replica).
+    # stream_domain_admit_rollup is a checkpointed streaming drain —
+    # driver row + tests, not timed, like the other stream_* rollups.
+    "curation_rule_ablation",
+    "mv_join_delta_merge",
+    "compaction_apply_reconcile",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",

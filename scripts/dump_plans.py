@@ -507,6 +507,61 @@ COMMENTARY = {
         "survivors, <=50-row RRF fuse, calendar-bounded compaction "
         "metadata); the warnings are cosmetic, not scale hazards."
     ),
+    "curation_rule_ablation": (
+        "Attribution adds NO shuffle beyond the decision frame it "
+        "explains: the per-rule docs/tokens/unique/overlap measures "
+        "are ONE global conditional-sum aggregate (partial-reduced "
+        "map-side to a single row — every measure an integer sum, no "
+        "float anywhere), and the four report rows come from exploding "
+        "a literal struct array over that row. Upstream is the SHARED "
+        "persisted decision frame (one build per corpus version — "
+        "map-side signals, one keyed contamination count, broadcast "
+        "tercile cuts — then MEMORY_AND_DISK, the storage-investment "
+        "rule), so attribution is literally one pass over the decided "
+        "table, here as at 100 TB; re-thresholding a rule re-runs "
+        "only this aggregate."
+    ),
+    "mv_join_delta_merge": (
+        "The IVM classic for aggregate-over-join views: "
+        "delta(A JOIN B) = dA JOIN B + A JOIN dB + dA JOIN dB, merged "
+        "into stored month-grain accumulators. Each delta term "
+        "BROADCASTS its delta side, so both history scans stream "
+        "map-side through BroadcastHashJoins (no SortMergeJoin in the "
+        "plan) with the order/ship cutovers pushed into the parquet "
+        "scans (PushedFilters on o_orderdate / l_shipdate); history "
+        "months enter only as the tiny mvj_state parquet, never "
+        "re-joined. Refresh cost tracks delta size x matched history "
+        "rows, flat in view history — the economics that replace the "
+        "reference's rerun-the-whole-gold-join-every-300s loop for its "
+        "join views, not just its single-table rollups. Asserted in "
+        "tests/test_plans.py (broadcasts + pushed cutovers + state "
+        "source)."
+    ),
+    "compaction_apply_reconcile": (
+        "The OPTIMIZE loop with proof: the planned day bins are "
+        "rewritten via one repartition on the plan's job_id (one "
+        "~TARGET-row file per job), and equality with the small-file "
+        "landing is established by the table_reconcile idiom — per "
+        "job, row count + order-independent XOR of portable row "
+        "fingerprints from each layout, full-outer joined. Each side "
+        "is one partial-aggregated scan of its own layout; only "
+        "n_jobs digest rows shuffle, so verify-after-OPTIMIZE costs "
+        "two scans regardless of table size. The plan's running-total "
+        "window runs over per-day METADATA rows (calendar-bounded, "
+        "the documented cosmetic WindowExec warning), never data."
+    ),
+    "stream_domain_admit_rollup": (
+        "Ingest-time URL-level curation: per-domain admitted counts "
+        "live as applyInPandasWithState state (ONE bigint per domain, "
+        "O(domains) regardless of stream length, checkpoint-restored "
+        "so admission is cumulative across restarts). Each micro-batch "
+        "shuffles only on the domain key for the state operator; the "
+        "landed admit_seq is the all-time admission index, so the "
+        "driver compare itself proves the cross-batch state (the "
+        "oracle is the batch arrival-rank cap). Batch/backfill twin: "
+        "domain_cap_sample (smallest-hash survivors); admission is "
+        "the arrival-order form a live crawl needs."
+    ),
 }
 
 

@@ -106,6 +106,9 @@ PROBES = [
     ("pack_sequences_bfd", "documents", "one shard exchange + in-plan BFD fold"),
     ("curation_signal_table", "documents", "map-side signal chain + one keyed contam count"),
     ("temperature_mix_sample", "documents", "in-plan count^0.5 shares + quota sample"),
+    ("curation_rule_ablation", "documents", "decision chain + one global sum row"),
+    ("mv_join_delta_merge", "orders x lineitem deltas", "broadcast deltas + month agg"),
+    ("compaction_apply_reconcile", "events layouts", "two scans + n_jobs digest rows"),
 ]
 REPS = 3
 

@@ -325,3 +325,53 @@ def test_compaction_apply_reduces_files_and_reconciles(spark, sf_dir):
     assert sum(r.n_days for r in rows) == ev.select(
         F.to_date("ts")
     ).distinct().count()
+
+
+def test_compaction_digest_catches_tampered_rewrite(spark, sf_dir, tmp_path):
+    """The verify half is a real tripwire: a rewrite that silently
+    loses one row, or lands one row's day in the wrong job, flips that
+    job's XOR digest — recompute the per-job digests over a tampered
+    copy of the compacted layout and the affected job (and only it)
+    must mismatch the landing side."""
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        row_fingerprint,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _compaction_plan_frame,
+        ensure_compacted_layouts,
+    )
+
+    landing_dir, compacted_dir = ensure_compacted_layouts(spark, sf_dir)
+    compacted = spark.read.parquet(compacted_dir)
+    victim = compacted.orderBy("event_id").limit(1).collect()[0]
+    tampered = compacted.filter(F.col("event_id") != victim.event_id)
+
+    def fp(df):
+        return row_fingerprint(
+            [
+                df.event_id,
+                df.user_id,
+                df.event_type,
+                (df.value.cast("decimal(18,2)") * 100).cast("bigint"),
+                df.day.cast("string"),
+            ]
+        )
+
+    def digests(df):
+        return {
+            r.job_id: (r.n, r.d)
+            for r in df.select("job_id", fp(df).alias("fp"))
+            .groupBy("job_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.bit_xor("fp").alias("d")
+            )
+            .collect()
+        }
+
+    landed = spark.read.parquet(landing_dir)
+    plan = _compaction_plan_frame(landed)
+    src = digests(landed.join(F.broadcast(plan), "day"))
+    good, bad = digests(compacted), digests(tampered)
+    assert src == good  # the real rewrite reconciles exactly
+    diffs = {j for j in src if src[j] != bad.get(j, (0, 0))}
+    assert diffs == {victim.job_id}  # tamper localized to its job
