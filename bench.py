@@ -110,6 +110,12 @@ HEADLINE = [
     "curation_rule_ablation",
     "mv_join_delta_merge",
     "compaction_apply_reconcile",
+    # dq_quarantine_router runs over the fixed bronze fixtures (like
+    # dq_profile_silver / the silver_conform family), so it gets a
+    # timed row but no sf scale probe — its input never grows with sf.
+    # stream_mv_join_refresh_rollup is a checkpointed streaming drain —
+    # driver row + tests, not timed.
+    "dq_quarantine_router",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",

@@ -106,6 +106,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "mv_join_delta_merge",
     "compaction_apply_reconcile",
     "stream_domain_admit_rollup",
+    "dq_quarantine_router",
+    "stream_mv_join_refresh_rollup",
     # r13 material change (VERDICT r12 "what's wrong"): the keep
     # decision's cuts join is now a LEFT join with an explicit
     # 'unknown' bucket for a missing-or-NULL cut row — the oracle text

@@ -647,3 +647,97 @@ def stream_psi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi.alias("psi"),
         (psi > 0.1).alias("drifted"),
     )
+
+
+# The declarative expectation suite for the joor silver feed: rule name
+# -> violation predicate (SQL and Column forms kept adjacent so they
+# cannot drift). Rule names are stable identifiers a dead-letter
+# consumer routes on; evaluation order is the tuple order, so the
+# comma-joined `fails` string is deterministic in both engines.
+_DQ_RULES_SQL = (
+    ("id_missing", "order_id IS NULL"),
+    ("price_invalid", "unit_price IS NULL OR unit_price < 0"),
+    ("qty_nonpositive", "quantity <= 0"),
+    ("ts_unparseable", "order_ts IS NULL"),
+)
+
+
+def _dq_rules_cols() -> list[tuple[str, "F.Column"]]:
+    return [
+        ("id_missing", F.col("order_id").isNull()),
+        (
+            "price_invalid",
+            F.col("unit_price").isNull() | (F.col("unit_price") < 0),
+        ),
+        ("qty_nonpositive", F.col("quantity") <= 0),
+        ("ts_unparseable", F.col("order_ts").isNull()),
+    ]
+
+
+def _quarantine_oracle() -> str:
+    marks = ",\n           ".join(
+        f"CASE WHEN {pred} THEN '{name}' END" for name, pred in _DQ_RULES_SQL
+    )
+    n = " + ".join(
+        f"(CASE WHEN {pred} THEN 1 ELSE 0 END)" for _, pred in _DQ_RULES_SQL
+    )
+    return f"""
+    WITH s AS ({silver.oracle_conform_joor()}),
+    marked AS (
+      SELECT order_id, buyer_name, sku, quantity, unit_price,
+             strftime(order_ts, '%Y-%m-%d %H:%M:%S') AS order_wall,
+             concat_ws(',',
+           {marks}) AS fails,
+             CAST({n} AS INTEGER) AS n_fails
+      FROM s
+    )
+    SELECT * FROM marked WHERE n_fails > 0
+    """
+
+
+@query("dq_quarantine_router", oracle=_quarantine_oracle())
+def dq_quarantine_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7+: the QUARANTINE half of data quality — dq_profile_silver
+    COUNTS violations; this routes the violating rows themselves to the
+    dead-letter side with machine-readable reasons (the standard
+    expectation-suite pattern: a declarative rule set evaluated in ONE
+    map-side pass, every row tagged with the comma-joined names of the
+    rules it fails, failing rows quarantined for repair/replay instead
+    of silently polluting gold — the reference pipeline loads its
+    conformed rows unconditionally, bronze_to_silver_all_sources.py:
+    82-90, so a negative price flows straight into revenue). The keep
+    side is the same projection negated (zero extra cost); per-rule
+    booleans compose into `fails` via concat_ws exactly as the keep-
+    decision layer does for curation, because corpus curation IS this
+    operator aimed at documents. One projection + filter inside the
+    scan stage — no shuffle, no UDF; at 100 TB the router costs the
+    scan it was already paying. Timestamps emit as wall strings per
+    the module's timezone rule."""
+    return quarantine_mark(_silver(spark, "joor")).filter(
+        F.col("n_fails") > 0
+    )
+
+
+def quarantine_mark(s: DataFrame) -> DataFrame:
+    """Tag every silver-shaped row with its failed-rule list and count
+    (map-side, no shuffle). Shared by the router query and the planted
+    multi-violation tests, so the rule compiler itself is what the
+    tests exercise."""
+    rules = _dq_rules_cols()
+    fails = F.concat_ws(
+        ",", *[F.when(pred, F.lit(name)) for name, pred in rules]
+    )
+    n_fails = None
+    for _, pred in rules:
+        term = F.when(pred, 1).otherwise(0)
+        n_fails = term if n_fails is None else (n_fails + term)
+    return s.select(
+        "order_id",
+        "buyer_name",
+        "sku",
+        "quantity",
+        "unit_price",
+        F.date_format("order_ts", "yyyy-MM-dd HH:mm:ss").alias("order_wall"),
+        fails.alias("fails"),
+        n_fails.cast("int").alias("n_fails"),
+    )

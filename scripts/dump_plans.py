@@ -550,6 +550,34 @@ COMMENTARY = {
         "window runs over per-day METADATA rows (calendar-bounded, "
         "the documented cosmetic WindowExec warning), never data."
     ),
+    "dq_quarantine_router": (
+        "The dead-letter half of data quality: a declarative "
+        "expectation suite (null keys, invalid money, non-positive "
+        "quantities, unparseable timestamps) compiled into ONE "
+        "map-side projection — per-row failed-rule list via concat_ws "
+        "over CASE marks, violation count as an integer sum — and a "
+        "filter, all inside the scan stage: no shuffle, no UDF, no "
+        "extra pass. The keep side is the same projection negated. "
+        "At 100 TB the router costs exactly the scan the conformance "
+        "was already paying; the reference loads conformed rows "
+        "unconditionally, so a negative price flows straight into "
+        "revenue — this is the operator that stops that."
+    ),
+    "stream_mv_join_refresh_rollup": (
+        "The streaming form of mv_join_delta_merge: each arriving "
+        "lineitem micro-batch folds into the stored month-revenue "
+        "join view as state(bid) = merge(state(bid-1) UNION "
+        "agg(orders JOIN broadcast(batch))) — the batch is the "
+        "broadcast side by construction, so the orders scan streams "
+        "map-side per trigger and the only exchange is the bounded "
+        "month-grain merge. Snapshots land idempotently per batch id "
+        "with a one-predecessor replay window (a replayed batch "
+        "re-reads exactly the state it saw first), so storage holds "
+        "at two snapshots regardless of stream length. History is "
+        "never rescanned in EITHER dimension: not across data (delta "
+        "terms, not full joins) and not across time (per-arrival "
+        "folds, not the reference's 300 s polling rerun)."
+    ),
     "stream_domain_admit_rollup": (
         "Ingest-time URL-level curation: per-domain admitted counts "
         "live as applyInPandasWithState state (ONE bigint per domain, "

@@ -148,3 +148,42 @@ def test_incremental_gold_refresh_equals_full_rebuild(spark, sf_dir, tmp_path):
         .collect()
     )
     assert canon(incr_dir) == canon(full_dir)
+
+
+def test_quarantine_router_planted_violations(spark):
+    """Every rule fires on its planted row with the right name, a
+    multi-violation row lists ALL its failures in declaration order,
+    and the clean row passes (n_fails 0 — the keep side)."""
+    from multichannel_commerce_data_pipeline_spark.queries.pipeline_queries import (
+        quarantine_mark,
+    )
+
+    rows = [
+        # order_id, buyer, price, qty, sku, currency, ts
+        ("A-1", "ok", 10.0, 1, "S1", "USD", "2025-06-01 10:00:00"),
+        (None, "no-id", 10.0, 1, "S1", "USD", "2025-06-01 10:00:00"),
+        ("A-3", "neg-price", -5.0, 1, "S1", "USD", "2025-06-01 10:00:00"),
+        ("A-4", "null-price", None, 1, "S1", "USD", "2025-06-01 10:00:00"),
+        ("A-5", "zero-qty", 10.0, 0, "S1", "USD", "2025-06-01 10:00:00"),
+        ("A-6", "no-ts", 10.0, 1, "S1", "USD", None),
+        (None, "all-bad", -1.0, -2, "S1", "USD", None),
+    ]
+    s = spark.createDataFrame(
+        rows,
+        "order_id string, buyer_name string, unit_price double, "
+        "quantity int, sku string, currency string, order_ts_s string",
+    ).withColumn("order_ts", F.col("order_ts_s").cast("timestamp"))
+    got = {
+        r.buyer_name: (r.fails, r.n_fails)
+        for r in quarantine_mark(s).collect()
+    }
+    assert got["ok"] == ("", 0)
+    assert got["no-id"] == ("id_missing", 1)
+    assert got["neg-price"] == ("price_invalid", 1)
+    assert got["null-price"] == ("price_invalid", 1)
+    assert got["zero-qty"] == ("qty_nonpositive", 1)
+    assert got["no-ts"] == ("ts_unparseable", 1)
+    assert got["all-bad"] == (
+        "id_missing,price_invalid,qty_nonpositive,ts_unparseable",
+        4,
+    )

@@ -1349,3 +1349,61 @@ def test_stream_domain_admit_replay_is_idempotent(spark, tmp_path):
         (2, "b", 1),
     }
     assert len(rows) == 2  # no duplicate landings
+
+
+def test_stream_view_delta_refresh_restart_and_replay(spark, tmp_path):
+    """X15 × T5: the per-batch state fold is cumulative across restarts
+    (a second drain over newly-arrived files folds into the restored
+    snapshot, not the init state), a drain with nothing new changes
+    nothing, and the snapshot retention holds at the replay window
+    (latest + predecessor)."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_latest_view_state,
+        stream_view_delta_refresh,
+    )
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    init = spark.createDataFrame([("a", 1, 10)], "k string, cnt long, s long")
+
+    def delta_agg(b):
+        return b.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("v").cast("long").alias("s"),
+        )
+
+    def merge(f):
+        return f.groupBy("k").agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("s").cast("long").alias("s"),
+        )
+
+    def drain():
+        stream_view_delta_refresh(
+            spark,
+            f"{src}/b*",
+            "k string, v long",
+            str(out),
+            str(ckpt),
+            delta_agg,
+            init,
+            merge,
+        )
+        return {
+            r.k: (r.cnt, r.s)
+            for r in read_latest_view_state(spark, str(out)).collect()
+        }
+
+    def land(name, rows):
+        spark.createDataFrame(rows, "k string, v long").coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+    land("b0", [("a", 5), ("b", 7)])
+    assert drain() == {"a": (2, 15), "b": (1, 7)}
+
+    land("b1", [("b", 3)])
+    assert drain() == {"a": (2, 15), "b": (2, 10)}  # folded into restored state
+
+    assert drain() == {"a": (2, 15), "b": (2, 10)}  # nothing new: unchanged
+    snaps = [p.name for p in out.iterdir() if p.name.startswith("state-")]
+    assert len(snaps) <= 2  # retention: latest + replay-window predecessor
