@@ -1092,9 +1092,12 @@ def mv_join_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, late-shipping freight lines), the refresh computes the
     three delta terms and merges accumulators (cnt+cnt, decimal
     sum+sum) — the join over history is NEVER re-run, which is the
-    entire economics at 100 TB (the reference reruns its whole gold
-    join every 300 s; mv_incremental_merge replaced that for
-    single-table rollups, this closes the join case). Plan shape: each
+    entire economics at 100 TB (the reference's aggregate-over-join
+    gold view, create_joor_cm2's CM1-rollup ⋈ freight at
+    silver_to_gold.py:499-517, is rebuilt IN FULL by the
+    Dockerfile.silver-to-gold:9-15 300 s loop; mv_incremental_merge
+    replaced that for single-table rollups, this closes the join
+    case). Plan shape: each
     delta term BROADCASTS its delta side, so the two history scans
     stream map-side through broadcast hash joins with the date filters
     pushed into the parquet scans — the only exchanges are the bounded
@@ -1244,9 +1247,10 @@ def stream_mv_join_refresh_rollup(
     landed idempotently with a one-predecessor replay window), so the
     gold view is always one micro-batch behind the feed and history is
     never rescanned — the operator that replaces the reference's
-    rerun-everything-every-300 s gold loop END TO END: incremental in
-    the data dimension (delta terms, not full joins) AND in the time
-    dimension (per-arrival folds, not polling reruns). The oracle is
+    rerun-everything-every-300 s gold loop (silver_to_gold.py:499-517
+    rebuilt by Dockerfile.silver-to-gold:9-15) END TO END: incremental
+    in the data dimension (delta terms, not full joins) AND in the
+    time dimension (per-arrival folds, not polling reruns). The oracle is
     the full-join recompute over all rows; the landed final state must
     equal it exactly, which also proves the decimal accumulators
     merged addition-order-independently across the batch boundary.

@@ -1,9 +1,10 @@
-"""Property-based tests for the r12 curation operators: the in-plan
-best-fit-decreasing fold, the per-domain cap, and the Unicode
-normalizer must agree with direct single-process reference
-implementations on arbitrary inputs — including the degenerate shapes
-hypothesis loves (all-equal sizes, oversized docs, single-member
-domains, strings that are pure control characters).
+"""Property-based tests for the r12/r13 curation and maintenance
+operators: the in-plan best-fit-decreasing fold, the per-domain cap,
+the Unicode normalizer, and the join-view delta identity must agree
+with direct single-process references (or the algebraic identity) on
+arbitrary inputs — including the degenerate shapes hypothesis loves
+(all-equal sizes, oversized docs, single-member domains, strings that
+are pure control characters, empty deltas, dangling foreign keys).
 
 Each example is one small frame evaluated in one Spark job; example
 counts are capped because a Spark round-trip is ~0.3 s.
@@ -153,3 +154,62 @@ def test_normalize_matches_reference_and_is_idempotent(spark, texts):
     for r in once.collect():
         assert r.c1 == _reference_normalize(texts[r.i])
         assert r.c2 == r.c1
+
+
+@given(
+    st.lists(  # orders: (key, month 1..4)
+        st.tuples(st.integers(0, 20), st.integers(1, 4)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(  # lineitems: (orderkey 0..25 — some dangling, cents, month)
+        st.tuples(st.integers(0, 25), st.integers(0, 10_000), st.integers(1, 4)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 4),  # order-side cutover month
+    st.integers(1, 4),  # lineitem-side cutover month
+)
+@SET
+def test_join_view_delta_identity(spark, orders, lines, o_cut, l_cut):
+    """The IVM identity behind mv_join_delta_merge, on arbitrary data
+    and cutovers: state(old⋈old) ∪ Δ(A)⋈B_old ∪ A_old⋈Δ(B) ∪ Δ(A)⋈Δ(B),
+    merged, equals the full-join aggregate exactly — including empty
+    deltas, empty history, dangling foreign keys, and duplicate join
+    keys on the many side."""
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _mvj_month_agg,
+    )
+
+    o = spark.createDataFrame(
+        [(k, f"2001-0{m}-15 00:00:00") for k, m in orders],
+        "o_orderkey long, d string",
+    ).select("o_orderkey", F.col("d").cast("timestamp").alias("o_orderdate"))
+    li = spark.createDataFrame(
+        [(k, c / 100.0, m) for k, c, m in lines],
+        "l_orderkey long, l_extendedprice double, lm int",
+    ).withColumn("l_discount", F.lit(0.0))
+    o_old = o.filter(F.month("o_orderdate") < o_cut)
+    o_new = o.filter(F.month("o_orderdate") >= o_cut)
+    l_old = li.filter(F.col("lm") < l_cut)
+    l_new = li.filter(F.col("lm") >= l_cut)
+
+    def j(a, b):
+        return _mvj_month_agg(a.join(b, a.o_orderkey == b.l_orderkey))
+
+    merged = {
+        (r.order_month, r.cnt, r.rsum)
+        for r in j(o_old, l_old)
+        .unionByName(j(o_new, l_old))
+        .unionByName(j(o_old, l_new))
+        .unionByName(j(o_new, l_new))
+        .groupBy("order_month")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("rsum").cast("decimal(38,4)").alias("rsum"),
+        )
+        .collect()
+    }
+    full = {(r.order_month, r.cnt, r.rsum) for r in j(o, li).collect()}
+    assert merged == full
