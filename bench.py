@@ -116,6 +116,10 @@ HEADLINE = [
     # stream_mv_join_refresh_rollup is a checkpointed streaming drain —
     # driver row + tests, not timed.
     "dq_quarantine_router",
+    # AMS/CM join-size estimation: two bounded sketch builds + a
+    # d*w-cell inner product (plus the exact join as the ride-along
+    # validation harness — the cm_sketch_estimate convention).
+    "join_size_estimate",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",

@@ -213,3 +213,27 @@ def minhash_distinct_sketch(
         .groupBy("bucket")
         .agg(F.min("h").alias("min_h"))
     )
+
+
+def cm_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """JOIN-SIZE estimation by sketch inner product (the AMS/Count-Min
+    classic, Cormode & Muthukrishnan 2005 §4.2; Alon-Matias-Szegedy
+    1996 for the underlying F2 machinery): ``|A ⋈_key B| = Σ_k
+    fA(k)·fB(k)``, and row ``j`` of two same-shaped CM grids estimates
+    it as ``Σ_b A[j][b]·B[j][b]`` — colliding keys only ADD mass, so
+    each row over-estimates and ``est = min_j`` keeps the guarantee
+    ``est >= true`` with E[over] <= Na·Nb/w per row. This is the
+    statistic a cost-based optimizer wants BEFORE running a many-many
+    join (the self-join/skew blowup predictor): both inputs are
+    summarized independently (one bounded map-side pass each, grids
+    merge by addition across partitions/streams/days), the estimate
+    itself costs a join of two <= d*w-row frames — no key ever
+    shuffles. Returns a single row ``(est_join_size)``."""
+    a = sketch_a.select("j", "bucket", F.col("cell").alias("ca"))
+    b = sketch_b.select("j", "bucket", F.col("cell").alias("cb"))
+    per_row = (
+        a.join(F.broadcast(b), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("est_join_size"))

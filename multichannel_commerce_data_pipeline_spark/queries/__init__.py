@@ -108,6 +108,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "stream_domain_admit_rollup",
     "dq_quarantine_router",
     "stream_mv_join_refresh_rollup",
+    "join_size_estimate",
     # r13 material change (VERDICT r12 "what's wrong"): the keep
     # decision's cuts join is now a LEFT join with an explicit
     # 'unknown' bucket for a missing-or-NULL cut row — the oracle text

@@ -899,3 +899,85 @@ def minhash_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+_JS_W, _JS_D, _JS_SEED = 8192, 3, 131
+
+
+def _join_size_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.operators.bloom import (
+        _oracle_pos,
+    )
+
+    def grid(rel: str, key: str) -> str:
+        inc = " UNION ALL ".join(
+            f"SELECT {j} AS j,"
+            f" {_oracle_pos(key, _JS_W, j, _JS_SEED)} AS bucket FROM {rel}"
+            for j in range(_JS_D)
+        )
+        return f"SELECT j, bucket, COUNT(*) AS cell FROM ({inc}) GROUP BY 1, 2"
+
+    return f"""
+    WITH sa AS ({grid('events', 'user_id')}),
+    sb AS ({grid('orders', 'o_custkey')}),
+    ip AS (
+      SELECT sa.j, SUM(sa.cell * sb.cell) AS ip
+      FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+      GROUP BY sa.j
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+      FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    )
+    SELECT est_join_size, exact_join_size,
+           est_join_size - exact_join_size AS overcount
+    FROM est, exact
+    """
+
+
+@query("join_size_estimate", oracle=_join_size_oracle())
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12+: JOIN-SIZE estimation by Count-Min inner product — the
+    AMS/CM statistic a cost-based optimizer consults before committing
+    a many-many join plan (|events ⋈ orders| on the user/customer key
+    here: both sides hold many rows per key, exactly the shape whose
+    true size — Σ_k fA(k)·fB(k) — a row-count product wildly misjudges
+    and a blown estimate turns into a spilled shuffle at 100 TB). Each
+    input is summarized INDEPENDENTLY into the shared d x w grid (one
+    bounded map-side pass + a d*w-cell aggregate each — the inputs
+    never join, no key ever shuffles); est = min over rows of the
+    bucket-wise product sum, >= the true size always (collisions only
+    add), E[over] <= Na·Nb/w per row. The exact join count rides along
+    as the validation harness (overcount >= 0 is the guarantee,
+    asserted in tests with a collision-free identity check); the
+    oracle rebuilds both grids and the inner product relationally, so
+    the estimate is hash-compared bit-for-bit, not just bounded
+    (operators/frequency.py cm_inner_product)."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        cm_inner_product,
+        cm_sketch,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import (
+        parallelize_small_scan,
+    )
+
+    ev = parallelize_small_scan(spark, load(spark, sf_dir, "events")).select(
+        "user_id"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    sa = cm_sketch(ev, F.col("user_id"), w=_JS_W, d=_JS_D, seed=_JS_SEED)
+    sb = cm_sketch(
+        orders, F.col("o_custkey"), w=_JS_W, d=_JS_D, seed=_JS_SEED
+    )
+    est = cm_inner_product(sa, sb)
+    exact = ev.join(
+        orders, ev.user_id == orders.o_custkey
+    ).agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    return est.join(exact).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size")).alias(
+            "overcount"
+        ),
+    )

@@ -550,6 +550,21 @@ COMMENTARY = {
         "window runs over per-day METADATA rows (calendar-bounded, "
         "the documented cosmetic WindowExec warning), never data."
     ),
+    "join_size_estimate": (
+        "AMS/Count-Min join-size estimation — the statistic a CBO "
+        "consults before committing a many-many join plan: each input "
+        "is summarized INDEPENDENTLY into a d x w grid (one map-side "
+        "explode + one partial-aggregated group-by each, bounded by "
+        "d*w cells no matter the key cardinality — the inputs never "
+        "join, no key ever shuffles), and the estimate is the min "
+        "over hash rows of the bucket-wise product sum, a join of "
+        "two broadcastable grid frames. est >= true always "
+        "(collisions only add); E[over] <= Na*Nb/w per row. The "
+        "exact join count rides along as the validation harness "
+        "only — the 100 TB deployment drops it, which is the point: "
+        "the estimate costs two narrow scans where the exact count "
+        "costs the very shuffle it exists to predict."
+    ),
     "dq_quarantine_router": (
         "The dead-letter half of data quality: a declarative "
         "expectation suite (null keys, invalid money, non-positive "

@@ -109,6 +109,7 @@ PROBES = [
     ("curation_rule_ablation", "documents", "decision chain + one global sum row"),
     ("mv_join_delta_merge", "orders x lineitem deltas", "broadcast deltas + month agg"),
     ("compaction_apply_reconcile", "events layouts", "two scans + n_jobs digest rows"),
+    ("join_size_estimate", "events x orders", "two bounded grids + inner product"),
 ]
 REPS = 3
 

@@ -2541,3 +2541,25 @@ def test_rule_ablation_invariants(spark, sf_dir):
         )
         assert r.unique_kills == expect_uniq, rule
         assert r.docs_killed == sum(1 for k in per_doc_kills if k[rule])
+
+
+def test_cm_inner_product_join_size_bounds(spark):
+    """AMS/CM join-size estimate: with a collision-free grid (w far
+    above key cardinality) the inner product equals the exact join
+    size Σ_k fA(k)·fB(k); with a tiny colliding grid it may only
+    OVER-estimate — never under (the min-over-rows guarantee)."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        cm_inner_product,
+        cm_sketch,
+    )
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 2, 9]], "k long")
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 7]], "k long")
+    exact = 3 * 1 + 2 * 2  # key 1: 3x1, key 2: 2x2; 9/7 unmatched
+    for w, expect_exact in ((4096, True), (2, False)):
+        sa = cm_sketch(a, F.col("k"), w=w, d=3, seed=131)
+        sb = cm_sketch(b, F.col("k"), w=w, d=3, seed=131)
+        est = cm_inner_product(sa, sb).collect()[0].est_join_size
+        assert est >= exact, (w, est)
+        if expect_exact:
+            assert est == exact, (w, est)
