@@ -965,7 +965,9 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = parallelize_small_scan(spark, load(spark, sf_dir, "events")).select(
         "user_id"
     )
-    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    orders = parallelize_small_scan(
+        spark, load(spark, sf_dir, "orders")
+    ).select("o_custkey")
     sa = cm_sketch(ev, F.col("user_id"), w=_JS_W, d=_JS_D, seed=_JS_SEED)
     sb = cm_sketch(
         orders, F.col("o_custkey"), w=_JS_W, d=_JS_D, seed=_JS_SEED
