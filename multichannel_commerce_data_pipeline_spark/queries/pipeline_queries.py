@@ -22,7 +22,7 @@ timestamps through wall-time strings the way dq_profile_silver does.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multichannel_commerce_data_pipeline_spark.functions import (
@@ -662,7 +662,7 @@ _DQ_RULES_SQL = (
 )
 
 
-def _dq_rules_cols() -> list[tuple[str, "F.Column"]]:
+def _dq_rules_cols() -> list[tuple[str, Column]]:
     return [
         ("id_missing", F.col("order_id").isNull()),
         (
