@@ -238,7 +238,15 @@ def boilerplate_lines(
         for stale in [
             k for k in _BOILERPLATE_PERSISTED if k[0] != key[0]
         ]:
-            _BOILERPLATE_PERSISTED.pop(stale)
+            evicted = _BOILERPLATE_PERSISTED.pop(stale)
+            try:
+                # best-effort, mirroring session_memo: usually the
+                # evicted entry's session is already dead (nothing to
+                # free), but a live concurrent session's frame would
+                # otherwise stay pinned until that session exits
+                evicted.unpersist()
+            except Exception:
+                pass
         if key not in _BOILERPLATE_PERSISTED:
             _BOILERPLATE_PERSISTED[key] = base.persist(
                 StorageLevel.MEMORY_AND_DISK

@@ -228,12 +228,23 @@ def cm_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     summarized independently (one bounded map-side pass each, grids
     merge by addition across partitions/streams/days), the estimate
     itself costs a join of two <= d*w-row frames — no key ever
-    shuffles. Returns a single row ``(est_join_size)``."""
+    shuffles. Returns a single row ``(est_join_size decimal(38,0))`` —
+    DECIMAL because the per-row product sum is ~Na·Nb/w, which blows
+    past int64 at exactly the petabyte scale the estimator exists for
+    (1e12-row inputs at w=8192 give ~1.2e20): long arithmetic would
+    throw under ANSI or wrap silently without it, while the DuckDB
+    oracle's HUGEINT stays exact. Callers compare or cast at their own
+    scale's boundary."""
     a = sketch_a.select("j", "bucket", F.col("cell").alias("ca"))
     b = sketch_b.select("j", "bucket", F.col("cell").alias("cb"))
+    prod = (
+        F.col("ca").cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
     per_row = (
         a.join(F.broadcast(b), ["j", "bucket"])
         .groupBy("j")
-        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("ip"))
+        .agg(F.sum(prod).cast("decimal(38,0)").alias("ip"))
     )
-    return per_row.agg(F.min("ip").cast("long").alias("est_join_size"))
+    return per_row.agg(
+        F.min("ip").cast("decimal(38,0)").alias("est_join_size")
+    )

@@ -976,10 +976,13 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.join(
         orders, ev.user_id == orders.o_custkey
     ).agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    # the operator returns DECIMAL(38,0) (int64-safe at petabyte
+    # inputs); this bench-scale query casts to BIGINT at its output
+    # boundary to match the oracle's schema
     return est.join(exact).select(
-        "est_join_size",
+        F.col("est_join_size").cast("long").alias("est_join_size"),
         "exact_join_size",
-        (F.col("est_join_size") - F.col("exact_join_size")).alias(
-            "overcount"
-        ),
+        (F.col("est_join_size").cast("long") - F.col("exact_join_size"))
+        .cast("long")
+        .alias("overcount"),
     )

@@ -650,7 +650,8 @@ def stream_psi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The declarative expectation suite for the joor silver feed: rule name
-# -> violation predicate (SQL and Column forms kept adjacent so they
+# -> violation predicate, written once in engine-neutral ANSI SQL and
+# compiled for Spark via F.expr (single-sourced — the two engines
 # cannot drift). Rule names are stable identifiers a dead-letter
 # consumer routes on; evaluation order is the tuple order, so the
 # comma-joined `fails` string is deterministic in both engines.
@@ -663,15 +664,11 @@ _DQ_RULES_SQL = (
 
 
 def _dq_rules_cols() -> list[tuple[str, Column]]:
-    return [
-        ("id_missing", F.col("order_id").isNull()),
-        (
-            "price_invalid",
-            F.col("unit_price").isNull() | (F.col("unit_price") < 0),
-        ),
-        ("qty_nonpositive", F.col("quantity") <= 0),
-        ("ts_unparseable", F.col("order_ts").isNull()),
-    ]
+    # DERIVED from the SQL rule set (the predicates are engine-neutral
+    # ANSI, valid in both dialects), so the engine and the oracle can
+    # never evaluate different expectation suites — one list, two
+    # compilers.
+    return [(name, F.expr(pred)) for name, pred in _DQ_RULES_SQL]
 
 
 def _quarantine_oracle() -> str:

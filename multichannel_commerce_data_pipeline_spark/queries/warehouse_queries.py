@@ -732,21 +732,11 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata frame (one row per day — bounded by calendar, not data),
     so the single-partition window is planning-time metadata work, not
     a data-path shuffle; the heavy lifting (per-day counts) is one
-    partial-aggregated group-by over the fact."""
-    from pyspark.sql import Window
-
-    daily = (
-        load(spark, sf_dir, "events")
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return daily.select(
-        "day",
-        "n_rows",
-        ((F.sum("n_rows").over(w) - F.col("n_rows")) / _COMPACT_TARGET)
-        .cast("long")
-        .alias("job_id"),
+    partial-aggregated group-by over the fact. The assignment rule
+    itself is ``_compaction_plan_frame`` — the single implementation
+    the rewrite and the verify also consume (r13)."""
+    return _compaction_plan_frame(
+        load(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
     )
 
 
@@ -760,10 +750,12 @@ _COMPACT_FP_SQL = [
 
 
 def _compaction_plan_frame(landed: DataFrame) -> DataFrame:
-    """(day, job_id): the compaction_plan assignment derived from the
-    LANDED layout's per-day counts — the same running-total first-fit
-    split, recomputed deterministically wherever the plan is needed.
-    The window runs over one metadata row per day partition (calendar-
+    """(day, n_rows, job_id): the compaction_plan assignment derived
+    from a frame carrying a ``day`` column — the single implementation
+    of the running-total first-fit split, consumed by the planner
+    query, the rewrite, and the verify (one rule, three call sites —
+    a binning change can never land in one and not the others). The
+    window runs over one metadata row per day partition (calendar-
     bounded), never over data."""
     from pyspark.sql import Window
 
@@ -771,6 +763,7 @@ def _compaction_plan_frame(landed: DataFrame) -> DataFrame:
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         "day",
+        "n_rows",
         ((F.sum("n_rows").over(w) - F.col("n_rows")) / _COMPACT_TARGET)
         .cast("long")
         .alias("job_id"),
@@ -802,7 +795,7 @@ def ensure_compacted_layouts(
         landed = spark.read.parquet(str(landing))
         plan = _compaction_plan_frame(landed)
         (
-            landed.join(F.broadcast(plan), "day")
+            landed.join(F.broadcast(plan.select("day", "job_id")), "day")
             .repartition("job_id")
             .write.mode("overwrite")
             .partitionBy("job_id")
@@ -889,7 +882,7 @@ def compaction_apply_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     plan = _compaction_plan_frame(landed)
     src = (
-        landed.join(F.broadcast(plan), "day")
+        landed.join(F.broadcast(plan.select("day", "job_id")), "day")
         .select("job_id", "day", fp(landed).alias("fp"))
         .groupBy("job_id")
         .agg(

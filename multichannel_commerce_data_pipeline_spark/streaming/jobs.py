@@ -1467,16 +1467,16 @@ def stream_view_delta_refresh(
 
 def read_latest_view_state(spark: SparkSession, out_dir: str) -> DataFrame:
     """The current maintained view: the snapshot with the largest
-    batch id (normally the only one plus its replay-window
-    predecessor)."""
-    from pyspark.sql import Window
-
-    all_rows = spark.read.option("recursiveFileLookup", "true").parquet(
-        out_dir
+    batch id, located from the directory LISTING (the same Hadoop FS
+    walk the writer uses) so only that one snapshot is read — the
+    replay-window predecessor never costs a scan, and no
+    single-partition max-window runs over view rows."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    latest = max(
+        int(st.getPath().getName().split("-")[1])
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("state-")
     )
-    w_ = Window.partitionBy()
-    return (
-        all_rows.withColumn("__mx", F.max("__bid").over(w_))
-        .filter(F.col("__bid") == F.col("__mx"))
-        .drop("__mx", "__bid")
-    )
+    return spark.read.parquet(f"{out_dir}/state-{latest}").drop("__bid")

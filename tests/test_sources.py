@@ -370,7 +370,7 @@ def test_compaction_digest_catches_tampered_rewrite(spark, sf_dir, tmp_path):
 
     landed = spark.read.parquet(landing_dir)
     plan = _compaction_plan_frame(landed)
-    src = digests(landed.join(F.broadcast(plan), "day"))
+    src = digests(landed.join(F.broadcast(plan.select("day", "job_id")), "day"))
     good, bad = digests(compacted), digests(tampered)
     assert src == good  # the real rewrite reconciles exactly
     diffs = {j for j in src if src[j] != bad.get(j, (0, 0))}
