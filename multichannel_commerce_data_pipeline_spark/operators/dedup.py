@@ -247,11 +247,22 @@ def boilerplate_lines(
                 evicted.unpersist()
             except Exception:
                 pass
-        if key not in _BOILERPLATE_PERSISTED:
-            _BOILERPLATE_PERSISTED[key] = base.persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-        base = _BOILERPLATE_PERSISTED[key]
+        entry = _BOILERPLATE_PERSISTED.get(key)
+        if entry is not None and not base.sameSemantics(entry):
+            # semanticHash() is a 32-bit best-effort hash: a collision
+            # between two DIFFERENT inputs would silently serve the
+            # other input's digests. Confirm with the full-plan
+            # sameSemantics check before reuse; on mismatch, evict and
+            # rebuild (correctness over cache hit — ADVICE r13).
+            try:
+                entry.unpersist()
+            except Exception:
+                pass
+            entry = None
+        if entry is None:
+            entry = base.persist(StorageLevel.MEMORY_AND_DISK)
+            _BOILERPLATE_PERSISTED[key] = entry
+        base = entry
     narrow = (
         base.select(
             "doc", F.posexplode_outer("__digs").alias("lidx", "ldigest")

@@ -245,6 +245,12 @@ def cm_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         .groupBy("j")
         .agg(F.sum(prod).cast("decimal(38,0)").alias("ip"))
     )
+    # disjoint key sets share no (j,bucket) cell in ANY row, so the
+    # per-row frame is empty and MIN would return NULL — coalesce to 0,
+    # the tight valid answer (an empty inner product implies a zero
+    # join-size estimate, which still satisfies est >= true = 0)
     return per_row.agg(
-        F.min("ip").cast("decimal(38,0)").alias("est_join_size")
+        F.coalesce(F.min("ip"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("est_join_size")
     )

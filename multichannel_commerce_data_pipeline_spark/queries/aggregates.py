@@ -925,7 +925,9 @@ def _join_size_oracle() -> str:
       FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
       GROUP BY sa.j
     ),
-    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+    est AS (
+      SELECT CAST(COALESCE(MIN(ip), 0) AS BIGINT) AS est_join_size FROM ip
+    ),
     exact AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
       FROM events e JOIN orders o ON e.user_id = o.o_custkey

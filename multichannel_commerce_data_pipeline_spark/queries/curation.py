@@ -26,6 +26,9 @@ eval-digest distinct bounded by the eval slice and broadcast.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -431,7 +434,10 @@ def curation_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in _ABL_RULES:
         kr = F.col(f"k_{r}")
         others = [F.col(f"k_{o}") for o in _ABL_RULES if o != r]
-        uniq = kr & ~others[0] & ~others[1] & ~others[2]
+        # fold over the FULL others list so a fifth rule added to
+        # _ABL_RULES keeps unique_kills correct on the engine side
+        # exactly like the oracle's join-all-others build (ADVICE r13)
+        uniq = reduce(operator.and_, (~o for o in others), kr)
         aggs += [
             F.sum(kr.cast("long")).alias(f"{r}_docs"),
             F.sum(F.when(kr, F.col("n_words")).otherwise(F.lit(0)))

@@ -11,6 +11,7 @@ query proves the values survive the layout round-trip end-to-end.
 from __future__ import annotations
 
 import hashlib
+import shutil
 import tempfile
 from pathlib import Path
 
@@ -30,6 +31,53 @@ from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
     fresh_stream_dir,
 )
 from multichannel_commerce_data_pipeline_spark.tables import load
+
+
+def _source_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Cache tag for sf_dir-derived artifacts that folds the SOURCE
+    DATA's identity (per-file size + mtime_ns of the named tables) into
+    the path digest, not just the path string — a regenerated fixture
+    at the same sf_dir gets a fresh tag instead of silently reusing a
+    stale layout (ADVICE r13). Missing files hash as their absence, so
+    a fixture swap never aliases."""
+    h = hashlib.md5(sf_dir.encode())
+    for t in tables:
+        p = Path(sf_dir) / f"{t}.parquet"
+        files = sorted(f for f in p.rglob("*") if f.is_file()) if p.is_dir() else [p]
+        for f in files:
+            if f.is_file():
+                st = f.stat()
+                h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+def _materialize_atomic(dest: Path, write) -> str:
+    """Build-once directory artifact with crash and concurrency safety:
+    ``write(scratch_path)`` produces the artifact in a scratch dir next
+    to ``dest``, which is then PUBLISHED with one atomic rename — a
+    half-written tree is never observable at the final path (a crashed
+    partial build leaves only scratch debris, re-built on the next
+    call), and two concurrent builders race benignly (the first rename
+    wins; the loser's complete-but-duplicate scratch is discarded,
+    since rename onto a non-empty dir fails). Presence of ``dest`` IS
+    the completeness proof (ADVICE r13 — replaces the 'any parquet
+    file exists' heuristic that accepted partial overwrites)."""
+    if dest.is_dir():
+        return str(dest)
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    import os
+
+    scratch = dest.parent / f".{dest.name}.tmp-{os.getpid()}"
+    if scratch.exists():
+        shutil.rmtree(str(scratch))
+    write(str(scratch))
+    try:
+        scratch.rename(dest)
+    except OSError:
+        if not dest.is_dir():
+            raise
+        shutil.rmtree(str(scratch), ignore_errors=True)
+    return str(dest)
 
 
 def ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -778,30 +826,37 @@ def ensure_compacted_layouts(
     streaming ingestion accretes — one file per task per day partition)
     and its compacted rewrite (planned day bins coalesced into one
     ~TARGET-row file per job via repartition on the plan's job_id).
-    Returns (landing_dir, compacted_dir)."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    Returns (landing_dir, compacted_dir). The cache tag fingerprints
+    the SOURCE data and each artifact publishes via atomic rename
+    (_materialize_atomic), so regenerated fixtures, crashed partial
+    builds, and concurrent builders are all safe."""
+    tag = _source_fingerprint(sf_dir, "events")
     root = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag
-    landing, compacted = root / "landing_small", root / "compacted"
-    if not (landing.is_dir() and any(landing.rglob("*.parquet"))):
-        ev = load(spark, sf_dir, "events").select(
+
+    def build_landing(path: str) -> None:
+        load(spark, sf_dir, "events").select(
             F.to_date("ts").alias("day"),
             "event_id",
             "user_id",
             "event_type",
             "value",
-        )
-        ev.write.mode("overwrite").partitionBy("day").parquet(str(landing))
-    if not (compacted.is_dir() and any(compacted.rglob("*.parquet"))):
-        landed = spark.read.parquet(str(landing))
+        ).write.mode("overwrite").partitionBy("day").parquet(path)
+
+    landing = _materialize_atomic(root / "landing_small", build_landing)
+
+    def build_compacted(path: str) -> None:
+        landed = spark.read.parquet(landing)
         plan = _compaction_plan_frame(landed)
         (
             landed.join(F.broadcast(plan.select("day", "job_id")), "day")
             .repartition("job_id")
             .write.mode("overwrite")
             .partitionBy("job_id")
-            .parquet(str(compacted))
+            .parquet(path)
         )
-    return str(landing), str(compacted)
+
+    compacted = _materialize_atomic(root / "compacted", build_compacted)
+    return landing, compacted
 
 
 def _compaction_apply_oracle() -> str:
@@ -1043,10 +1098,13 @@ def ensure_mv_join_state(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the JOIN-VIEW aggregate state (month-grain
     accumulators over old-orders ⋈ old-lineitem) once per (session,
     sf_dir) — the stored gold view a warehouse maintains instead of
-    re-running the join over all history."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    re-running the join over all history. Source-fingerprinted tag +
+    atomic publish (ADVICE r13): a regenerated fixture re-derives the
+    state, a partial write is never observable."""
+    tag = _source_fingerprint(sf_dir, "orders", "lineitem")
     base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "mvj_state"
-    if not (base.is_dir() and any(base.glob("*.parquet"))):
+
+    def build(path: str) -> None:
         o_old = (
             load(spark, sf_dir, "orders")
             .select("o_orderkey", "o_orderdate")
@@ -1057,11 +1115,11 @@ def ensure_mv_join_state(spark: SparkSession, sf_dir: str) -> str:
             .select("l_orderkey", "l_extendedprice", "l_discount")
             .filter(F.col("l_shipdate") < F.lit(_MVJ_L_CUT).cast("timestamp"))
         )
-        state = _mvj_month_agg(
+        _mvj_month_agg(
             o_old.join(l_old, o_old.o_orderkey == l_old.l_orderkey)
-        )
-        state.write.mode("overwrite").parquet(str(base))
-    return str(base)
+        ).write.mode("overwrite").parquet(path)
+
+    return _materialize_atomic(base, build)
 
 
 @query(
@@ -1138,11 +1196,12 @@ def mv_join_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ensure_mvj_stream_state(spark: SparkSession, sf_dir: str) -> str:
     """The streaming refresh's initial stored view: month accumulators
     over ALL orders ⋈ pre-cutover lineitem (orders is the dimension-
-    stable side; only lineitem streams). Materialized once per
-    (session, sf_dir)."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stable side; only lineitem streams). Materialized once per source
+    fingerprint, atomically published (ADVICE r13)."""
+    tag = _source_fingerprint(sf_dir, "orders", "lineitem")
     base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "mvj_sstate"
-    if not (base.is_dir() and any(base.glob("*.parquet"))):
+
+    def build(path: str) -> None:
         o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
         l_old = (
             load(spark, sf_dir, "lineitem")
@@ -1151,8 +1210,9 @@ def ensure_mvj_stream_state(spark: SparkSession, sf_dir: str) -> str:
         )
         _mvj_month_agg(
             o.join(l_old, o.o_orderkey == l_old.l_orderkey)
-        ).write.mode("overwrite").parquet(str(base))
-    return str(base)
+        ).write.mode("overwrite").parquet(path)
+
+    return _materialize_atomic(base, build)
 
 
 # One drain of the streaming view refresh per (session, sf_dir) — the
