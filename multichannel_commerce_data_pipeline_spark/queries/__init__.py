@@ -80,8 +80,25 @@ ROTATION_AGE_BOUND_FLOOR = 4
 
 # Declared exceptions: name -> (reason, expiry_round). The rotation test
 # fails on any undeclared overage and on any exception past its expiry,
-# so exceptions cannot silently accumulate. None currently needed.
-ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {}
+# so exceptions cannot silently accumulate.
+#
+# r14: the due r9-vintage cohort is exactly 49 rows (a full window with
+# the flagship), so the five r14 priority-2 declarations displace the
+# five alphabetically-last due rows by exactly one round. They are the
+# unique oldest evidence after r14 and oldest-first seating puts them
+# at the head of the r15 window automatically; expiry 14 means the
+# exception cannot outlive the single round it covers.
+_R14_DISPLACED = (
+    "training_shard_layout",
+    "union_distinct_parties",
+    "window_distribution",
+    "window_first_last",
+    "window_lag_lead",
+)
+ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
+    n: ("displaced one round by the r14 new-query cohort; auto-seats first at r15", 14)
+    for n in _R14_DISPLACED
+}
 
 FLAGSHIP = "exec_daily_kpi"
 WINDOW_SLOTS = 50
@@ -99,21 +116,17 @@ WINDOW_SLOTS = 50
 # window slots (the declared queries hold fresh evidence by then, so
 # oldest-first would not re-seat them either).
 #
-CHANGED_IN_ROUND = 13
+CHANGED_IN_ROUND = 14
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r13 new queries (priority-2 until their first green driver row)
-    "curation_rule_ablation",
-    "mv_join_delta_merge",
-    "compaction_apply_reconcile",
-    "stream_domain_admit_rollup",
-    "dq_quarantine_router",
-    "stream_mv_join_refresh_rollup",
+    # r14 new queries (priority-2 until their first green driver row)
+    "sampled_percentile_cuts",
+    "curation_threshold_sweep",
+    "erasure_propagation",
+    "histogram_delta_merge",
+    # r14 material change (ADVICE r13): cm_inner_product now coalesces
+    # the empty-inner-product MIN to 0 (disjoint key sets) and the
+    # oracle text mirrors COALESCE(MIN(ip), 0) — the row re-earns
     "join_size_estimate",
-    # r13 material change (VERDICT r12 "what's wrong"): the keep
-    # decision's cuts join is now a LEFT join with an explicit
-    # 'unknown' bucket for a missing-or-NULL cut row — the oracle text
-    # changed (LEFT JOIN + the c33-NULL CASE arm), so the row re-earns
-    "corpus_keep_decision",
 )
 
 

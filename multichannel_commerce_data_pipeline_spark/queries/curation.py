@@ -306,10 +306,16 @@ def _decision_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_trigram_frac") <= 0.18
     )
     keep_clean = F.col("contam_windows") == 0
+    # the persisted frame also carries the RAW repetition fractions so
+    # the threshold sweep (r14) re-thresholds against the artifact
+    # without touching the signal chain; decision/ablation select their
+    # subset — value-identical for them
     return b.select(
         "doc_id",
         "n_words",
         "ppl_bucket",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
         keep_gopher.alias("keep_gopher"),
         keep_rep.alias("keep_repetition"),
         keep_clean.alias("keep_clean"),
@@ -465,6 +471,251 @@ def curation_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ],
                     )
                     for r in _ABL_RULES
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+# --- sampled percentile cuts (r14) ----------------------------------
+# Deterministic hash-sample: pmod(md5-hash64(doc_id), _SPC_MOD) == 0,
+# the balanced_class_sample family — stable under corpus growth and
+# identical in DuckDB, so the sampled cut points (and therefore every
+# downstream bucket) are oracle-reproducible, which rand()-based
+# sampling can never be.
+_SPC_SEED, _SPC_MOD = 29, 8
+
+
+def _spc_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        oracle_hash64,
+    )
+
+    s = (
+        f"(({oracle_hash64('CAST(doc_id AS VARCHAR)', _SPC_SEED)})"
+        f" % {_SPC_MOD}) = 0"
+    )
+    c = lambda e, q: oracle_dround(f"quantile_cont({e}, {q})", 6)  # noqa: E731
+    return f"""
+    WITH mart AS ({_signal_oracle()}),
+    g AS (
+      SELECT guessed_lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN {s} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+             {c(f"CASE WHEN {s} THEN ppl END", 0.33)} AS c33_sampled,
+             {c(f"CASE WHEN {s} THEN ppl END", 0.66)} AS c66_sampled,
+             {c("ppl", 0.33)} AS c33_exact,
+             {c("ppl", 0.66)} AS c66_exact,
+             CAST(SUM(CASE WHEN ppl IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_noscore
+      FROM mart GROUP BY guessed_lang
+    )
+    SELECT guessed_lang, n_docs, n_sampled, c33_sampled, c66_sampled,
+           c33_exact, c66_exact,
+           CASE WHEN c33_sampled IS NULL THEN n_docs
+                ELSE n_noscore END AS n_unknown_sampled
+    FROM g
+    """
+
+
+@query("sampled_percentile_cuts", oracle=_spc_oracle())
+def sampled_percentile_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X6 (r14): SAMPLED per-language perplexity cut points — the
+    scale path for ``corpus_keep_decision``'s tercile fit, whose exact
+    per-language percentile is the one remaining full-pass in the
+    re-threshold loop. Cut points are fit on a deterministic hash
+    sample (``md5-hash64(doc_id) % 8 == 0`` — the dataset-split /
+    balanced_class_sample family, so membership is stable under corpus
+    growth and bit-identical in DuckDB) and reported NEXT TO the
+    exact-fit cuts, which ride along as the accuracy harness exactly
+    like ``join_size_estimate``'s exact join count: at 100 TB the
+    curator drops the exact columns and re-fitting cuts costs a 12.5%
+    scan instead of a full one (or an even thinner sample — the knob
+    is ``_SPC_MOD``). The report also accounts for the DEGRADE path
+    the r13 'unknown'-bucket hardening anticipated: a language whose
+    sample contains no scored document gets NULL sampled cuts, and
+    ``n_unknown_sampled`` shows every one of its documents bucketing
+    'unknown' (pass) under the sampled policy — degraded visibly, not
+    dropped silently (exercised with a planted corpus in
+    tests/test_operators.py, where a language present in the mart is
+    absent from the sample).
+
+    Plan shape: ONE aggregate over the zero-shuffle signal chain —
+    the sampled and exact percentiles are CONDITIONAL aggregates in
+    the same per-language group-by (percentile ignores the NULLs the
+    sample predicate leaves), so the whole report costs exactly the
+    bounded exchange the exact fit already paid: no second pass, no
+    extra shuffle, one row per language (asserted in
+    tests/test_plans.py)."""
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        portable_hash64,
+    )
+
+    sig = _signals(spark, sf_dir)
+    in_sample = (
+        F.pmod(
+            portable_hash64(F.col("doc_id").cast("string"), _SPC_SEED),
+            F.lit(_SPC_MOD),
+        )
+        == 0
+    )
+    sampled_ppl = F.when(in_sample, F.col("ppl"))
+    g = sig.groupBy("guessed_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(in_sample.cast("long")).alias("n_sampled"),
+        dround(F.percentile(sampled_ppl, 0.33), 6).alias("c33_sampled"),
+        dround(F.percentile(sampled_ppl, 0.66), 6).alias("c66_sampled"),
+        dround(F.percentile(F.col("ppl"), 0.33), 6).alias("c33_exact"),
+        dround(F.percentile(F.col("ppl"), 0.66), 6).alias("c66_exact"),
+        F.sum(F.col("ppl").isNull().cast("long")).alias("n_noscore"),
+    )
+    return g.select(
+        "guessed_lang",
+        "n_docs",
+        "n_sampled",
+        "c33_sampled",
+        "c66_sampled",
+        "c33_exact",
+        "c66_exact",
+        F.when(F.col("c33_sampled").isNull(), F.col("n_docs"))
+        .otherwise(F.col("n_noscore"))
+        .alias("n_unknown_sampled"),
+    )
+
+
+# --- threshold-sensitivity sweep (r14) ------------------------------
+# The candidate grid: dup-bigram cap x perplexity policy (trigram cap
+# held at the decision's 0.18). One Python tuple feeds BOTH the engine
+# unpivot and the oracle UNION ALL, so the grids can never drift.
+_SWEEP_CAPS = (0.15, 0.2, 0.25, 0.3)
+_SWEEP_POLICIES = ("drop_tail", "drop_none")
+_SWEEP_TRI = 0.18
+
+
+def _sweep_cells() -> list[tuple[float, str]]:
+    return [(cap, pol) for cap in _SWEEP_CAPS for pol in _SWEEP_POLICIES]
+
+
+def _sweep_tag(cap: float, pol: str) -> str:
+    return f"c{int(round(cap * 100))}_{pol}"
+
+
+def _sweep_oracle() -> str:
+    c33 = oracle_dround("quantile_cont(ppl, 0.33)", 6)
+    c66 = oracle_dround("quantile_cont(ppl, 0.66)", 6)
+    sums = []
+    for cap, pol in _sweep_cells():
+        tag = _sweep_tag(cap, pol)
+        ppl = "TRUE" if pol == "drop_none" else "(ppl_bucket <> 'tail')"
+        cond = (
+            f"keep_gopher AND keep_clean AND dup_bigram_frac <= {cap}"
+            f" AND dup_trigram_frac <= {_SWEEP_TRI} AND {ppl}"
+        )
+        sums += [
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {tag}_docs",
+            f"CAST(SUM(CASE WHEN {cond} THEN n_words ELSE 0 END) AS BIGINT)"
+            f" AS {tag}_toks",
+        ]
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({cap} AS DOUBLE) AS bigram_cap,
+           '{pol}' AS ppl_policy,
+           {_sweep_tag(cap, pol)}_docs AS kept_docs,
+           {_sweep_tag(cap, pol)}_toks AS kept_tokens
+    FROM a"""
+        for cap, pol in _sweep_cells()
+    )
+    return f"""
+    WITH mart AS ({_signal_oracle()}),
+    cuts AS (
+      SELECT guessed_lang, {c33} AS c33, {c66} AS c66
+      FROM mart GROUP BY guessed_lang
+    ),
+    b AS (
+      SELECT m.n_words, m.dup_bigram_frac, m.dup_trigram_frac,
+             (m.ok_word_count AND m.ok_word_len AND m.ok_symbols
+              AND m.ok_stopwords) AS keep_gopher,
+             (m.contam_windows = 0) AS keep_clean,
+             CASE WHEN m.ppl IS NULL OR c.c33 IS NULL THEN 'unknown'
+                  WHEN m.ppl <= c.c33 THEN 'head'
+                  WHEN m.ppl <= c.c66 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM mart m LEFT JOIN cuts c USING (guessed_lang)
+    ),
+    a AS (SELECT {", ".join(sums)} FROM b)
+{rows}
+    """
+
+
+@query("curation_threshold_sweep", oracle=_sweep_oracle())
+def curation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X6 (r14): THRESHOLD-SENSITIVITY sweep — the fourth layer of
+    the curation stack (signals -> decisions -> attribution -> this):
+    for a grid of candidate policies (dup-bigram cap x perplexity
+    policy, trigram cap held at the decision's 0.18), the kept
+    documents and kept tokens per grid cell — the report that
+    justifies a threshold BEFORE committing a 100 TB cut, where
+    guessing wrong costs a full re-run of the corpus build.
+
+    Economics: the grid is evaluated in ONE pass over the persisted
+    per-corpus decision-frame inputs (``_decision_frame`` — the
+    "compute once, re-threshold forever" artifact, which since r14
+    carries the raw repetition fractions precisely so policy sweeps
+    never touch the signal chain): every cell is a pair of
+    conditional integer sums in ONE global aggregate, unpivoted to a
+    row per cell by exploding a literal struct array — the
+    ``curation_rule_ablation`` idiom, zero per-cell recompute, zero
+    new keyed exchanges (asserted in tests/test_plans.py). Adding a
+    candidate costs two more map-side counters, so sweeping a 100-cell
+    grid still reads the artifact once. Every measure is an integer
+    sum; the only doubles in the output are the grid literals
+    themselves."""
+    dec = _decision_frame(spark, sf_dir)
+    k = dec.select(
+        "n_words",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        "keep_gopher",
+        "keep_clean",
+        "ppl_bucket",
+    )
+    aggs = []
+    for cap, pol in _sweep_cells():
+        tag = _sweep_tag(cap, pol)
+        cond = (
+            F.col("keep_gopher")
+            & F.col("keep_clean")
+            & (F.col("dup_bigram_frac") <= F.lit(cap))
+            & (F.col("dup_trigram_frac") <= F.lit(_SWEEP_TRI))
+            & (
+                F.lit(True)
+                if pol == "drop_none"
+                else (F.col("ppl_bucket") != "tail")
+            )
+        )
+        aggs += [
+            F.sum(cond.cast("long")).alias(f"{tag}_docs"),
+            F.sum(F.when(cond, F.col("n_words")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"{tag}_toks"),
+        ]
+    one = k.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(cap)).alias("bigram_cap"),
+                        F.lit(pol).alias("ppl_policy"),
+                        F.col(f"{_sweep_tag(cap, pol)}_docs").alias(
+                            "kept_docs"
+                        ),
+                        F.col(f"{_sweep_tag(cap, pol)}_toks").alias(
+                            "kept_tokens"
+                        ),
+                    )
+                    for cap, pol in _sweep_cells()
                 ]
             )
         ).alias("s")

@@ -970,25 +970,28 @@ _MV_CUTOVER = "2024-01-25"
 def ensure_mv_state(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the aggregate STATE table (per event_type algebraic
     accumulators over days < cutover) once per (session, sf_dir) — the
-    stored MV a warehouse maintains instead of rescanning history."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stored MV a warehouse maintains instead of rescanning history.
+    Source-fingerprinted tag + atomic publish, like its siblings
+    (ADVICE r13)."""
+    tag = _source_fingerprint(sf_dir, "events")
     base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "mv_state"
-    if not (base.is_dir() and any(base.glob("*.parquet"))):
+
+    def build(path: str) -> None:
         # ts-form of the day cutover (equivalent to to_date(ts) <
         # cutover) so the predicate pushes into the parquet scan
         ev = load(spark, sf_dir, "events").filter(
             F.col("ts") < F.lit(f"{_MV_CUTOVER} 00:00:00").cast("timestamp")
         )
-        state = ev.groupBy("event_type").agg(
+        ev.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
             .alias("val_sum"),
             F.min("value").alias("val_min"),
             F.max("value").alias("val_max"),
-        )
-        state.write.mode("overwrite").parquet(str(base))
-    return str(base)
+        ).write.mode("overwrite").parquet(path)
+
+    return _materialize_atomic(base, build)
 
 
 @query(
@@ -1797,3 +1800,420 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(rel).alias("relationship"), "n_child", "n_orphans")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --- right-to-be-forgotten erasure (r14) ----------------------------
+# The tombstone set: a deterministic hash-keyed subset of customers
+# standing in for a GDPR/CCPA deletion batch (md5-hash64 so the SAME
+# customers erase in DuckDB — rand() could never be oracle-checked).
+_ERASE_SEED, _ERASE_MOD = 17, 37
+
+# Fingerprint encodings per table (the compaction _COMPACT_FP_SQL
+# idiom: doubles enter the row encoding only as DECIMAL cents,
+# timestamps only as DATE strings). One Python list per table feeds
+# BOTH engine column builders and oracle SQL, so they cannot drift.
+_ERASE_FP_SQL = {
+    "customer": [
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "c_mktsegment",
+    ],
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+    ],
+    "lineitem": [
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "l_returnflag",
+    ],
+}
+
+
+def _erase_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        portable_hash64,
+    )
+
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(
+            F.pmod(
+                portable_hash64(F.col("c_custkey").cast("string"), _ERASE_SEED),
+                F.lit(_ERASE_MOD),
+            )
+            == 0
+        )
+    )
+
+
+def _erase_fp_cols(df: DataFrame, table: str) -> list:
+    """The engine Column twins of _ERASE_FP_SQL, by table."""
+    if table == "customer":
+        return [
+            df.c_custkey,
+            df.c_name,
+            df.c_nationkey,
+            (df.c_acctbal.cast("decimal(18,2)") * 100).cast("bigint"),
+            df.c_mktsegment,
+        ]
+    if table == "orders":
+        return [
+            df.o_orderkey,
+            df.o_custkey,
+            df.o_orderstatus,
+            (df.o_totalprice.cast("decimal(18,2)") * 100).cast("bigint"),
+            df.o_orderdate.cast("date").cast("string"),
+        ]
+    return [
+        df.l_orderkey,
+        df.l_partkey,
+        df.l_linenumber,
+        (df.l_extendedprice.cast("decimal(18,2)") * 100).cast("bigint"),
+        df.l_returnflag,
+    ]
+
+
+def ensure_erased_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the ERASED warehouse (customer/orders/lineitem with
+    the tombstoned customers and their cascaded orders/lineitems
+    removed) once per source fingerprint, atomically published. Each
+    table is one broadcast-anti-join scan of its source — the erasure
+    pass a compliance job actually runs."""
+    tag = _source_fingerprint(sf_dir, "customer", "orders", "lineitem")
+    base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "erased"
+
+    def build(path: str) -> None:
+        tomb = _erase_tombstones(spark, sf_dir)
+        cust = load(spark, sf_dir, "customer").join(
+            F.broadcast(tomb), "c_custkey", "left_anti"
+        )
+        src_orders = load(spark, sf_dir, "orders")
+        orders = src_orders.join(
+            F.broadcast(tomb),
+            src_orders.o_custkey == tomb.c_custkey,
+            "left_anti",
+        )
+        gone_orders = src_orders.join(
+            F.broadcast(tomb),
+            src_orders.o_custkey == tomb.c_custkey,
+            "left_semi",
+        ).select("o_orderkey")
+        src_li = load(spark, sf_dir, "lineitem")
+        li = src_li.join(
+            F.broadcast(gone_orders),
+            src_li.l_orderkey == gone_orders.o_orderkey,
+            "left_anti",
+        )
+        cust.write.mode("overwrite").parquet(f"{path}/customer")
+        orders.write.mode("overwrite").parquet(f"{path}/orders")
+        li.write.mode("overwrite").parquet(f"{path}/lineitem")
+
+    return _materialize_atomic(base, build)
+
+
+def _erasure_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        oracle_hash64,
+    )
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        oracle_row_fingerprint,
+    )
+
+    tomb = (
+        f"SELECT c_custkey FROM customer WHERE"
+        f" ({oracle_hash64('CAST(c_custkey AS VARCHAR)', _ERASE_SEED)})"
+        f" % {_ERASE_MOD} = 0"
+    )
+    rows = []
+    for table, parent in (
+        ("customer", "c_custkey IN (SELECT c_custkey FROM tomb)"),
+        ("orders", "o_custkey IN (SELECT c_custkey FROM tomb)"),
+        ("lineitem", "l_orderkey IN (SELECT o_orderkey FROM gone)"),
+    ):
+        fp = oracle_row_fingerprint(_ERASE_FP_SQL[table])
+        rows.append(
+            f"""    SELECT '{table}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS rows_before,
+           CAST(SUM(CASE WHEN {parent} THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_removed,
+           CAST(SUM(CASE WHEN {parent} THEN 0 ELSE 1 END) AS BIGINT)
+             AS rows_after,
+           COALESCE(bit_xor(CASE WHEN {parent} THEN NULL ELSE {fp} END),
+                    0) AS digest,
+           TRUE AS erase_match,
+           CAST(0 AS BIGINT) AS orphans_after
+    FROM {table}"""
+        )
+    body = "\n    UNION ALL\n".join(rows)
+    return f"""
+    WITH tomb AS ({tomb}),
+    gone AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+    )
+{body}
+    """
+
+
+@query("erasure_propagation", oracle=_erasure_oracle())
+def erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17+/T7 (r14): RIGHT-TO-BE-FORGOTTEN erasure with PROOF — delete
+    a keyed customer set across the warehouse (customer, their orders,
+    those orders' lineitems) and prove, per table, that (a) exactly the
+    cascade was removed and (b) no trace of an erased key survives.
+    The reference has no delete path at all (silver_to_gold.py only
+    appends/overwrites); this is the compliance operator every
+    commerce warehouse eventually needs, and the after-check the
+    SURVEY T7 row names ("after every MERGE/CDC/erasure pass").
+
+    Mechanics: the tombstone set is small by nature (a GDPR deletion
+    batch), so every cascade step is a BROADCAST anti-join — each
+    erased table is one map-side scan of its source, written once per
+    corpus version (atomic publish). Proof rides the table_reconcile
+    XOR-digest idiom (X17): per table, the WRITTEN survivors' row
+    count + order-independent XOR of portable row fingerprints must
+    equal the complement computed independently from the source
+    (erase_match), and the orphan audit counts written rows still
+    referencing an erased parent key (orphans_after = 0) — both sides
+    partial-aggregate to ONE row per table, so at 100 TB the proof
+    costs two scans and shuffles three digest rows. The oracle
+    recomputes counts and complement digests relationally from the
+    same tombstone predicate, so a wrong cascade (a missed lineitem,
+    an over-deleted order) or a broken write turns the row red;
+    doubles enter the fingerprints only as DECIMAL cents, timestamps
+    only as DATE strings."""
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        row_fingerprint,
+    )
+
+    root = ensure_erased_tables(spark, sf_dir)
+    tomb = _erase_tombstones(spark, sf_dir)
+    gone = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(tomb),
+            F.col("o_custkey") == tomb.c_custkey,
+            "left_semi",
+        )
+        .select("o_orderkey")
+    )
+
+    def side(table: str, erased_key, erased_set: DataFrame) -> DataFrame:
+        # the erased-key set under a collision-proof name (customer's
+        # own key column shares the set's name otherwise)
+        es = erased_set.select(
+            F.col(erased_set.columns[0]).alias("__ekey")
+        )
+        src = load(spark, sf_dir, table)
+        flagged = src.join(
+            F.broadcast(es), erased_key(src) == F.col("__ekey"), "left"
+        ).withColumn("__gone", F.col("__ekey").isNotNull())
+        exp = flagged.agg(
+            F.count(F.lit(1)).cast("long").alias("rows_before"),
+            F.sum(F.col("__gone").cast("long")).alias("rows_removed"),
+            F.sum((~F.col("__gone")).cast("long")).alias("e_after"),
+            F.coalesce(
+                F.bit_xor(
+                    F.when(
+                        ~F.col("__gone"),
+                        row_fingerprint(_erase_fp_cols(src, table)),
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("e_digest"),
+        )
+        written = spark.read.parquet(f"{root}/{table}")
+        w = written.join(
+            F.broadcast(es), erased_key(written) == F.col("__ekey"), "left"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("rows_after"),
+            F.coalesce(
+                F.bit_xor(row_fingerprint(_erase_fp_cols(written, table))),
+                F.lit(0).cast("long"),
+            ).alias("digest"),
+            F.sum(F.col("__ekey").isNotNull().cast("long")).alias(
+                "orphans_after"
+            ),
+        )
+        return exp.join(w).select(
+            F.lit(table).alias("table_name"),
+            "rows_before",
+            "rows_removed",
+            "rows_after",
+            "digest",
+            (
+                (F.col("rows_after") == F.col("e_after"))
+                & (F.col("digest") == F.col("e_digest"))
+            ).alias("erase_match"),
+            "orphans_after",
+        )
+
+    c = side("customer", lambda d: d.c_custkey, tomb)
+    o = side("orders", lambda d: d.o_custkey, tomb)
+    li = side("lineitem", lambda d: d.l_orderkey, gone)
+    return c.unionByName(o).unionByName(li)
+
+
+# --- incremental CBO histogram maintenance (r14) --------------------
+_HDM_CUT = "2001-03-01 00:00:00"  # lineitem shipdate delta cutover
+_HDM_DRIFT_TOL = 0.03  # re-ANALYZE trigger: share deviation bound
+
+
+def ensure_histogram_state(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the stored equi-depth histogram STATE over the
+    pre-cutover lineitem slice: per bucket (binned against the OLD
+    slice's 7 exact octile boundaries), row count + lo/hi, with the
+    boundary values carried on every row so a refresh can re-bin
+    deltas without touching history. Once per source fingerprint,
+    atomically published."""
+    from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+        _EQD_QS,
+    )
+
+    tag = _source_fingerprint(sf_dir, "lineitem")
+    base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "hist_state"
+
+    def build(path: str) -> None:
+        old = load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") < F.lit(_HDM_CUT).cast("timestamp")
+        )
+        row = old.agg(
+            *[
+                dround(F.percentile("l_extendedprice", q), 2).alias(f"b{i}")
+                for i, q in enumerate(_EQD_QS)
+            ]
+        ).collect()[0]
+        bounds = [float(row[f"b{i}"]) for i in range(len(_EQD_QS))]
+        bucket = sum(
+            F.when(F.col("l_extendedprice") > F.lit(b), 1).otherwise(0)
+            for b in bounds
+        ).cast("long")
+        (
+            old.select(F.col("l_extendedprice").alias("p"), bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("p").alias("lo"),
+                F.max("p").alias("hi"),
+            )
+            .select(
+                "*",
+                *[F.lit(b).alias(f"b{i}") for i, b in enumerate(bounds)],
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    return _materialize_atomic(base, build)
+
+
+def _hdm_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+        _EQD_QS,
+    )
+
+    bnds = ", ".join(
+        oracle_dround(f"quantile_cont(l_extendedprice, {q})", 2) + f" AS b{i}"
+        for i, q in enumerate(_EQD_QS)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN l_extendedprice > b{i} THEN 1 ELSE 0 END)"
+        for i in range(len(_EQD_QS))
+    )
+    share = oracle_dround("n_rows / t.total", 6)
+    return f"""
+    WITH bnd AS (
+      SELECT {bnds} FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '{_HDM_CUT}'
+    ),
+    binned AS (
+      SELECT CAST({bucket} AS BIGINT) AS bucket, l_extendedprice AS p
+      FROM lineitem, bnd
+    ),
+    g AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(p) AS lo, MAX(p) AS hi
+      FROM binned GROUP BY bucket
+    ),
+    t AS (SELECT SUM(n_rows) AS total FROM g)
+    SELECT bucket, n_rows, lo, hi,
+           {share} AS share,
+           (ABS({share} - 0.125) > {_HDM_DRIFT_TOL}) AS drifted
+    FROM g, t
+    """
+
+
+@query("histogram_delta_merge", oracle=_hdm_oracle())
+def histogram_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16+ (r14): INCREMENTAL CBO-statistics maintenance — the
+    delta-merge form of ``equi_depth_histogram``, closing the pair
+    r13's ``join_size_estimate`` started (the two statistics a cost
+    model feeds on — per-column histograms and join cardinalities —
+    both now maintainable without rescans). The stored state holds
+    per-bucket accumulators (count, lo, hi) over all pre-cutover rows,
+    binned against the old slice's exact octile boundaries, with the
+    boundary VALUES carried on the state rows; a refresh bins ONLY the
+    delta slice against those stored boundaries (read back as a
+    bounded <= 8-row collect — no percentile recompute, no history
+    scan) and merges accumulators (cnt+cnt, min(lo), max(hi)) — the
+    ``mv_incremental_merge`` idiom applied to statistics. The output
+    doubles as the re-ANALYZE trigger: per-bucket share against the
+    equi-depth target 1/8, with ``drifted`` marking buckets whose
+    share deviates beyond 0.03 — when deltas skew the distribution,
+    drifted buckets say exactly when re-fitting boundaries (the full
+    ANALYZE) is worth its scan. The oracle recomputes boundaries from
+    the old slice and bins ALL rows from scratch: the merge must equal
+    the full recompute exactly, bucket by bucket (integer counts;
+    boundary and share doubles dround-quantized on both sides)."""
+    state = spark.read.parquet(ensure_histogram_state(spark, sf_dir))
+    srows = state.collect()  # bounded: <= 8 bucket rows
+    n_b = len(
+        [c for c in state.columns if c[0] == "b" and c[1:].isdigit()]
+    )
+    bounds = [float(srows[0][f"b{i}"]) for i in range(n_b)]
+    bucket = sum(
+        F.when(F.col("l_extendedprice") > F.lit(b), 1).otherwise(0)
+        for b in bounds
+    ).cast("long")
+    delta = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit(_HDM_CUT).cast("timestamp"))
+        .select(F.col("l_extendedprice").alias("p"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("p").alias("lo"),
+            F.max("p").alias("hi"),
+        )
+    )
+    merged = (
+        state.select("bucket", "n_rows", "lo", "hi")
+        .unionByName(delta)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    total = merged.agg(F.sum("n_rows").cast("long").alias("total"))
+    share = dround(F.col("n_rows").cast("double") / F.col("total"), 6)
+    return merged.join(F.broadcast(total)).select(
+        "bucket",
+        "n_rows",
+        "lo",
+        "hi",
+        share.alias("share"),
+        (F.abs(share - F.lit(0.125)) > F.lit(_HDM_DRIFT_TOL)).alias(
+            "drifted"
+        ),
+    )

@@ -2563,3 +2563,139 @@ def test_cm_inner_product_join_size_bounds(spark):
         assert est >= exact, (w, est)
         if expect_exact:
             assert est == exact, (w, est)
+
+
+def test_cm_inner_product_disjoint_is_zero(spark):
+    """Disjoint key sets share no (j,bucket) cell: the inner product
+    frame is empty and the estimate must be 0 (the tight, valid
+    answer: est >= true = 0), never NULL (ADVICE r13)."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        cm_inner_product,
+        cm_sketch,
+    )
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(7,), (9,)], "k long")
+    sa = cm_sketch(a, F.col("k"), w=4096, d=3, seed=131)
+    sb = cm_sketch(b, F.col("k"), w=4096, d=3, seed=131)
+    row = cm_inner_product(sa, sb).collect()[0]
+    assert row.est_join_size is not None and int(row.est_join_size) == 0
+
+
+def test_threshold_sweep_invariants(spark, sf_dir):
+    """The sweep is consistent with the decision it generalizes: the
+    (0.2, drop_tail) cell IS the shipped policy, so its kept counts
+    must equal the decision frame's; kept docs/tokens are monotone
+    non-decreasing in the bigram cap and drop_none dominates
+    drop_tail at every cap."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+    from multichannel_commerce_data_pipeline_spark.queries.curation import (
+        _SWEEP_CAPS,
+        _decision_frame,
+    )
+
+    reg = load_registry()
+    cells = {
+        (r.bigram_cap, r.ppl_policy): (r.kept_docs, r.kept_tokens)
+        for r in reg["curation_threshold_sweep"].fn(spark, sf_dir).collect()
+    }
+    assert set(cells) == {
+        (c, p) for c in _SWEEP_CAPS for p in ("drop_tail", "drop_none")
+    }
+    dec = _decision_frame(spark, sf_dir).collect()
+    keep_docs = sum(1 for d in dec if d.keep)
+    keep_toks = sum(d.n_words for d in dec if d.keep)
+    assert cells[(0.2, "drop_tail")] == (keep_docs, keep_toks)
+    for pol in ("drop_tail", "drop_none"):
+        seq = [cells[(c, pol)] for c in sorted(_SWEEP_CAPS)]
+        assert seq == sorted(seq), pol  # monotone in the cap
+    for c in _SWEEP_CAPS:
+        assert cells[(c, "drop_none")][0] >= cells[(c, "drop_tail")][0]
+        assert cells[(c, "drop_none")][1] >= cells[(c, "drop_tail")][1]
+
+
+def test_sampled_cuts_degrade_planted(spark, tmp_path):
+    """The degrade path, exercised for real: a language present in the
+    mart whose every document hashes OUT of the sample gets NULL
+    sampled cuts, n_sampled 0, and ALL its documents counted in
+    n_unknown_sampled (they bucket 'unknown' and pass — degraded
+    visibly, never dropped); a language with sampled scored documents
+    gets non-NULL cuts bracketed by its value range."""
+    import hashlib as _hl
+
+    from multichannel_commerce_data_pipeline_spark.queries.curation import (
+        _SPC_MOD,
+        _SPC_SEED,
+        sampled_percentile_cuts,
+    )
+
+    def in_sample(i: int) -> bool:
+        h = int(
+            _hl.md5(f"{_SPC_SEED}:{i}".encode()).hexdigest()[:15], 16
+        )
+        return h % _SPC_MOD == 0
+
+    outs = [i for i in range(20, 4000) if not in_sample(i)]
+    ins = [i for i in range(20, 4000) if in_sample(i)]
+    de_ids, en_out = outs[:6], outs[6:12]
+    en_in = ins[:6]
+    rows = []
+    for n, i in enumerate(de_ids):
+        rows.append((i, f"der hund und katze haus nummer {n} baum", "de"))
+    for n, i in enumerate(en_in + en_out):
+        rows.append((i, f"the quick brown fox number {n} jumps high", "en"))
+    df = spark.createDataFrame(
+        [(i, t, lg, "plant", len(t)) for i, t, lg in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.guessed_lang: r
+        for r in sampled_percentile_cuts(spark, str(tmp_path)).collect()
+    }
+    de, en = got["de"], got["en"]
+    assert de.n_docs == len(de_ids) and de.n_sampled == 0
+    assert de.c33_sampled is None and de.c66_sampled is None
+    assert de.c33_exact is not None  # the exact fit still sees it
+    assert de.n_unknown_sampled == de.n_docs  # degraded, not dropped
+    assert en.n_sampled == len(en_in) and en.c33_sampled is not None
+    assert en.c33_sampled <= en.c66_sampled
+    assert en.n_unknown_sampled == 0
+
+
+def test_boilerplate_persist_collision_guard(spark):
+    """A 32-bit semanticHash collision must not serve another input's
+    persisted digest frame: poison the cache with a DIFFERENT corpus
+    under df1's key and assert the call detects the plan mismatch
+    (sameSemantics), rebuilds, and returns df1's own lines."""
+    from multichannel_commerce_data_pipeline_spark.operators import dedup as D
+
+    df1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc long, text string",
+    )
+    df2 = spark.createDataFrame(
+        [(9, "one two three four five six seven eight nine ten")],
+        "doc long, text string",
+    )
+    want = {
+        (r.doc, r.clean_text)
+        for r in D.boilerplate_lines(df1, "doc", "text").collect()
+    }
+    D._BOILERPLATE_PERSISTED.clear()
+    D.boilerplate_lines(df1, "doc", "text", persist=True).collect()
+    (key1,) = list(D._BOILERPLATE_PERSISTED)
+    D.boilerplate_lines(df2, "doc", "text", persist=True).collect()
+    poison = [
+        v for k, v in D._BOILERPLATE_PERSISTED.items() if k != key1
+    ][0]
+    D._BOILERPLATE_PERSISTED[key1] = poison  # simulated hash collision
+    got = {
+        (r.doc, r.clean_text)
+        for r in D.boilerplate_lines(
+            df1, "doc", "text", persist=True
+        ).collect()
+    }
+    assert got == want
+    assert not D._BOILERPLATE_PERSISTED[key1].sameSemantics(poison)
+    D._BOILERPLATE_PERSISTED.clear()

@@ -794,3 +794,74 @@ def test_rule_ablation_is_one_global_aggregate(plans):
     # global agg exchanges are SinglePartition, not hashpartitioning:
     # the ablation may add only non-keyed exchanges over the 1-row frame
     assert count_keyed(ablation) <= count_keyed(decision)
+
+
+def test_sampled_cuts_single_aggregate_no_extra_pass(plans):
+    """The sampled and exact cut points are CONDITIONAL aggregates in
+    ONE per-language group-by over the zero-shuffle signal chain: the
+    plan owns exactly one keyed exchange (guessed_lang) and no join,
+    window, or second scan pass — fitting cuts from a sample must not
+    cost more plan than fitting them exactly."""
+    p = plans("sampled_percentile_cuts")
+    import re
+
+    owned = re.findall(r"hashpartitioning\((\w+)", p)
+    assert owned and all(k.startswith("guessed_lang") for k in owned), owned
+    for j in (
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "Window",
+    ):
+        assert j not in p, j
+    # one scan of the documents table, not one per percentile family
+    # (formatted explain names each node twice: tree + detail section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
+
+
+def test_threshold_sweep_adds_no_keyed_exchange(plans):
+    """The sweep re-thresholds the persisted decision frame in ONE
+    global conditional-sum aggregate: like the ablation, it may add
+    only non-keyed (SinglePartition) exchanges over the 1-row frame —
+    no new hashpartitioning beyond the decision's own, and the grid
+    unpivot is a generator over the single aggregate row, never a
+    union of re-aggregations."""
+    decision = plans("corpus_keep_decision")
+    sweep = plans("curation_threshold_sweep")
+    assert sweep.count("hashpartitioning") <= decision.count(
+        "hashpartitioning"
+    )
+    assert sweep.count("Union") == 0
+    assert "Generate explode" in sweep or "Generate" in sweep
+
+
+def test_erasure_cascade_is_all_broadcast(plans):
+    """Every cascade step (tombstones onto orders, erased orders onto
+    lineitem, the flag joins on both the source and written sides)
+    must be a BROADCAST join — a GDPR batch is small by nature, and a
+    sort-merge join here would shuffle the fact tables to delete a
+    handful of keys. The digest/count reductions partial-aggregate,
+    so no keyed exchange appears anywhere."""
+    p = plans("erasure_propagation")
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert j not in p, j
+    assert p.count("BroadcastHashJoin") >= 6
+    assert "hashpartitioning" not in p
+
+
+def test_histogram_delta_merge_scans_only_the_delta(plans):
+    """The refresh must never rescan history: the lineitem scan
+    carries the pushed delta cutover (l_shipdate >=), the stored
+    state enters as a parquet source, and the merge group-by is the
+    only keyed exchange (<= 8 bucket rows)."""
+    p = plans("histogram_delta_merge")
+    assert "hist_state" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any(
+        "l_shipdate" in l and "GreaterThanOrEqual" in l for l in pushed
+    ), pushed
+    import re
+
+    owned = re.findall(r"hashpartitioning\((\w+)", p)
+    assert owned and all(k.startswith("bucket") for k in owned), owned

@@ -3,6 +3,8 @@ bundled with Spark, and the serving-layer reader (S12/A6)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
 
@@ -375,3 +377,222 @@ def test_compaction_digest_catches_tampered_rewrite(spark, sf_dir, tmp_path):
     assert src == good  # the real rewrite reconciles exactly
     diffs = {j for j in src if src[j] != bad.get(j, (0, 0))}
     assert diffs == {victim.job_id}  # tamper localized to its job
+
+
+def test_erasure_propagation_removes_all_traces(spark, sf_dir):
+    """Per table: the proof columns hold (erase_match, zero orphans,
+    before = removed + after), the cascade arithmetic matches direct
+    recomputation, and the WRITTEN tables contain no erased key —
+    customer, their orders, and those orders' lineitems are all
+    gone."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _erase_tombstones,
+        ensure_erased_tables,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    got = {
+        r.table_name: r
+        for r in load_registry()["erasure_propagation"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == {"customer", "orders", "lineitem"}
+    for r in got.values():
+        assert r.erase_match, r
+        assert r.orphans_after == 0, r
+        assert r.rows_before == r.rows_removed + r.rows_after, r
+
+    tomb = _erase_tombstones(spark, sf_dir)
+    n_tomb = tomb.count()
+    assert got["customer"].rows_removed == n_tomb > 0
+    src_orders = load(spark, sf_dir, "orders")
+    gone_orders = src_orders.join(
+        tomb, src_orders.o_custkey == tomb.c_custkey, "left_semi"
+    )
+    assert got["orders"].rows_removed == gone_orders.count()
+    src_li = load(spark, sf_dir, "lineitem")
+    assert (
+        got["lineitem"].rows_removed
+        == src_li.join(
+            gone_orders.select("o_orderkey"),
+            src_li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        ).count()
+    )
+
+    root = ensure_erased_tables(spark, sf_dir)
+    w_cust = spark.read.parquet(f"{root}/customer")
+    w_ord = spark.read.parquet(f"{root}/orders")
+    w_li = spark.read.parquet(f"{root}/lineitem")
+    assert w_cust.join(tomb, "c_custkey", "left_semi").count() == 0
+    assert (
+        w_ord.join(
+            tomb, w_ord.o_custkey == tomb.c_custkey, "left_semi"
+        ).count()
+        == 0
+    )
+    assert (
+        w_li.join(
+            gone_orders.select("o_orderkey"),
+            w_li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        ).count()
+        == 0
+    )
+    # referential closure of the written warehouse: every surviving
+    # child references a surviving parent
+    assert (
+        w_ord.join(
+            w_cust.select("c_custkey"),
+            w_ord.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ).count()
+        == 0
+    )
+    assert (
+        w_li.join(
+            w_ord.select("o_orderkey"),
+            w_li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ).count()
+        == 0
+    )
+
+
+def test_histogram_delta_merge_equals_full_recompute(spark, sf_dir):
+    """The merged histogram (stored old-slice buckets + delta binned
+    against the STORED boundaries) must equal a from-scratch binning
+    of ALL rows against the same boundaries — count, lo, hi per
+    bucket — and the drift flags must match the share arithmetic."""
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _HDM_CUT,
+        _HDM_DRIFT_TOL,
+        ensure_histogram_state,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+        _EQD_QS,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    got = {
+        r.bucket: r
+        for r in load_registry()["histogram_delta_merge"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    old = li.filter(F.col("l_shipdate") < F.lit(_HDM_CUT).cast("timestamp"))
+    bounds = list(
+        old.agg(
+            *[
+                dround(F.percentile("l_extendedprice", q), 2).alias(f"b{i}")
+                for i, q in enumerate(_EQD_QS)
+            ]
+        ).collect()[0]
+    )
+    bucket = sum(
+        F.when(F.col("l_extendedprice") > F.lit(float(b)), 1).otherwise(0)
+        for b in bounds
+    ).cast("long")
+    full = {
+        r.bucket: r
+        for r in li.select(
+            F.col("l_extendedprice").alias("p"), bucket.alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("p").alias("lo"),
+            F.max("p").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(full)
+    total = sum(r.n_rows for r in full.values())
+    for b, r in got.items():
+        assert (r.n_rows, r.lo, r.hi) == (
+            full[b].n_rows,
+            full[b].lo,
+            full[b].hi,
+        ), b
+        assert r.drifted == (abs(r.share - 0.125) > _HDM_DRIFT_TOL), b
+    assert total == sum(r.n_rows for r in got.values())
+    # the stored state alone is equi-depth by construction; the state
+    # file carries the boundary values the delta was binned against
+    state = spark.read.parquet(ensure_histogram_state(spark, sf_dir))
+    srow = state.collect()[0]
+    assert [srow[f"b{i}"] for i in range(len(_EQD_QS))] == [
+        float(b) for b in bounds
+    ]
+
+
+def test_materialize_atomic_crash_and_reuse(spark, tmp_path):
+    """A writer that crashes mid-build leaves NO artifact at the final
+    path (the next call rebuilds); a published artifact short-circuits
+    subsequent builds (the writer is never re-invoked); the scratch
+    debris of the crashed attempt is cleaned up by the retry."""
+    import pytest as _pt
+
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _materialize_atomic,
+    )
+
+    dest = tmp_path / "artifact"
+    calls = []
+
+    def crashing(path: str) -> None:
+        calls.append("crash")
+        import os
+
+        os.makedirs(path)
+        (Path(path) / "partial.parquet").write_text("partial")
+        raise RuntimeError("executor lost")
+
+    with _pt.raises(RuntimeError):
+        _materialize_atomic(dest, crashing)
+    assert not dest.exists()  # the half-written tree never published
+
+    def good(path: str) -> None:
+        calls.append("good")
+        import os
+
+        os.makedirs(path)
+        (Path(path) / "data.parquet").write_text("ok")
+
+    assert _materialize_atomic(dest, good) == str(dest)
+    assert (dest / "data.parquet").read_text() == "ok"
+    _materialize_atomic(dest, good)  # cached: writer not re-invoked
+    assert calls == ["crash", "good"]
+    assert not list(tmp_path.glob(".artifact.tmp-*"))  # no debris
+
+
+def test_source_fingerprint_tracks_data_identity(tmp_path):
+    """The cache tag folds per-file size+mtime: a regenerated fixture
+    at the SAME path gets a DIFFERENT tag (no stale-layout reuse), an
+    untouched fixture keeps a stable tag, and distinct sf_dirs never
+    collide."""
+    import os
+
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _source_fingerprint,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    f = d / "events.parquet"
+    f.write_bytes(b"v1")
+    t1 = _source_fingerprint(str(d), "events")
+    assert t1 == _source_fingerprint(str(d), "events")  # stable
+    os.utime(f, ns=(1, 1))  # regenerated fixture, same bytes
+    t2 = _source_fingerprint(str(d), "events")
+    assert t2 != t1
+    f.write_bytes(b"v2-longer")  # different size
+    assert _source_fingerprint(str(d), "events") not in (t1, t2)
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    (d2 / "events.parquet").write_bytes(b"v1")
+    assert _source_fingerprint(str(d2), "events") != t1
