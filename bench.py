@@ -120,6 +120,18 @@ HEADLINE = [
     # d*w-cell inner product (plus the exact join as the ride-along
     # validation harness — the cm_sketch_estimate convention).
     "join_size_estimate",
+    # round 14 additions: sampled cut-point fitting (one conditional
+    # aggregate over the signal chain, exact cuts as the ride-along
+    # harness), the policy-grid sweep over the persisted decision
+    # frame (one global conditional-sum pass), GDPR erasure with
+    # digest proof (broadcast anti-join cascade + two digest scans;
+    # the erased-table writes are memoized per corpus version like
+    # the compaction layouts), and the histogram delta-merge (delta
+    # scan + <=8-row state read, history never rescanned).
+    "sampled_percentile_cuts",
+    "curation_threshold_sweep",
+    "erasure_propagation",
+    "histogram_delta_merge",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",

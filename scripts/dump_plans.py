@@ -605,6 +605,69 @@ COMMENTARY = {
         "domain_cap_sample (smallest-hash survivors); admission is "
         "the arrival-order form a live crawl needs."
     ),
+    "sampled_percentile_cuts": (
+        "The scale path for the keep decision's per-language tercile "
+        "fit — the one remaining full-pass in the re-threshold loop. "
+        "Sampled and exact cut points are CONDITIONAL aggregates in "
+        "ONE per-language group-by over the zero-shuffle signal "
+        "chain (percentile ignores the NULLs the deterministic "
+        "md5-hash sample predicate leaves), so the report costs "
+        "exactly the bounded keyed exchange the exact fit already "
+        "paid: one parquet scan, one hashpartitioning(guessed_lang), "
+        "no join, no window (asserted in tests/test_plans.py). At "
+        "100 TB the exact columns drop and re-fitting cuts reads "
+        "12.5% of the corpus — or less, the modulus is the knob. A "
+        "language absent from the sample degrades VISIBLY: NULL cuts "
+        "and n_unknown_sampled = n_docs (every doc buckets 'unknown' "
+        "and passes — the r13 LEFT-join hardening, now exercised for "
+        "real with a planted corpus in tests)."
+    ),
+    "curation_threshold_sweep": (
+        "The report that justifies a threshold BEFORE a 100 TB cut: "
+        "kept docs/tokens for each cell of a policy grid (dup-bigram "
+        "cap x perplexity policy), evaluated in ONE global "
+        "conditional-sum aggregate over the persisted decision frame "
+        "— which since r14 carries the raw repetition fractions so "
+        "policy sweeps never touch the signal chain. Every cell is a "
+        "pair of map-side integer counters; the grid rows come from "
+        "exploding a literal struct array over the single aggregate "
+        "row (the rule-ablation unpivot — no Union, no per-cell "
+        "recompute, no keyed exchange beyond the decision's own, "
+        "asserted in tests/test_plans.py). Adding a candidate costs "
+        "two counters: a 100-cell grid still reads the artifact once."
+    ),
+    "erasure_propagation": (
+        "Right-to-be-forgotten with proof: tombstoned customers, "
+        "their orders, and those orders' lineitems are removed via "
+        "BROADCAST anti-joins (a GDPR batch is small by nature — no "
+        "SortMergeJoin, no keyed exchange anywhere, asserted in "
+        "tests/test_plans.py), written once per corpus version with "
+        "atomic publish. Proof is the table_reconcile XOR idiom: per "
+        "table, the WRITTEN survivors' count + fingerprint digest "
+        "must equal the complement computed independently from the "
+        "source, plus an orphan audit over the written warehouse — "
+        "both partial-aggregate to one row per table, so at 100 TB "
+        "the proof costs two scans and shuffles three digest rows. "
+        "Doubles enter fingerprints only as DECIMAL cents, "
+        "timestamps only as DATE strings. The reference has no "
+        "delete path at all; this is the compliance pass it would "
+        "need the day a deletion request arrives."
+    ),
+    "histogram_delta_merge": (
+        "Incremental CBO-statistics maintenance, completing the pair "
+        "join_size_estimate started: the stored equi-depth histogram "
+        "(per-bucket count/lo/hi binned against the old slice's "
+        "octile boundaries, boundary VALUES carried on the <=8 state "
+        "rows) absorbs a delta by binning ONLY the post-cutover rows "
+        "against the stored boundaries — the l_shipdate cutover is "
+        "pushed into the parquet scan, history is never rescanned, "
+        "and the merge is the mv_incremental_merge accumulator fold "
+        "(cnt+cnt, min/max) over <=16 rows. Per-bucket share vs the "
+        "equi-depth target 1/8 doubles as the re-ANALYZE trigger: "
+        "drifted buckets say when re-fitting boundaries is worth its "
+        "full scan. One keyed exchange (bucket), one broadcast of "
+        "the 1-row total (asserted in tests/test_plans.py)."
+    ),
 }
 
 

@@ -110,6 +110,10 @@ PROBES = [
     ("mv_join_delta_merge", "orders x lineitem deltas", "broadcast deltas + month agg"),
     ("compaction_apply_reconcile", "events layouts", "two scans + n_jobs digest rows"),
     ("join_size_estimate", "events x orders", "two bounded grids + inner product"),
+    ("sampled_percentile_cuts", "documents", "signal chain + one conditional-percentile agg"),
+    ("curation_threshold_sweep", "documents", "decision chain + one global grid-sum row"),
+    ("erasure_propagation", "customer x orders x lineitem", "broadcast anti cascade + digest rows"),
+    ("histogram_delta_merge", "lineitem delta", "delta bin + <=8-row state merge"),
 ]
 REPS = 3
 
