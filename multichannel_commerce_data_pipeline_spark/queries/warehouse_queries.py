@@ -82,8 +82,11 @@ def _materialize_atomic(dest: Path, write) -> str:
 
 def ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write customer/orders bucketed on custkey once per (session,
-    sf_dir); re-runs reuse the existing tables. Table names carry an
-    sf_dir digest so scale factors never collide.
+    sf_dir); re-runs reuse the existing tables. Table names carry a
+    SOURCE-DATA digest (per-file size+mtime, like the other warehouse
+    artifact caches since r14) so scale factors never collide AND a
+    regenerated fixture at the same path re-derives the layout instead
+    of silently serving the stale one.
 
     The catalog entry alone is not trusted: the backing data lives
     under the system temp dir, which can be cleaned mid-session (or
@@ -91,7 +94,7 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     at missing/partial files. Reuse requires BOTH the catalog entry and
     parquet files on disk; on any mismatch the tables are dropped and
     rewritten."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _source_fingerprint(sf_dir, "customer", "orders")[:8]
     cust_t, ord_t = f"customer_b_{tag}", f"orders_b_{tag}"
     base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag
 
@@ -600,16 +603,19 @@ def file_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ensure_date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Write events date-partitioned (``day=YYYY-MM-DD/`` directories)
     once per (session, sf_dir), mirroring ensure_bucketed's
-    trust-but-verify reuse: the path must exist AND contain partition
-    directories, else it is rewritten. This is the landing layout the
-    streaming jobs produce continuously; here it is materialized from
-    the batch table so the pruning query is self-contained."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    trust-but-verify reuse, upgraded at r14 to the fingerprinted
+    atomic-publish form shared by the other artifact caches. This is
+    the landing layout the streaming jobs produce continuously; here
+    it is materialized from the batch table so the pruning query is
+    self-contained."""
+    tag = _source_fingerprint(sf_dir, "events")
     base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "events_by_day"
-    if not (base.is_dir() and any(base.glob("day=*"))):
+
+    def build(path: str) -> None:
         ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-        ev.write.mode("overwrite").partitionBy("day").parquet(str(base))
-    return str(base)
+        ev.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    return _materialize_atomic(base, build)
 
 
 @query(
@@ -1485,22 +1491,24 @@ def ensure_replica(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the perturbed customer REPLICA once per (session,
     sf_dir) — the copy living 'in the other system', with deterministic
     damage: every custkey divisible by 467 lost, every custkey
-    divisible by 331 drifted by +1.00 acctbal."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    divisible by 331 drifted by +1.00 acctbal. Fingerprinted atomic
+    publish like the other artifact caches (r14)."""
+    tag = _source_fingerprint(sf_dir, "customer")
     base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "replica"
-    if not (base.is_dir() and any(base.glob("*.parquet"))):
+
+    def build(path: str) -> None:
         c = load(spark, sf_dir, "customer").select(
             "c_custkey", "c_name", "c_nationkey", "c_acctbal"
         )
-        damaged = c.filter(F.col("c_custkey") % _REC_DROP != 0).withColumn(
+        c.filter(F.col("c_custkey") % _REC_DROP != 0).withColumn(
             "c_acctbal",
             F.when(
                 F.col("c_custkey") % _REC_DRIFT == 0,
                 F.col("c_acctbal") + 1.0,
             ).otherwise(F.col("c_acctbal")),
-        )
-        damaged.write.mode("overwrite").parquet(str(base))
-    return str(base)
+        ).write.mode("overwrite").parquet(path)
+
+    return _materialize_atomic(base, build)
 
 
 @query("table_reconcile", oracle=_reconcile_oracle())
