@@ -212,7 +212,14 @@ def main() -> None:
         "  as plan growth, re-time the query alone in a clean JVM",
         "  (`event_transition_matrix` once showed 8.1x in-probe and runs",
         "  flat 0.65 s measured alone — one keyed lag window feeding a",
-        "  25-row frame cannot grow superlinearly).",
+        "  25-row frame cannot grow superlinearly). r14 instance:",
+        "  `asof_join_latest_order` showed 6.1x in-probe and re-times",
+        "  0.64->0.73 s (1.1x) solo — a union + keyed window over",
+        "  orders; same verdict.",
+        "- `erasure_propagation`'s 2.6x is the per-table digest scans",
+        "  (they read every surviving row, linear by design and still",
+        "  4x under the data step); the cascade itself is broadcast",
+        "  anti-joins against a fixed-size tombstone set.",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
