@@ -2002,6 +2002,9 @@ def erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
         row_fingerprint,
     )
+    from multichannel_commerce_data_pipeline_spark.tables import (
+        parallelize_small_scan,
+    )
 
     root = ensure_erased_tables(spark, sf_dir)
     tomb = _erase_tombstones(spark, sf_dir)
@@ -2021,7 +2024,10 @@ def erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         es = erased_set.select(
             F.col(erased_set.columns[0]).alias("__ekey")
         )
-        src = load(spark, sf_dir, table)
+        # both fingerprint passes run md5 over every surviving row:
+        # fan single-row-group scans out so the digest work
+        # parallelizes (no-op on real multi-split tables)
+        src = parallelize_small_scan(spark, load(spark, sf_dir, table))
         flagged = src.join(
             F.broadcast(es), erased_key(src) == F.col("__ekey"), "left"
         ).withColumn("__gone", F.col("__ekey").isNotNull())
@@ -2039,7 +2045,9 @@ def erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long"),
             ).alias("e_digest"),
         )
-        written = spark.read.parquet(f"{root}/{table}")
+        written = parallelize_small_scan(
+            spark, spark.read.parquet(f"{root}/{table}")
+        )
         w = written.join(
             F.broadcast(es), erased_key(written) == F.col("__ekey"), "left"
         ).agg(

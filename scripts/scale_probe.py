@@ -216,10 +216,13 @@ def main() -> None:
         "  `asof_join_latest_order` showed 6.1x in-probe and re-times",
         "  0.64->0.73 s (1.1x) solo — a union + keyed window over",
         "  orders; same verdict.",
-        "- `erasure_propagation`'s 2.6x is the per-table digest scans",
-        "  (they read every surviving row, linear by design and still",
-        "  4x under the data step); the cascade itself is broadcast",
-        "  anti-joins against a fixed-size tombstone set.",
+        "- `erasure_propagation` first probed 2.6x with its md5 digest",
+        "  passes serialized in the single-row-group scan task; fanning",
+        "  both fingerprint scans out via parallelize_small_scan (the",
+        "  documented trap) re-probes 1.5x solo (1.31->1.96 s) — the",
+        "  digest scans read every surviving row, linear by design; the",
+        "  cascade itself is broadcast anti-joins against a fixed-size",
+        "  tombstone set.",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
