@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import shutil
 import tempfile
+import threading
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,48 +36,79 @@ from multichannel_commerce_data_pipeline_spark.tables import load
 
 def _source_fingerprint(sf_dir: str, *tables: str) -> str:
     """Cache tag for sf_dir-derived artifacts that folds the SOURCE
-    DATA's identity (per-file size + mtime_ns of the named tables) into
-    the path digest, not just the path string — a regenerated fixture
-    at the same sf_dir gets a fresh tag instead of silently reusing a
-    stale layout (ADVICE r13). Missing files hash as their absence, so
-    a fixture swap never aliases."""
+    DATA's identity into the path digest, not just the path string —
+    a regenerated fixture at the same sf_dir gets a fresh tag instead
+    of silently reusing a stale layout (ADVICE r13). Each file hashes
+    as table/relative-path : size : mtime_ns, so identical-stat part
+    files moved between partition directories (or between two listed
+    tables) still change the tag; missing files hash as their absence,
+    so a fixture swap never aliases."""
     h = hashlib.md5(sf_dir.encode())
     for t in tables:
         p = Path(sf_dir) / f"{t}.parquet"
-        files = sorted(f for f in p.rglob("*") if f.is_file()) if p.is_dir() else [p]
+        if p.is_dir():
+            files = sorted(f for f in p.rglob("*") if f.is_file())
+        else:
+            files = [p]
         for f in files:
             if f.is_file():
                 st = f.stat()
-                h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+                rel = f.relative_to(p) if p.is_dir() else f.name
+                h.update(
+                    f"{t}/{rel}:{st.st_size}:{st.st_mtime_ns};".encode()
+                )
     return h.hexdigest()[:12]
+
+
+# Same-process builds serialize on one lock: two threads racing the
+# same (or different) artifacts must never share or delete each
+# other's in-flight scratch tree. Cross-process safety comes from the
+# atomic rename below.
+_MATERIALIZE_LOCK = threading.Lock()
 
 
 def _materialize_atomic(dest: Path, write) -> str:
     """Build-once directory artifact with crash and concurrency safety:
     ``write(scratch_path)`` produces the artifact in a scratch dir next
     to ``dest``, which is then PUBLISHED with one atomic rename — a
-    half-written tree is never observable at the final path (a crashed
-    partial build leaves only scratch debris, re-built on the next
-    call), and two concurrent builders race benignly (the first rename
-    wins; the loser's complete-but-duplicate scratch is discarded,
-    since rename onto a non-empty dir fails). Presence of ``dest`` IS
-    the completeness proof (ADVICE r13 — replaces the 'any parquet
+    half-written tree is never observable at the final path, so a
+    crashed partial build leaves only scratch debris (swept on the
+    next build) and never a serving artifact. Intactness = ``dest``
+    exists AND holds at least one file: a temp-dir cleaner that guts
+    the tree but leaves the directory triggers a rebuild instead of
+    serving an empty path (the ensure_bucketed trust-but-verify rule).
+    Same-process concurrency is serialized by _MATERIALIZE_LOCK;
+    cross-process, the first rename wins and a later builder either
+    returns the published tree or (if its scratch was swept as debris
+    mid-build) errors — it can never publish a partial tree, which is
+    the guarantee that matters (ADVICE r13 — replaces the 'any parquet
     file exists' heuristic that accepted partial overwrites)."""
-    if dest.is_dir():
-        return str(dest)
-    dest.parent.mkdir(parents=True, exist_ok=True)
     import os
 
-    scratch = dest.parent / f".{dest.name}.tmp-{os.getpid()}"
-    if scratch.exists():
-        shutil.rmtree(str(scratch))
-    write(str(scratch))
-    try:
-        scratch.rename(dest)
-    except OSError:
-        if not dest.is_dir():
-            raise
-        shutil.rmtree(str(scratch), ignore_errors=True)
+    def intact() -> bool:
+        return dest.is_dir() and any(f.is_file() for f in dest.rglob("*"))
+
+    if intact():
+        return str(dest)
+    with _MATERIALIZE_LOCK:
+        if intact():
+            return str(dest)
+        if dest.is_dir():  # gutted by an external cleaner: rebuild
+            shutil.rmtree(str(dest))
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        # sweep debris from crashed builds regardless of which process
+        # left it (PID-suffixed names would otherwise accumulate
+        # unbounded partial trees under the temp dir)
+        for stale in dest.parent.glob(f".{dest.name}.tmp-*"):
+            shutil.rmtree(str(stale), ignore_errors=True)
+        scratch = dest.parent / f".{dest.name}.tmp-{os.getpid()}"
+        write(str(scratch))
+        try:
+            scratch.rename(dest)
+        except OSError:
+            if not intact():
+                raise
+            shutil.rmtree(str(scratch), ignore_errors=True)
     return str(dest)
 
 
@@ -1816,33 +1848,53 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # customers erase in DuckDB — rand() could never be oracle-checked).
 _ERASE_SEED, _ERASE_MOD = 17, 37
 
-# Fingerprint encodings per table (the compaction _COMPACT_FP_SQL
-# idiom: doubles enter the row encoding only as DECIMAL cents,
-# timestamps only as DATE strings). One Python list per table feeds
-# BOTH engine column builders and oracle SQL, so they cannot drift.
-_ERASE_FP_SQL = {
+# Fingerprint encodings per table, SINGLE-SOURCED as (sql_expr,
+# engine column builder) pairs — membership and order come from ONE
+# list per table, so the oracle text and the engine fingerprint can
+# never disagree about which columns a row hashes (the r13
+# single-sourced-DQ-rules idiom). Doubles enter the row encoding only
+# as DECIMAL cents, timestamps only as DATE strings (the compaction
+# _COMPACT_FP_SQL convention).
+def _cents(col) -> object:
+    return (col.cast("decimal(18,2)") * 100).cast("bigint")
+
+
+_ERASE_FP: dict[str, list[tuple[str, object]]] = {
     "customer": [
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)",
-        "c_mktsegment",
+        ("c_custkey", lambda d: d.c_custkey),
+        ("c_name", lambda d: d.c_name),
+        ("c_nationkey", lambda d: d.c_nationkey),
+        (
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)",
+            lambda d: _cents(d.c_acctbal),
+        ),
+        ("c_mktsegment", lambda d: d.c_mktsegment),
     ],
     "orders": [
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
-        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+        ("o_orderkey", lambda d: d.o_orderkey),
+        ("o_custkey", lambda d: d.o_custkey),
+        ("o_orderstatus", lambda d: d.o_orderstatus),
+        (
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+            lambda d: _cents(d.o_totalprice),
+        ),
+        (
+            "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+            lambda d: d.o_orderdate.cast("date").cast("string"),
+        ),
     ],
     "lineitem": [
-        "l_orderkey",
-        "l_partkey",
-        "l_linenumber",
-        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
-        "l_returnflag",
+        ("l_orderkey", lambda d: d.l_orderkey),
+        ("l_partkey", lambda d: d.l_partkey),
+        ("l_linenumber", lambda d: d.l_linenumber),
+        (
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+            lambda d: _cents(d.l_extendedprice),
+        ),
+        ("l_returnflag", lambda d: d.l_returnflag),
     ],
 }
+_ERASE_FP_SQL = {t: [sql for sql, _ in cols] for t, cols in _ERASE_FP.items()}
 
 
 def _erase_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1864,30 +1916,10 @@ def _erase_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _erase_fp_cols(df: DataFrame, table: str) -> list:
-    """The engine Column twins of _ERASE_FP_SQL, by table."""
-    if table == "customer":
-        return [
-            df.c_custkey,
-            df.c_name,
-            df.c_nationkey,
-            (df.c_acctbal.cast("decimal(18,2)") * 100).cast("bigint"),
-            df.c_mktsegment,
-        ]
-    if table == "orders":
-        return [
-            df.o_orderkey,
-            df.o_custkey,
-            df.o_orderstatus,
-            (df.o_totalprice.cast("decimal(18,2)") * 100).cast("bigint"),
-            df.o_orderdate.cast("date").cast("string"),
-        ]
-    return [
-        df.l_orderkey,
-        df.l_partkey,
-        df.l_linenumber,
-        (df.l_extendedprice.cast("decimal(18,2)") * 100).cast("bigint"),
-        df.l_returnflag,
-    ]
+    """The engine Column twins of _ERASE_FP_SQL, derived from the SAME
+    per-table spec — adding or reordering a fingerprint column happens
+    in exactly one place."""
+    return [build(df) for _, build in _ERASE_FP[table]]
 
 
 def ensure_erased_tables(spark: SparkSession, sf_dir: str) -> str:

@@ -596,3 +596,61 @@ def test_source_fingerprint_tracks_data_identity(tmp_path):
     d2.mkdir()
     (d2 / "events.parquet").write_bytes(b"v1")
     assert _source_fingerprint(str(d2), "events") != t1
+    # partitioned table: part files SWAPPED between partition
+    # directories must change the tag (the path, not just the
+    # basename, is part of each file's identity; a swap of files
+    # with byte-identical stat triples is invisible to ANY
+    # stat-based scheme and out of scope)
+    d3 = tmp_path / "sf3"
+    part_a, part_b = d3 / "orders.parquet" / "day=a", d3 / "orders.parquet" / "day=b"
+    part_a.mkdir(parents=True)
+    part_b.mkdir(parents=True)
+    (part_a / "part-0").write_bytes(b"AA")
+    (part_b / "part-0").write_bytes(b"BBB")
+    os.utime(part_a / "part-0", ns=(7, 7))
+    os.utime(part_b / "part-0", ns=(7, 7))
+    t3 = _source_fingerprint(str(d3), "orders")
+    (part_a / "part-0").write_bytes(b"BBB")
+    (part_b / "part-0").write_bytes(b"AA")
+    os.utime(part_a / "part-0", ns=(7, 7))
+    os.utime(part_b / "part-0", ns=(7, 7))
+    assert _source_fingerprint(str(d3), "orders") != t3
+
+
+def test_materialize_atomic_gutted_and_foreign_debris(tmp_path):
+    """The two external-interference paths: a temp-dir cleaner that
+    guts the published tree but leaves the directory triggers a
+    REBUILD (bare is_dir is not trusted), and scratch debris left by a
+    crashed build from ANOTHER process (different PID suffix) is swept
+    before the next build instead of accumulating forever."""
+    import shutil as _sh
+
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _materialize_atomic,
+    )
+
+    dest = tmp_path / "artifact"
+    calls = []
+
+    def good(path: str) -> None:
+        calls.append(1)
+        Path(path).mkdir(parents=True)
+        (Path(path) / "data.parquet").write_text("ok")
+
+    _materialize_atomic(dest, good)
+    # an external cleaner removes the files but leaves the directory
+    for f in dest.rglob("*"):
+        if f.is_file():
+            f.unlink()
+    assert _materialize_atomic(dest, good) == str(dest)
+    assert (dest / "data.parquet").read_text() == "ok"
+    assert calls == [1, 1]  # rebuilt, not served gutted
+
+    # debris from a crashed build in a dead process (foreign PID)
+    foreign = tmp_path / ".artifact.tmp-999999"
+    foreign.mkdir()
+    (foreign / "partial.parquet").write_text("partial")
+    _sh.rmtree(str(dest))
+    _materialize_atomic(dest, good)
+    assert not foreign.exists()  # swept before the rebuild
+    assert calls == [1, 1, 1]
