@@ -654,3 +654,80 @@ def test_materialize_atomic_gutted_and_foreign_debris(tmp_path):
     _materialize_atomic(dest, good)
     assert not foreign.exists()  # swept before the rebuild
     assert calls == [1, 1, 1]
+
+
+def test_erasure_equals_cdc_tombstone_apply(spark, sf_dir):
+    """The erasure pass and the CDC delete path agree: feeding the
+    source customer table as upserts followed by one tombstone DELETE
+    per erased key through the last-writer-wins collapse (the
+    cdc_apply_snapshot shape) yields exactly the WRITTEN erased
+    customer table — erasure is the batch twin of a tombstone feed,
+    so a downstream consuming either path converges to the same
+    state."""
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _erase_tombstones,
+        ensure_erased_tables,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    src = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    tomb = _erase_tombstones(spark, sf_dir)
+    feed = src.select(
+        "c_custkey",
+        F.lit(1).alias("op_ts"),
+        F.lit("upsert").alias("op"),
+        "c_acctbal",
+    ).unionByName(
+        tomb.select(
+            "c_custkey",
+            F.lit(2).alias("op_ts"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+        )
+    )
+    collapsed = (
+        feed.groupBy("c_custkey")
+        .agg(F.max(F.struct("op_ts", "op", "c_acctbal")).alias("last"))
+        .filter(F.col("last.op") != "delete")
+        .select("c_custkey", F.col("last.c_acctbal").alias("c_acctbal"))
+    )
+    root = ensure_erased_tables(spark, sf_dir)
+    written = spark.read.parquet(f"{root}/customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    got = {(r.c_custkey, r.c_acctbal) for r in collapsed.collect()}
+    want = {(r.c_custkey, r.c_acctbal) for r in written.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_materialize_atomic_thread_race_builds_once(tmp_path):
+    """Two same-process threads racing the same artifact: the build
+    lock serializes them — exactly ONE writer invocation, both callers
+    get the published tree, no partial state."""
+    import threading as _th
+
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _materialize_atomic,
+    )
+
+    dest = tmp_path / "artifact"
+    calls = []
+    gate = _th.Barrier(2)
+
+    def writer(path: str) -> None:
+        calls.append(1)
+        Path(path).mkdir(parents=True)
+        (Path(path) / "data.parquet").write_text("ok")
+
+    results = []
+
+    def run():
+        gate.wait()
+        results.append(_materialize_atomic(dest, writer))
+
+    ts = [_th.Thread(target=run) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert results == [str(dest)] * 2
+    assert calls == [1]
+    assert (dest / "data.parquet").read_text() == "ok"
