@@ -197,7 +197,13 @@ def main() -> None:
         "  quantized means and distances — the most arithmetic-dense",
         "  oracle in the repo), cluster_safe_split, and",
         "  minhash_distinct_estimate (the m²/S estimator arithmetic)",
-        "  green at sf0.1 (44/44, 2026-08-14). A bitwise-exact sweep of",
+        "  green at sf0.1 (44/44, 2026-08-14), and the five r14-changed",
+        "  queries (sampled_percentile_cuts — the conditional",
+        "  quantile_cont/percentile agreement on a hash-sampled slice —",
+        "  curation_threshold_sweep, erasure_propagation's md5 digest",
+        "  fold over ~675k surviving rows, histogram_delta_merge's",
+        "  boundary interpolation, join_size_estimate) hash-green at",
+        "  sf0.1 (49/49, 2026-08-16). A bitwise-exact sweep of",
         "  the FULL registry (float hex + Decimal repr canon, stricter",
         "  than the driver's pandas hash) ran the same day at sf0.01:",
         "  0 diffs, 0 errors over all oracle-paired queries.",
