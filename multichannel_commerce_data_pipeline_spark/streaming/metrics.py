@@ -1,0 +1,122 @@
+"""Streaming pipeline METRICS sink — the observability surface the
+reference declares but never produces (`docker-compose.yml:163-168`
+creates `pipeline-metrics` / `data-quality-alerts` topics; nothing in
+the repo ever publishes to them). Spark-first, the right mechanism is
+a ``StreamingQueryListener``: the engine already computes per-batch
+progress (input rows, processing rates, batch duration, state-store
+rows) for every structured-streaming query — the listener just lands
+it durably, so EVERY stream job in the package gains monitoring
+without touching its plan (zero per-batch overhead on the query
+itself; progress events arrive on the listener bus thread).
+
+Records land as JSON lines (one per micro-batch progress event,
+appended under an exclusive lock — listener callbacks may fire from
+multiple bus threads) and read back as a TYPED DataFrame via an
+explicit schema (`read_metrics`), so a monitoring rollup is an
+ordinary batch query over the landed history: lag detection
+(`inputRowsPerSecond > processedRowsPerSecond` sustained), batch-
+duration regression bands (the `daily_anomaly_bands` idiom), state
+growth audits (`stateRows` should be bounded for every stateful op in
+this package — the O(domains)/O(bins) guarantees become CHECKABLE
+numbers). At scale the same listener feeds a Kafka topic or a
+metrics-system sink; the JSONL landing keeps the sandbox path
+dependency-free.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+METRICS_SCHEMA = (
+    "query_id string, run_id string, query_name string, batch_id long,"
+    " event_ts string, num_input_rows long, input_rps double,"
+    " processed_rps double, batch_duration_ms long, n_state_ops long,"
+    " state_rows long"
+)
+
+
+class MetricsRecorder(StreamingQueryListener):
+    """Land one JSONL row per micro-batch progress event.
+
+    Register with ``spark.streams.addListener(rec)``; remove with
+    ``spark.streams.removeListener(rec)`` when done (tests do both).
+    The write path is plain-Python file append — listener callbacks
+    must never block on Spark actions (a listener that runs jobs can
+    deadlock the bus), and an append under a lock is atomic enough for
+    the one-file-per-recorder layout."""
+
+    def __init__(self, out_dir: str) -> None:
+        self._dir = Path(out_dir)
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._path = self._dir / "progress.jsonl"
+        self._lock = threading.Lock()
+
+    # -- listener surface -------------------------------------------
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = json.loads(event.progress.json)
+        state_ops = p.get("stateOperators") or []
+        row = {
+            "query_id": p.get("id"),
+            "run_id": p.get("runId"),
+            "query_name": p.get("name"),
+            "batch_id": p.get("batchId"),
+            "event_ts": p.get("timestamp"),
+            "num_input_rows": p.get("numInputRows"),
+            "input_rps": p.get("inputRowsPerSecond"),
+            "processed_rps": p.get("processedRowsPerSecond"),
+            "batch_duration_ms": (p.get("durationMs") or {}).get(
+                "triggerExecution"
+            ),
+            "n_state_ops": len(state_ops),
+            "state_rows": sum(
+                s.get("numRowsTotal") or 0 for s in state_ops
+            ),
+        }
+        line = json.dumps(row) + "\n"
+        with self._lock:
+            with open(self._path, "a") as f:
+                f.write(line)
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The landed metrics history as a typed frame — the input to any
+    monitoring rollup (lag flags, duration bands, state growth)."""
+    return spark.read.schema(METRICS_SCHEMA).json(
+        str(Path(out_dir) / "progress.jsonl")
+    )
+
+
+def metrics_rollup(metrics: DataFrame) -> DataFrame:
+    """Per-query monitoring rollup over the landed history: batches
+    seen, rows ingested, worst batch duration, whether input rate ever
+    sustained above processing rate (the backlog signal), and the max
+    state-store footprint (bounded-state operators should show a flat
+    number here). One bounded group-by — query count, not batch count,
+    is the cardinality."""
+    lag = (
+        F.col("input_rps").isNotNull()
+        & F.col("processed_rps").isNotNull()
+        & (F.col("input_rps") > F.col("processed_rps"))
+    )
+    return metrics.groupBy("query_id", "query_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("num_input_rows").cast("long").alias("rows_in"),
+        F.max("batch_duration_ms").cast("long").alias("worst_batch_ms"),
+        F.max(lag.cast("int")).cast("boolean").alias("ever_lagged"),
+        F.max("state_rows").cast("long").alias("max_state_rows"),
+    )

@@ -210,3 +210,31 @@ def test_bootstrap_with_live_changed_declaration_does_not_crash():
     assert len(w_default) == 50 and w_default[0] == FLAGSHIP
     live = set(changed_effective(1))
     assert live <= set(w_default), "live declarations dropped at bootstrap"
+
+
+def test_r14_displaced_rows_seat_first_next_round():
+    """The five due rows the r14 new-query cohort displaced (declared
+    in ROTATION_EXCEPTIONS with expiry 14) must be the FIRST oldest-
+    first seats when round 15 is planned over evidence in which they
+    alone remain at the r9 vintage — the planner repays the exception
+    automatically, no hand input. Skipped naturally once the r14
+    exceptions are rotated out."""
+    from multichannel_commerce_data_pipeline_spark.queries import (
+        ROTATION_EXCEPTIONS,
+    )
+
+    displaced = sorted(
+        n for n, (_, expiry) in ROTATION_EXCEPTIONS.items() if expiry == 14
+    )
+    if not displaced:
+        return  # exceptions rotated out in a later round
+    reg = load_registry()
+    paired = sorted(n for n in reg if reg[n].oracle is not None)
+    # synthetic r15 planning state: everything green at r14 except the
+    # displaced five, still carrying their r9 row
+    latest = {n: 14 for n in paired}
+    for n in displaced:
+        latest[n] = 9
+    w = plan_window(latest=latest, changed=(), current=15)
+    assert w[0] == FLAGSHIP
+    assert list(w[1 : 1 + len(displaced)]) == displaced

@@ -1407,3 +1407,75 @@ def test_stream_view_delta_refresh_restart_and_replay(spark, tmp_path):
     assert drain() == {"a": (2, 15), "b": (2, 10)}  # nothing new: unchanged
     snaps = [p.name for p in out.iterdir() if p.name.startswith("state-")]
     assert len(snaps) <= 2  # retention: latest + replay-window predecessor
+
+
+def test_metrics_listener_lands_per_batch_progress(spark, tmp_path):
+    """T7 (metrics): the StreamingQueryListener sink records one typed
+    row per micro-batch with the numbers a monitor needs — input rows
+    sum to the data actually streamed, batch ids are distinct, the
+    query name survives — and the rollup summarizes per query. The
+    reference declares a pipeline-metrics topic and never produces to
+    it; this is the engine-side producer."""
+    import time as _t
+
+    from multichannel_commerce_data_pipeline_spark.streaming.metrics import (
+        MetricsRecorder,
+        metrics_rollup,
+        read_metrics,
+    )
+
+    src, out, ckpt, mdir = (
+        tmp_path / "src",
+        tmp_path / "out",
+        tmp_path / "ckpt",
+        tmp_path / "metrics",
+    )
+    rows = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).alias("k")
+    )
+    rows.filter(F.col("id") < 20).coalesce(1).write.parquet(f"{src}/b0")
+    rows.filter(F.col("id") >= 20).coalesce(1).write.parquet(f"{src}/b1")
+
+    rec = MetricsRecorder(str(mdir))
+    spark.streams.addListener(rec)
+    try:
+        q = (
+            spark.readStream.schema("id long, k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+            .writeStream.queryName("metrics_probe")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # progress events are delivered asynchronously on the listener
+        # bus — give the last one a bounded moment to land
+        for _ in range(50):
+            if (mdir / "progress.jsonl").exists() and sum(
+                1 for _l in open(mdir / "progress.jsonl")
+            ) >= 2:
+                break
+            _t.sleep(0.2)
+    finally:
+        spark.streams.removeListener(rec)
+
+    m = read_metrics(spark, str(mdir)).filter(
+        F.col("query_name") == "metrics_probe"
+    )
+    got = m.collect()
+    assert len(got) >= 2  # one per micro-batch (maxFilesPerTrigger=1)
+    assert len({r.batch_id for r in got}) == len(got)
+    assert sum(r.num_input_rows for r in got) == 40
+    assert all(
+        r.batch_duration_ms is not None and r.batch_duration_ms >= 0
+        for r in got
+    )
+    roll = metrics_rollup(m).collect()
+    assert len(roll) == 1
+    r = roll[0]
+    assert r.query_name == "metrics_probe"
+    assert r.rows_in == 40 and r.n_batches == len(got)
+    assert r.max_state_rows == 0  # a stateless sink holds no state
