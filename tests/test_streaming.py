@@ -1535,3 +1535,46 @@ def test_stream_domain_admit_state_is_bounded_by_domains(spark, tmp_path):
         (r.batch_id, r.state_rows) for r in m
     ]
     assert max(r.state_rows for r in m) == n_domains  # every domain seen
+
+
+def test_stream_binned_profile_state_bounded_by_bins(spark, tmp_path):
+    """The drift profile's documented 2·n_bins state bound as a
+    MEASURED number (the domain-admit telemetry pattern): drain with
+    the metrics listener attached and assert the state store never
+    holds more rows than bins × {ref, current} — stream length cannot
+    grow it."""
+    import shutil
+    import time as _t
+
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_binned_profile,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.metrics import (
+        MetricsRecorder,
+        read_metrics,
+    )
+
+    bronze = tmp_path / "bronze"
+    shutil.copytree(FIXTURES / "joor", bronze / "joor")
+    mdir = tmp_path / "metrics"
+    rec = MetricsRecorder(str(mdir))
+    spark.streams.addListener(rec)
+    try:
+        stream_binned_profile(
+            spark, "joor", str(bronze), str(tmp_path / "prof"),
+            str(tmp_path / "ckpt"), n_bins=10,
+        )
+        for _ in range(50):
+            if (mdir / "progress.jsonl").exists():
+                break
+            _t.sleep(0.2)
+    finally:
+        spark.streams.removeListener(rec)
+
+    m = read_metrics(spark, str(mdir)).filter(
+        F.col("n_state_ops") > 0
+    ).collect()
+    assert m, "no stateful progress event landed"
+    assert all(0 < r.state_rows <= 2 * 10 for r in m), [
+        (r.batch_id, r.state_rows) for r in m
+    ]
