@@ -1578,3 +1578,46 @@ def test_stream_binned_profile_state_bounded_by_bins(spark, tmp_path):
     assert all(0 < r.state_rows <= 2 * 10 for r in m), [
         (r.batch_id, r.state_rows) for r in m
     ]
+
+
+def test_stream_heavy_hitters_state_bounded_by_k_buckets(spark, tmp_path):
+    """The Misra-Gries stream's O(k·buckets) state claim as a MEASURED
+    number (third instance of the telemetry pattern): the state store
+    holds at most one row per bucket group — key cardinality in the
+    feed cannot grow it."""
+    import shutil
+    import time as _t
+
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_heavy_hitters,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.metrics import (
+        MetricsRecorder,
+        read_metrics,
+    )
+
+    n_buckets = 2
+    bronze = tmp_path / "bronze"
+    shutil.copytree(FIXTURES / "joor", bronze / "joor")
+    mdir = tmp_path / "metrics"
+    rec = MetricsRecorder(str(mdir))
+    spark.streams.addListener(rec)
+    try:
+        stream_heavy_hitters(
+            spark, "joor", str(bronze), str(tmp_path / "hh"),
+            str(tmp_path / "ckpt"), k=6, n_buckets=n_buckets,
+        )
+        for _ in range(50):
+            if (mdir / "progress.jsonl").exists():
+                break
+            _t.sleep(0.2)
+    finally:
+        spark.streams.removeListener(rec)
+
+    m = read_metrics(spark, str(mdir)).filter(
+        F.col("n_state_ops") > 0
+    ).collect()
+    assert m, "no stateful progress event landed"
+    assert all(0 < r.state_rows <= n_buckets for r in m), [
+        (r.batch_id, r.state_rows) for r in m
+    ]
