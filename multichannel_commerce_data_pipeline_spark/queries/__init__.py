@@ -100,8 +100,8 @@ _R14_DISPLACED = (
 # 48-row r10 cohort (53 due for 49 slots), at r16 the 4-row r15
 # leftover + the 46-row r11 cohort (50 due), and at r17 the window
 # fits again (simulated from the on-disk evidence under the
-# all-r14-rows-green assumption; scripts/window_audit.py reproduces
-# it). The slipping rows are deterministic (alphabetically-last of
+# all-r14-rows-green assumption; `scripts/window_audit.py --future 3`
+# reproduces it). The slipping rows are deterministic (alphabetically-last of
 # the due set after oldest-first seating), so their exceptions are
 # declared HERE, in advance, with per-round expiries — the boundary
 # stays green the moment CORRECTNESS_r14.json lands, which is the
