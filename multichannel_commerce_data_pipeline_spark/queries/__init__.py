@@ -86,8 +86,7 @@ ROTATION_AGE_BOUND_FLOOR = 4
 # the flagship), so the five r14 priority-2 declarations displace the
 # five alphabetically-last due rows by exactly one round. They are the
 # unique oldest evidence after r14 and oldest-first seating puts them
-# at the head of the r15 window automatically; expiry 14 means the
-# exception cannot outlive the single round it covers.
+# at the head of the r15 window automatically.
 _R14_DISPLACED = (
     "training_shard_layout",
     "union_distinct_parties",
@@ -103,9 +102,9 @@ _R14_DISPLACED = (
 # all-r14-rows-green assumption; `scripts/window_audit.py --future 3`
 # reproduces it). The slipping rows are deterministic (alphabetically-last of
 # the due set after oldest-first seating), so their exceptions are
-# declared HERE, in advance, with per-round expiries — the boundary
-# stays green the moment CORRECTNESS_r14.json lands, which is the
-# entire point of the computed window. If a r14 row comes back red,
+# declared HERE, in advance — the boundary stays green the moment
+# CORRECTNESS_r14.json lands, which is the entire point of the
+# computed window. If a r14 row comes back red,
 # or r15 declares new changed queries, the actual slip set grows:
 # those additional exceptions are the r15 builder's to declare (an
 # unnecessary exception is harmless — seated rows never consult it).
