@@ -219,15 +219,13 @@ def test_r14_displaced_rows_seat_first_next_round():
     alone remain at the r9 vintage — the planner repays the exception
     automatically, no hand input. Skipped naturally once the r14
     exceptions are rotated out."""
-    from multichannel_commerce_data_pipeline_spark.queries import (
-        ROTATION_EXCEPTIONS,
-    )
-
-    displaced = sorted(
-        n for n, (_, expiry) in ROTATION_EXCEPTIONS.items() if expiry == 14
-    )
-    if not displaced:
+    try:
+        from multichannel_commerce_data_pipeline_spark.queries import (
+            _R14_DISPLACED,
+        )
+    except ImportError:
         return  # exceptions rotated out in a later round
+    displaced = sorted(_R14_DISPLACED)
     reg = load_registry()
     paired = sorted(n for n in reg if reg[n].oracle is not None)
     # synthetic r15 planning state: everything green at r14 except the
