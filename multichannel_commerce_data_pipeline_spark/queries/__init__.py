@@ -78,9 +78,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (each seated query's priority class and evidence age).
 ROTATION_AGE_BOUND_FLOOR = 4
 
-# Declared exceptions: name -> (reason, expiry_round). The rotation test
-# fails on any undeclared overage and on any exception past its expiry,
-# so exceptions cannot silently accumulate.
+# Declared exceptions: name -> (reason, slip_rounds, expiry_round). The
+# rotation test fails on any undeclared overage and on any exception
+# past its expiry, so exceptions cannot silently accumulate. slip_rounds
+# is the exact set of rounds the name is EXPECTED to be due-but-
+# unseated: the overdue test honors the exception only when the round
+# being planned is in that set, so a shared catch-all expiry can no
+# longer mask an UNRELATED planner regression that drops the name in
+# some other round (ADVICE r14 — with the old (reason, expiry) shape,
+# substring_dedup_spans omitted at r16 for a planner bug would have
+# passed on the strength of its r15 displacement excuse). The expiry
+# stays the PRUNING tripwire: the whole block must be deleted once the
+# bulge drains, or the expiry test reddens the next boundary.
 #
 # r14: the due r9-vintage cohort is exactly 49 rows (a full window with
 # the flagship), so the five r14 priority-2 declarations displace the
@@ -120,11 +129,12 @@ _R15_SLIP = (
     "unpivot_metrics",
 )
 _BULGE_EXPIRY = 17
-ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
+ROTATION_EXCEPTIONS: dict[str, tuple[str, frozenset[int], int]] = {
     **{
         n: (
             "displaced one round by the r14 new-query cohort; "
             "auto-seats first at r15",
+            frozenset({14}),
             _BULGE_EXPIRY,
         )
         for n in _R14_DISPLACED
@@ -133,6 +143,7 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
         n: (
             "r15 tail of the r14 cohort bulge (53 due for 49 slots); "
             "auto-seats first at r16",
+            frozenset({15}),
             _BULGE_EXPIRY,
         )
         for n in _R15_SLIP
@@ -140,6 +151,7 @@ ROTATION_EXCEPTIONS: dict[str, tuple[str, int]] = {
     "zorder_layout_prune": (
         "r16 tail of the r14 cohort bulge (50 due for 49 slots); "
         "auto-seats first at r17, after which the rotation fits again",
+        frozenset({16}),
         _BULGE_EXPIRY,
     ),
 }

@@ -79,14 +79,37 @@ def _materialize_atomic(dest: Path, write) -> str:
     serving an empty path (the ensure_bucketed trust-but-verify rule).
     Same-process concurrency is serialized by _MATERIALIZE_LOCK;
     cross-process, the first rename wins and a later builder either
-    returns the published tree or (if its scratch was swept as debris
-    mid-build) errors — it can never publish a partial tree, which is
-    the guarantee that matters (ADVICE r13 — replaces the 'any parquet
-    file exists' heuristic that accepted partial overwrites)."""
+    returns the published tree (rename lost the race) or keeps its own
+    scratch private until its rename (ADVICE r13 — replaces the 'any
+    parquet file exists' heuristic that accepted partial overwrites).
+    Debris from CRASHED builds is swept, but only scratch whose
+    PID-suffix owner is dead — rmtree'ing a LIVE concurrent process's
+    in-flight scratch between its part-file writes and its rename
+    could hand that builder a partial tree to publish (ADVICE r14)."""
     import os
 
     def intact() -> bool:
         return dest.is_dir() and any(f.is_file() for f in dest.rglob("*"))
+
+    def sweepable(name: str) -> bool:
+        # scratch names end ".tmp-<pid>"; an unparsable suffix is
+        # never swept (can't attribute it). Our OWN pid is always
+        # sweepable: under _MATERIALIZE_LOCK no other thread of this
+        # process is mid-build, so same-pid scratch can only be debris
+        # from our own crashed earlier attempt.
+        try:
+            pid = int(name.rsplit("-", 1)[1])
+        except (IndexError, ValueError):
+            return False
+        if pid == os.getpid():
+            return True
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return True  # owner dead: crashed foreign build
+        except PermissionError:
+            return False  # exists, owned by someone else
+        return False
 
     if intact():
         return str(dest)
@@ -96,11 +119,13 @@ def _materialize_atomic(dest: Path, write) -> str:
         if dest.is_dir():  # gutted by an external cleaner: rebuild
             shutil.rmtree(str(dest))
         dest.parent.mkdir(parents=True, exist_ok=True)
-        # sweep debris from crashed builds regardless of which process
-        # left it (PID-suffixed names would otherwise accumulate
-        # unbounded partial trees under the temp dir)
+        # sweep debris from CRASHED builds (dead-PID scratch would
+        # otherwise accumulate unbounded partial trees under the temp
+        # dir); live-PID scratch belongs to a concurrent in-flight
+        # build and must not be touched (ADVICE r14)
         for stale in dest.parent.glob(f".{dest.name}.tmp-*"):
-            shutil.rmtree(str(stale), ignore_errors=True)
+            if sweepable(stale.name):
+                shutil.rmtree(str(stale), ignore_errors=True)
         scratch = dest.parent / f".{dest.name}.tmp-{os.getpid()}"
         write(str(scratch))
         try:

@@ -113,10 +113,17 @@ def metrics_rollup(metrics: DataFrame) -> DataFrame:
         & F.col("processed_rps").isNotNull()
         & (F.col("input_rps") > F.col("processed_rps"))
     )
+    # coalesce: a query whose batches never carried both rate fields
+    # (common for drained file sources) must roll up to a CONCRETE
+    # False, not NULL — max over all-NULL ints is NULL, and a NULL
+    # boolean silently drops the row from downstream `~ever_lagged`
+    # filters (ADVICE r14)
     return metrics.groupBy("query_id", "query_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_batches"),
         F.sum("num_input_rows").cast("long").alias("rows_in"),
         F.max("batch_duration_ms").cast("long").alias("worst_batch_ms"),
-        F.max(lag.cast("int")).cast("boolean").alias("ever_lagged"),
+        F.coalesce(F.max(lag.cast("int")).cast("boolean"), F.lit(False)).alias(
+            "ever_lagged"
+        ),
         F.max("state_rows").cast("long").alias("max_state_rows"),
     )

@@ -82,7 +82,9 @@ def simulate_future(n_rounds: int) -> None:
             if rnd - lat.get(n, -(10**6)) < bound or n in seated:
                 continue
             exc = ROTATION_EXCEPTIONS.get(n)
-            covered = exc is not None and exc[1] >= rnd
+            # same rule as the overdue test: an exception covers only
+            # its DECLARED slip rounds (ADVICE r14)
+            covered = exc is not None and rnd in exc[1] and exc[2] >= rnd
             slips.append((n, "excepted" if covered else "UNCOVERED"))
         tag = ", ".join(f"{n} [{c}]" for n, c in sorted(slips)) or "none"
         print(f"r{rnd}: due-but-unseated: {tag}")

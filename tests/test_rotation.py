@@ -76,7 +76,11 @@ def test_no_query_ages_past_the_bound():
         if age < bound or name in window:
             continue
         exc = ROTATION_EXCEPTIONS.get(name)
-        if exc is not None and exc[1] >= current:
+        # honored only in the exception's DECLARED slip rounds: a
+        # shared catch-all expiry must not mask an unrelated planner
+        # regression that drops the name in some other round
+        # (ADVICE r14)
+        if exc is not None and current in exc[1] and exc[2] >= current:
             continue
         overdue.append((name, latest.get(name)))
     assert not overdue, (
@@ -139,13 +143,19 @@ def test_planner_priorities_on_synthetic_evidence():
 
 def test_exceptions_are_live_and_real():
     """Exceptions are data with an expiry so they cannot silently
-    accumulate: each must name a registered query, carry a reason, and
+    accumulate: each must name a registered query, carry a reason, a
+    nonempty set of declared slip rounds no later than the expiry, and
     not be past its expiry round."""
     current, _ = evidence()
     reg = load_registry()
-    for name, (reason, expiry) in ROTATION_EXCEPTIONS.items():
+    for name, (reason, slip_rounds, expiry) in ROTATION_EXCEPTIONS.items():
         assert name in reg, f"exception for unregistered query {name}"
         assert reason.strip(), f"exception for {name} has no reason"
+        assert slip_rounds, f"exception for {name} declares no slip round"
+        assert all(r <= expiry for r in slip_rounds), (
+            f"exception for {name} declares a slip round past its own "
+            f"expiry {expiry}: {sorted(slip_rounds)}"
+        )
         assert expiry >= current, (
             f"exception for {name} expired at round {expiry} "
             f"(current {current}) — rotate it or renew with a reason"
@@ -214,7 +224,8 @@ def test_bootstrap_with_live_changed_declaration_does_not_crash():
 
 def test_r14_displaced_rows_seat_first_next_round():
     """The five due rows the r14 new-query cohort displaced (declared
-    in ROTATION_EXCEPTIONS with expiry 14) must be the FIRST oldest-
+    in ROTATION_EXCEPTIONS with slip round 14 and the shared bulge
+    expiry, r17) must be the FIRST oldest-
     first seats when round 15 is planned over evidence in which they
     alone remain at the r9 vintage — the planner repays the exception
     automatically, no hand input. Skipped naturally once the r14

@@ -646,13 +646,24 @@ def test_materialize_atomic_gutted_and_foreign_debris(tmp_path):
     assert (dest / "data.parquet").read_text() == "ok"
     assert calls == [1, 1]  # rebuilt, not served gutted
 
-    # debris from a crashed build in a dead process (foreign PID)
-    foreign = tmp_path / ".artifact.tmp-999999"
-    foreign.mkdir()
-    (foreign / "partial.parquet").write_text("partial")
+    # debris from a crashed build in a dead process (foreign PID) is
+    # swept; scratch owned by a LIVE process (PID 1 here — exists but
+    # not ours, os.kill probes PermissionError) is an in-flight
+    # concurrent build and must survive the sweep, else that builder
+    # could publish a partial tree (ADVICE r14)
+    dead = tmp_path / ".artifact.tmp-999999999"
+    dead.mkdir()
+    (dead / "partial.parquet").write_text("partial")
+    live = tmp_path / ".artifact.tmp-1"
+    live.mkdir()
+    (live / "inflight.parquet").write_text("inflight")
+    unowned = tmp_path / ".artifact.tmp-notapid"
+    unowned.mkdir()
     _sh.rmtree(str(dest))
     _materialize_atomic(dest, good)
-    assert not foreign.exists()  # swept before the rebuild
+    assert not dead.exists()  # swept before the rebuild
+    assert live.exists()  # live owner: never touched
+    assert unowned.exists()  # unattributable: never touched
     assert calls == [1, 1, 1]
 
 
