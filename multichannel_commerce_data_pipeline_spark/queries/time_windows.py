@@ -1094,3 +1094,141 @@ def daily_anomaly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("z"),
     )
+
+
+# --- CUSUM change-point detection (r15) ------------------------------
+# Reference threshold = per-series MEDIAN of the rounded daily series,
+# allowance h = 5x the median absolute deviation: both are percentiles
+# of 2-3dp values, so they are exact midpoints in both engines. All
+# accumulation then runs in DECIMAL, which makes the recursive-looking
+# CUSUM statistic exact and association-free cross-engine (a running
+# DOUBLE sum would depend on each engine's window-aggregation order).
+_CUSUM_MAD_MULT = 5
+
+
+def _cusum_oracle() -> str:
+    xr = oracle_dround("SUM(o_totalprice)", 2)
+    return f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS series,
+             CAST(o_orderdate AS DATE) AS day,
+             {xr} AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    ref AS (
+      SELECT series,
+             {oracle_dround("quantile_cont(x, 0.5)", 3)} AS med
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.series, d.day,
+             CAST(d.x - r.med AS DECIMAL(18, 3)) AS dv,
+             ABS(d.x - r.med) AS adv
+      FROM daily d JOIN ref r USING (series)
+    ),
+    mad AS (
+      SELECT series,
+             CAST({oracle_dround(
+                 f"{_CUSUM_MAD_MULT} * quantile_cont(adv, 0.5)", 3
+             )} AS DECIMAL(18, 3)) AS h
+      FROM dev GROUP BY 1
+    ),
+    pre AS (
+      SELECT v.series, v.day, m.h,
+             SUM(v.dv) OVER (PARTITION BY v.series ORDER BY v.day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS p
+      FROM dev v JOIN mad m USING (series)
+    ),
+    run AS (
+      SELECT series, day, h,
+             p - LEAST(CAST(0 AS DECIMAL(38, 3)),
+                       MIN(p) OVER (PARTITION BY series ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)) AS s
+      FROM pre
+    )
+    SELECT series,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(MIN(CASE WHEN s > h THEN day END) AS TIMESTAMP)
+             AS first_flag_day,
+           {oracle_dround("MAX(CAST(s AS DOUBLE))", 3)} AS max_cusum
+    FROM run GROUP BY series
+    """
+
+
+@query("cusum_changepoint", oracle=_cusum_oracle())
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10/DQ (r15): one-sided CUSUM change-point detection over each
+    order-priority's daily revenue series — the sequential mean-shift
+    monitor (Page 1954) that complements daily_anomaly_bands' pointwise
+    z-band: a small persistent upward shift never trips a z-band but
+    ACCUMULATES in the CUSUM statistic. The recursion
+    S_t = max(0, S_{t-1} + x_t - k) is not a plain window aggregate,
+    but its closed form is: with P_t the prefix sum of (x_t - k),
+    S_t = P_t - min(0, min_{j<=t} P_j) — two ordered-window aggregates
+    over one sort. k = per-series median, threshold h = 5x the median
+    absolute deviation, both percentiles of 2dp values (exact in both
+    engines); every accumulated term is DECIMAL so the prefix sums are
+    exact integers-at-scale-3 and the flag comparison can never sit on
+    a float boundary that libm association could flip.
+
+    Plan: one shuffle for the daily rollup (map-side partial), two
+    5-row broadcast joins for the per-series constants, ONE sort for
+    both running windows (same partition+order spec), tiny final agg.
+    At 100 TB the series key is the partition key and each series'
+    state is its day count, not its row count."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dround(F.sum("o_totalprice"), 2).alias("x"))
+    )
+    ref = daily.groupBy("series").agg(
+        dround(F.percentile("x", 0.5), 3).alias("med")
+    )
+    dev = daily.join(F.broadcast(ref), "series").select(
+        "series",
+        "day",
+        (F.col("x") - F.col("med")).cast("decimal(18,3)").alias("dv"),
+        F.abs(F.col("x") - F.col("med")).alias("adv"),
+    )
+    mad = dev.groupBy("series").agg(
+        dround(
+            F.lit(_CUSUM_MAD_MULT) * F.percentile("adv", 0.5), 3
+        )
+        .cast("decimal(18,3)")
+        .alias("h")
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dev.join(F.broadcast(mad), "series").select(
+        "series", "day", "h", F.sum("dv").over(w).alias("p")
+    )
+    run = pre.select(
+        "series",
+        "day",
+        "h",
+        (
+            F.col("p")
+            - F.least(
+                F.lit(0).cast("decimal(38,3)"), F.min("p").over(w)
+            )
+        ).alias("s"),
+    )
+    flagged = F.col("s") > F.col("h")
+    return run.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+        F.min(F.when(flagged, F.col("day")))
+        .cast("timestamp")
+        .alias("first_flag_day"),
+        dround(F.max(F.col("s").cast("double")), 3).alias("max_cusum"),
+    )

@@ -341,3 +341,72 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel", "month_key", "revenue",
         dround((F.col("revenue") - prev) / prev * 100, 2).alias("pct_change"),
     )
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+    WITH g AS (
+      SELECT p_brand, p_retailprice,
+             MAX(p_size) AS mx
+      FROM part GROUP BY 1, 2
+    ),
+    swept AS (
+      SELECT p_brand, p_retailprice, mx,
+             MAX(mx) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS m_lt
+      FROM g
+    )
+    SELECT p.p_brand, p.p_partkey, p.p_retailprice,
+           CAST(p.p_size AS INT) AS p_size
+    FROM part p JOIN swept s
+      ON p.p_brand = s.p_brand AND p.p_retailprice = s.p_retailprice
+    WHERE NOT (
+      (s.m_lt IS NOT NULL AND s.m_lt >= p.p_size) OR s.mx > p.p_size
+    )
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 (r15): per-brand Pareto frontier (skyline) of parts on
+    (retail price MIN, size MAX) — the "no strictly better trade-off
+    exists" catalogue query (Borzsony/Kossmann/Stocker, ICDE 2001). A
+    part is dominated when some same-brand part is no worse on both
+    axes and strictly better on one; the naive formulation is a
+    quadratic inequality self-join, which is exactly what a 100 TB
+    catalogue cannot afford.
+
+    For a 2-D skyline the dominance test collapses to a SWEEP: group
+    to one row per (brand, price) carrying the max size at that price,
+    sort each brand by price, and a part survives iff its size beats
+    BOTH the running max over strictly-cheaper rows (m_lt) and any
+    same-price larger twin (mx) — equal-price equal-size ties are
+    mutually non-dominating and all survive, matching the strict-
+    somewhere definition. Plan: one partial-agg shuffle on (brand,
+    price), one per-brand ordered window over DISTINCT prices (state
+    = one running max), one equi-join back to the parts (AQE
+    broadcasts the swept side when small). All comparisons are on raw
+    parquet values — no arithmetic, nothing for cross-engine floats
+    to disagree about."""
+    part = load(spark, sf_dir, "part")
+    g = part.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("mx")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = g.select(
+        "p_brand", "p_retailprice", "mx", F.max("mx").over(w).alias("m_lt")
+    )
+    j = part.join(swept, ["p_brand", "p_retailprice"])
+    dominated = (
+        F.col("m_lt").isNotNull() & (F.col("m_lt") >= F.col("p_size"))
+    ) | (F.col("mx") > F.col("p_size"))
+    return j.filter(~dominated).select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("int").alias("p_size"),
+    )
