@@ -860,3 +860,50 @@ def _q_bucket(q_col: str, scale: int = _Q_SCALE):
     bounded by the score's codomain times the level's scale, not the
     corpus."""
     return F.floor(F.col(q_col) * scale).cast("long")
+
+
+def weighted_sample_topn(
+    keyed: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    seed: int,
+    oversample: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement per stratum
+    — sequential Poisson sampling (Ohlsson 1998, the approximation of
+    strict probability-proportional-to-size sampling used by official
+    statistics): each row draws a uniform u from the portable 60-bit
+    md5 hash of its id and ranks by xi = u / weight; the ``n_target``
+    SMALLEST xi per stratum are the sample. Heavier rows draw
+    stochastically smaller keys, so inclusion probability is
+    ~proportional to weight, membership is stable under corpus growth
+    (a new row changes nothing about existing keys), and — unlike the
+    classic Efraimidis-Spirakis exponential key -ln(u)/w — xi is ONE
+    IEEE division of two deterministic doubles, so both engines
+    compute it bit-identically (no libm transcendental whose last ulp
+    could flip a rank).
+
+    Scale shape mirrors smallest_hash_topn: ``keyed`` carries
+    ``weight`` (exact DECIMAL so the stratum total is association-
+    free) and ``wsum``/``n_target`` from a broadcast per-stratum agg;
+    a map-side prefilter keeps only xi < oversample*n_target/wsum —
+    expected pass count is oversample*n_target per stratum (sum of
+    min(1, c*w_i) <= c*wsum) — so the per-stratum sort sees sample-
+    sized input, not corpus-sized. Callers' oracles apply the
+    identical prefilter: cross-engine equality is exact by
+    construction."""
+    u = portable_hash64(F.col(id_col).cast("string"), seed) / F.lit(
+        float(1 << 60)
+    )
+    xi = u / F.col("weight").cast("double")
+    cut = (F.lit(float(oversample)) * F.col("n_target")) / F.col(
+        "wsum"
+    ).cast("double")
+    kept = keyed.withColumn("__xi", xi).filter(F.col("__xi") < cut)
+    w = Window.partitionBy(stratum_col).orderBy("__xi", id_col)
+    return (
+        kept.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("n_target"))
+        .withColumnRenamed("__xi", "xi")
+        .withColumnRenamed("__rk", "sample_rank")
+    )

@@ -1920,3 +1920,83 @@ def stream_domain_admit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_stream_assignments(spark, out).select(
         "doc_id", "source", "admit_seq"
     )
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(GREATEST(c_acctbal, 0) + 1.0 AS DECIMAL(18, 2)) AS weight
+      FROM customer
+    ),
+    tot AS (
+      SELECT c_mktsegment, SUM(weight) AS wsum FROM w GROUP BY 1
+    ),
+    keyed AS (
+      SELECT w.c_custkey, w.c_mktsegment, w.weight,
+             ({oracle_hash64("CAST(c_custkey AS VARCHAR)", 29)}
+               / 1152921504606846976.0) / CAST(w.weight AS DOUBLE) AS xi,
+             t.wsum
+      FROM w JOIN tot t USING (c_mktsegment)
+    ),
+    kept AS (
+      SELECT * FROM keyed WHERE xi < 192.0 / CAST(wsum AS DOUBLE)
+    ),
+    ranked AS (
+      SELECT c_mktsegment, c_custkey, weight, xi,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY xi, c_custkey) AS rk
+      FROM kept
+    )
+    SELECT c_mktsegment, CAST(rk AS BIGINT) AS sample_rank, c_custkey,
+           CAST(weight AS DOUBLE) AS weight,
+           {oracle_dround("xi", 12)} AS xi_key
+    FROM ranked WHERE rk <= 24
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 (r15): weighted sampling WITHOUT replacement, 24 customers
+    per market segment with inclusion probability ~proportional to
+    account balance — the quality-weighted corpus subsample (pick
+    training docs proportional to a quality score) expressed on the
+    commerce star. Sequential Poisson sampling (Ohlsson 1998): rank by
+    xi = u / weight with u the portable 60-bit md5 of the key, keep
+    the k smallest per stratum. xi is one IEEE division — unlike the
+    Efraimidis-Spirakis -ln(u)/w key there is NO transcendental, so
+    both engines compute every key bit-identically and the rank order
+    can never flip on a libm ulp.
+
+    Scale shape (operators/training_prep.weighted_sample_topn): the
+    stratum weight totals are an exact-DECIMAL broadcast agg
+    (association-free cross-engine), and a map-side prefilter
+    xi < oversample*k/wsum bounds each stratum's sort input at
+    ~oversample*k expected rows regardless of stratum size — the same
+    contract as the smallest-hash samplers, extended to weights. The
+    oracle applies the identical prefilter, so equality is exact by
+    construction. Spark puts a WindowGroupLimit below the shuffle for
+    the rank filter on top."""
+    from multichannel_commerce_data_pipeline_spark.operators import (
+        training_prep as TP,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.greatest(F.col("c_acctbal"), F.lit(0.0)) + F.lit(1.0))
+        .cast("decimal(18,2)")
+        .alias("weight"),
+    )
+    tot = cust.groupBy("c_mktsegment").agg(
+        F.sum("weight").alias("wsum"), F.lit(24).alias("n_target")
+    )
+    keyed = cust.join(F.broadcast(tot), "c_mktsegment")
+    return TP.weighted_sample_topn(
+        keyed, "c_mktsegment", "c_custkey", 29, oversample=8
+    ).select(
+        "c_mktsegment",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+        "c_custkey",
+        F.col("weight").cast("double").alias("weight"),
+        dround(F.col("xi"), 12).alias("xi_key"),
+    )

@@ -2290,3 +2290,101 @@ def histogram_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drifted"
         ),
     )
+
+
+# --- k-anonymity audit (r15) -----------------------------------------
+# The release-gate compliance twin of erasure_propagation: erasure
+# removes the identified rows; this measures whether what REMAINS is
+# re-identifiable. Quasi-identifier ladder, most specific first — each
+# level drops the rightmost QI, which is exactly GROUP BY ROLLUP.
+_KANON_K = 5
+
+
+def _kanon_oracle() -> str:
+    pct = oracle_dround(
+        "100.0 * CAST(rows_below_k AS DOUBLE) / n_rows", 4
+    )
+    return f"""
+    WITH qi AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+      FROM customer
+    ),
+    grps AS (
+      SELECT GROUPING(seg, nat, band) AS gid, COUNT(*) AS gsz
+      FROM qi GROUP BY ROLLUP(seg, nat, band)
+    ),
+    lv AS (
+      SELECT gid,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(MIN(gsz) AS BIGINT) AS min_group_size,
+             CAST(SUM(CASE WHEN gsz < {_KANON_K} THEN gsz ELSE 0 END)
+               AS BIGINT) AS rows_below_k,
+             CAST(SUM(gsz) AS BIGINT) AS n_rows
+      FROM grps GROUP BY gid
+    )
+    SELECT CASE gid WHEN 0 THEN 'segment+nation+band'
+                    WHEN 1 THEN 'segment+nation'
+                    WHEN 3 THEN 'segment'
+                    ELSE 'none' END AS generalization,
+           n_groups, min_group_size, rows_below_k,
+           {pct} AS suppressed_pct,
+           (rows_below_k = 0) AS is_k_anonymous
+    FROM lv
+    """
+
+
+@query("k_anonymity_audit", oracle=_kanon_oracle())
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 (r15): k-anonymity audit with a generalization ladder — the
+    privacy release gate next to erasure_propagation: erasure deletes
+    the identified rows, this measures whether the SURVIVORS are
+    re-identifiable through quasi-identifiers (Sweeney 2002). A table
+    is k-anonymous under a QI projection when every QI combination is
+    shared by >= k rows; rows in smaller groups would need suppression
+    before release. The audit reports, for each rung of the
+    generalization ladder (segment+nation+balance-band ->
+    segment+nation -> segment -> none), the group count, the smallest
+    group, the rows needing suppression under k=5, and the suppressed
+    share — the curve a data owner reads to pick the cheapest
+    generalization that clears policy.
+
+    Plan shape: the ladder is GROUP BY ROLLUP — every rung in ONE
+    Expand + ONE keyed exchange (Spark's rollup replicates each row
+    once per rung map-side, partial-aggregated before the shuffle),
+    then a rung-count-sized final agg. The naive form is one group-by
+    per rung = L full passes; at 100 TB the rollup does them all in
+    the single pass the most specific rung already needed. All
+    measures are integer counts; the only double is the suppressed
+    share, rounded through the cross-engine decimal path."""
+    qi = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("band"),
+    )
+    grps = qi.rollup("seg", "nat", "band").agg(
+        F.count(F.lit(1)).alias("gsz"), F.grouping_id().alias("gid")
+    )
+    lv = grps.groupBy("gid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("gsz").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("gsz") < _KANON_K, F.col("gsz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_below_k"),
+        F.sum("gsz").cast("long").alias("n_rows"),
+    )
+    return lv.select(
+        F.when(F.col("gid") == 0, F.lit("segment+nation+band"))
+        .when(F.col("gid") == 1, F.lit("segment+nation"))
+        .when(F.col("gid") == 3, F.lit("segment"))
+        .otherwise(F.lit("none"))
+        .alias("generalization"),
+        "n_groups",
+        "min_group_size",
+        "rows_below_k",
+        dround(
+            F.lit(100.0) * F.col("rows_below_k").cast("double") / F.col("n_rows"),
+            4,
+        ).alias("suppressed_pct"),
+        (F.col("rows_below_k") == 0).alias("is_k_anonymous"),
+    )
