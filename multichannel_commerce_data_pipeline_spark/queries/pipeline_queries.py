@@ -738,3 +738,118 @@ def quarantine_mark(s: DataFrame) -> DataFrame:
         fails.alias("fails"),
         n_fails.cast("int").alias("n_fails"),
     )
+
+
+# --- declarative expectation suite (r15) ------------------------------
+# The suite is DATA: one (table, column, expectation, violation-SQL)
+# row per check, in ANSI SQL both engines parse — Spark via F.expr,
+# DuckDB verbatim — so engine and oracle compile the identical
+# predicate from the identical spec and can never drift. "unique" is
+# the one aggregate-level check (COUNT(*) - COUNT(DISTINCT col)).
+# Relationship checks live in referential_integrity (X17), which this
+# suite complements at the column level.
+_EXPECTATIONS: tuple[tuple[str, str, str, str], ...] = (
+    ("orders", "o_custkey", "not_null", "o_custkey IS NULL"),
+    ("orders", "o_orderkey", "unique", ""),
+    (
+        "orders",
+        "o_orderstatus",
+        "accepted_values",
+        "NOT (o_orderstatus IN ('O', 'F', 'P'))",
+    ),
+    ("orders", "o_totalprice", "positive", "NOT (o_totalprice > 0)"),
+    ("lineitem", "l_orderkey", "not_null", "l_orderkey IS NULL"),
+    (
+        "lineitem",
+        "l_discount",
+        "in_range_0_1",
+        "NOT (l_discount >= 0 AND l_discount <= 1)",
+    ),
+    ("lineitem", "l_quantity", "positive", "NOT (l_quantity > 0)"),
+    ("customer", "c_custkey", "unique", ""),
+    ("customer", "c_acctbal", "not_null", "c_acctbal IS NULL"),
+)
+
+
+def _expectation_oracle() -> str:
+    per_table: dict[str, list[str]] = {}
+    rows = []
+    for i, (tbl, col, kind, cond) in enumerate(_EXPECTATIONS):
+        if kind == "unique":
+            cnt = f"COUNT(*) - COUNT(DISTINCT {col})"
+        else:
+            cnt = f"SUM(CASE WHEN COALESCE(({cond}), TRUE) THEN 1 ELSE 0 END)"
+        per_table.setdefault(tbl, []).append(f"CAST({cnt} AS BIGINT) AS v{i}")
+        rows.append(
+            f"""    SELECT '{tbl}' AS table_name, '{col}' AS column_name,
+           '{kind}' AS expectation, a_{tbl}.v{i} AS n_violations,
+           (a_{tbl}.v{i} = 0) AS passed
+    FROM a_{tbl}"""
+        )
+    ctes = ",\n".join(
+        f"    a_{tbl} AS (SELECT {', '.join(cols)} FROM {tbl})"
+        for tbl, cols in per_table.items()
+    )
+    return "\n    WITH\n" + ctes + "\n" + "\n    UNION ALL\n".join(rows)
+
+
+@query("expectation_suite", oracle=_expectation_oracle())
+def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/DQ (r15): the declarative data-contract suite — dbt-style
+    schema tests (not_null / unique / accepted_values / range) declared
+    as DATA and compiled into the minimum number of passes: every
+    check on a table becomes one conditional counter in that table's
+    single aggregate (unique = COUNT(*) - COUNT(DISTINCT)), so the
+    whole 9-check suite over three tables costs exactly three
+    column-pruned scans with map-side partial aggregation — adding a
+    tenth check to a table it already covers costs one more counter,
+    not a pass. The one-row-per-check report then falls out of the
+    explode-a-literal-struct-array unpivot (the threshold-sweep
+    idiom). NULL comparison results count as violations (COALESCE(cond,
+    TRUE)) so a range check cannot silently pass on a NULL column —
+    identical text in F.expr and the oracle, single-sourced from the
+    spec tuple. Relationship (FK) checks are referential_integrity's
+    job; together they are the post-write contract gate a
+    MERGE/CDC/erasure pipeline runs before publishing."""
+    from multichannel_commerce_data_pipeline_spark.tables import load as _load
+
+    per_table: dict[str, list[tuple[int, str, str, str]]] = {}
+    for i, (tbl, col, kind, cond) in enumerate(_EXPECTATIONS):
+        per_table.setdefault(tbl, []).append((i, col, kind, cond))
+    frames = []
+    for tbl, checks in per_table.items():
+        df = _load(spark, sf_dir, tbl)
+        aggs = []
+        for i, col, kind, cond in checks:
+            if kind == "unique":
+                c = F.count(F.lit(1)) - F.count_distinct(F.col(col))
+            else:
+                c = F.sum(
+                    F.when(
+                        F.coalesce(F.expr(cond), F.lit(True)), F.lit(1)
+                    ).otherwise(F.lit(0))
+                )
+            aggs.append(c.cast("long").alias(f"v{i}"))
+        one = df.agg(*aggs)
+        frames.append(
+            one.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(tbl).alias("table_name"),
+                                F.lit(col).alias("column_name"),
+                                F.lit(kind).alias("expectation"),
+                                F.col(f"v{i}").alias("n_violations"),
+                                (F.col(f"v{i}") == 0).alias("passed"),
+                            )
+                            for i, col, kind, cond in checks
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.*")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

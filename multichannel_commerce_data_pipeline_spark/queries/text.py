@@ -1045,3 +1045,86 @@ def keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(wr)).select(
         "phrase", "n_occurrences", "score", "rank"
     )
+
+
+# --- positional phrase search (r15) ----------------------------------
+# The positional postings index: (doc_id, pos, token), built once per
+# (session, sf_dir) like _doc_term_index and repartitioned on token so
+# every phrase probe's term filter lands on the cached layout. At
+# 100 TB this is the inverted index you persist bucketed by token;
+# a phrase probe then reads ONLY the phrase terms' postings.
+_POS_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PHRASE = ("hash", "join")
+
+
+def _doc_pos_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        from pyspark import StorageLevel
+
+        d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
+        toks = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        # posexplode_outer + null filter: a bare generator would make
+        # InferFiltersFromGenerate push the whole tokenizer into the
+        # scan filter (the shingle lesson)
+        post = toks.select(
+            "doc_id", F.posexplode_outer("toks").alias("pos", "token")
+        ).filter(F.col("token").isNotNull())
+        n_parts = spark.sparkContext.defaultParallelism
+        idx = post.repartition(n_parts, "token").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        idx.count()
+        return idx
+
+    return session_memo(spark, _POS_INDEX_CACHE, sf_dir, build)
+
+
+@query(
+    "phrase_search",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr
+      FROM documents
+    ),
+    post AS (
+      SELECT doc_id, unnest(arr) AS token,
+             generate_subscripts(arr, 1) AS pos
+      FROM toks
+    ),
+    p1 AS (SELECT doc_id, pos FROM post WHERE token = '{_PHRASE[0]}'),
+    p2 AS (SELECT doc_id, pos - 1 AS pos FROM post
+           WHERE token = '{_PHRASE[1]}')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM p1 JOIN p2 USING (doc_id, pos)
+    GROUP BY doc_id
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 (r15): exact PHRASE query over the positional postings
+    index — the retrieval primitive bm25_search cannot express (BM25
+    is bag-of-words; "hash join" the phrase is not "hash" and "join"
+    anywhere in the document). Classic positional-intersection: the
+    phrase's first term's postings equi-join the second term's
+    postings shifted by one position on (doc_id, pos); n-token
+    phrases chain n-1 such joins. Returns per matching document the
+    occurrence count and the first match position (1-based).
+
+    Scale shape: the corpus is tokenized ONCE into a persisted
+    positional index partitioned on token (_doc_pos_index — the
+    positional sibling of bm25's _doc_term_index); each probe filters
+    that cached layout down to the phrase terms' postings before any
+    shuffle, so probe cost scales with the TERMS' posting lists, not
+    the corpus — the reason search engines store positions in the
+    index instead of rescanning text. The equi-join is
+    AQE-broadcastable for selective terms."""
+    idx = _doc_pos_index(spark, sf_dir)
+    p1 = idx.filter(F.col("token") == _PHRASE[0]).select("doc_id", "pos")
+    p2 = idx.filter(F.col("token") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    j = p1.join(p2, ["doc_id", "pos"])
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        (F.min("pos") + 1).cast("long").alias("first_pos"),
+    )
