@@ -91,11 +91,12 @@ ROTATION_AGE_BOUND_FLOOR = 4
 # stays the PRUNING tripwire: the whole block must be deleted once the
 # bulge drains, or the expiry test reddens the next boundary.
 #
-# r14: the due r9-vintage cohort is exactly 49 rows (a full window with
-# the flagship), so the five r14 priority-2 declarations displace the
-# five alphabetically-last due rows by exactly one round. They are the
-# unique oldest evidence after r14 and oldest-first seating puts them
-# at the head of the r15 window automatically.
+# r14: the due r9-vintage cohort was exactly 49 rows (a full window
+# with the flagship), so the five r14 priority-2 declarations displaced
+# the five alphabetically-last due rows by exactly one round. They are
+# the unique oldest evidence after r14 and oldest-first seating puts
+# them at the head of the r15 window automatically (kept as data for
+# tests/test_rotation.py's displaced-cohort planner test).
 _R14_DISPLACED = (
     "training_shard_layout",
     "union_distinct_parties",
@@ -103,58 +104,19 @@ _R14_DISPLACED = (
     "window_first_last",
     "window_lag_lead",
 )
-# The displacement above creates a one-time cohort BULGE that takes
-# two more rounds to drain: at r15 the due set is 5 r9-leftovers + the
-# 48-row r10 cohort (53 due for 49 slots), at r16 the 4-row r15
-# leftover + the 46-row r11 cohort (50 due), and at r17 the window
-# fits again (simulated from the on-disk evidence under the
-# all-r14-rows-green assumption; `scripts/window_audit.py --future 3`
-# reproduces it). The slipping rows are deterministic (alphabetically-last of
-# the due set after oldest-first seating), so their exceptions are
-# declared HERE, in advance — the boundary stays green the moment
-# CORRECTNESS_r14.json lands, which is the entire point of the
-# computed window. If a r14 row comes back red,
-# or r15 declares new changed queries, the actual slip set grows:
-# those additional exceptions are the r15 builder's to declare (an
-# unnecessary exception is harmless — seated rows never consult it).
-# Every entry expires at r17 — the round the rotation fits again —
-# rather than at its own need-round, because the expiry test fails
-# HARD on any entry past expiry: per-round expiries would turn the
-# very boundaries this block protects red. The accumulation tripwire
-# then enforces pruning the whole block during round 17.
-_R15_SLIP = (
-    "substring_dedup_spans",
-    "tfidf_top_terms",
-    "udtf_sentence_split",
-    "unpivot_metrics",
-)
-_BULGE_EXPIRY = 17
-ROTATION_EXCEPTIONS: dict[str, tuple[str, frozenset[int], int]] = {
-    **{
-        n: (
-            "displaced one round by the r14 new-query cohort; "
-            "auto-seats first at r15",
-            frozenset({14}),
-            _BULGE_EXPIRY,
-        )
-        for n in _R14_DISPLACED
-    },
-    **{
-        n: (
-            "r15 tail of the r14 cohort bulge (53 due for 49 slots); "
-            "auto-seats first at r16",
-            frozenset({15}),
-            _BULGE_EXPIRY,
-        )
-        for n in _R15_SLIP
-    },
-    "zorder_layout_prune": (
-        "r16 tail of the r14 cohort bulge (50 due for 49 slots); "
-        "auto-seats first at r17, after which the rotation fits again",
-        frozenset({16}),
-        _BULGE_EXPIRY,
-    ),
-}
+# The r14 displacement opened a cohort bulge that was pre-declared to
+# drain through r17 (exceptions with slip rounds 15/16 and a shared
+# r17 pruning expiry). The r15 registry growth (245 -> 251 oracle-
+# paired queries) moved the PHYSICAL sweep bound from 5 to 6 rounds —
+# rotation_age_bound() is ceil(n/50), the fastest full sweep a 50-slot
+# window can sustain — which makes the r10 cohort non-due at r15 and
+# drains the entire bulge without a single slip:
+# `scripts/window_audit.py --future 4` shows no due-but-unseated row
+# through r19. The exception block is therefore PRUNED per its own
+# tripwire contract (an exception may only excuse a declared slip
+# round; with no slips left, keeping entries could only mask a future
+# planner regression — ADVICE r14).
+ROTATION_EXCEPTIONS: dict[str, tuple[str, frozenset[int], int]] = {}
 
 FLAGSHIP = "exec_daily_kpi"
 WINDOW_SLOTS = 50
@@ -172,17 +134,15 @@ WINDOW_SLOTS = 50
 # window slots (the declared queries hold fresh evidence by then, so
 # oldest-first would not re-seat them either).
 #
-CHANGED_IN_ROUND = 14
+CHANGED_IN_ROUND = 15
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r14 new queries (priority-2 until their first green driver row)
-    "sampled_percentile_cuts",
-    "curation_threshold_sweep",
-    "erasure_propagation",
-    "histogram_delta_merge",
-    # r14 material change (ADVICE r13): cm_inner_product now coalesces
-    # the empty-inner-product MIN to 0 (disjoint key sets) and the
-    # oracle text mirrors COALESCE(MIN(ip), 0) — the row re-earns
-    "join_size_estimate",
+    # r15 new queries (priority-2 until their first green driver row)
+    "cusum_changepoint",
+    "skyline_pareto",
+    "weighted_sample_topk",
+    "k_anonymity_audit",
+    "expectation_suite",
+    "phrase_search",
 )
 
 
