@@ -771,6 +771,22 @@ _EXPECTATIONS: tuple[tuple[str, str, str, str], ...] = (
 )
 
 
+def _check_counter(kind: str, col: str, cond: str) -> Column:
+    """Compile one spec row into its violation counter. NULL predicate
+    results count as violations (COALESCE(cond, TRUE)) so a range
+    check can never silently pass on a NULL value; "unique" is the one
+    aggregate-level check."""
+    if kind == "unique":
+        return (F.count(F.lit(1)) - F.count_distinct(F.col(col))).cast("long")
+    return (
+        F.sum(
+            F.when(F.coalesce(F.expr(cond), F.lit(True)), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+    ).cast("long")
+
+
 def _expectation_oracle() -> str:
     per_table: dict[str, list[str]] = {}
     rows = []
@@ -819,17 +835,10 @@ def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = []
     for tbl, checks in per_table.items():
         df = _load(spark, sf_dir, tbl)
-        aggs = []
-        for i, col, kind, cond in checks:
-            if kind == "unique":
-                c = F.count(F.lit(1)) - F.count_distinct(F.col(col))
-            else:
-                c = F.sum(
-                    F.when(
-                        F.coalesce(F.expr(cond), F.lit(True)), F.lit(1)
-                    ).otherwise(F.lit(0))
-                )
-            aggs.append(c.cast("long").alias(f"v{i}"))
+        aggs = [
+            _check_counter(kind, col, cond).alias(f"v{i}")
+            for i, col, kind, cond in checks
+        ]
         one = df.agg(*aggs)
         frames.append(
             one.select(

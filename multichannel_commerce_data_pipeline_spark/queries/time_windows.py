@@ -1108,6 +1108,12 @@ _CUSUM_MAD_MULT = 5
 
 def _cusum_oracle() -> str:
     xr = oracle_dround("SUM(o_totalprice)", 2)
+    med = oracle_dround("quantile_cont(x, 0.5) OVER (PARTITION BY series)", 3)
+    mad = oracle_dround(
+        f"{_CUSUM_MAD_MULT} * quantile_cont(adv, 0.5)"
+        " OVER (PARTITION BY series)",
+        3,
+    )
     return f"""
     WITH daily AS (
       SELECT o_orderpriority AS series,
@@ -1116,29 +1122,24 @@ def _cusum_oracle() -> str:
       FROM orders GROUP BY 1, 2
     ),
     ref AS (
-      SELECT series,
-             {oracle_dround("quantile_cont(x, 0.5)", 3)} AS med
-      FROM daily GROUP BY 1
+      SELECT series, day, x, {med} AS med FROM daily
     ),
     dev AS (
-      SELECT d.series, d.day,
-             CAST(d.x - r.med AS DECIMAL(18, 3)) AS dv,
-             ABS(d.x - r.med) AS adv
-      FROM daily d JOIN ref r USING (series)
+      SELECT series, day,
+             CAST(x - med AS DECIMAL(18, 3)) AS dv,
+             ABS(x - med) AS adv
+      FROM ref
     ),
     mad AS (
-      SELECT series,
-             CAST({oracle_dround(
-                 f"{_CUSUM_MAD_MULT} * quantile_cont(adv, 0.5)", 3
-             )} AS DECIMAL(18, 3)) AS h
-      FROM dev GROUP BY 1
+      SELECT series, day, dv, CAST({mad} AS DECIMAL(18, 3)) AS h
+      FROM dev
     ),
     pre AS (
-      SELECT v.series, v.day, m.h,
-             SUM(v.dv) OVER (PARTITION BY v.series ORDER BY v.day
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS p
-      FROM dev v JOIN mad m USING (series)
+      SELECT series, day, h,
+             SUM(dv) OVER (PARTITION BY series ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS p
+      FROM mad
     ),
     run AS (
       SELECT series, day, h,
@@ -1175,10 +1176,13 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers-at-scale-3 and the flag comparison can never sit on
     a float boundary that libm association could flip.
 
-    Plan: one shuffle for the daily rollup (map-side partial), two
-    5-row broadcast joins for the per-series constants, ONE sort for
-    both running windows (same partition+order spec), tiny final agg.
-    At 100 TB the series key is the partition key and each series'
+    Plan: one shuffle for the daily rollup (map-side partial), then
+    EVERYTHING — median, MAD, and both running sums — is window
+    functions over the SAME series partitioning, so the whole chain
+    costs exactly one keyed exchange of the day-level rollup and the
+    orders fact is scanned once (the grouped-subquery formulation
+    re-scanned it per constant — the no-DataFrame-CSE lesson). At
+    100 TB the series key is the partition key and each series'
     state is its day count, not its row count."""
     daily = (
         load(spark, sf_dir, "orders")
@@ -1188,30 +1192,33 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dround(F.sum("o_totalprice"), 2).alias("x"))
     )
-    ref = daily.groupBy("series").agg(
-        dround(F.percentile("x", 0.5), 3).alias("med")
+    wp = Window.partitionBy("series")
+    ref = daily.select(
+        "series",
+        "day",
+        "x",
+        dround(F.percentile("x", 0.5).over(wp), 3).alias("med"),
     )
-    dev = daily.join(F.broadcast(ref), "series").select(
+    dev = ref.select(
         "series",
         "day",
         (F.col("x") - F.col("med")).cast("decimal(18,3)").alias("dv"),
         F.abs(F.col("x") - F.col("med")).alias("adv"),
     )
-    mad = dev.groupBy("series").agg(
-        dround(
-            F.lit(_CUSUM_MAD_MULT) * F.percentile("adv", 0.5), 3
-        )
+    mad = dev.select(
+        "series",
+        "day",
+        "dv",
+        dround(F.lit(_CUSUM_MAD_MULT) * F.percentile("adv", 0.5).over(wp), 3)
         .cast("decimal(18,3)")
-        .alias("h")
+        .alias("h"),
     )
     w = (
         Window.partitionBy("series")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pre = dev.join(F.broadcast(mad), "series").select(
-        "series", "day", "h", F.sum("dv").over(w).alias("p")
-    )
+    pre = mad.select("series", "day", "h", F.sum("dv").over(w).alias("p"))
     run = pre.select(
         "series",
         "day",

@@ -2699,3 +2699,230 @@ def test_boilerplate_persist_collision_guard(spark):
     assert got == want
     assert not D._BOILERPLATE_PERSISTED[key1].sameSemantics(poison)
     D._BOILERPLATE_PERSISTED.clear()
+
+
+# --- r15 query behavior tests ----------------------------------------
+
+
+def test_weighted_sample_matches_bruteforce(spark):
+    """Sequential Poisson sampling on a planted frame must equal the
+    brute-force ranking (xi = md5-uniform / weight, k smallest per
+    stratum) computed independently in Python — and the map-side
+    prefilter must be value-invisible: a huge oversample (no filtering
+    in practice) returns the identical sample."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        weighted_sample_topn,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", float(1 + (i * 7) % 50)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, stratum string, w double").select(
+        "id", "stratum", F.col("w").cast("decimal(18,2)").alias("weight")
+    )
+    tot = df.groupBy("stratum").agg(
+        F.sum("weight").alias("wsum"), F.lit(5).alias("n_target")
+    )
+    keyed = df.join(F.broadcast(tot), "stratum")
+    got = {
+        (r.stratum, r.sample_rank): r.id
+        for r in weighted_sample_topn(keyed, "stratum", "id", 99, 8).collect()
+    }
+
+    def xi(i: int, w: float) -> float:
+        h = int(hashlib.md5(f"99:{i}".encode()).hexdigest()[:15], 16)
+        return (h / float(1 << 60)) / w
+
+    expect = {}
+    for s in ("a", "b"):
+        ranked = sorted(
+            ((xi(i, w), i) for i, st, w in rows if st == s),
+        )[:5]
+        for rk, (_, i) in enumerate(ranked, 1):
+            expect[(s, rk)] = i
+    assert got == expect
+    unfiltered = {
+        (r.stratum, r.sample_rank): r.id
+        for r in weighted_sample_topn(
+            keyed, "stratum", "id", 99, 10**9
+        ).collect()
+    }
+    assert unfiltered == got
+
+
+def test_cusum_closed_form_equals_recursion(spark, sf_dir):
+    """The windowed closed form S_t = P_t - min(0, min P_j) must equal
+    the textbook recursion S_t = max(0, S_{t-1} + dv_t) replayed in
+    exact Decimal arithmetic over the engine's own daily deviations —
+    per series: same flag count, same first flagged day, same max."""
+    from decimal import Decimal
+
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+    from multichannel_commerce_data_pipeline_spark.queries.time_windows import (
+        _CUSUM_MAD_MULT,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dround(F.sum("o_totalprice"), 2).alias("x"))
+        .collect()
+    )
+    import statistics
+
+    by_series: dict[str, list] = {}
+    for r in daily:
+        by_series.setdefault(r.series, []).append((r.day, r.x))
+    expect = {}
+    for s, pts in by_series.items():
+        pts.sort()
+        xs = [Decimal(str(x)).quantize(Decimal("0.01")) for _, x in pts]
+        med = Decimal(str(statistics.median(xs))).quantize(Decimal("0.001"))
+        devs = [x - med for x in xs]
+        mad = Decimal(
+            str(_CUSUM_MAD_MULT * statistics.median(sorted(abs(d) for d in devs)))
+        ).quantize(Decimal("0.001"))
+        s_t, flags, first, mx = Decimal(0), 0, None, Decimal(0)
+        for (day, _), dv in zip(pts, devs):
+            s_t = max(Decimal(0), s_t + dv)
+            mx = max(mx, s_t)
+            if s_t > mad:
+                flags += 1
+                first = first or day
+        expect[s] = (len(pts), flags, first, float(mx))
+    got = {
+        r.series: (
+            r.n_days,
+            r.n_flagged,
+            r.first_flag_day.date() if r.first_flag_day else None,
+            r.max_cusum,
+        )
+        for r in load_registry()["cusum_changepoint"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for s in expect:
+        n, f, d, m = expect[s]
+        assert got[s][0] == n and got[s][1] == f and got[s][2] == d
+        assert abs(got[s][3] - m) < 1e-6, (s, got[s][3], m)
+
+
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
+    """The windowed sweep must return exactly the parts no same-brand
+    part strictly dominates — checked against the O(n^2) definition in
+    Python, which also exercises the equal-price and duplicate-point
+    tie rules the sweep encodes."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    parts = load(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    by_brand: dict[str, list] = {}
+    for r in parts:
+        by_brand.setdefault(r.p_brand, []).append(r)
+    expect = set()
+    for brand, rows in by_brand.items():
+        for p in rows:
+            dominated = any(
+                q.p_retailprice <= p.p_retailprice
+                and q.p_size >= p.p_size
+                and (q.p_retailprice < p.p_retailprice or q.p_size > p.p_size)
+                for q in rows
+            )
+            if not dominated:
+                expect.add((brand, p.p_partkey))
+    got = {
+        (r.p_brand, r.p_partkey)
+        for r in load_registry()["skyline_pareto"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_kanon_bruteforce_and_ladder_monotonicity(spark, sf_dir):
+    """Each rung's suppression count must equal the brute-force QI
+    group-size census, and generalizing (dropping a QI) can only
+    shrink or hold the below-k row count — the property the ladder
+    report exists to show."""
+    from collections import Counter
+
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    cust = load(spark, sf_dir, "customer").collect()
+    levels = {
+        "segment+nation+band": lambda r: (
+            r.c_mktsegment,
+            r.c_nationkey,
+            int(r.c_acctbal // 1000),
+        ),
+        "segment+nation": lambda r: (r.c_mktsegment, r.c_nationkey),
+        "segment": lambda r: (r.c_mktsegment,),
+        "none": lambda r: (),
+    }
+    expect = {}
+    for name, key in levels.items():
+        sizes = Counter(key(r) for r in cust)
+        expect[name] = sum(v for v in sizes.values() if v < 5)
+    got = {
+        r.generalization: r.rows_below_k
+        for r in load_registry()["k_anonymity_audit"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    ladder = ["segment+nation+band", "segment+nation", "segment", "none"]
+    for a, b in zip(ladder, ladder[1:]):
+        assert got[b] <= got[a], (a, b, got)
+
+
+def test_expectation_counter_null_is_violation(spark):
+    """A NULL predicate result must COUNT as a violation: a range
+    check over a NULL column cannot silently pass (the COALESCE(cond,
+    TRUE) clause), and unique counts duplicate keys only."""
+    from multichannel_commerce_data_pipeline_spark.queries.pipeline_queries import (
+        _check_counter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0), (1, 2.0)],
+        "k long, v double",
+    )
+    row = df.agg(
+        _check_counter("positive", "v", "NOT (v > 0)").alias("pos"),
+        _check_counter("unique", "k", "").alias("uni"),
+        _check_counter("not_null", "v", "v IS NULL").alias("nn"),
+    ).collect()[0]
+    assert row.pos == 2  # the NULL and the -1.0
+    assert row.uni == 1  # one duplicated key
+    assert row.nn == 1
+
+
+def test_phrase_search_counts_adjacent_pairs(spark, sf_dir):
+    """Phrase occurrences must equal the brute-force count of adjacent
+    (t1, t2) token pairs per document — including overlapping runs
+    like 't1 t1 t2' (one match) and 't1 t2 t1 t2' (two)."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+    from multichannel_commerce_data_pipeline_spark.queries.text import _PHRASE
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for r in docs:
+        toks = r.text.lower().split()
+        hits = [
+            i
+            for i in range(len(toks) - 1)
+            if toks[i] == _PHRASE[0] and toks[i + 1] == _PHRASE[1]
+        ]
+        if hits:
+            expect[r.doc_id] = (len(hits), hits[0] + 1)
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in load_registry()["phrase_search"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect

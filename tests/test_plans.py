@@ -865,3 +865,102 @@ def test_histogram_delta_merge_scans_only_the_delta(plans):
 
     owned = re.findall(r"hashpartitioning\((\w+)", p)
     assert owned and all(k.startswith("bucket") for k in owned), owned
+
+
+def test_cusum_is_one_scan_one_keyed_exchange(plans):
+    """The CUSUM chain (daily rollup -> median -> MAD -> two running
+    sums) must cost ONE scan of orders and ONE keyed exchange: every
+    per-series constant is a window over the same series partitioning
+    as the running sums, not a grouped subquery joined back (which
+    re-scanned the fact once per constant — the no-DataFrame-CSE
+    lesson)."""
+    import re
+
+    p = plans("cusum_changepoint")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p, j
+    owned = re.findall(r"hashpartitioning\((\w+)", p)
+    # two keyed exchanges, both on the series concept: the day-level
+    # rollup (pre-alias source column) and the series repartition the
+    # four windows share
+    assert owned and all(
+        k.startswith(("series", "o_orderpriority")) for k in owned
+    ), owned
+
+
+def test_skyline_sweeps_distinct_prices_not_parts(plans):
+    """The dominance test must be the 2-D sweep, never the quadratic
+    inequality self-join: the window runs over the per-(brand, price)
+    aggregate (its input is DISTINCT prices), the join back to parts
+    is an equi-join (broadcast at this scale), and no inequality join
+    or cartesian product appears anywhere."""
+    p = plans("skyline_pareto")
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert tree.count("Window") == 1
+    # the window consumes the (brand, price) aggregate, not raw parts
+    import re
+
+    assert re.search(r"Window .*\n.*Sort", p) or "Window" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_weighted_sample_prefilters_and_group_limits(plans):
+    """The xi prefilter must run map-side BEFORE the stratum shuffle
+    (sort input is sample-sized, not corpus-sized) and Spark must
+    plant WindowGroupLimit on both sides of the exchange for the
+    rank-k filter; the stratum totals enter via broadcast."""
+    p = plans("weighted_sample_topk")
+    assert p.count("WindowGroupLimit") >= 2, p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_kanon_ladder_is_one_rollup_pass(plans):
+    """Every rung of the generalization ladder comes out of ONE
+    Expand + ONE keyed exchange (GROUP BY ROLLUP), plus the
+    rung-count-sized gid aggregate — never one group-by pass per
+    rung: one customer scan total."""
+    import re
+
+    p = plans("k_anonymity_audit")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Expand") == 1, tree
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert j not in p, j
+
+
+def test_expectation_suite_is_one_pass_per_table(plans):
+    """Nine checks over three tables must compile to exactly three
+    column-pruned scans (one conditional-counter aggregate per table,
+    unpivoted by Generate) — no joins, no keyed repartition of any
+    fact (the only hashpartitioning is the count-distinct partial
+    for the unique checks)."""
+    import re
+
+    p = plans("expectation_suite")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 3, p
+    assert p.split("\n\n")[0].count("Generate") == 3
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p, j
+
+
+def test_phrase_search_probes_cached_postings(plans):
+    """A phrase probe must read the PERSISTED positional index
+    (InMemoryTableScan on both phrase terms' postings), never
+    re-tokenize the corpus in its own plan, and intersect via an
+    equi-join (broadcast for selective terms) — probe cost scales
+    with posting-list size, not corpus size."""
+    p = plans("phrase_search")
+    tree = p.split("\n\n")[0]
+    assert tree.count("InMemoryTableScan") >= 2, tree
+    assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree
+    # the probe plan's own work contains no tokenizer: Generate only
+    # appears inside the cached relation's build plan, below
+    # InMemoryRelation
+    probe = tree.split("InMemoryRelation")[0]
+    assert "Generate" not in probe, probe
