@@ -132,6 +132,19 @@ HEADLINE = [
     "curation_threshold_sweep",
     "erasure_propagation",
     "histogram_delta_merge",
+    # round 15 additions: CUSUM change-points (one rollup exchange +
+    # series windows, all-DECIMAL prefix sums), the per-brand skyline
+    # sweep (distinct-price window + equi-join back), stratified
+    # sequential-Poisson weighted sampling (prefilter-bounded top-k),
+    # the ROLLUP k-anonymity ladder (one Expand pass), the declarative
+    # expectation suite (three counter scans), and the positional
+    # phrase probe (cached postings intersect).
+    "cusum_changepoint",
+    "skyline_pareto",
+    "weighted_sample_topk",
+    "k_anonymity_audit",
+    "expectation_suite",
+    "phrase_search",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",

@@ -668,6 +668,88 @@ COMMENTARY = {
         "full scan. One keyed exchange (bucket), one broadcast of "
         "the 1-row total (asserted in tests/test_plans.py)."
     ),
+    "cusum_changepoint": (
+        "One-sided CUSUM mean-shift detection as pure window algebra: "
+        "the recursion S_t = max(0, S_{t-1} + dv) is the closed form "
+        "P_t - min(0, min P_j) — two running windows over one sort. "
+        "The per-series median and MAD are windows over the SAME "
+        "series partitioning (not grouped subqueries joined back, "
+        "which re-scanned orders once per constant — the no-"
+        "DataFrame-CSE lesson), so the whole chain is ONE orders scan "
+        "and ONE keyed exchange of day-level rollup rows (asserted "
+        "in tests/test_plans.py). Every accumulated term is DECIMAL: "
+        "the prefix sums are exact and association-free, so the flag "
+        "comparison can never sit on a float boundary two engines "
+        "associate differently. tests/test_operators.py replays the "
+        "textbook recursion in exact Decimal arithmetic against the "
+        "closed form."
+    ),
+    "skyline_pareto": (
+        "Per-brand Pareto frontier without the quadratic dominance "
+        "self-join: group to one row per (brand, price) carrying the "
+        "price's max size (partial-agg shuffle), sweep a running max "
+        "over DISTINCT prices per brand (one window, state = one "
+        "number), equi-join back to parts (broadcast at this scale, "
+        "AQE decides at 100 TB). Survivor rule encodes the strict-"
+        "somewhere dominance definition including equal-price and "
+        "duplicate-point ties; tests/test_operators.py checks the "
+        "whole frontier against the O(n^2) definition. All "
+        "comparisons are raw parquet values — no arithmetic for "
+        "cross-engine floats to disagree about."
+    ),
+    "weighted_sample_topk": (
+        "Sequential Poisson sampling (Ohlsson 1998): rank by "
+        "xi = md5-uniform / weight, keep the k smallest per stratum — "
+        "weighted sampling without replacement whose key is ONE IEEE "
+        "division (the Efraimidis-Spirakis -ln(u)/w key would hang "
+        "rank order on a libm ulp). Stratum weight totals are an "
+        "exact-DECIMAL broadcast agg; the xi prefilter runs map-side "
+        "BEFORE the stratum shuffle, bounding each sort's input at "
+        "~oversample*k expected rows regardless of stratum size, and "
+        "Spark plants WindowGroupLimit on BOTH sides of the exchange "
+        "(asserted in tests/test_plans.py). The oracle applies the "
+        "identical prefilter, so cross-engine equality is exact by "
+        "construction."
+    ),
+    "k_anonymity_audit": (
+        "The generalization ladder (segment+nation+band -> ... -> "
+        "none) is GROUP BY ROLLUP: every rung's QI group-size census "
+        "in ONE Expand + ONE keyed exchange with map-side partial "
+        "aggregation, then a rung-count-sized gid aggregate — never "
+        "one pass per rung (asserted in tests/test_plans.py: one "
+        "customer scan, two exchanges, no joins). Reports per rung "
+        "the groups, smallest group, rows needing suppression under "
+        "k=5, and suppressed share — the privacy release gate next "
+        "to erasure_propagation, checked against a brute-force "
+        "census plus ladder monotonicity in tests/test_operators.py."
+    ),
+    "expectation_suite": (
+        "The dbt-style contract suite as DATA: each (table, column, "
+        "expectation, violation-SQL) row compiles to one conditional "
+        "counter — F.expr and the DuckDB oracle parse the IDENTICAL "
+        "predicate text, single-sourced from the spec tuple — so "
+        "nine checks over three tables cost exactly three column-"
+        "pruned scans (asserted in tests/test_plans.py), unpivoted "
+        "to a row per check by the literal-struct-array Generate. "
+        "NULL predicate results count as violations (COALESCE(cond, "
+        "TRUE)): a range check cannot silently pass on a NULL "
+        "column (tests/test_operators.py). FK relationships stay "
+        "referential_integrity's job."
+    ),
+    "phrase_search": (
+        "Exact phrase retrieval over a PERSISTED positional postings "
+        "index (doc_id, pos, token — the positional sibling of "
+        "bm25's doc-term index, built once per corpus version and "
+        "repartitioned on token): the probe filters the cached "
+        "layout to the phrase terms' postings and intersects on "
+        "(doc_id, pos+1) — probe cost scales with posting-list "
+        "size, not corpus size, which is why search engines store "
+        "positions instead of rescanning text. The probe plan "
+        "contains no tokenizer (asserted in tests/test_plans.py: "
+        "InMemoryTableScan on both sides, Generate only inside the "
+        "cached build). Overlap semantics checked brute-force in "
+        "tests/test_operators.py."
+    ),
 }
 
 

@@ -114,6 +114,12 @@ PROBES = [
     ("curation_threshold_sweep", "documents", "decision chain + one global grid-sum row"),
     ("erasure_propagation", "customer x orders x lineitem", "broadcast anti cascade + digest rows"),
     ("histogram_delta_merge", "lineitem delta", "delta bin + <=8-row state merge"),
+    ("cusum_changepoint", "orders daily", "one rollup exchange + series windows"),
+    ("skyline_pareto", "part", "price agg + per-brand sweep + equi-join"),
+    ("weighted_sample_topk", "customer", "prefilter-bounded stratum top-k"),
+    ("k_anonymity_audit", "customer", "one rollup Expand pass, 4 rungs"),
+    ("expectation_suite", "orders+lineitem+customer", "3 counter scans, no joins"),
+    ("phrase_search", "documents postings", "cached postings probe join"),
 ]
 REPS = 3
 
