@@ -139,6 +139,8 @@ HEADLINE = [
     # the ROLLUP k-anonymity ladder (one Expand pass), the declarative
     # expectation suite (three counter scans), and the positional
     # phrase probe (cached postings intersect).
+    # stream_cusum_rollup is a checkpointed streaming drain like the
+    # other stream_* rollups — driver row + tests, not timed.
     "cusum_changepoint",
     "skyline_pareto",
     "weighted_sample_topk",

@@ -143,6 +143,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "k_anonymity_audit",
     "expectation_suite",
     "phrase_search",
+    "stream_cusum_rollup",
 )
 
 

@@ -1239,3 +1239,213 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_flag_day"),
         dround(F.max(F.col("s").cast("double")), 3).alias("max_cusum"),
     )
+
+
+# --- streaming CUSUM monitor (r15) -----------------------------------
+# Reference/monitor split for the arrival-time form: constants are fit
+# on days before _CUSUM_REF_END and the stream watches everything
+# after; the feed is two day-partitioned chunks split at _CUSUM_SPLIT
+# so the recursion provably carries across a micro-batch (and
+# checkpoint-state) boundary.
+_CUSUM_REF_END = "1999-01-01"
+_CUSUM_SPLIT = "2000-06-01"
+_STREAM_CUSUM_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dround(F.sum("o_totalprice"), 2).alias("x"))
+    )
+
+
+def _stream_cusum_run(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import hashlib
+        import os
+        from decimal import Decimal
+
+        from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+            fresh_stream_dir,
+            stream_cusum_monitor,
+        )
+        from multichannel_commerce_data_pipeline_spark.tables import (
+            session_memo as _,  # noqa: F401  (import parity with siblings)
+        )
+
+        daily = _daily_series(spark, sf_dir)
+        ref = daily.filter(F.col("day") < F.lit(_CUSUM_REF_END).cast("date"))
+        med = ref.groupBy("series").agg(
+            dround(F.percentile("x", 0.5), 3).alias("med")
+        )
+        h = (
+            ref.join(F.broadcast(med), "series")
+            .groupBy("series", "med")
+            .agg(
+                dround(
+                    F.lit(_CUSUM_MAD_MULT)
+                    * F.percentile(F.abs(F.col("x") - F.col("med")), 0.5),
+                    3,
+                ).alias("hh")
+            )
+            .collect()
+        )
+        consts = {
+            r.series: (
+                int(Decimal(str(r.med)) * 1000),
+                int(Decimal(str(r.hh)) * 1000),
+            )
+            for r in h
+        }
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tmp = fresh_stream_dir(f"mcdp_cusum_{tag}_")
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        mon = daily.filter(
+            F.col("day") >= F.lit(_CUSUM_REF_END).cast("date")
+        ).select(
+            "series",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("x").cast("decimal(18,2)") * 1000)
+            .cast("long")
+            .alias("x_milli"),
+        )
+        split = F.lit(_CUSUM_SPLIT)
+        mon.filter(F.col("day") < split).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        mon.filter(F.col("day") >= split).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b1")
+        # pinned mtimes: the file source drains oldest-first, so the
+        # day-partitioned chunks arrive in day order by construction
+        # (the stream_domain_admit contract)
+        now = os.stat(f"{src}/b1").st_mtime
+        for sub, t in (("b0", now - 60), ("b1", now - 30)):
+            root = f"{src}/{sub}"
+            for name in os.listdir(root):
+                os.utime(os.path.join(root, name), (t, t))
+        stream_cusum_monitor(
+            spark,
+            f"{src}/b*",
+            "series string, day string, x_milli bigint",
+            out,
+            ckpt,
+            consts,
+        )
+        return out
+
+    from multichannel_commerce_data_pipeline_spark.tables import session_memo
+
+    return session_memo(spark, _STREAM_CUSUM_DIRS, sf_dir, build)
+
+
+def _stream_cusum_oracle() -> str:
+    xr = oracle_dround("SUM(o_totalprice)", 2)
+    med = oracle_dround(
+        "quantile_cont(CASE WHEN day < DATE '1999-01-01' THEN x END, 0.5)", 3
+    )
+    mad = oracle_dround(
+        f"{_CUSUM_MAD_MULT} * quantile_cont(CASE WHEN d.day <"
+        " DATE '1999-01-01' THEN ABS(d.x - m.med) END, 0.5)",
+        3,
+    )
+    return f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS series,
+             CAST(o_orderdate AS DATE) AS day,
+             {xr} AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT series, {med} AS med FROM daily GROUP BY series
+    ),
+    hh AS (
+      SELECT d.series,
+             CAST(CAST(m.med AS DECIMAL(18, 3)) * 1000 AS BIGINT)
+               AS med_milli,
+             CAST(CAST({mad} AS DECIMAL(18, 3)) * 1000 AS BIGINT)
+               AS h_milli
+      FROM daily d JOIN med m USING (series)
+      GROUP BY d.series, m.med
+    ),
+    mon AS (
+      SELECT d.series, d.day,
+             CAST(CAST(d.x AS DECIMAL(18, 2)) * 1000 AS BIGINT)
+               - h.med_milli AS dv,
+             h.h_milli
+      FROM daily d JOIN hh h USING (series)
+      WHERE d.day >= DATE '1999-01-01'
+    ),
+    pre AS (
+      SELECT series, day, h_milli,
+             CAST(SUM(dv) OVER (PARTITION BY series ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS p
+      FROM mon
+    ),
+    run AS (
+      SELECT series, day, h_milli,
+             p - LEAST(CAST(0 AS BIGINT),
+                       CAST(MIN(p) OVER (PARTITION BY series ORDER BY day
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)) AS s
+      FROM pre
+    )
+    SELECT series,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN s > h_milli THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(MIN(CASE WHEN s > h_milli THEN day END) AS TIMESTAMP)
+             AS first_flag_day,
+           {oracle_dround("CAST(MAX(s) AS DOUBLE) / 1000.0", 3)} AS max_cusum
+    FROM run GROUP BY series
+    """
+
+
+@query("stream_cusum_rollup", oracle=_stream_cusum_oracle())
+def stream_cusum_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 × T5 (r15): the STREAMING change-point monitor made
+    driver-checkable — the arrival-time twin of ``cusum_changepoint``.
+    Constants (per-series median and 5·MAD threshold) are fit in batch
+    on the pre-1999 REFERENCE slice — the production shape: a live
+    monitor cannot know its own future's median, so the batch query's
+    whole-series fit is the backfill form and this is the online form.
+    The post-reference days then ARRIVE as two day-partitioned
+    checkpointed micro-batches (pinned mtimes, so arrival order is day
+    order by construction) and ``streaming/jobs.stream_cusum_monitor``
+    advances the textbook recursion S_t = max(0, S_{t-1} + dv) per
+    series in applyInPandasWithState state — six integers per series,
+    O(series) regardless of stream length, exact int64 MILLIS
+    arithmetic so there is no float accumulation to drift.
+
+    The oracle is the batch CLOSED FORM (P_t − min(0, min P_j)) over
+    the same reference-fit constants and monitored slice, so a green
+    driver row proves recursion ≡ closed form AND that the running
+    statistic, flag count, first flagged day, and max survived the
+    micro-batch/state-store boundary at the 2000-06-01 split —
+    batch≡stream in the compared values themselves (the
+    stream_domain_admit convention)."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_latest_cusum_summary,
+    )
+
+    out = _stream_cusum_run(spark, sf_dir)
+    cur = read_latest_cusum_summary(spark, out)
+    return cur.select(
+        "series",
+        "n_days",
+        "n_flagged",
+        F.when(
+            F.col("first_flag_day") != "",
+            F.to_timestamp("first_flag_day", "yyyy-MM-dd"),
+        )
+        .otherwise(F.lit(None).cast("timestamp"))
+        .alias("first_flag_day"),
+        dround(F.col("max_cusum_milli").cast("double") / F.lit(1000.0), 3).alias(
+            "max_cusum"
+        ),
+    )

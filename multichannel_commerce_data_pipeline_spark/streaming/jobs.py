@@ -1480,3 +1480,114 @@ def read_latest_view_state(spark: SparkSession, out_dir: str) -> DataFrame:
         if st.getPath().getName().startswith("state-")
     )
     return spark.read.parquet(f"{out_dir}/state-{latest}").drop("__bid")
+
+
+def stream_cusum_monitor(
+    spark: SparkSession,
+    src_glob: str,
+    schema_ddl: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    consts_milli: dict[str, tuple[int, int]],
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Streaming CUSUM change-point monitor (X10 × T5) — the arrival-
+    time twin of the batch ``cusum_changepoint`` closed form: daily
+    series points ARRIVE as a feed and each micro-batch advances the
+    textbook recursion S_t = max(0, S_{t-1} + (x_t - k)) per series,
+    with the reference median k and threshold h FIT OFFLINE on a
+    reference slice and passed in as constants (the production
+    monitoring shape: a live monitor cannot know its own series'
+    full-history median, so it watches the post-reference stream with
+    reference-fitted constants; the batch query's whole-series fit is
+    the backfill form).
+
+    Exactness discipline: every value is INTEGER MILLIS
+    (``consts_milli``: series -> (median_milli, h_milli); feed column
+    ``x_milli``), so the recursion is exact int64 arithmetic in the
+    pandas state handler — bit-identical to the engine's DECIMAL(18,3)
+    closed form, no float accumulation anywhere. State per series is
+    SIX scalars (running S, day count, flag count, first flagged day,
+    max S, last day seen) — O(series), independent of stream length,
+    the stream_binned_profile bound. Within a micro-batch rows are
+    processed in day order (sorted in the handler); across batches the
+    feed files are day-partitioned with pinned mtimes, so arrival
+    order is day order by construction (the stream_domain_admit
+    contract). Landing is idempotent per batch (overwrite into
+    ``batch-{id}``): a replayed batch rewrites its own output against
+    the rolled-back state."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def advance(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("day", kind="mergesort")
+        series = key[0]
+        med, h = consts_milli[series]
+        if state.exists:
+            s, n_days, n_flag, first, mx, _last = state.get
+        else:
+            s, n_days, n_flag, first, mx = 0, 0, 0, "", 0
+        last = ""
+        for day, x in zip(batch["day"], batch["x_milli"]):
+            s = max(0, s + (int(x) - med))
+            mx = max(mx, s)
+            n_days += 1
+            if s > h and not first:
+                first = day
+            if s > h:
+                n_flag += 1
+            last = day
+        state.update((s, n_days, n_flag, first, mx, last))
+        yield pd.DataFrame(
+            {
+                "series": [series],
+                "n_days": [n_days],
+                "n_flagged": [n_flag],
+                "first_flag_day": [first],
+                "max_cusum_milli": [mx],
+            }
+        )
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_glob)
+    summary = stream.groupBy("series").applyInPandasWithState(
+        advance,
+        "series STRING, n_days BIGINT, n_flagged BIGINT, "
+        "first_flag_day STRING, max_cusum_milli BIGINT",
+        "s BIGINT, n_days BIGINT, n_flagged BIGINT, first STRING, "
+        "mx BIGINT, last STRING",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        summary.writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("__bid", F.lit(bid))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch-{bid}")
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def read_latest_cusum_summary(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Each series' NEWEST cumulative summary across the landed batch
+    dirs (update-mode emits a row per touched series per batch; the
+    monitor's current view is the max-__bid row per series)."""
+    from pyspark.sql import Window
+
+    all_rows = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    w_ = Window.partitionBy("series")
+    return (
+        all_rows.withColumn("__mx", F.max("__bid").over(w_))
+        .filter(F.col("__bid") == F.col("__mx"))
+        .drop("__mx", "__bid")
+    )

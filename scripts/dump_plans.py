@@ -668,6 +668,22 @@ COMMENTARY = {
         "full scan. One keyed exchange (bucket), one broadcast of "
         "the 1-row total (asserted in tests/test_plans.py)."
     ),
+    "stream_cusum_rollup": (
+        "The ARRIVAL-TIME twin of cusum_changepoint: per-series "
+        "median/5-MAD constants fit in batch on the pre-1999 "
+        "reference slice (the production monitoring shape — a live "
+        "monitor cannot know its own future's median), then the "
+        "monitored days arrive as two day-partitioned checkpointed "
+        "micro-batches and applyInPandasWithState advances the "
+        "textbook recursion S_t = max(0, S_{t-1} + dv) in exact "
+        "int64-milli arithmetic — six integers of state per series, "
+        "O(series) regardless of stream length (bound MEASURED from "
+        "listener telemetry in tests/test_streaming.py). The oracle "
+        "is the batch closed form over the same constants and slice, "
+        "so the driver row proves recursion == closed form AND that "
+        "the statistic survived the micro-batch/state-store boundary "
+        "— batch==stream in the compared values themselves."
+    ),
     "cusum_changepoint": (
         "One-sided CUSUM mean-shift detection as pure window algebra: "
         "the recursion S_t = max(0, S_{t-1} + dv) is the closed form "
