@@ -1273,9 +1273,6 @@ def _stream_cusum_run(spark: SparkSession, sf_dir: str) -> str:
             fresh_stream_dir,
             stream_cusum_monitor,
         )
-        from multichannel_commerce_data_pipeline_spark.tables import (
-            session_memo as _,  # noqa: F401  (import parity with siblings)
-        )
 
         daily = _daily_series(spark, sf_dir)
         ref = daily.filter(F.col("day") < F.lit(_CUSUM_REF_END).cast("date"))

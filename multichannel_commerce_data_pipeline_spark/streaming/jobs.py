@@ -1524,12 +1524,26 @@ def stream_cusum_monitor(
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values("day", kind="mergesort")
         series = key[0]
+        if series not in consts_milli:
+            # a series with no reference fit cannot be monitored:
+            # drop it VISIBLY (absent from every summary) rather than
+            # monitor against made-up constants — the sampled-cuts
+            # unknown-bucket rule applied to monitoring
+            return
         med, h = consts_milli[series]
         if state.exists:
-            s, n_days, n_flag, first, mx, _last = state.get
+            s, n_days, n_flag, first, mx, last = state.get
         else:
-            s, n_days, n_flag, first, mx = 0, 0, 0, "", 0
-        last = ""
+            s, n_days, n_flag, first, mx, last = 0, 0, 0, "", 0, ""
+        # the recursion is order-sensitive: the stored last-seen day is
+        # the tripwire for a feed that breaks the day-ordered-arrival
+        # contract — fail the stream LOUDLY instead of silently folding
+        # out-of-order points into a wrong statistic
+        if last and len(batch) and str(batch["day"].iloc[0]) <= last:
+            raise ValueError(
+                f"out-of-order arrival for series {series!r}: "
+                f"{batch['day'].iloc[0]!r} after {last!r}"
+            )
         for day, x in zip(batch["day"], batch["x_milli"]):
             s = max(0, s + (int(x) - med))
             mx = max(mx, s)
