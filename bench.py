@@ -145,6 +145,7 @@ HEADLINE = [
     "skyline_pareto",
     "weighted_sample_topk",
     "k_anonymity_audit",
+    "l_diversity_audit",
     "expectation_suite",
     "phrase_search",
     # round 7 additions

@@ -144,6 +144,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "expectation_suite",
     "phrase_search",
     "stream_cusum_rollup",
+    "l_diversity_audit",
 )
 
 

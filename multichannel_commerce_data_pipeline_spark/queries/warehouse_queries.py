@@ -2388,3 +2388,88 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("suppressed_pct"),
         (F.col("rows_below_k") == 0).alias("is_k_anonymous"),
     )
+
+
+# --- l-diversity audit (r15) -----------------------------------------
+# The third member of the privacy suite: erasure removes identified
+# rows, k-anonymity measures group SIZE, l-diversity measures whether
+# the sensitive value is actually heterogeneous within each group — a
+# k-anonymous group whose members all share one sensitive value still
+# leaks it (the homogeneity attack k-anonymity misses).
+_LDIV_L = 3
+
+
+def _ldiv_oracle() -> str:
+    return f"""
+    WITH qi AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS sens
+      FROM customer
+    ),
+    grps AS (
+      SELECT GROUPING(seg, nat) AS gid,
+             COUNT(*) AS gsz,
+             COUNT(DISTINCT sens) AS l
+      FROM qi GROUP BY ROLLUP(seg, nat)
+    )
+    SELECT CASE gid WHEN 0 THEN 'segment+nation'
+                    WHEN 1 THEN 'segment'
+                    ELSE 'none' END AS generalization,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_l,
+           CAST(SUM(CASE WHEN l < {_LDIV_L} THEN gsz ELSE 0 END) AS BIGINT)
+             AS rows_in_low_groups
+    FROM grps GROUP BY gid
+    """
+
+
+@query("l_diversity_audit", oracle=_ldiv_oracle())
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 (r15): distinct l-diversity audit — the homogeneity-attack
+    check k_anonymity_audit cannot make (Machanavajjhala et al. 2007):
+    a QI group can be comfortably k-anonymous while every member
+    shares ONE sensitive value, so group size alone still leaks the
+    attribute. Per generalization rung (segment+nation -> segment ->
+    none; sensitive attribute = the balance band), the number of QI
+    groups, the worst group's distinct-sensitive-value count, and the
+    groups/rows failing l=3 — read next to the k-anonymity ladder to
+    pick a release generalization that passes BOTH gates.
+
+    Plan: same shape as the k-anonymity ladder — every rung from ONE
+    GROUP BY ROLLUP pass (Spark plans the distinct aggregate as the
+    standard two-phase Expand over the rollup output, still one scan
+    of customer), then a rung-count-sized gid aggregate. Generalizing
+    merges groups, so min_l is non-decreasing down the ladder — the
+    monotonicity tests/test_operators.py pins alongside the
+    brute-force census."""
+    qi = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("sens"),
+    )
+    grps = qi.rollup("seg", "nat").agg(
+        F.count(F.lit(1)).alias("gsz"),
+        F.count_distinct("sens").alias("l"),
+        F.grouping_id().alias("gid"),
+    )
+    return grps.groupBy("gid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum((F.col("l") < _LDIV_L).cast("long")).alias("groups_below_l"),
+        F.sum(F.when(F.col("l") < _LDIV_L, F.col("gsz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_in_low_groups"),
+    ).select(
+        F.when(F.col("gid") == 0, F.lit("segment+nation"))
+        .when(F.col("gid") == 1, F.lit("segment"))
+        .otherwise(F.lit("none"))
+        .alias("generalization"),
+        "n_groups",
+        "min_l",
+        "groups_below_l",
+        "rows_in_low_groups",
+    )

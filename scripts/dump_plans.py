@@ -739,6 +739,20 @@ COMMENTARY = {
         "to erasure_propagation, checked against a brute-force "
         "census plus ladder monotonicity in tests/test_operators.py."
     ),
+    "l_diversity_audit": (
+        "The homogeneity-attack companion to the k-anonymity ladder "
+        "(a k-anonymous group whose members all share one sensitive "
+        "value still leaks it): per generalization rung, the QI "
+        "groups, the worst group's distinct-sensitive-value count, "
+        "and the groups/rows failing l=3 — same one-ROLLUP-pass "
+        "shape, with the COUNT(DISTINCT) planned as the standard "
+        "two-phase Expand over the rollup output; still one customer "
+        "scan, no joins (asserted in tests/test_plans.py). "
+        "Generalizing merges groups, so min_l is non-decreasing down "
+        "the ladder — pinned with the brute-force census in "
+        "tests/test_operators.py. Erasure + k-anonymity + "
+        "l-diversity form the complete release-compliance gate."
+    ),
     "expectation_suite": (
         "The dbt-style contract suite as DATA: each (table, column, "
         "expectation, violation-SQL) row compiles to one conditional "

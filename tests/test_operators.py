@@ -2926,3 +2926,47 @@ def test_phrase_search_counts_adjacent_pairs(spark, sf_dir):
         for r in load_registry()["phrase_search"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_ldiversity_bruteforce_and_monotonicity(spark, sf_dir):
+    """Each rung's low-diversity census must equal the brute-force
+    distinct-sensitive-value count per QI group, and generalizing
+    (merging groups) can only RAISE the worst group's diversity —
+    min_l is non-decreasing down the ladder."""
+    from collections import defaultdict
+
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _LDIV_L,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    cust = load(spark, sf_dir, "customer").collect()
+    levels = {
+        "segment+nation": lambda r: (r.c_mktsegment, r.c_nationkey),
+        "segment": lambda r: (r.c_mktsegment,),
+        "none": lambda r: (),
+    }
+    expect = {}
+    for name, key in levels.items():
+        sens = defaultdict(set)
+        size = defaultdict(int)
+        for r in cust:
+            k = key(r)
+            sens[k].add(int(r.c_acctbal // 1000))
+            size[k] += 1
+        low = [k for k in sens if len(sens[k]) < _LDIV_L]
+        expect[name] = (
+            len(sens),
+            min(len(v) for v in sens.values()),
+            len(low),
+            sum(size[k] for k in low),
+        )
+    got = {
+        r.generalization: (r.n_groups, r.min_l, r.groups_below_l, r.rows_in_low_groups)
+        for r in load_registry()["l_diversity_audit"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    ladder = ["segment+nation", "segment", "none"]
+    for a, b in zip(ladder, ladder[1:]):
+        assert got[b][1] >= got[a][1], (a, b, got)

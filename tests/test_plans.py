@@ -964,3 +964,16 @@ def test_phrase_search_probes_cached_postings(plans):
     # InMemoryRelation
     probe = tree.split("InMemoryRelation")[0]
     assert "Generate" not in probe, probe
+
+
+def test_ldiversity_ladder_is_one_rollup_pass(plans):
+    """Like the k-anonymity ladder: every rung's distinct-sensitive
+    census from ONE customer scan via GROUP BY ROLLUP (the distinct
+    aggregate adds its standard two-phase Expand, never a second
+    scan), no joins, no windows."""
+    import re
+
+    p = plans("l_diversity_audit")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert j not in p, j
