@@ -146,6 +146,7 @@ HEADLINE = [
     "weighted_sample_topk",
     "k_anonymity_audit",
     "l_diversity_audit",
+    "revenue_trend_slope",
     "expectation_suite",
     "phrase_search",
     # round 7 additions

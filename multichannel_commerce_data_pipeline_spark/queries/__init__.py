@@ -145,6 +145,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "phrase_search",
     "stream_cusum_rollup",
     "l_diversity_audit",
+    "revenue_trend_slope",
 )
 
 

@@ -1079,6 +1079,23 @@ def _doc_pos_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, _POS_INDEX_CACHE, sf_dir, build)
 
 
+def phrase_probe(idx, terms: tuple[str, ...]):
+    """Positional intersection for an n-token phrase: the first term's
+    postings, successively equi-joined with each later term's postings
+    shifted back by its phrase offset — n-1 joins on (doc_id, pos),
+    each side pre-filtered to ONE term's posting list, so probe cost
+    scales with the posting lists (selective sides broadcast under
+    AQE), never the corpus. Returns (doc_id, pos) per occurrence, pos
+    = the first term's 0-based position."""
+    out = idx.filter(F.col("token") == terms[0]).select("doc_id", "pos")
+    for i, t in enumerate(terms[1:], 1):
+        nxt = idx.filter(F.col("token") == t).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        out = out.join(nxt, ["doc_id", "pos"])
+    return out
+
+
 @query(
     "phrase_search",
     oracle=rf"""
@@ -1119,11 +1136,7 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index instead of rescanning text. The equi-join is
     AQE-broadcastable for selective terms."""
     idx = _doc_pos_index(spark, sf_dir)
-    p1 = idx.filter(F.col("token") == _PHRASE[0]).select("doc_id", "pos")
-    p2 = idx.filter(F.col("token") == _PHRASE[1]).select(
-        "doc_id", (F.col("pos") - 1).alias("pos")
-    )
-    j = p1.join(p2, ["doc_id", "pos"])
+    j = phrase_probe(idx, _PHRASE)
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         (F.min("pos") + 1).cast("long").alias("first_pos"),

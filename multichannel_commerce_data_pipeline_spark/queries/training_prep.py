@@ -1922,6 +1922,11 @@ def stream_domain_admit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one tuple feeds engine and oracle: per-stratum sample size and the
+# prefilter oversampling factor (cut = _WS_OVER * _WS_K / wsum)
+_WS_K, _WS_OVER = 24, 8
+
+
 @query(
     "weighted_sample_topk",
     oracle=f"""
@@ -1941,7 +1946,7 @@ def stream_domain_admit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w JOIN tot t USING (c_mktsegment)
     ),
     kept AS (
-      SELECT * FROM keyed WHERE xi < 192.0 / CAST(wsum AS DOUBLE)
+      SELECT * FROM keyed WHERE xi < {float(_WS_OVER * _WS_K)} / CAST(wsum AS DOUBLE)
     ),
     ranked AS (
       SELECT c_mktsegment, c_custkey, weight, xi,
@@ -1952,7 +1957,7 @@ def stream_domain_admit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment, CAST(rk AS BIGINT) AS sample_rank, c_custkey,
            CAST(weight AS DOUBLE) AS weight,
            {oracle_dround("xi", 12)} AS xi_key
-    FROM ranked WHERE rk <= 24
+    FROM ranked WHERE rk <= {_WS_K}
     """,
 )
 def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1988,11 +1993,11 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weight"),
     )
     tot = cust.groupBy("c_mktsegment").agg(
-        F.sum("weight").alias("wsum"), F.lit(24).alias("n_target")
+        F.sum("weight").alias("wsum"), F.lit(_WS_K).alias("n_target")
     )
     keyed = cust.join(F.broadcast(tot), "c_mktsegment")
     return TP.weighted_sample_topn(
-        keyed, "c_mktsegment", "c_custkey", 29, oversample=8
+        keyed, "c_mktsegment", "c_custkey", 29, oversample=_WS_OVER
     ).select(
         "c_mktsegment",
         F.col("sample_rank").cast("long").alias("sample_rank"),

@@ -410,3 +410,81 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
         F.col("p_size").cast("int").alias("p_size"),
     )
+
+
+@query(
+    "revenue_trend_slope",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT p.p_brand,
+             CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) AS BIGINT)
+               AS x,
+             CAST({oracle_dround("SUM(l.l_extendedprice)", 2)}
+               AS DECIMAL(18, 2)) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS DECIMAL(38, 4)) AS n,
+             CAST(SUM(x) AS DECIMAL(38, 4)) AS sx,
+             SUM(y) AS sy,
+             SUM(CAST(x AS DECIMAL(18, 0)) * y) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(38, 4)) AS sxx
+      FROM monthly GROUP BY 1
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_months,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE {oracle_dround(
+                    "CAST(n * sxy - sx * sy AS DOUBLE)"
+                    " / CAST(n * sxx - sx * sx AS DOUBLE)", 6)}
+           END AS slope_per_month
+    FROM s
+    """,
+)
+def revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 (r15): per-brand revenue trend as an OLS slope — the
+    regression-aggregate surface (REGR_SLOPE) done exactly: slope =
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over (month index, monthly
+    revenue) pairs, with every sum accumulated in DECIMAL — month
+    indices are integers and monthly revenue is 2dp, so all five
+    sufficient statistics are EXACT and association-free, and the one
+    floating division happens on exact operands (the engines' native
+    covar/var aggregates sum doubles in engine-specific order, which
+    is why the closed form is spelled out on both sides). NULL slope
+    for a single-month brand (zero variance guard).
+
+    Plan: one broadcast dim join (part onto lineitem), one keyed
+    shuffle for the (brand, month) rollup with map-side partials, a
+    brand-count-sized stats rollup — the fact table is touched once.
+    The trend a merch dashboard draws next to monthly_revenue_trend's
+    month-over-month deltas, as one number per brand."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_extendedprice",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "x")
+        .agg(dround(F.sum("l_extendedprice"), 2).cast("decimal(18,2)").alias("y"))
+    )
+    s = monthly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,4)").alias("n"),
+        F.sum("x").cast("decimal(38,4)").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_months"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(dround(num.cast("double") / den.cast("double"), 6))
+        .alias("slope_per_month"),
+    )

@@ -739,6 +739,19 @@ COMMENTARY = {
         "to erasure_propagation, checked against a brute-force "
         "census plus ladder monotonicity in tests/test_operators.py."
     ),
+    "revenue_trend_slope": (
+        "REGR_SLOPE done exactly: per-brand OLS trend over (month "
+        "index, monthly revenue) from the closed-form sufficient "
+        "statistics, every sum accumulated in DECIMAL (month indices "
+        "are integers, monthly revenue is 2dp) so all five statistics "
+        "are exact and association-free — the native covar/var "
+        "aggregates sum doubles in engine-specific order, which is "
+        "why the formula is spelled out identically on both sides. "
+        "One broadcast dim join (part onto lineitem), one fact-sized "
+        "(brand, month) rollup with map-side partials, a brand-count "
+        "stats rollup; the fact is scanned once (asserted in "
+        "tests/test_plans.py). NULL slope for single-month brands."
+    ),
     "l_diversity_audit": (
         "The homogeneity-attack companion to the k-anonymity ladder "
         "(a k-anonymous group whose members all share one sensitive "

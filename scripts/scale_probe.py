@@ -119,6 +119,7 @@ PROBES = [
     ("weighted_sample_topk", "customer", "prefilter-bounded stratum top-k"),
     ("k_anonymity_audit", "customer", "one rollup Expand pass, 4 rungs"),
     ("l_diversity_audit", "customer", "rollup + two-phase distinct, 3 rungs"),
+    ("revenue_trend_slope", "lineitem x part", "broadcast dim + exact-decimal OLS"),
     ("expectation_suite", "orders+lineitem+customer", "3 counter scans, no joins"),
     ("phrase_search", "documents postings", "cached postings probe join"),
 ]

@@ -2970,3 +2970,31 @@ def test_ldiversity_bruteforce_and_monotonicity(spark, sf_dir):
     ladder = ["segment+nation", "segment", "none"]
     for a, b in zip(ladder, ladder[1:]):
         assert got[b][1] >= got[a][1], (a, b, got)
+
+
+def test_phrase_probe_three_token_chain(spark):
+    """The n-token phrase probe must chain positional joins correctly:
+    on planted postings, a 3-token phrase matches only true
+    consecutive runs — including back-to-back occurrences — and never
+    a scrambled ordering of the same tokens."""
+    from multichannel_commerce_data_pipeline_spark.queries.text import (
+        phrase_probe,
+    )
+
+    docs = {
+        1: "a b c x a b c",      # two occurrences of (a, b, c)
+        2: "c b a a c b",        # all tokens present, never in order
+        3: "a b x c",            # broken run
+        4: "a b c a b c a b c",  # three back-to-back occurrences
+    }
+    rows = [
+        (doc, pos, tok)
+        for doc, text in docs.items()
+        for pos, tok in enumerate(text.split())
+    ]
+    idx = spark.createDataFrame(rows, "doc_id long, pos int, token string")
+    got = {
+        (r.doc_id, r.pos)
+        for r in phrase_probe(idx, ("a", "b", "c")).collect()
+    }
+    assert got == {(1, 0), (1, 4), (4, 0), (4, 3), (4, 6)}

@@ -977,3 +977,17 @@ def test_ldiversity_ladder_is_one_rollup_pass(plans):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     for j in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert j not in p, j
+
+
+def test_trend_slope_is_one_fact_scan_broadcast_dim(plans):
+    """The OLS sufficient statistics must come from ONE pass over
+    lineitem: part broadcasts onto the fact, the (brand, month)
+    rollup is the only fact-sized exchange, and the per-brand stats
+    rollup partial-aggregates — no sort-merge join, no window."""
+    import re
+
+    p = plans("revenue_trend_slope")
+    assert "BroadcastHashJoin" in p
+    for j in ("SortMergeJoin", "CartesianProduct", "Window"):
+        assert j not in p, j
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p  # fact + dim

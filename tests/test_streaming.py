@@ -1748,3 +1748,44 @@ def test_stream_cusum_state_bounded_by_series(spark, sf_dir, tmp_path):
         (r.batch_id, r.state_rows) for r in m
     ]
     assert max(r.state_rows for r in m) == 2  # every series seen
+
+
+def test_stream_cusum_detects_planted_shift(spark, tmp_path):
+    """Detection semantics, not just equality: a series flat at its
+    reference median must never flag, and a series with a planted
+    upward mean shift must first flag shortly AFTER the shift point —
+    the accumulate-small-persistent-shift property CUSUM exists for."""
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_latest_cusum_summary,
+        stream_cusum_monitor,
+    )
+
+    flat = [("flat", f"2024-01-{d:02d}", 1000) for d in range(1, 21)]
+    # shifted: reference-level until day 10, then +80/day vs median
+    shifted = [
+        ("shift", f"2024-01-{d:02d}", 1000 if d <= 10 else 1080)
+        for d in range(1, 21)
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        flat + shifted, "series string, day string, x_milli bigint"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    # med = 1000, h = 200: the shifted series accumulates 80/day after
+    # day 10, crossing h=200 on day 13 (3 * 80 = 240 > 200)
+    stream_cusum_monitor(
+        spark,
+        str(src / "b*"),
+        "series string, day string, x_milli bigint",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        {"flat": (1000, 200), "shift": (1000, 200)},
+    )
+    got = {
+        r.series: r for r in read_latest_cusum_summary(
+            spark, str(tmp_path / "out")
+        ).collect()
+    }
+    assert got["flat"].n_flagged == 0 and got["flat"].first_flag_day == ""
+    assert got["shift"].first_flag_day == "2024-01-13"
+    assert got["shift"].n_flagged == 8  # days 13..20
+    assert got["shift"].max_cusum_milli == 10 * 80
