@@ -147,6 +147,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "l_diversity_audit",
     "revenue_trend_slope",
+    "histogram_quantile_estimate",
     "expectation_suite",
     "phrase_search",
     # round 7 additions

@@ -146,6 +146,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "stream_cusum_rollup",
     "l_diversity_audit",
     "revenue_trend_slope",
+    "histogram_quantile_estimate",
 )
 
 

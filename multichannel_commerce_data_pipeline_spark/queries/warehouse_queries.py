@@ -2189,6 +2189,45 @@ def ensure_histogram_state(spark: SparkSession, sf_dir: str) -> str:
     return _materialize_atomic(base, build)
 
 
+def _merged_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained equi-depth histogram as a frame: stored
+    pre-cutover state + the delta binned against the STORED boundaries,
+    accumulators merged (cnt+cnt, min/max) — the shared input of the
+    delta-merge report and the quantile-serving consumer. History is
+    never rescanned; the state read is a bounded <= 8-row collect."""
+    state = spark.read.parquet(ensure_histogram_state(spark, sf_dir))
+    srows = state.collect()  # bounded: <= 8 bucket rows
+    n_b = len(
+        [c for c in state.columns if c[0] == "b" and c[1:].isdigit()]
+    )
+    bounds = [float(srows[0][f"b{i}"]) for i in range(n_b)]
+    bucket = sum(
+        F.when(F.col("l_extendedprice") > F.lit(b), 1).otherwise(0)
+        for b in bounds
+    ).cast("long")
+    delta = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit(_HDM_CUT).cast("timestamp"))
+        .select(F.col("l_extendedprice").alias("p"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("p").alias("lo"),
+            F.max("p").alias("hi"),
+        )
+    )
+    return (
+        state.select("bucket", "n_rows", "lo", "hi")
+        .unionByName(delta)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+
+
 def _hdm_oracle() -> str:
     from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
         _EQD_QS,
@@ -2247,37 +2286,7 @@ def histogram_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the old slice and bins ALL rows from scratch: the merge must equal
     the full recompute exactly, bucket by bucket (integer counts;
     boundary and share doubles dround-quantized on both sides)."""
-    state = spark.read.parquet(ensure_histogram_state(spark, sf_dir))
-    srows = state.collect()  # bounded: <= 8 bucket rows
-    n_b = len(
-        [c for c in state.columns if c[0] == "b" and c[1:].isdigit()]
-    )
-    bounds = [float(srows[0][f"b{i}"]) for i in range(n_b)]
-    bucket = sum(
-        F.when(F.col("l_extendedprice") > F.lit(b), 1).otherwise(0)
-        for b in bounds
-    ).cast("long")
-    delta = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_shipdate") >= F.lit(_HDM_CUT).cast("timestamp"))
-        .select(F.col("l_extendedprice").alias("p"), bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min("p").alias("lo"),
-            F.max("p").alias("hi"),
-        )
-    )
-    merged = (
-        state.select("bucket", "n_rows", "lo", "hi")
-        .unionByName(delta)
-        .groupBy("bucket")
-        .agg(
-            F.sum("n_rows").cast("long").alias("n_rows"),
-            F.min("lo").alias("lo"),
-            F.max("hi").alias("hi"),
-        )
-    )
+    merged = _merged_histogram(spark, sf_dir)
     total = merged.agg(F.sum("n_rows").cast("long").alias("total"))
     share = dround(F.col("n_rows").cast("double") / F.col("total"), 6)
     return merged.join(F.broadcast(total)).select(
@@ -2472,4 +2481,142 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_l",
         "groups_below_l",
         "rows_in_low_groups",
+    )
+
+
+# --- histogram-served quantile estimates (r15) -----------------------
+# The CONSUMER half of the maintained statistic: the point of keeping
+# an equi-depth histogram current is answering quantile questions
+# WITHOUT scanning the column. (index, quantile) pairs feed both
+# engines; join on the integer index, never a double key.
+_HQE_QS = ((0, 0.25), (1, 0.5), (2, 0.75), (3, 0.9))
+
+
+def _hqe_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+        _EQD_QS,
+    )
+
+    bnds = ", ".join(
+        oracle_dround(f"quantile_cont(l_extendedprice, {q})", 2) + f" AS b{i}"
+        for i, q in enumerate(_EQD_QS)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN l_extendedprice > b{i} THEN 1 ELSE 0 END)"
+        for i in range(len(_EQD_QS))
+    )
+    vals = ", ".join(f"({qi}, {q})" for qi, q in _HQE_QS)
+    exacts = ", ".join(
+        oracle_dround(f"quantile_cont(l_extendedprice, {q})", 4) + f" AS e{qi}"
+        for qi, q in _HQE_QS
+    )
+    e_pick = " + ".join(
+        f"(CASE WHEN qi = {qi} THEN e{qi} ELSE 0 END)" for qi, _ in _HQE_QS
+    )
+    est = "lo + (hi - lo) * (tgt - cb) / n_rows"
+    return f"""
+    WITH bnd AS (
+      SELECT {bnds} FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '{_HDM_CUT}'
+    ),
+    binned AS (
+      SELECT CAST({bucket} AS BIGINT) AS bucket, l_extendedprice AS p
+      FROM lineitem, bnd
+    ),
+    g AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(p) AS lo, MAX(p) AS hi
+      FROM binned GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket, n_rows, lo, hi,
+             CAST(SUM(n_rows) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c
+      FROM g
+    ),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM g),
+    qs AS (SELECT * FROM (VALUES {vals}) AS v(qi, q)),
+    pick AS (
+      SELECT qs.qi, qs.q, cum.lo, cum.hi, cum.n_rows,
+             cum.c - cum.n_rows AS cb, qs.q * tot.total AS tgt
+      FROM cum, tot, qs
+      WHERE cum.c - cum.n_rows < qs.q * tot.total
+        AND qs.q * tot.total <= cum.c
+    ),
+    ex AS (SELECT {exacts} FROM lineitem)
+    SELECT CAST(pick.q AS DOUBLE) AS quantile,
+           {oracle_dround(est, 4)} AS est_value,
+           CAST({e_pick} AS DOUBLE) AS exact_value,
+           {oracle_dround(f"ABS(({est}) - ({e_pick})) / ({e_pick})", 6)}
+             AS rel_err
+    FROM pick, ex
+    """
+
+
+@query("histogram_quantile_estimate", oracle=_hqe_oracle())
+def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16+ (r15): the CONSUMER half of the maintained CBO statistic —
+    quantiles SERVED from the incrementally-maintained equi-depth
+    histogram (stored state + delta, the histogram_delta_merge
+    artifact), with the exact percentile riding along as the accuracy
+    harness (the join_size_estimate convention: at 100 TB the exact
+    column ships only while validating, and the estimate answers from
+    <= 8 accumulator rows — no column scan at question time). Classic
+    histogram interpolation: walk the cumulative counts to the bucket
+    covering target = q·N, then linear-interpolate inside [lo, hi] by
+    the bucket-local fraction. Equi-depth construction is exactly what
+    bounds the error: every bucket holds ~N/8 rows, so the true
+    quantile can sit at most one bucket-width from the estimate.
+
+    Plan: the merged histogram is the shared _merged_histogram frame
+    (delta scan + bounded state read); the cumulative walk is a window
+    over the <= 8 bucket rows (single-partition by construction —
+    bounded state, not data); quantile targets explode from a literal
+    array and join on the INTEGER index (a double join key would
+    invite cross-engine representation trouble); the exact
+    percentiles are one aggregate over the column, broadcast back.
+    All interpolation arithmetic is identical text in both engines on
+    identical inputs."""
+    from pyspark.sql import Window as W
+
+    m = _merged_histogram(spark, sf_dir)
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = m.select(
+        "bucket", "n_rows", "lo", "hi", F.sum("n_rows").over(w).alias("c")
+    )
+    tot = m.agg(F.sum("n_rows").cast("long").alias("total"))
+    qs = F.array(
+        *[
+            F.struct(F.lit(qi).alias("qi"), F.lit(float(q)).alias("q"))
+            for qi, q in _HQE_QS
+        ]
+    )
+    fanned = (
+        cum.join(F.broadcast(tot))
+        .select("*", F.explode(qs).alias("s"))
+        .select("*", "s.*")
+    )
+    tgt = F.col("q") * F.col("total")
+    cb = F.col("c") - F.col("n_rows")
+    pick = fanned.filter((cb < tgt) & (tgt <= F.col("c")))
+    est = F.col("lo") + (F.col("hi") - F.col("lo")) * (tgt - cb) / F.col(
+        "n_rows"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    ex = li.agg(
+        *[
+            dround(F.percentile("l_extendedprice", q), 4).alias(f"e{qi}")
+            for qi, q in _HQE_QS
+        ]
+    )
+    e_pick = sum(
+        F.when(F.col("qi") == qi, F.col(f"e{qi}")).otherwise(F.lit(0.0))
+        for qi, _ in _HQE_QS
+    )
+    return pick.join(F.broadcast(ex)).select(
+        F.col("q").cast("double").alias("quantile"),
+        dround(est, 4).alias("est_value"),
+        e_pick.cast("double").alias("exact_value"),
+        dround(F.abs(est - e_pick) / e_pick, 6).alias("rel_err"),
     )

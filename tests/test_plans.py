@@ -991,3 +991,19 @@ def test_trend_slope_is_one_fact_scan_broadcast_dim(plans):
     for j in ("SortMergeJoin", "CartesianProduct", "Window"):
         assert j not in p, j
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p  # fact + dim
+
+
+def test_histogram_quantile_serves_from_state_not_history(plans):
+    """The quantile CONSUMER must answer from the maintained state:
+    like the delta-merge, its lineitem scans carry the pushed
+    post-cutover filter (the exact-percentile harness is the only
+    full-column read, and it drops at 100 TB), the stored state
+    enters as a parquet source, and the cumulative walk windows over
+    <= 8 bucket rows."""
+    p = plans("histogram_quantile_estimate")
+    assert "hist_state" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any(
+        "l_shipdate" in l and "GreaterThanOrEqual" in l for l in pushed
+    ), pushed
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
