@@ -120,7 +120,7 @@ PROBES = [
     ("k_anonymity_audit", "customer", "one rollup Expand pass, 4 rungs"),
     ("l_diversity_audit", "customer", "rollup + two-phase distinct, 3 rungs"),
     ("revenue_trend_slope", "lineitem x part", "broadcast dim + exact-decimal OLS"),
-    ("histogram_quantile_estimate", "lineitem delta + state", "8-row cum walk + exact harness"),
+    ("histogram_quantile_estimate", "lineitem delta + state", "8-row cum walk, harness fit-once"),
     ("expectation_suite", "orders+lineitem+customer", "3 counter scans, no joins"),
     ("phrase_search", "documents postings", "cached postings probe join"),
 ]
