@@ -868,6 +868,7 @@ def weighted_sample_topn(
     id_col: str,
     seed: int,
     oversample: int,
+    check_fill: bool = True,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement per stratum
     — sequential Poisson sampling (Ohlsson 1998, the approximation of
@@ -885,13 +886,18 @@ def weighted_sample_topn(
 
     Scale shape mirrors smallest_hash_topn: ``keyed`` carries
     ``weight`` (exact DECIMAL so the stratum total is association-
-    free) and ``wsum``/``n_target`` from a broadcast per-stratum agg;
-    a map-side prefilter keeps only xi < oversample*n_target/wsum —
-    expected pass count is oversample*n_target per stratum (sum of
-    min(1, c*w_i) <= c*wsum) — so the per-stratum sort sees sample-
-    sized input, not corpus-sized. Callers' oracles apply the
-    identical prefilter: cross-engine equality is exact by
-    construction."""
+    free) and ``wsum``/``n_target``/``n_rows`` from a broadcast
+    per-stratum agg; a map-side prefilter keeps only
+    xi < oversample*n_target/wsum — expected pass count is
+    oversample*n_target per stratum (sum of min(1, c*w_i) <= c*wsum)
+    — so the per-stratum sort sees sample-sized input, not
+    corpus-sized. A stratum with n_rows <= n_target bypasses the
+    prefilter entirely (ADVICE r15): its correct without-replacement
+    sample is the WHOLE stratum, and for such tiny strata no finite
+    oversample can guarantee every light row passes the cut (the cut
+    scales with 1/wsum, which one heavy row can collapse). Callers'
+    oracles apply the identical prefilter + bypass: cross-engine
+    equality is exact by construction."""
     u = portable_hash64(F.col(id_col).cast("string"), seed) / F.lit(
         float(1 << 60)
     )
@@ -899,11 +905,47 @@ def weighted_sample_topn(
     cut = (F.lit(float(oversample)) * F.col("n_target")) / F.col(
         "wsum"
     ).cast("double")
-    kept = keyed.withColumn("__xi", xi).filter(F.col("__xi") < cut)
+    kept = keyed.withColumn("__xi", xi).filter(
+        (F.col("__xi") < cut) | (F.col("n_rows") <= F.col("n_target"))
+    )
     w = Window.partitionBy(stratum_col).orderBy("__xi", id_col)
-    return (
+    res = (
         kept.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= F.col("n_target"))
         .withColumnRenamed("__xi", "xi")
         .withColumnRenamed("__rk", "sample_rank")
     )
+    if check_fill:
+        # Underfill tripwire (ADVICE r15): the xi prefilter only
+        # GUARANTEES ~oversample*n_target expected survivors; if the
+        # stratum's weight mass concentrates on few rows, fewer than
+        # min(n_target, stratum size) rows can pass the cut and the
+        # sample comes back silently short — and since callers'
+        # oracles apply the identical prefilter, the driver row stays
+        # green on a short sample. Fail loudly instead: compare
+        # per-stratum kept counts against min(n_target, stratum
+        # rows). Cost is one column-pruned audit scan of ``keyed``
+        # (stratum + n_target only) plus a recount of the
+        # sample-sized result, collected bounded by the stratum
+        # cardinality; pass check_fill=False on hot paths that have
+        # already proven fill for this corpus. The fix for a tripped
+        # stratum is a larger ``oversample`` — raising it only
+        # loosens the cut, so refilling never changes kept members'
+        # ranks (membership stability property, tested).
+        expect = keyed.groupBy(stratum_col).agg(
+            F.count("*").alias("__n_rows"),
+            F.max("n_target").alias("__n_target"),
+        )
+        got = res.groupBy(stratum_col).agg(F.count("*").alias("__kept"))
+        short = [
+            (r[stratum_col], int(r["__kept"] or 0), min(int(r["__n_rows"]), int(r["__n_target"])))
+            for r in expect.join(got, stratum_col, "left").collect()
+            if int(r["__kept"] or 0) < min(int(r["__n_rows"]), int(r["__n_target"]))
+        ]
+        if short:
+            raise RuntimeError(
+                "weighted_sample_topn underfilled strata (kept < "
+                "min(n_target, stratum size)) — raise `oversample`: "
+                f"{short}"
+            )
+    return res

@@ -106,7 +106,7 @@ _R14_DISPLACED = (
 )
 # The r14 displacement opened a cohort bulge that was pre-declared to
 # drain through r17 (exceptions with slip rounds 15/16 and a shared
-# r17 pruning expiry). The r15 registry growth (245 -> 251 oracle-
+# r17 pruning expiry). The r15 registry growth (245 -> 255 oracle-
 # paired queries) moved the PHYSICAL sweep bound from 5 to 6 rounds —
 # rotation_age_bound() is ceil(n/50), the fastest full sweep a 50-slot
 # window can sustain — which makes the r10 cohort non-due at r15 and
@@ -134,19 +134,14 @@ WINDOW_SLOTS = 50
 # window slots (the declared queries hold fresh evidence by then, so
 # oldest-first would not re-seat them either).
 #
-CHANGED_IN_ROUND = 15
+CHANGED_IN_ROUND = 16
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r15 new queries (priority-2 until their first green driver row)
-    "cusum_changepoint",
-    "skyline_pareto",
-    "weighted_sample_topk",
-    "k_anonymity_audit",
-    "expectation_suite",
-    "phrase_search",
+    # r16 oracle-text changes (ADVICE r15 closures): the stream-CUSUM
+    # oracle now drops unmonitorable series like the engine's state
+    # handler does, and the weighted sampler gained the small-stratum
+    # prefilter bypass on both sides
     "stream_cusum_rollup",
-    "l_diversity_audit",
-    "revenue_trend_slope",
-    "histogram_quantile_estimate",
+    "weighted_sample_topk",
 )
 
 

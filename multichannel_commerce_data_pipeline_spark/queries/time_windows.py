@@ -1375,7 +1375,13 @@ def _stream_cusum_oracle() -> str:
                - h.med_milli AS dv,
              h.h_milli
       FROM daily d JOIN hh h USING (series)
-      WHERE d.day >= DATE '1999-01-01'
+      -- med_milli IS NOT NULL mirrors the engine's state handler,
+      -- which drops a series with monitored days but NO pre-cutover
+      -- reference days (no constants -> unmonitorable); without this
+      -- the oracle would still emit such a series (NULL med
+      -- propagates to n_flagged=0) and a regenerated corpus
+      -- containing one would redden the driver row (ADVICE r15)
+      WHERE d.day >= DATE '1999-01-01' AND h.med_milli IS NOT NULL
     ),
     pre AS (
       SELECT series, day, h_milli,

@@ -1936,17 +1936,23 @@ _WS_K, _WS_OVER = 24, 8
       FROM customer
     ),
     tot AS (
-      SELECT c_mktsegment, SUM(weight) AS wsum FROM w GROUP BY 1
+      SELECT c_mktsegment, SUM(weight) AS wsum,
+             COUNT(*) AS n_rows
+      FROM w GROUP BY 1
     ),
     keyed AS (
       SELECT w.c_custkey, w.c_mktsegment, w.weight,
              ({oracle_hash64("CAST(c_custkey AS VARCHAR)", 29)}
                / 1152921504606846976.0) / CAST(w.weight AS DOUBLE) AS xi,
-             t.wsum
+             t.wsum, t.n_rows
       FROM w JOIN tot t USING (c_mktsegment)
     ),
+    -- n_rows <= k bypasses the prefilter (engine bypass mirrored):
+    -- a stratum smaller than the target keeps every row
     kept AS (
-      SELECT * FROM keyed WHERE xi < {float(_WS_OVER * _WS_K)} / CAST(wsum AS DOUBLE)
+      SELECT * FROM keyed
+      WHERE xi < {float(_WS_OVER * _WS_K)} / CAST(wsum AS DOUBLE)
+         OR n_rows <= {_WS_K}
     ),
     ranked AS (
       SELECT c_mktsegment, c_custkey, weight, xi,
@@ -1977,10 +1983,17 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (association-free cross-engine), and a map-side prefilter
     xi < oversample*k/wsum bounds each stratum's sort input at
     ~oversample*k expected rows regardless of stratum size — the same
-    contract as the smallest-hash samplers, extended to weights. The
-    oracle applies the identical prefilter, so equality is exact by
-    construction. Spark puts a WindowGroupLimit below the shuffle for
-    the rank filter on top."""
+    contract as the smallest-hash samplers, extended to weights. A
+    stratum with fewer rows than k bypasses the prefilter (r16,
+    ADVICE r15): its correct without-replacement sample is the whole
+    stratum, and no finite oversample guarantees every light row
+    passes once one heavy row collapses the cut (observed at
+    sf0.001, where segments hold ~23 customers). The oracle applies
+    the identical prefilter + bypass, so equality is exact by
+    construction; an underfilled large stratum now RAISES via the
+    operator's fill tripwire instead of returning silently short.
+    Spark puts a WindowGroupLimit below the shuffle for the rank
+    filter on top."""
     from multichannel_commerce_data_pipeline_spark.operators import (
         training_prep as TP,
     )
@@ -1993,7 +2006,9 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weight"),
     )
     tot = cust.groupBy("c_mktsegment").agg(
-        F.sum("weight").alias("wsum"), F.lit(_WS_K).alias("n_target")
+        F.sum("weight").alias("wsum"),
+        F.lit(_WS_K).alias("n_target"),
+        F.count("*").alias("n_rows"),
     )
     keyed = cust.join(F.broadcast(tot), "c_mktsegment")
     return TP.weighted_sample_topn(

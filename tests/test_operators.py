@@ -2723,7 +2723,9 @@ def test_weighted_sample_matches_bruteforce(spark):
         "id", "stratum", F.col("w").cast("decimal(18,2)").alias("weight")
     )
     tot = df.groupBy("stratum").agg(
-        F.sum("weight").alias("wsum"), F.lit(5).alias("n_target")
+        F.sum("weight").alias("wsum"),
+        F.lit(5).alias("n_target"),
+        F.count("*").alias("n_rows"),
     )
     keyed = df.join(F.broadcast(tot), "stratum")
     got = {
@@ -2750,6 +2752,60 @@ def test_weighted_sample_matches_bruteforce(spark):
         ).collect()
     }
     assert unfiltered == got
+
+
+def test_weighted_sample_underfill_trips(spark):
+    """The fill tripwire (ADVICE r15): when a stratum's weight mass
+    concentrates on one row, the xi prefilter cut = oversample*k/wsum
+    collapses and light rows cannot pass — the sample comes back
+    short of min(n_target, stratum size). That must RAISE (both
+    engines apply the identical prefilter, so the driver row would
+    stay green on a silently short sample), and check_fill=False must
+    keep the raw short-sample behavior for callers that have already
+    proven fill."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.operators.training_prep import (
+        weighted_sample_topn,
+    )
+
+    rows = [(0, "a", 1e9)] + [(i, "a", 1.0) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "id long, stratum string, w double").select(
+        "id", "stratum", F.col("w").cast("decimal(18,2)").alias("weight")
+    )
+    tot = df.groupBy("stratum").agg(
+        F.sum("weight").alias("wsum"),
+        F.lit(5).alias("n_target"),
+        F.count("*").alias("n_rows"),
+    )
+    keyed = df.join(F.broadcast(tot), "stratum")
+    with _pytest.raises(RuntimeError, match="underfilled"):
+        weighted_sample_topn(keyed, "stratum", "id", 99, 1)
+    short = weighted_sample_topn(
+        keyed, "stratum", "id", 99, 1, check_fill=False
+    ).collect()
+    assert 0 < len(short) < 5
+    # a well-fed stratum passes the tripwire untouched
+    assert (
+        len(weighted_sample_topn(keyed, "stratum", "id", 99, 10**12).collect())
+        == 5
+    )
+    # a stratum SMALLER than n_target bypasses the prefilter outright
+    # (its correct without-replacement sample is the whole stratum; no
+    # finite oversample could guarantee fill once one heavy row
+    # collapses the cut) — all rows come back even at oversample=1
+    small = spark.createDataFrame(
+        [(100, "b", 1e9)] + [(100 + i, "b", 1.0) for i in range(1, 4)],
+        "id long, stratum string, w double",
+    ).select("id", "stratum", F.col("w").cast("decimal(18,2)").alias("weight"))
+    tot_b = small.groupBy("stratum").agg(
+        F.sum("weight").alias("wsum"),
+        F.lit(5).alias("n_target"),
+        F.count("*").alias("n_rows"),
+    )
+    keyed_b = small.join(F.broadcast(tot_b), "stratum")
+    assert len(weighted_sample_topn(keyed_b, "stratum", "id", 99, 1).collect()) == 4
 
 
 def test_cusum_closed_form_equals_recursion(spark, sf_dir):
