@@ -142,6 +142,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # prefilter bypass on both sides
     "stream_cusum_rollup",
     "weighted_sample_topk",
+    # r16 new queries (priority-2 until their first green driver row)
+    "ndv_delta_merge",
 )
 
 

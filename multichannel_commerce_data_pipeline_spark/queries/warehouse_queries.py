@@ -2649,3 +2649,301 @@ def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_pick.cast("double").alias("exact_value"),
         dround(F.abs(est - e_pick) / e_pick, 6).alias("rel_err"),
     )
+
+
+# --- incremental NDV statistics maintenance (r16) --------------------
+# The third and last CBO statistic made incrementally maintainable:
+# histogram_delta_merge keeps per-column DISTRIBUTION current,
+# join_size_estimate prices JOINS, this keeps per-column CARDINALITY
+# (NDV) current — the statistic that prices group-bys and distinct
+# aggregations. Register family + constants are single-sourced from
+# minhash_distinct_estimate (m=128 min-hash registers, Lumbroso
+# order-statistics estimator), so the stored state here is exactly
+# the sketch that query computes from scratch.
+
+
+def ensure_ndv_state(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the stored NDV STATE: the m=128 min-hash registers
+    of l_partkey over the pre-cutover lineitem slice (the same
+    cutover the histogram state uses, so the two statistics age
+    together). <= m rows of (bucket, min_h). Once per source
+    fingerprint, atomically published."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        minhash_distinct_sketch,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+        _MH_M,
+        _MH_SEED,
+    )
+
+    tag = _source_fingerprint(sf_dir, "lineitem")
+    base = Path(tempfile.gettempdir()) / "mcdp_warehouse" / tag / "ndv_state"
+
+    def build(path: str) -> None:
+        old = load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") < F.lit(_HDM_CUT).cast("timestamp")
+        )
+        minhash_distinct_sketch(
+            old, F.col("l_partkey"), m=_MH_M, seed=_MH_SEED
+        ).write.mode("overwrite").parquet(path)
+
+    return _materialize_atomic(base, build)
+
+
+_NDV_FULL_CACHE: dict[tuple[str, str], tuple[dict[int, int], int]] = {}
+
+
+def _ndv_full_fit(spark: SparkSession, sf_dir: str) -> tuple[dict[int, int], int]:
+    """The from-scratch validation harness — full-corpus registers +
+    exact COUNT DISTINCT — fit ONCE per (session, corpus version) and
+    entering the report as literals (the _hqe_exact_fit economics:
+    the full rebuild is the one whole-column read in the consumer
+    path and exists only to VALIDATE the merge, so it is per-corpus
+    validation state, not per-question work). Warm NDV questions cost
+    the <= m-row state read plus the delta scan alone."""
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        minhash_distinct_sketch,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+        _MH_M,
+        _MH_SEED,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import (
+        parallelize_small_scan,
+        session_memo,
+    )
+
+    def build() -> tuple[dict[int, int], int]:
+        li = parallelize_small_scan(spark, load(spark, sf_dir, "lineitem"))
+        regs = {
+            int(r["bucket"]): int(r["min_h"])
+            for r in minhash_distinct_sketch(
+                li, F.col("l_partkey"), m=_MH_M, seed=_MH_SEED
+            ).collect()  # bounded: <= m register rows
+        }
+        exact = li.agg(
+            F.countDistinct("l_partkey").cast("long").alias("x")
+        ).collect()[0]["x"]
+        return regs, int(exact)
+
+    return session_memo(spark, _NDV_FULL_CACHE, sf_dir, build)
+
+
+def _ndv_est_agg(min_h_col: str):
+    """The Lumbroso estimator m**2/S - m as an aggregate expression —
+    IDENTICAL text to minhash_distinct_estimate's (S sums the
+    dround-quantized normalized register minima as exact DECIMAL, so
+    the sum is association-free and the estimate reproduces
+    bit-for-bit cross-engine)."""
+    from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+        _MH_M,
+        _MH_R,
+    )
+
+    term = dround(F.col(min_h_col).cast("double") / F.lit(float(_MH_R)), 12)
+    s_sum = F.sum(term.cast("decimal(28,12)")).cast("double")
+    return dround(F.lit(float(_MH_M * _MH_M)) / s_sum - _MH_M, 6)
+
+
+def _ndv_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        oracle_hash64,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+        _MH_M,
+        _MH_R,
+        _MH_SEED,
+    )
+
+    h = oracle_hash64("CAST(l_partkey AS VARCHAR)", _MH_SEED)
+    term = oracle_dround(f"CAST(min_h AS DOUBLE) / CAST({_MH_R} AS DOUBLE)", 12)
+    s_sum = f"CAST(SUM(CAST({term} AS DECIMAL(28,12))) AS DOUBLE)"
+    est = oracle_dround(f"CAST({_MH_M * _MH_M} AS DOUBLE) / ({s_sum}) - {_MH_M}", 6)
+    rel = oracle_dround(
+        "abs(est_distinct_merged - exact_distinct) / exact_distinct", 6
+    )
+    return f"""
+    WITH pre AS (
+      SELECT CAST(h % {_MH_M} AS INT) AS bucket, MIN(h) AS min_h
+      FROM (SELECT {h} AS h FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '{_HDM_CUT}')
+      GROUP BY 1
+    ),
+    dlt AS (
+      SELECT CAST(h % {_MH_M} AS INT) AS bucket, MIN(h) AS min_h
+      FROM (SELECT {h} AS h FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{_HDM_CUT}')
+      GROUP BY 1
+    ),
+    merged AS (
+      SELECT bucket, MIN(min_h) AS min_h
+      FROM (SELECT * FROM pre UNION ALL SELECT * FROM dlt)
+      GROUP BY bucket
+    ),
+    fullr AS (
+      SELECT CAST(h % {_MH_M} AS INT) AS bucket, MIN(h) AS min_h
+      FROM (SELECT {h} AS h FROM lineitem)
+      GROUP BY 1
+    ),
+    em AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+             {est} AS est_distinct_merged
+      FROM merged
+    ),
+    ef AS (SELECT {est} AS est_distinct_full FROM fullr),
+    upd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_registers_updated
+      FROM merged m LEFT JOIN pre p ON m.bucket = p.bucket
+      WHERE p.min_h IS NULL OR m.min_h < p.min_h
+    ),
+    eq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_mismatch
+      FROM merged m FULL OUTER JOIN fullr f ON m.bucket = f.bucket
+      WHERE m.min_h IS DISTINCT FROM f.min_h
+    ),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+      FROM lineitem
+    )
+    SELECT n_registers_hit, n_registers_updated,
+           est_distinct_merged, est_distinct_full,
+           (n_mismatch = 0) AS merge_matches_full,
+           exact_distinct, {rel} AS rel_err
+    FROM em, ef, upd, eq, ex
+    """
+
+
+@query("ndv_delta_merge", oracle=_ndv_oracle())
+def ndv_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16+ (r16): INCREMENTAL NDV-statistics maintenance — the third
+    and last CBO statistic made maintainable without rescans
+    (histograms price range predicates, join-size sketches price
+    joins, NDV prices group-bys and DISTINCT aggregations — a cost
+    model needs all three current). The stored state is
+    minhash_distinct_estimate's m=128 min-hash register sketch over
+    the pre-cutover lineitem slice (same cutover as the histogram
+    state, so the statistics age together); a refresh sketches ONLY
+    the delta slice and folds registers by bucket-wise MIN — the
+    merge law the register construction exists for (min over a
+    partition union = min of partition minima; its exactness is
+    property-tested in tests/test_property_sketches.py). History is
+    never rescanned: the warm path costs the <= 128-row state read
+    plus the pushed-filter delta scan.
+
+    The report carries its own proof: the from-scratch full-corpus
+    registers (fit once per corpus version, entering as literals —
+    the _hqe_exact_fit economics) must equal the merged registers
+    REGISTER-FOR-REGISTER (``merge_matches_full``; driver-compared on
+    both engines, where the oracle recomputes merged AND full from
+    SQL), and the exact COUNT DISTINCT rides along as the accuracy
+    harness (rel_err ~ 1/sqrt(m)). ``n_registers_updated`` is the
+    refresh telemetry: how many stored minima the delta actually
+    lowered (or created) — the statistic's own staleness meter.
+    Replaces the reference's rerun-everything loop
+    (scripts/warehouse/silver_to_gold.py rebuilt ALL marts on a 300 s
+    cycle — reference Dockerfile.silver-to-gold CMD), where every
+    statistics question re-read the whole corpus."""
+    import json
+
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        minhash_distinct_sketch,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+        _MH_M,
+        _MH_SEED,
+    )
+
+    state = spark.read.parquet(ensure_ndv_state(spark, sf_dir))
+    delta = minhash_distinct_sketch(
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") >= F.lit(_HDM_CUT).cast("timestamp")
+        ),
+        F.col("l_partkey"),
+        m=_MH_M,
+        seed=_MH_SEED,
+    )
+    merged = (
+        state.unionByName(delta)
+        .groupBy("bucket")
+        .agg(F.min("min_h").alias("min_h"))
+    )
+    em = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers_hit"),
+        _ndv_est_agg("min_h").alias("est_distinct_merged"),
+    )
+    upd = (
+        merged.join(
+            F.broadcast(state.withColumnRenamed("min_h", "state_min")),
+            "bucket",
+            "left",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("state_min").isNull()
+                        | (F.col("min_h") < F.col("state_min"))
+                    ).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_registers_updated")
+        )
+    )
+    full_regs, exact = _ndv_full_fit(spark, sf_dir)
+    fr = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.from_json(
+                    F.lit(
+                        json.dumps(
+                            [
+                                {"bucket": b, "min_h": v}
+                                for b, v in sorted(full_regs.items())
+                            ]
+                        )
+                    ),
+                    "array<struct<bucket:int,min_h:bigint>>",
+                )
+            ).alias("r")
+        )
+        .select("r.bucket", F.col("r.min_h").alias("min_h"))
+    )
+    ef = fr.agg(_ndv_est_agg("min_h").alias("est_distinct_full"))
+    eq = (
+        # no broadcast hint: Spark cannot build-right a FULL OUTER
+        # broadcast join; both sides are <= m register rows anyway
+        merged.join(
+            fr.withColumnRenamed("min_h", "full_min"),
+            "bucket",
+            "full_outer",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (~F.col("min_h").eqNullSafe(F.col("full_min"))).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_mismatch")
+        )
+    )
+    return (
+        em.join(upd)
+        .join(ef)
+        .join(eq)
+        .select(
+            "n_registers_hit",
+            "n_registers_updated",
+            "est_distinct_merged",
+            "est_distinct_full",
+            (F.col("n_mismatch") == 0).alias("merge_matches_full"),
+            F.lit(int(exact)).cast("long").alias("exact_distinct"),
+            dround(
+                F.abs(F.col("est_distinct_merged") - F.lit(int(exact)))
+                / F.lit(float(exact)),
+                6,
+            ).alias("rel_err"),
+        )
+    )

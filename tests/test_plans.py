@@ -1011,3 +1011,27 @@ def test_histogram_quantile_serves_from_state_not_history(plans):
     # whenever any BNLJ was present, guarding nothing — ADVICE r15)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_ndv_merge_serves_from_state_not_history(plans):
+    """The NDV refresh must never rescan history: every lineitem scan
+    in the plan carries the pushed delta cutover (l_shipdate >= —
+    the from-scratch register harness is fit once per corpus and
+    enters as LITERALS, so no unfiltered lineitem scan may appear),
+    the stored registers enter as a parquet source, and the merge
+    group-by on bucket is the only keyed exchange (<= 128 register
+    rows)."""
+    p = plans("ndv_delta_merge")
+    assert "ndv_state" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    li_scans = [l for l in pushed if "l_shipdate" in l]
+    assert li_scans and all(
+        "GreaterThanOrEqual" in l for l in li_scans
+    ), pushed
+    # the full-corpus registers must ride in as a literal/from_json
+    # source, never as a second lineitem read
+    import re
+
+    owned = re.findall(r"hashpartitioning\((\w+)", p)
+    assert owned and all(k.startswith("bucket") for k in owned), owned
+    assert "CartesianProduct" not in p
