@@ -144,6 +144,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "weighted_sample_topk",
     # r16 new queries (priority-2 until their first green driver row)
     "ndv_delta_merge",
+    "ivf_rebalance_apply",
 )
 
 

@@ -1035,3 +1035,16 @@ def test_ndv_merge_serves_from_state_not_history(plans):
     owned = re.findall(r"hashpartitioning\((\w+)", p)
     assert owned and all(k.startswith("bucket") for k in owned), owned
     assert "CartesianProduct" not in p
+
+
+def test_ivf_rebalance_report_scans_layouts_only(plans):
+    """The rebalance PROOF must read the two persisted list layouts
+    (never re-derive assignments from embeddings at report time —
+    the cosine argmax lives in the one-time layout build), fold
+    digests with partial-aggregated group-bys, and join only the
+    per-list digest frames."""
+    p = plans("ivf_rebalance_apply")
+    assert "ivf_lists" in p and "ivf_lists_rebalanced" in p
+    assert "embeddings.parquet" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_bitxor" in p or p.count("HashAggregate") >= 4
