@@ -145,6 +145,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # r16 new queries (priority-2 until their first green driver row)
     "ndv_delta_merge",
     "ivf_rebalance_apply",
+    "stream_erasure_rollup",
 )
 
 

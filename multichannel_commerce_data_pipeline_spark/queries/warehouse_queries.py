@@ -2947,3 +2947,199 @@ def ndv_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# --- streaming erasure propagation (r16) -----------------------------
+# erasure_propagation's arrival-time twin: deletion requests trickle
+# in as CDC tombstone micro-batches and each batch cascades through
+# the live snapshot (streaming/jobs.stream_erasure_apply). Tombstone
+# application is commutative + idempotent, so the final snapshot must
+# equal the batch erasure over the CUMULATIVE tombstone set — which
+# is exactly what the oracle computes, so the driver row proves the
+# cross-batch cascade converged to the backfill result.
+_STREAM_ERASE_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _stream_erasure_run(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import os
+
+        from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+            fresh_stream_dir,
+            stream_erasure_apply,
+        )
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tmp = fresh_stream_dir(f"mcdp_serase_{tag}_")
+        src, snap, ckpt = f"{tmp}/src", f"{tmp}/snap", f"{tmp}/ckpt"
+        tomb = _erase_tombstones(spark, sf_dir).select(
+            "c_custkey", F.lit("delete").alias("op")
+        )
+        # two deterministic request batches (even keys arrive first,
+        # then odd) — both non-empty at every driver sf
+        tomb.filter(F.col("c_custkey") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{src}/b0")
+        tomb.filter(F.col("c_custkey") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{src}/b1")
+        # pinned mtimes: the file source drains oldest-first, so the
+        # request batches arrive in declared order by construction
+        now = os.stat(f"{src}/b1").st_mtime
+        for sub, t in (("b0", now - 60), ("b1", now - 30)):
+            root = f"{src}/{sub}"
+            for name in os.listdir(root):
+                os.utime(os.path.join(root, name), (t, t))
+        stream_erasure_apply(
+            spark,
+            f"{src}/b*",
+            "c_custkey bigint, op string",
+            sf_dir,
+            snap,
+            ckpt,
+        )
+        return snap
+
+    from multichannel_commerce_data_pipeline_spark.tables import session_memo
+
+    return session_memo(spark, _STREAM_ERASE_DIRS, sf_dir, build)
+
+
+def _stream_erasure_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        oracle_hash64,
+    )
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        oracle_row_fingerprint,
+    )
+
+    tomb = (
+        f"SELECT c_custkey FROM customer WHERE"
+        f" ({oracle_hash64('CAST(c_custkey AS VARCHAR)', _ERASE_SEED)})"
+        f" % {_ERASE_MOD} = 0"
+    )
+    rows = []
+    for table, parent in (
+        ("customer", "c_custkey IN (SELECT c_custkey FROM tomb)"),
+        ("orders", "o_custkey IN (SELECT c_custkey FROM tomb)"),
+        ("lineitem", "l_orderkey IN (SELECT o_orderkey FROM gone)"),
+    ):
+        fp = oracle_row_fingerprint(_ERASE_FP_SQL[table])
+        rows.append(
+            f"""    SELECT '{table}' AS table_name,
+           CAST(2 AS BIGINT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS rows_before,
+           CAST(SUM(CASE WHEN {parent} THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_removed,
+           CAST(SUM(CASE WHEN {parent} THEN 0 ELSE 1 END) AS BIGINT)
+             AS rows_after,
+           COALESCE(bit_xor(CASE WHEN {parent} THEN NULL ELSE {fp} END),
+                    0) AS digest,
+           TRUE AS erase_match
+    FROM {table}"""
+        )
+    body = "\n    UNION ALL\n".join(rows)
+    return f"""
+    WITH tomb AS ({tomb}),
+    gone AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+    )
+{body}
+    """
+
+
+@query("stream_erasure_rollup", oracle=_stream_erasure_oracle())
+def stream_erasure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17+/T5/T7 (r16): STREAMING erasure propagation — the form a
+    live warehouse actually runs deletion requests through. GDPR
+    tombstones arrive as two CDC delete micro-batches; each batch
+    applies the full broadcast anti-join cascade against the CURRENT
+    snapshot and publishes copy-on-write with a _LATEST pointer and a
+    per-batch XOR-digest audit riding along
+    (streaming/jobs.stream_erasure_apply — the stream_merge_snapshot
+    idempotent-publish idiom, so replayed batches and checkpointed
+    restarts converge; pinned in tests/test_streaming.py). Because
+    tombstone application is commutative and idempotent, the final
+    snapshot must equal batch erasure_propagation over the cumulative
+    tombstone set — and that is precisely what the oracle computes
+    relationally, so the green driver row PROVES the cross-batch
+    cascade (including the orders->lineitem cascade spanning a batch
+    boundary) converged to the backfill result: per table, row count
+    + order-independent XOR of portable row fingerprints of the
+    PHYSICAL final snapshot, compared against the engine's own
+    complement recomputation from source (erase_match) AND against
+    the oracle's digests. n_batches counts the landed per-batch audit
+    tables — the stream provenance the batch twin doesn't have."""
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        row_fingerprint,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import (
+        parallelize_small_scan,
+    )
+
+    snap = _stream_erasure_run(spark, sf_dir)
+    latest = (Path(snap) / "_LATEST").read_text().strip()
+    n_batches = len(
+        [p for p in Path(snap).iterdir() if p.name.startswith("audit-")]
+    )
+    tomb = _erase_tombstones(spark, sf_dir)
+    gone = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(tomb),
+            F.col("o_custkey") == tomb.c_custkey,
+            "left_semi",
+        )
+        .select("o_orderkey")
+    )
+
+    def side(table: str, erased_key, erased_set: DataFrame) -> DataFrame:
+        es = erased_set.select(
+            F.col(erased_set.columns[0]).alias("__ekey")
+        )
+        src = parallelize_small_scan(spark, load(spark, sf_dir, table))
+        flagged = src.join(
+            F.broadcast(es), erased_key(src) == F.col("__ekey"), "left"
+        ).withColumn("__gone", F.col("__ekey").isNotNull())
+        exp = flagged.agg(
+            F.count(F.lit(1)).cast("long").alias("rows_before"),
+            F.sum(F.col("__gone").cast("long")).alias("rows_removed"),
+            F.sum((~F.col("__gone")).cast("long")).alias("e_after"),
+            F.coalesce(
+                F.bit_xor(
+                    F.when(
+                        ~F.col("__gone"),
+                        row_fingerprint(_erase_fp_cols(src, table)),
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("e_digest"),
+        )
+        written = parallelize_small_scan(
+            spark, spark.read.parquet(f"{snap}/{latest}/{table}")
+        )
+        w = written.agg(
+            F.count(F.lit(1)).cast("long").alias("rows_after"),
+            F.coalesce(
+                F.bit_xor(row_fingerprint(_erase_fp_cols(written, table))),
+                F.lit(0).cast("long"),
+            ).alias("digest"),
+        )
+        return exp.join(w).select(
+            F.lit(table).alias("table_name"),
+            F.lit(int(n_batches)).cast("long").alias("n_batches"),
+            "rows_before",
+            "rows_removed",
+            "rows_after",
+            "digest",
+            (
+                (F.col("rows_after") == F.col("e_after"))
+                & (F.col("digest") == F.col("e_digest"))
+            ).alias("erase_match"),
+        )
+
+    c = side("customer", lambda d: d.c_custkey, tomb)
+    o = side("orders", lambda d: d.o_custkey, tomb)
+    li = side("lineitem", lambda d: d.l_orderkey, gone)
+    return c.unionByName(o).unionByName(li)

@@ -1605,3 +1605,145 @@ def read_latest_cusum_summary(spark: SparkSession, out_dir: str) -> DataFrame:
         .filter(F.col("__bid") == F.col("__mx"))
         .drop("__mx", "__bid")
     )
+
+
+def stream_erasure_apply(
+    spark: SparkSession,
+    tombstones_glob: str,
+    tombstone_schema: str,
+    sf_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming RIGHT-TO-BE-FORGOTTEN: deletion requests arrive as
+    CDC tombstones in micro-batches and each batch applies the full
+    broadcast anti-join CASCADE (customer -> their orders -> those
+    orders' lineitems) against the CURRENT warehouse snapshot — the
+    form a live warehouse actually runs erasure through, where
+    requests trickle in continuously and each must propagate without
+    rescanning history it already erased. batch erasure
+    (queries/warehouse_queries.erasure_propagation) is the backfill
+    twin; tombstone application is commutative and idempotent (an
+    anti-join against an already-erased key removes nothing), so any
+    arrival order converges to the batch result over the cumulative
+    tombstone set.
+
+    Publish is the stream_merge_snapshot idiom: each batch writes a
+    complete ``snap-<batch_id>`` tree (copy-on-write: the three
+    erased tables) with OVERWRITE and re-points ``_LATEST`` after the
+    write — a replayed batch (foreachBatch is at-least-once) rewrites
+    the same directory and converges, so the chain is
+    restart-idempotent. The per-batch erasure PROOF rides along: an
+    ``audit-<batch_id>`` table (also overwrite-idempotent) lands per
+    erased table the tombstone count applied, surviving row count,
+    and the order-independent XOR of portable row fingerprints of
+    what was WRITTEN — the table_reconcile digest a downstream
+    verifier compares against its own complement computation, per
+    batch rather than per nightly sweep. At scale each batch costs
+    one broadcast anti-join scan per table (the tombstone batch is
+    small by nature) plus the digest fold, which partial-aggregates
+    to one row per table."""
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        row_fingerprint,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _erase_fp_cols,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        tomb = batch_df.filter(F.col("op") == "delete").select(
+            "c_custkey"
+        ).distinct()
+        latest = Path(snapshot_dir) / "_LATEST"
+        if latest.exists():
+            base = str(Path(snapshot_dir) / latest.read_text().strip())
+            cur = {
+                t: sess.read.parquet(f"{base}/{t}")
+                for t in ("customer", "orders", "lineitem")
+            }
+        else:
+            cur = {
+                t: load(sess, sf_dir, t)
+                for t in ("customer", "orders", "lineitem")
+            }
+        cust = cur["customer"].join(F.broadcast(tomb), "c_custkey", "left_anti")
+        gone = (
+            cur["orders"]
+            .join(
+                F.broadcast(tomb),
+                cur["orders"].o_custkey == tomb.c_custkey,
+                "left_semi",
+            )
+            .select("o_orderkey")
+        )
+        orders = cur["orders"].join(
+            F.broadcast(tomb),
+            cur["orders"].o_custkey == tomb.c_custkey,
+            "left_anti",
+        )
+        li = cur["lineitem"].join(
+            F.broadcast(gone),
+            cur["lineitem"].l_orderkey == gone.o_orderkey,
+            "left_anti",
+        )
+        # scratch-then-swap publish: a REPLAYED batch's read side is
+        # the very snapshot directory it republishes (_LATEST already
+        # points at snap-<batch_id>), and Spark's lazy overwrite would
+        # delete the input files mid-read. Writing the new tree to a
+        # scratch sibling first means the old snapshot stays intact as
+        # the read source; the swap is two renames, so a crash leaves
+        # either the old or the new tree at the published path — never
+        # neither (the _materialize_atomic rule applied per batch).
+        import os as _os
+        import shutil as _sh
+
+        out = f"{snapshot_dir}/snap-{batch_id}"
+        scratch = f"{snapshot_dir}/.snap-{batch_id}.inflight"
+        _sh.rmtree(scratch, ignore_errors=True)
+        erased = {"customer": cust, "orders": orders, "lineitem": li}
+        for t, df in erased.items():
+            df.write.mode("overwrite").parquet(f"{scratch}/{t}")
+        n_tomb = tomb.count()
+        audits = []
+        for t in ("customer", "orders", "lineitem"):
+            written = sess.read.parquet(f"{scratch}/{t}")
+            audits.append(
+                written.agg(
+                    F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                    F.lit(t).alias("table_name"),
+                    F.lit(int(n_tomb)).cast("long").alias("n_tombstones"),
+                    F.count(F.lit(1)).cast("long").alias("rows_after"),
+                    F.coalesce(
+                        F.bit_xor(row_fingerprint(_erase_fp_cols(written, t))),
+                        F.lit(0).cast("long"),
+                    ).alias("digest"),
+                )
+            )
+        audit = audits[0].unionByName(audits[1]).unionByName(audits[2])
+        audit.write.mode("overwrite").parquet(
+            f"{snapshot_dir}/audit-{batch_id}"
+        )
+        trash = f"{out}.old"
+        _sh.rmtree(trash, ignore_errors=True)
+        if _os.path.isdir(out):
+            _os.rename(out, trash)
+        _os.rename(scratch, out)
+        _sh.rmtree(trash, ignore_errors=True)
+        latest.parent.mkdir(parents=True, exist_ok=True)
+        latest.write_text(f"snap-{batch_id}")
+
+    stream = (
+        spark.readStream.schema(tombstone_schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tombstones_glob)
+    )
+    query = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

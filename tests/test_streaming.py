@@ -1789,3 +1789,131 @@ def test_stream_cusum_detects_planted_shift(spark, tmp_path):
     assert got["shift"].first_flag_day == "2024-01-13"
     assert got["shift"].n_flagged == 8  # days 13..20
     assert got["shift"].max_cusum_milli == 10 * 80
+
+
+def test_stream_erasure_cascade_converges_and_restart(spark, sf_dir, tmp_path):
+    """T5 × X17 (r16): two tombstone micro-batches must cascade to
+    exactly the batch anti-join erasure over the CUMULATIVE key set
+    (including orders->lineitem cascades crossing the batch
+    boundary), land one audit table per batch, and a re-drain with
+    the same checkpoint and no new requests must change nothing —
+    the stream_merge_snapshot restart contract."""
+    import json as _json
+
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_erasure_apply,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    cust = load(spark, sf_dir, "customer")
+    keys = [r.c_custkey for r in cust.select("c_custkey").limit(6).collect()]
+    b1, b2 = keys[:3], keys[3:]
+    src = tmp_path / "tomb"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps({"c_custkey": k, "op": "delete"}) for k in b1)
+    )
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps({"c_custkey": k, "op": "delete"}) for k in b2)
+    )
+    snap, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    stream_erasure_apply(
+        spark, f"{src}/b*.json", "c_custkey bigint, op string",
+        sf_dir, snap, ckpt,
+    )
+    from pathlib import Path as _P
+
+    latest = (_P(snap) / "_LATEST").read_text().strip()
+    tomb = spark.createDataFrame([(k,) for k in keys], "c_custkey bigint")
+    want_c = cust.join(tomb, "c_custkey", "left_anti")
+    orders = load(spark, sf_dir, "orders")
+    want_o = orders.join(
+        tomb, orders.o_custkey == tomb.c_custkey, "left_anti"
+    )
+    gone = orders.join(
+        tomb, orders.o_custkey == tomb.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem")
+    want_l = li.join(gone, li.l_orderkey == gone.o_orderkey, "left_anti")
+    for t, want, key in (
+        ("customer", want_c, "c_custkey"),
+        ("orders", want_o, "o_orderkey"),
+        ("lineitem", want_l, "l_orderkey"),
+    ):
+        got = spark.read.parquet(f"{snap}/{latest}/{t}")
+        assert got.count() == want.count()
+        assert (
+            got.select(key)
+            .exceptAll(want.select(key))
+            .union(want.select(key).exceptAll(got.select(key)))
+            .count()
+            == 0
+        ), t
+    audits = sorted(
+        p.name for p in _P(snap).iterdir() if p.name.startswith("audit-")
+    )
+    assert audits == ["audit-0", "audit-1"]
+    a1 = {
+        r.table_name: (r.rows_after, r.digest)
+        for r in spark.read.parquet(f"{snap}/audit-1").collect()
+    }
+    assert set(a1) == {"customer", "orders", "lineitem"}
+    # restart with same checkpoint: no new requests -> nothing moves
+    stream_erasure_apply(
+        spark, f"{src}/b*.json", "c_custkey bigint, op string",
+        sf_dir, snap, ckpt,
+    )
+    assert (_P(snap) / "_LATEST").read_text().strip() == latest
+    assert {
+        r.table_name: (r.rows_after, r.digest)
+        for r in spark.read.parquet(f"{snap}/audit-1").collect()
+    } == a1
+
+
+def test_stream_erasure_replay_from_scratch_converges(spark, sf_dir, tmp_path):
+    """Replaying the full request stream against a FRESH checkpoint
+    (lost-checkpoint recovery) rewrites the snapshot chain and
+    converges to the identical final state — tombstone application is
+    idempotent, so at-least-once delivery can never over- or
+    under-delete."""
+    import json as _json
+
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_erasure_apply,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+    from pathlib import Path as _P
+
+    keys = [
+        r.c_custkey
+        for r in load(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .limit(4)
+        .collect()
+    ]
+    src = tmp_path / "tomb"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            _json.dumps({"c_custkey": k, "op": "delete"}) for k in keys
+        )
+    )
+    snap = str(tmp_path / "snap")
+    stream_erasure_apply(
+        spark, f"{src}/b*.json", "c_custkey bigint, op string",
+        sf_dir, snap, str(tmp_path / "ckpt1"),
+    )
+    latest = (_P(snap) / "_LATEST").read_text().strip()
+    d1 = {
+        r.table_name: (r.rows_after, r.digest)
+        for r in spark.read.parquet(f"{snap}/audit-0").collect()
+    }
+    stream_erasure_apply(
+        spark, f"{src}/b*.json", "c_custkey bigint, op string",
+        sf_dir, snap, str(tmp_path / "ckpt2"),
+    )
+    assert (_P(snap) / "_LATEST").read_text().strip() == latest
+    assert {
+        r.table_name: (r.rows_after, r.digest)
+        for r in spark.read.parquet(f"{snap}/audit-0").collect()
+    } == d1
