@@ -146,6 +146,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ndv_delta_merge",
     "ivf_rebalance_apply",
     "stream_erasure_rollup",
+    "metrics_backlog_report",
 )
 
 

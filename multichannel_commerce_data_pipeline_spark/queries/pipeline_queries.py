@@ -862,3 +862,144 @@ def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# --- streaming-metrics monitoring rollup (r16) -----------------------
+# T7 closed end-to-end: the r14 MetricsRecorder listener PRODUCES the
+# per-micro-batch telemetry (landed JSONL; live production asserted in
+# tests/test_streaming.py); this registers the CONSUMER — the alarm
+# rollup an on-call dashboard reads — over a pinned deterministic
+# history (tests/fixtures/metrics, the planted-rows idiom), so the
+# driver checks the monitoring arithmetic itself against DuckDB.
+_MBR_RUN = 3  # sustained-backlog threshold: >= 3 consecutive lag batches
+_MBR_MAD_MULT = 5  # slow-batch band: dur > median + 5 * MAD
+_MBR_SLOPE = 0.5  # state leak: > 0.5 state rows gained per batch
+
+
+def _mbr_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.streaming.metrics import (
+        METRICS_FIXTURE,
+    )
+
+    med = oracle_dround("quantile_cont(batch_duration_ms, 0.5)", 2)
+    mad = oracle_dround(
+        "quantile_cont(ABS(m.batch_duration_ms - d.med), 0.5)", 2
+    )
+    slope = oracle_dround(
+        "CAST(c * sxy - sx * sy AS DOUBLE) / CAST(c * sxx - sx * sx AS DOUBLE)",
+        6,
+    )
+    return f"""
+    WITH m AS (
+      SELECT * FROM read_json('{METRICS_FIXTURE}',
+        format = 'newline_delimited',
+        columns = {{query_id: 'VARCHAR', run_id: 'VARCHAR',
+                    query_name: 'VARCHAR', batch_id: 'BIGINT',
+                    event_ts: 'VARCHAR', num_input_rows: 'BIGINT',
+                    input_rps: 'DOUBLE', processed_rps: 'DOUBLE',
+                    batch_duration_ms: 'BIGINT', n_state_ops: 'BIGINT',
+                    state_rows: 'BIGINT'}})
+    ),
+    base AS (
+      SELECT query_name,
+             CAST(COUNT(*) AS BIGINT) AS n_batches,
+             CAST(SUM(num_input_rows) AS BIGINT) AS rows_in,
+             CAST(MAX(batch_duration_ms) AS BIGINT) AS worst_batch_ms,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             SUM(batch_id) AS sx, SUM(state_rows) AS sy,
+             SUM(batch_id * state_rows) AS sxy,
+             SUM(batch_id * batch_id) AS sxx
+      FROM m GROUP BY query_name
+    ),
+    lagrows AS (
+      SELECT query_name, batch_id FROM m
+      WHERE input_rps IS NOT NULL AND processed_rps IS NOT NULL
+        AND input_rps > processed_rps
+    ),
+    runs AS (
+      SELECT query_name,
+             batch_id - ROW_NUMBER() OVER (PARTITION BY query_name
+                                           ORDER BY batch_id) AS grp
+      FROM lagrows
+    ),
+    runlen AS (
+      SELECT query_name, CAST(COUNT(*) AS BIGINT) AS rl
+      FROM runs GROUP BY query_name, grp
+    ),
+    maxrun AS (
+      SELECT query_name, MAX(rl) AS max_lag_run FROM runlen
+      GROUP BY query_name
+    ),
+    dmed AS (
+      SELECT query_name, {med} AS med FROM m GROUP BY query_name
+    ),
+    dmad AS (
+      SELECT m.query_name, d.med, {mad} AS mad
+      FROM m JOIN dmed d USING (query_name)
+      GROUP BY m.query_name, d.med
+    ),
+    danom AS (
+      SELECT m.query_name,
+             CAST(SUM(CASE WHEN m.batch_duration_ms >
+                    d.med + {_MBR_MAD_MULT} * d.mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_slow_batches
+      FROM m JOIN dmad d USING (query_name) GROUP BY m.query_name
+    )
+    SELECT b.query_name, b.n_batches, b.rows_in,
+           CAST(COALESCE(r.max_lag_run, 0) AS BIGINT) AS max_lag_run,
+           (COALESCE(r.max_lag_run, 0) >= {_MBR_RUN}) AS backlog_sustained,
+           b.worst_batch_ms, a.n_slow_batches,
+           {slope} AS state_slope,
+           ({slope} > {_MBR_SLOPE}) AS state_leaking
+    FROM base b
+    LEFT JOIN maxrun r USING (query_name)
+    JOIN danom a USING (query_name)
+    """
+
+
+@query("metrics_backlog_report", oracle=_mbr_oracle())
+def metrics_backlog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 end-to-end (r16): the streaming-telemetry ALARM rollup — the
+    consumer of the MetricsRecorder listener's landed history, and
+    the monitoring surface the reference only declared Kafka topics
+    for (docker-compose pipeline-metrics / data-quality-alerts,
+    never published). Three alarms per streaming query, each the
+    established idiom applied to telemetry instead of data:
+
+    - SUSTAINED BACKLOG: longest consecutive run of micro-batches
+      with input rate above processing rate (the gaps-and-islands
+      batch_id - row_number grouping); a single blip is absorbed,
+      >= 3 consecutive lag batches flags — rate-pair NULLs (drained
+      file sources) never count as lag.
+    - SLOW-BATCH ANOMALIES: batch durations banded by per-query
+      median + 5 * MAD (the cusum/mad_outliers robust-threshold
+      family — one pathological batch cannot widen its own band the
+      way a stddev band would).
+    - STATE LEAK: OLS slope of state-store rows over batch_id from
+      integer-exact sufficient statistics (the revenue_trend_slope
+      form); every bounded-state operator in this package should
+      slope ~0, so a positive slope IS the leak alarm.
+
+    Input is the committed deterministic history
+    (tests/fixtures/metrics — the planted-rows idiom of
+    dq_quarantine_router, since live listener timings can never be
+    oracle-reproducible); the SAME rollup implementation
+    (streaming/metrics.backlog_report — one implementation, two
+    drivers) is run over LIVE listener output in
+    tests/test_queries_r16.py, which also asserts each planted
+    pathology fires exactly its own alarm. Cost scales with batches
+    observed, not data processed — windows and group-bys all key on
+    query_name."""
+    from multichannel_commerce_data_pipeline_spark.streaming.metrics import (
+        METRICS_FIXTURE,
+        METRICS_SCHEMA,
+        backlog_report,
+    )
+
+    m = spark.read.schema(METRICS_SCHEMA).json(METRICS_FIXTURE)
+    return backlog_report(
+        m,
+        run_threshold=_MBR_RUN,
+        mad_mult=_MBR_MAD_MULT,
+        slope_threshold=_MBR_SLOPE,
+    )

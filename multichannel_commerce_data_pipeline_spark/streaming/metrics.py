@@ -127,3 +127,119 @@ def metrics_rollup(metrics: DataFrame) -> DataFrame:
         ),
         F.max("state_rows").cast("long").alias("max_state_rows"),
     )
+
+
+# Committed deterministic metrics history (tests/fixtures/metrics) —
+# the planted-rows idiom: the listener above PRODUCES this shape from
+# live streams (asserted in tests/test_streaming.py); the registered
+# monitoring rollup CONSUMES a pinned history so the driver can check
+# its arithmetic against the DuckDB oracle on identical input.
+METRICS_FIXTURE = str(
+    Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "metrics"
+    / "progress.jsonl"
+)
+
+
+def backlog_report(
+    metrics: DataFrame,
+    run_threshold: int = 3,
+    mad_mult: int = 5,
+    slope_threshold: float = 0.5,
+) -> DataFrame:
+    """The per-query ALARM rollup over a landed metrics history — one
+    implementation, two drivers (the stream_boilerplate convention):
+    the registered `metrics_backlog_report` query runs it over the
+    committed deterministic fixture so the driver oracle-checks the
+    arithmetic, and tests run it over LIVE listener output. Three
+    alarms: sustained backlog (longest consecutive lag run via the
+    gaps-and-islands batch_id - row_number grouping; rate-pair NULLs
+    never count as lag), slow-batch anomalies (median + mad_mult*MAD
+    robust band per query), and state leak (OLS slope of state rows
+    over batch_id from integer-exact sufficient statistics). Cost
+    scales with batches observed, not data processed; every window
+    and group-by keys on query_name."""
+    from pyspark.sql import Window
+
+    from multichannel_commerce_data_pipeline_spark.functions import dround
+
+    base = metrics.groupBy("query_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("num_input_rows").cast("long").alias("rows_in"),
+        F.max("batch_duration_ms").cast("long").alias("worst_batch_ms"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("batch_id").alias("sx"),
+        F.sum("state_rows").alias("sy"),
+        F.sum(F.col("batch_id") * F.col("state_rows")).alias("sxy"),
+        F.sum(F.col("batch_id") * F.col("batch_id")).alias("sxx"),
+    )
+    lagrows = metrics.filter(
+        F.col("input_rps").isNotNull()
+        & F.col("processed_rps").isNotNull()
+        & (F.col("input_rps") > F.col("processed_rps"))
+    ).select("query_name", "batch_id")
+    wr = Window.partitionBy("query_name").orderBy("batch_id")
+    runs = lagrows.select(
+        "query_name",
+        (F.col("batch_id") - F.row_number().over(wr)).alias("grp"),
+    )
+    maxrun = (
+        runs.groupBy("query_name", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("rl"))
+        .groupBy("query_name")
+        .agg(F.max("rl").alias("max_lag_run"))
+    )
+    dmed = metrics.groupBy("query_name").agg(
+        dround(F.percentile("batch_duration_ms", 0.5), 2).alias("med")
+    )
+    dmad = (
+        metrics.join(F.broadcast(dmed), "query_name")
+        .groupBy("query_name", "med")
+        .agg(
+            dround(
+                F.percentile(
+                    F.abs(F.col("batch_duration_ms") - F.col("med")), 0.5
+                ),
+                2,
+            ).alias("mad")
+        )
+    )
+    danom = (
+        metrics.join(F.broadcast(dmad), "query_name")
+        .groupBy("query_name")
+        .agg(
+            F.sum(
+                (
+                    F.col("batch_duration_ms")
+                    > F.col("med") + F.lit(mad_mult) * F.col("mad")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_slow_batches")
+        )
+    )
+    slope = dround(
+        (F.col("c") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("c") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        ),
+        6,
+    )
+    mlr = F.coalesce(F.col("max_lag_run"), F.lit(0).cast("long"))
+    return (
+        base.join(F.broadcast(maxrun), "query_name", "left")
+        .join(F.broadcast(danom), "query_name")
+        .select(
+            "query_name",
+            "n_batches",
+            "rows_in",
+            mlr.alias("max_lag_run"),
+            (mlr >= run_threshold).alias("backlog_sustained"),
+            "worst_batch_ms",
+            "n_slow_batches",
+            slope.alias("state_slope"),
+            (slope > slope_threshold).alias("state_leaking"),
+        )
+    )

@@ -5,8 +5,6 @@ metrics/erasure streaming closures added this round.
 
 from __future__ import annotations
 
-import math
-
 
 def _src(cell: int) -> int:
     from multichannel_commerce_data_pipeline_spark.queries.similarity import (
@@ -152,3 +150,99 @@ def test_ndv_state_reused_and_memoized(spark, sf_dir):
     assert 0 < len(regs) <= 128 and exact > 0
     est = 128.0 * 128.0 / sum(v / float(1 << 60) for v in regs.values()) - 128
     assert abs(est - exact) / exact < 0.5  # ~1/sqrt(m) accuracy band
+
+
+def test_metrics_backlog_report_flags_exactly_planted_pathologies(
+    spark, sf_dir
+):
+    """Each planted pathology in the committed metrics history fires
+    exactly its own alarm and nothing else: sessionize's 5-batch lag
+    run (backlog), gold_refresh's one pathological duration (slow
+    batch), dedup_state's 40-rows/batch state growth (leak) — while
+    ingest_orders' single-batch blip and NULL-rate drained batches
+    are absorbed."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    out = {
+        r.query_name: r
+        for r in load_registry()["metrics_backlog_report"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(out) == {
+        "ingest_orders",
+        "sessionize",
+        "gold_refresh",
+        "dedup_state",
+    }
+    alarms = {
+        q: (r.backlog_sustained, r.n_slow_batches > 0, r.state_leaking)
+        for q, r in out.items()
+    }
+    assert alarms == {
+        "ingest_orders": (False, False, False),
+        "sessionize": (True, False, False),
+        "gold_refresh": (False, True, False),
+        "dedup_state": (False, False, True),
+    }
+    assert out["ingest_orders"].max_lag_run == 1  # blip seen, absorbed
+    assert out["sessionize"].max_lag_run == 5
+    assert out["gold_refresh"].n_slow_batches == 1
+    assert abs(out["dedup_state"].state_slope - 40.0) < 1e-9
+
+
+def test_backlog_report_consumes_live_listener_history(spark, tmp_path):
+    """T7 produce AND consume, end to end on a REAL stream: the
+    MetricsRecorder listener lands telemetry from a live drain, and
+    the same backlog_report implementation the registered query runs
+    summarizes it — a healthy drain raises no alarm."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.streaming.metrics import (
+        MetricsRecorder,
+        backlog_report,
+        read_metrics,
+    )
+
+    src, out, ckpt, mdir = (
+        tmp_path / "src",
+        tmp_path / "out",
+        tmp_path / "ckpt",
+        tmp_path / "metrics",
+    )
+    rows = spark.range(30)
+    rows.filter(F.col("id") < 15).coalesce(1).write.parquet(f"{src}/b0")
+    rows.filter(F.col("id") >= 15).coalesce(1).write.parquet(f"{src}/b1")
+    rec = MetricsRecorder(str(mdir))
+    spark.streams.addListener(rec)
+    try:
+        q = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+            .writeStream.queryName("live_probe")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        for _ in range(50):
+            if (mdir / "progress.jsonl").exists() and sum(
+                1 for _l in open(mdir / "progress.jsonl")
+            ) >= 2:
+                break
+            _t.sleep(0.2)
+    finally:
+        spark.streams.removeListener(rec)
+    m = read_metrics(spark, str(mdir)).filter(
+        F.col("query_name") == "live_probe"
+    )
+    rep = backlog_report(m).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r.n_batches >= 2 and r.rows_in == 30
+    assert not r.backlog_sustained and not r.state_leaking
