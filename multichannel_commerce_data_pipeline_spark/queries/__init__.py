@@ -142,6 +142,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # prefilter bypass on both sides
     "stream_cusum_rollup",
     "weighted_sample_topk",
+    # r16 oracle-text change: cusum_changepoint gained the mirrored
+    # downward statistic (three new columns on both sides)
+    "cusum_changepoint",
     # r16 new queries (priority-2 until their first green driver row)
     "ndv_delta_merge",
     "ivf_rebalance_apply",

@@ -1146,7 +1146,11 @@ def _cusum_oracle() -> str:
              p - LEAST(CAST(0 AS DECIMAL(38, 3)),
                        MIN(p) OVER (PARTITION BY series ORDER BY day
                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW)) AS s
+                                    AND CURRENT ROW)) AS s,
+             GREATEST(CAST(0 AS DECIMAL(38, 3)),
+                      MAX(p) OVER (PARTITION BY series ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)) - p AS sn
       FROM pre
     )
     SELECT series,
@@ -1155,22 +1159,31 @@ def _cusum_oracle() -> str:
              AS n_flagged,
            CAST(MIN(CASE WHEN s > h THEN day END) AS TIMESTAMP)
              AS first_flag_day,
-           {oracle_dround("MAX(CAST(s AS DOUBLE))", 3)} AS max_cusum
+           {oracle_dround("MAX(CAST(s AS DOUBLE))", 3)} AS max_cusum,
+           CAST(SUM(CASE WHEN sn > h THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_down,
+           CAST(MIN(CASE WHEN sn > h THEN day END) AS TIMESTAMP)
+             AS first_flag_day_down,
+           {oracle_dround("MAX(CAST(sn AS DOUBLE))", 3)} AS max_cusum_down
     FROM run GROUP BY series
     """
 
 
 @query("cusum_changepoint", oracle=_cusum_oracle())
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X10/DQ (r15): one-sided CUSUM change-point detection over each
-    order-priority's daily revenue series — the sequential mean-shift
-    monitor (Page 1954) that complements daily_anomaly_bands' pointwise
-    z-band: a small persistent upward shift never trips a z-band but
-    ACCUMULATES in the CUSUM statistic. The recursion
-    S_t = max(0, S_{t-1} + x_t - k) is not a plain window aggregate,
-    but its closed form is: with P_t the prefix sum of (x_t - k),
-    S_t = P_t - min(0, min_{j<=t} P_j) — two ordered-window aggregates
-    over one sort. k = per-series median, threshold h = 5x the median
+    """X10/DQ (r15, two-sided since r16): CUSUM change-point detection
+    over each order-priority's daily revenue series — the sequential
+    mean-shift monitor (Page 1954) that complements
+    daily_anomaly_bands' pointwise z-band: a small persistent shift
+    never trips a z-band but ACCUMULATES in the CUSUM statistic. The
+    recursion S_t = max(0, S_{t-1} + x_t - k) is not a plain window
+    aggregate, but its closed form is: with P_t the prefix sum of
+    (x_t - k), S_t = P_t - min(0, min_{j<=t} P_j) — two
+    ordered-window aggregates over one sort. The mirrored DOWNWARD
+    statistic (a revenue collapse is at least as alarm-worthy as a
+    ramp) symmetrizes to max(0, max_{j<=t} P_j) - P_t: the same
+    prefix sum against its running MAX, so both directions cost the
+    one sort. k = per-series median, threshold h = 5x the median
     absolute deviation, both percentiles of 2dp values (exact in both
     engines); every accumulated term is DECIMAL so the prefix sums are
     exact integers-at-scale-3 and the flag comparison can never sit on
@@ -1219,6 +1232,12 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pre = mad.select("series", "day", "h", F.sum("dv").over(w).alias("p"))
+    # the mirrored (downward) statistic symmetrizes the closed form:
+    # S-_t = max(0, S-_{t-1} - dv) has closed form
+    # max(0, max_{j<=t} P_j) - P_t — the same prefix sum read against
+    # its running MAX instead of its running MIN, so both sides ride
+    # the one keyed exchange (r16; a revenue collapse is at least as
+    # alarm-worthy as a ramp)
     run = pre.select(
         "series",
         "day",
@@ -1229,8 +1248,15 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("decimal(38,3)"), F.min("p").over(w)
             )
         ).alias("s"),
+        (
+            F.greatest(
+                F.lit(0).cast("decimal(38,3)"), F.max("p").over(w)
+            )
+            - F.col("p")
+        ).alias("sn"),
     )
     flagged = F.col("s") > F.col("h")
+    flagged_dn = F.col("sn") > F.col("h")
     return run.groupBy("series").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum(flagged.cast("long")).alias("n_flagged"),
@@ -1238,6 +1264,13 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp")
         .alias("first_flag_day"),
         dround(F.max(F.col("s").cast("double")), 3).alias("max_cusum"),
+        F.sum(flagged_dn.cast("long")).alias("n_flagged_down"),
+        F.min(F.when(flagged_dn, F.col("day")))
+        .cast("timestamp")
+        .alias("first_flag_day_down"),
+        dround(F.max(F.col("sn").cast("double")), 3).alias(
+            "max_cusum_down"
+        ),
     )
 
 

@@ -2846,27 +2846,42 @@ def test_cusum_closed_form_equals_recursion(spark, sf_dir):
             str(_CUSUM_MAD_MULT * statistics.median(sorted(abs(d) for d in devs)))
         ).quantize(Decimal("0.001"))
         s_t, flags, first, mx = Decimal(0), 0, None, Decimal(0)
+        sn_t, flags_dn, first_dn, mx_dn = Decimal(0), 0, None, Decimal(0)
         for (day, _), dv in zip(pts, devs):
             s_t = max(Decimal(0), s_t + dv)
             mx = max(mx, s_t)
             if s_t > mad:
                 flags += 1
                 first = first or day
-        expect[s] = (len(pts), flags, first, float(mx))
+            # the r16 mirrored recursion: S-_t = max(0, S-_{t-1} - dv)
+            sn_t = max(Decimal(0), sn_t - dv)
+            mx_dn = max(mx_dn, sn_t)
+            if sn_t > mad:
+                flags_dn += 1
+                first_dn = first_dn or day
+        expect[s] = (
+            len(pts), flags, first, float(mx),
+            flags_dn, first_dn, float(mx_dn),
+        )
     got = {
         r.series: (
             r.n_days,
             r.n_flagged,
             r.first_flag_day.date() if r.first_flag_day else None,
             r.max_cusum,
+            r.n_flagged_down,
+            r.first_flag_day_down.date() if r.first_flag_day_down else None,
+            r.max_cusum_down,
         )
         for r in load_registry()["cusum_changepoint"].fn(spark, sf_dir).collect()
     }
     assert set(got) == set(expect)
     for s in expect:
-        n, f, d, m = expect[s]
+        n, f, d, m, f2, d2, m2 = expect[s]
         assert got[s][0] == n and got[s][1] == f and got[s][2] == d
         assert abs(got[s][3] - m) < 1e-6, (s, got[s][3], m)
+        assert got[s][4] == f2 and got[s][5] == d2
+        assert abs(got[s][6] - m2) < 1e-6, (s, got[s][6], m2)
 
 
 def test_skyline_matches_bruteforce_dominance(spark, sf_dir):

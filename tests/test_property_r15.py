@@ -154,7 +154,29 @@ def test_cusum_closed_form_shift_equivariant(xs, shift):
             out.append(s)
         return out
 
+    def closed_down(dvs):
+        out, p, mx = [], 0, 0
+        for dv in dvs:
+            p += dv
+            mx = max(mx, p)
+            out.append(max(0, mx) - p)
+        return out
+
+    def recur_down(dvs):
+        out, s = [], 0
+        for dv in dvs:
+            s = max(0, s - dv)
+            out.append(s)
+        return out
+
     assert closed(xs) == recur(xs)
+    # the r16 mirrored (downward) statistic: closed form
+    # max(0, max P_j) - P_t equals ITS recursion, and mirroring the
+    # data swaps the two sides exactly
+    assert closed_down(xs) == recur_down(xs)
+    assert closed_down([-x for x in xs]) == closed(xs)
     shifted = [x + shift for x in xs]
-    # reference shifts with the data -> identical deviations
+    # reference shifts with the data -> identical deviations, BOTH
+    # directions (shift may be negative — a collapse, not a ramp)
     assert closed([x - shift for x in shifted]) == closed(xs)
+    assert closed_down([x - shift for x in shifted]) == closed_down(xs)
