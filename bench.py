@@ -150,6 +150,17 @@ HEADLINE = [
     "histogram_quantile_estimate",
     "expectation_suite",
     "phrase_search",
+    # round 16 additions: incremental NDV maintenance (state read +
+    # pushed delta scan; the full-rebuild harness is fit once per
+    # corpus and enters as literals), the IVF rebalance proof (two
+    # layout digest scans; layout builds memoized per corpus like
+    # ensure_compacted_layouts), and the streaming-metrics alarm
+    # rollup (fixture-history input — batches observed, not data).
+    # stream_erasure_rollup is a checkpointed streaming drain like
+    # the other stream_* rollups — driver row + tests, not timed.
+    "ndv_delta_merge",
+    "ivf_rebalance_apply",
+    "metrics_backlog_report",
     # round 7 additions
     "copurchase_triangles",
     "copurchase_communities",

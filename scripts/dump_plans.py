@@ -810,6 +810,56 @@ COMMENTARY = {
         "cached build). Overlap semantics checked brute-force in "
         "tests/test_operators.py."
     ),
+    "ndv_delta_merge": (
+        "Incremental NDV maintenance never rescans history: the "
+        "stored m=128 min-hash registers enter as a <=128-row "
+        "parquet source (ndv_state), the only lineitem scan carries "
+        "the pushed post-cutover filter (PushedFilters: l_shipdate "
+        ">=), and registers fold by bucket-wise MIN through one "
+        "bucket-keyed exchange — min over a partition union equals "
+        "min of partition minima, the merge law the register "
+        "construction exists for. The from-scratch full-corpus "
+        "registers and the exact COUNT DISTINCT are the VALIDATION "
+        "harness, fit once per corpus version and entering as a "
+        "from_json literal (no second lineitem read appears in the "
+        "plan — asserted in tests/test_plans.py); at 100 TB an NDV "
+        "question costs the state read plus the delta scan."
+    ),
+    "ivf_rebalance_apply": (
+        "The rebalance PROOF reads only the two persisted "
+        "cell-partitioned list layouts (ivf_lists / "
+        "ivf_lists_rebalanced — built once per corpus version; the "
+        "split itself happens in the layout build, where only the "
+        "top-2 occupied lists' partitions are rewritten). Each side "
+        "folds count + XOR vid-fingerprint digests with "
+        "partial-aggregated group-bys, so the verify shuffles one "
+        "digest row per list, never members — the "
+        "compaction_apply_reconcile economics applied to the index. "
+        "No embeddings scan and no cosine arithmetic at report "
+        "time (asserted in tests/test_plans.py)."
+    ),
+    "stream_erasure_rollup": (
+        "The report side mirrors erasure_propagation: per table, one "
+        "broadcast-flagged scan of the SOURCE computes the expected "
+        "complement (count + XOR digest) and one scan of the "
+        "stream's final snapshot computes what was actually "
+        "published — both partial-aggregate to a single row, so the "
+        "proof shuffles three digest rows. The cascade itself ran "
+        "in foreachBatch micro-batches (broadcast anti-joins per "
+        "batch, scratch-then-swap copy-on-write publish); "
+        "driver-green means the cross-batch cascade converged to "
+        "the batch erasure over the cumulative tombstone set."
+    ),
+    "metrics_backlog_report": (
+        "Monitoring cost scales with batches observed, not data "
+        "processed: the telemetry history is a narrow JSON scan, "
+        "the gaps-and-islands lag-run grouping windows on "
+        "query_name, and the median/MAD duration bands and "
+        "integer-exact OLS state slope are per-query-name "
+        "aggregates joined broadcast — every exchange keys on "
+        "query_name, whose cardinality is the number of streaming "
+        "queries, not their data volume."
+    ),
 }
 
 
