@@ -1428,7 +1428,11 @@ def _stream_cusum_oracle() -> str:
              p - LEAST(CAST(0 AS BIGINT),
                        CAST(MIN(p) OVER (PARTITION BY series ORDER BY day
                                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                         AND CURRENT ROW) AS BIGINT)) AS s
+                                         AND CURRENT ROW) AS BIGINT)) AS s,
+             GREATEST(CAST(0 AS BIGINT),
+                      CAST(MAX(p) OVER (PARTITION BY series ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)) - p AS sn
       FROM pre
     )
     SELECT series,
@@ -1437,7 +1441,13 @@ def _stream_cusum_oracle() -> str:
              AS n_flagged,
            CAST(MIN(CASE WHEN s > h_milli THEN day END) AS TIMESTAMP)
              AS first_flag_day,
-           {oracle_dround("CAST(MAX(s) AS DOUBLE) / 1000.0", 3)} AS max_cusum
+           {oracle_dround("CAST(MAX(s) AS DOUBLE) / 1000.0", 3)} AS max_cusum,
+           CAST(SUM(CASE WHEN sn > h_milli THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_down,
+           CAST(MIN(CASE WHEN sn > h_milli THEN day END) AS TIMESTAMP)
+             AS first_flag_day_down,
+           {oracle_dround("CAST(MAX(sn) AS DOUBLE) / 1000.0", 3)}
+             AS max_cusum_down
     FROM run GROUP BY series
     """
 
@@ -1453,8 +1463,10 @@ def stream_cusum_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The post-reference days then ARRIVE as two day-partitioned
     checkpointed micro-batches (pinned mtimes, so arrival order is day
     order by construction) and ``streaming/jobs.stream_cusum_monitor``
-    advances the textbook recursion S_t = max(0, S_{t-1} + dv) per
-    series in applyInPandasWithState state — six integers per series,
+    advances the textbook recursion S_t = max(0, S_{t-1} + dv) — and,
+    since r16, its mirrored downward twin S-_t = max(0, S-_{t-1} - dv)
+    in the same loop, matching the two-sided batch query — per series
+    in applyInPandasWithState state: ten integers per series,
     O(series) regardless of stream length, exact int64 MILLIS
     arithmetic so there is no float accumulation to drift.
 
@@ -1471,17 +1483,24 @@ def stream_cusum_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _stream_cusum_run(spark, sf_dir)
     cur = read_latest_cusum_summary(spark, out)
+
+    def day_or_null(col: str):
+        return (
+            F.when(F.col(col) != "", F.to_timestamp(col, "yyyy-MM-dd"))
+            .otherwise(F.lit(None).cast("timestamp"))
+        )
+
     return cur.select(
         "series",
         "n_days",
         "n_flagged",
-        F.when(
-            F.col("first_flag_day") != "",
-            F.to_timestamp("first_flag_day", "yyyy-MM-dd"),
-        )
-        .otherwise(F.lit(None).cast("timestamp"))
-        .alias("first_flag_day"),
+        day_or_null("first_flag_day").alias("first_flag_day"),
         dround(F.col("max_cusum_milli").cast("double") / F.lit(1000.0), 3).alias(
             "max_cusum"
         ),
+        "n_flagged_down",
+        day_or_null("first_flag_day_down").alias("first_flag_day_down"),
+        dround(
+            F.col("max_cusum_down_milli").cast("double") / F.lit(1000.0), 3
+        ).alias("max_cusum_down"),
     )

@@ -1506,10 +1506,12 @@ def stream_cusum_monitor(
     (``consts_milli``: series -> (median_milli, h_milli); feed column
     ``x_milli``), so the recursion is exact int64 arithmetic in the
     pandas state handler — bit-identical to the engine's DECIMAL(18,3)
-    closed form, no float accumulation anywhere. State per series is
-    SIX scalars (running S, day count, flag count, first flagged day,
-    max S, last day seen) — O(series), independent of stream length,
-    the stream_binned_profile bound. Within a micro-batch rows are
+    closed form, no float accumulation anywhere. Two-sided since r16
+    (matching the batch twin): the mirrored S-_t = max(0, S-_{t-1} -
+    dv) advances in the same loop. State per series is TEN scalars
+    (running S and S-, day count, both flag counts, both first
+    flagged days, both maxima, last day seen) — O(series),
+    independent of stream length, the stream_binned_profile bound. Within a micro-batch rows are
     processed in day order (sorted in the handler); across batches the
     feed files are day-partitioned with pinned mtimes, so arrival
     order is day order by construction (the stream_domain_admit
@@ -1532,9 +1534,13 @@ def stream_cusum_monitor(
             return
         med, h = consts_milli[series]
         if state.exists:
-            s, n_days, n_flag, first, mx, last = state.get
+            (
+                s, n_days, n_flag, first, mx,
+                sn, n_flag_dn, first_dn, mx_dn, last,
+            ) = state.get
         else:
-            s, n_days, n_flag, first, mx, last = 0, 0, 0, "", 0, ""
+            s, n_days, n_flag, first, mx = 0, 0, 0, "", 0
+            sn, n_flag_dn, first_dn, mx_dn, last = 0, 0, "", 0, ""
         # the recursion is order-sensitive: the stored last-seen day is
         # the tripwire for a feed that breaks the day-ordered-arrival
         # contract — fail the stream LOUDLY instead of silently folding
@@ -1545,15 +1551,27 @@ def stream_cusum_monitor(
                 f"{batch['day'].iloc[0]!r} after {last!r}"
             )
         for day, x in zip(batch["day"], batch["x_milli"]):
-            s = max(0, s + (int(x) - med))
+            dv = int(x) - med
+            s = max(0, s + dv)
             mx = max(mx, s)
+            # the r16 mirrored statistic (batch twin gained it the
+            # same round): S-_t = max(0, S-_{t-1} - dv) — a collapse
+            # accumulates here the way a ramp accumulates in S
+            sn = max(0, sn - dv)
+            mx_dn = max(mx_dn, sn)
             n_days += 1
             if s > h and not first:
                 first = day
             if s > h:
                 n_flag += 1
+            if sn > h and not first_dn:
+                first_dn = day
+            if sn > h:
+                n_flag_dn += 1
             last = day
-        state.update((s, n_days, n_flag, first, mx, last))
+        state.update(
+            (s, n_days, n_flag, first, mx, sn, n_flag_dn, first_dn, mx_dn, last)
+        )
         yield pd.DataFrame(
             {
                 "series": [series],
@@ -1561,6 +1579,9 @@ def stream_cusum_monitor(
                 "n_flagged": [n_flag],
                 "first_flag_day": [first],
                 "max_cusum_milli": [mx],
+                "n_flagged_down": [n_flag_dn],
+                "first_flag_day_down": [first_dn],
+                "max_cusum_down_milli": [mx_dn],
             }
         )
 
@@ -1571,9 +1592,12 @@ def stream_cusum_monitor(
     summary = stream.groupBy("series").applyInPandasWithState(
         advance,
         "series STRING, n_days BIGINT, n_flagged BIGINT, "
-        "first_flag_day STRING, max_cusum_milli BIGINT",
+        "first_flag_day STRING, max_cusum_milli BIGINT, "
+        "n_flagged_down BIGINT, first_flag_day_down STRING, "
+        "max_cusum_down_milli BIGINT",
         "s BIGINT, n_days BIGINT, n_flagged BIGINT, first STRING, "
-        "mx BIGINT, last STRING",
+        "mx BIGINT, sn BIGINT, n_flag_dn BIGINT, first_dn STRING, "
+        "mx_dn BIGINT, last STRING",
         "update",
         GroupStateTimeout.NoTimeout,
     )

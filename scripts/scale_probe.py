@@ -123,6 +123,12 @@ PROBES = [
     ("histogram_quantile_estimate", "lineitem delta + state", "8-row cum walk, harness fit-once"),
     ("expectation_suite", "orders+lineitem+customer", "3 counter scans, no joins"),
     ("phrase_search", "documents postings", "cached postings probe join"),
+    ("ndv_delta_merge", "lineitem delta + state", "register MIN-fold, harness fit-once"),
+    ("ivf_rebalance_apply", "embeddings lists", "two-layout digest fold, build memoized"),
+    # stream_erasure_rollup is a checkpointed streaming drain (probe
+    # convention: stream_* rows are driver-row + test covered, not
+    # probed; its report side shares erasure_propagation's shape)
+    ("metrics_backlog_report", "metrics history (fixed fixture)", "per-query-name windows + aggs"),
 ]
 REPS = 3
 

@@ -1663,22 +1663,37 @@ def test_stream_cusum_matches_python_recursion_across_batches(spark, sf_dir):
         ).quantize(Decimal("0.001"))
         med_m, h_m = int(med * 1000), int(mad * 1000)
         st, flags, first, mx, n = 0, 0, None, 0, 0
+        sn, flags_dn, first_dn, mx_dn = 0, 0, None, 0
         for d, x in pts:
             if d < _CUSUM_REF_END:
                 continue
-            st = max(0, st + (int(x * 1000) - med_m))
+            dv = int(x * 1000) - med_m
+            st = max(0, st + dv)
             mx = max(mx, st)
+            sn = max(0, sn - dv)  # the r16 mirrored recursion
+            mx_dn = max(mx_dn, sn)
             n += 1
             if st > h_m:
                 flags += 1
                 first = first or d
-        expect[s] = (n, flags, first, mx / 1000.0)
+            if sn > h_m:
+                flags_dn += 1
+                first_dn = first_dn or d
+        expect[s] = (
+            n, flags, first, mx / 1000.0,
+            flags_dn, first_dn, mx_dn / 1000.0,
+        )
     got = {
         r.series: (
             r.n_days,
             r.n_flagged,
             str(r.first_flag_day.date()) if r.first_flag_day else None,
             r.max_cusum,
+            r.n_flagged_down,
+            str(r.first_flag_day_down.date())
+            if r.first_flag_day_down
+            else None,
+            r.max_cusum_down,
         )
         for r in load_registry()["stream_cusum_rollup"]
         .fn(spark, sf_dir)
@@ -1686,9 +1701,11 @@ def test_stream_cusum_matches_python_recursion_across_batches(spark, sf_dir):
     }
     assert set(got) == set(expect)
     for s in expect:
-        n, f, d, m = expect[s]
+        n, f, d, m, f2, d2, m2 = expect[s]
         assert got[s][:3] == (n, f, d), (s, got[s], expect[s])
         assert abs(got[s][3] - m) < 1e-9
+        assert got[s][4] == f2 and got[s][5] == d2, (s, got[s], expect[s])
+        assert abs(got[s][6] - m2) < 1e-9
     out = _stream_cusum_run(spark, sf_dir)
     batches = sorted(
         d for d in os.listdir(out) if d.startswith("batch-")
@@ -1766,19 +1783,27 @@ def test_stream_cusum_detects_planted_shift(spark, tmp_path):
         ("shift", f"2024-01-{d:02d}", 1000 if d <= 10 else 1080)
         for d in range(1, 21)
     ]
+    # collapsed: reference-level until day 10, then -80/day — the
+    # r16 mirrored statistic's planted case
+    collapsed = [
+        ("collapse", f"2024-01-{d:02d}", 1000 if d <= 10 else 920)
+        for d in range(1, 21)
+    ]
     src = tmp_path / "src"
     spark.createDataFrame(
-        flat + shifted, "series string, day string, x_milli bigint"
+        flat + shifted + collapsed,
+        "series string, day string, x_milli bigint",
     ).coalesce(1).write.parquet(str(src / "b0"))
     # med = 1000, h = 200: the shifted series accumulates 80/day after
-    # day 10, crossing h=200 on day 13 (3 * 80 = 240 > 200)
+    # day 10, crossing h=200 on day 13 (3 * 80 = 240 > 200); the
+    # collapsed series does the same in the downward statistic
     stream_cusum_monitor(
         spark,
         str(src / "b*"),
         "series string, day string, x_milli bigint",
         str(tmp_path / "out"),
         str(tmp_path / "ckpt"),
-        {"flat": (1000, 200), "shift": (1000, 200)},
+        {"flat": (1000, 200), "shift": (1000, 200), "collapse": (1000, 200)},
     )
     got = {
         r.series: r for r in read_latest_cusum_summary(
@@ -1786,9 +1811,15 @@ def test_stream_cusum_detects_planted_shift(spark, tmp_path):
         ).collect()
     }
     assert got["flat"].n_flagged == 0 and got["flat"].first_flag_day == ""
+    assert got["flat"].n_flagged_down == 0
     assert got["shift"].first_flag_day == "2024-01-13"
     assert got["shift"].n_flagged == 8  # days 13..20
     assert got["shift"].max_cusum_milli == 10 * 80
+    assert got["shift"].n_flagged_down == 0  # a ramp never alarms down
+    assert got["collapse"].n_flagged == 0  # a collapse never alarms up
+    assert got["collapse"].first_flag_day_down == "2024-01-13"
+    assert got["collapse"].n_flagged_down == 8
+    assert got["collapse"].max_cusum_down_milli == 10 * 80
 
 
 def test_stream_erasure_cascade_converges_and_restart(spark, sf_dir, tmp_path):
