@@ -1757,6 +1757,21 @@ def stream_erasure_apply(
         _sh.rmtree(trash, ignore_errors=True)
         latest.parent.mkdir(parents=True, exist_ok=True)
         latest.write_text(f"snap-{batch_id}")
+        # retention: each snapshot is a full copy-on-write warehouse
+        # tree, so an unbounded request stream would otherwise
+        # accumulate one warehouse copy per batch. Keep the latest +
+        # its predecessor (the replay window — a replayed batch reads
+        # at most one snapshot back), pruned AFTER the pointer moves;
+        # the per-batch audit-<id> tables are three rows each and
+        # stay forever as the deletion-provenance ledger.
+        for p in Path(snapshot_dir).iterdir():
+            if p.name.startswith("snap-"):
+                try:
+                    k = int(p.name.split("-")[1])
+                except ValueError:
+                    continue
+                if k < batch_id - 1:
+                    _sh.rmtree(p, ignore_errors=True)
 
     stream = (
         spark.readStream.schema(tombstone_schema)

@@ -1948,3 +1948,52 @@ def test_stream_erasure_replay_from_scratch_converges(spark, sf_dir, tmp_path):
         r.table_name: (r.rows_after, r.digest)
         for r in spark.read.parquet(f"{snap}/audit-0").collect()
     } == d1
+
+
+def test_stream_erasure_snapshot_retention_bounded(spark, sf_dir, tmp_path):
+    """Each erasure snapshot is a full copy-on-write warehouse tree,
+    so retention must bound the chain: after N batches only the
+    latest + predecessor snapshots survive (the replay window), while
+    every per-batch audit table remains as the deletion-provenance
+    ledger — and the retained latest still equals the cumulative
+    cascade."""
+    import json as _json
+    from pathlib import Path as _P
+
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        stream_erasure_apply,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    keys = [
+        r.c_custkey
+        for r in load(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .limit(6)
+        .collect()
+    ]
+    src = tmp_path / "tomb"
+    src.mkdir()
+    for i, batch in enumerate([keys[0:2], keys[2:4], keys[4:6]]):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"c_custkey": k, "op": "delete"}) for k in batch
+            )
+        )
+    snap = str(tmp_path / "snap")
+    stream_erasure_apply(
+        spark, f"{src}/b*.json", "c_custkey bigint, op string",
+        sf_dir, snap, str(tmp_path / "ckpt"),
+    )
+    names = {p.name for p in _P(snap).iterdir()}
+    assert {"snap-1", "snap-2", "audit-0", "audit-1", "audit-2"} <= names
+    assert "snap-0" not in names  # pruned past the replay window
+    assert (_P(snap) / "_LATEST").read_text().strip() == "snap-2"
+    tomb = spark.createDataFrame([(k,) for k in keys], "c_custkey bigint")
+    want = (
+        load(spark, sf_dir, "customer")
+        .join(tomb, "c_custkey", "left_anti")
+        .count()
+    )
+    got = spark.read.parquet(f"{snap}/snap-2/customer").count()
+    assert got == want
