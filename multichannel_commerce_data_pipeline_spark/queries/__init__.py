@@ -150,6 +150,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ivf_rebalance_apply",
     "stream_erasure_rollup",
     "metrics_backlog_report",
+    "groupwise_ndv_estimate",
 )
 
 

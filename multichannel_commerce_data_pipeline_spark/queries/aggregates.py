@@ -988,3 +988,152 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overcount"),
     )
+
+
+def _gw_ndv_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        oracle_dround,
+        oracle_hash64,
+    )
+
+    h = oracle_hash64("CAST(user_id AS VARCHAR)", _MH_SEED)
+    term = oracle_dround(
+        f"CAST(min_h AS DOUBLE) / CAST({_MH_R} AS DOUBLE)", 12
+    )
+    s_sum = f"CAST(SUM(CAST({term} AS DECIMAL(28,12))) AS DOUBLE)"
+    lumbroso = oracle_dround(
+        f"CAST({_MH_M * _MH_M} AS DOUBLE) / ({s_sum}) - {_MH_M}", 6
+    )
+    linear = oracle_dround(
+        f"-{_MH_M} * ln(CAST({_MH_M} - COUNT(*) AS DOUBLE)"
+        f" / CAST({_MH_M} AS DOUBLE))",
+        6,
+    )
+    rel = oracle_dround(
+        "abs(est_distinct - exact_distinct) / exact_distinct", 6
+    )
+    return f"""
+    WITH b AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS grp,
+             CAST(h % {_MH_M} AS INT) AS bucket, h
+      FROM (SELECT ts, {h} AS h FROM events)
+    ),
+    regs AS (
+      SELECT grp, bucket, MIN(h) AS min_h FROM b GROUP BY 1, 2
+    ),
+    allregs AS (
+      SELECT grp, bucket, min_h FROM regs
+      UNION ALL
+      SELECT 'ALL' AS grp, bucket, MIN(min_h) AS min_h
+      FROM regs GROUP BY bucket
+    ),
+    est AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+             CASE WHEN COUNT(*) < {_MH_M} THEN {linear}
+                  ELSE {lumbroso} END AS est_distinct
+      FROM allregs GROUP BY grp
+    ),
+    ex AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS grp,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+    )
+    SELECT e.grp, e.n_buckets_hit, e.est_distinct,
+           x.exact_distinct, {rel} AS rel_err
+    FROM est e JOIN ex x ON e.grp = x.grp
+    """
+
+
+@query("groupwise_ndv_estimate", oracle=_gw_ndv_oracle())
+def groupwise_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12+ (r16): GROUP-WISE cardinality sketching — per-day distinct
+    users (the DAU panel) AND the deduplicated total, all from ONE
+    scan's registers. Per (day, bucket) min-hash registers partial-
+    aggregate map-side (<= m rows per day reach the exchange no
+    matter the day's traffic); the 'ALL' row then FOLDS the per-day
+    registers by bucket-wise MIN — the union-cardinality property
+    per-group exact counts cannot give you (summing daily exacts
+    double-counts returning users; re-scanning for the total is the
+    second pass this sketch exists to avoid). This is the register
+    family's mergeability exercised ACROSS GROUPS, the same law
+    ndv_delta_merge exercises across time.
+
+    Estimator regime split, identical rule both engines: groups that
+    hit every register use the Lumbroso order-statistics form
+    m^2/S - m (the n >> m regime, minhash_distinct_estimate's
+    estimator); groups with empty registers use hit-bucket LINEAR
+    COUNTING -m*ln((m-V)/m) (Whang et al. 1990 — the small-range
+    correction HLL applies below 2.5m, where the order-statistics
+    form degrades because most registers are single-key). At driver
+    SFs the daily rows exercise linear counting and larger corpora
+    push the ALL row across the threshold. The exact COUNT DISTINCT
+    per group rides along as the accuracy harness (the sketch-family
+    convention); ln enters once and is dround-quantized like the PSI
+    monitor's. Cites reference scripts/warehouse/silver_to_gold.py's
+    full-rescan daily marts as the replaced anti-pattern."""
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        dround,
+        portable_hash64,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    h = portable_hash64(F.col("user_id").cast("string"), _MH_SEED)
+    base = ev.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("grp"),
+        (h % _MH_M).cast("int").alias("bucket"),
+        h.alias("h"),
+    )
+    regs = base.groupBy("grp", "bucket").agg(F.min("h").alias("min_h"))
+    allregs = regs.unionByName(
+        regs.groupBy("bucket")
+        .agg(F.min("min_h").alias("min_h"))
+        .select(F.lit("ALL").alias("grp"), "bucket", "min_h")
+    )
+    term = dround(F.col("min_h").cast("double") / F.lit(float(_MH_R)), 12)
+    s_sum = F.sum(term.cast("decimal(28,12)")).cast("double")
+    v = F.count(F.lit(1))
+    est = allregs.groupBy("grp").agg(
+        v.cast("long").alias("n_buckets_hit"),
+        F.when(
+            v < _MH_M,
+            dround(
+                F.lit(float(-_MH_M))
+                * F.log(
+                    (v - _MH_M).cast("double") / F.lit(float(-_MH_M))
+                ),
+                6,
+            ),
+        )
+        .otherwise(
+            dround(F.lit(float(_MH_M * _MH_M)) / s_sum - _MH_M, 6)
+        )
+        .alias("est_distinct"),
+    )
+    ex = (
+        ev.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("grp")
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(
+                F.lit("ALL").alias("grp"),
+                F.countDistinct("user_id").cast("long").alias(
+                    "exact_distinct"
+                ),
+            )
+        )
+    )
+    return est.join(ex, "grp").select(
+        "grp",
+        "n_buckets_hit",
+        "est_distinct",
+        "exact_distinct",
+        dround(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -129,6 +129,7 @@ PROBES = [
     # convention: stream_* rows are driver-row + test covered, not
     # probed; its report side shares erasure_propagation's shape)
     ("metrics_backlog_report", "metrics history (fixed fixture)", "per-query-name windows + aggs"),
+    ("groupwise_ndv_estimate", "events", "per-day registers + union fold"),
 ]
 REPS = 3
 

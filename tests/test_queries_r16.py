@@ -246,3 +246,25 @@ def test_backlog_report_consumes_live_listener_history(spark, tmp_path):
     r = rep[0]
     assert r.n_batches >= 2 and r.rows_in == 30
     assert not r.backlog_sustained and not r.state_leaking
+
+
+def test_groupwise_ndv_regimes_and_union_fold(spark, sf_dir):
+    """The group-wise NDV panel: every group's estimate lands within
+    the m=128 accuracy band of its exact count in WHICHEVER regime it
+    occupies (linear counting below full register occupancy, the
+    order-statistics form at it), and the ALL row is a true UNION
+    fold — its registers are the bucket-wise MIN over the day
+    registers, so its exact side equals distinct users overall, never
+    the (double-counting) sum of daily exacts."""
+    from multichannel_commerce_data_pipeline_spark.queries import load_registry
+
+    rows = load_registry()["groupwise_ndv_estimate"].fn(spark, sf_dir).collect()
+    days = [r for r in rows if r.grp != "ALL"]
+    (all_row,) = [r for r in rows if r.grp == "ALL"]
+    assert len(days) >= 5
+    for r in rows:
+        assert r.n_buckets_hit <= 128
+        # ~1/sqrt(m) band with slack for tiny-n days
+        assert r.rel_err < 0.45, (r.grp, r.rel_err, r.est_distinct)
+    assert all_row.exact_distinct < sum(r.exact_distinct for r in days)
+    assert all_row.exact_distinct >= max(r.exact_distinct for r in days)
