@@ -1048,3 +1048,37 @@ def test_ivf_rebalance_report_scans_layouts_only(plans):
     assert "embeddings.parquet" not in p
     assert "CartesianProduct" not in p
     assert "partial_bitxor" in p or p.count("HashAggregate") >= 4
+
+
+def test_metrics_report_exchanges_key_on_query_name(plans):
+    """Monitoring must scale with batches observed, not data
+    processed: every hash exchange in the alarm rollup keys on
+    query_name (cardinality = number of streaming queries), the
+    lag-run window likewise, and no cartesian stage appears."""
+    import re
+
+    p = plans("metrics_backlog_report")
+    assert "CartesianProduct" not in p
+    owned = re.findall(r"hashpartitioning\((\w+)", p)
+    assert owned and all(k.startswith("query_name") for k in owned), owned
+
+
+def test_groupwise_ndv_registers_partial_aggregate(plans):
+    """The group-wise register build must partial-aggregate: each
+    partition ships at most m register rows per day to the exchange
+    (partial_min below it), the union fold group-by keys on
+    bucket/grp only, and no cartesian stage appears — the property
+    that keeps the DAU panel one bounded exchange at any traffic."""
+    import re
+
+    p = plans("groupwise_ndv_estimate")
+    assert "partial_min" in p
+    assert "CartesianProduct" not in p
+    owned = re.findall(r"hashpartitioning\((\w+)", p)
+    # _groupingexpression = the exact-harness's inlined date_format
+    # group key (still grp semantically — Spark names the synthesized
+    # grouping column, not a data column)
+    assert owned and all(
+        k.startswith(("grp", "bucket", "_groupingexpression"))
+        for k in owned
+    ), owned
