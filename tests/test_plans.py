@@ -1074,11 +1074,11 @@ def test_groupwise_ndv_registers_partial_aggregate(plans):
     p = plans("groupwise_ndv_estimate")
     assert "partial_min" in p
     assert "CartesianProduct" not in p
-    owned = re.findall(r"hashpartitioning\((\w+)", p)
-    # _groupingexpression = the exact-harness's inlined date_format
-    # group key (still grp semantically — Spark names the synthesized
-    # grouping column, not a data column)
-    assert owned and all(
-        k.startswith(("grp", "bucket", "_groupingexpression"))
-        for k in owned
-    ), owned
+    owned = set(re.findall(r"hashpartitioning\((\w+)", p))
+    # register path: grp/bucket exchanges only. The exact-harness
+    # side adds _groupingexpression (Spark's name for its inlined
+    # date_format group key — still grp semantically) and user_id
+    # (the two-phase COUNT DISTINCT's partial-distinct exchange);
+    # anything else would mean an unowned shuffle crept in.
+    assert "grp" in owned and "bucket" in owned
+    assert owned <= {"grp", "bucket", "_groupingexpression", "user_id"}, owned
