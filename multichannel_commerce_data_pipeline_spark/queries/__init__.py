@@ -151,6 +151,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "stream_erasure_rollup",
     "metrics_backlog_report",
     "groupwise_ndv_estimate",
+    "postings_delta_merge",
 )
 
 

@@ -130,6 +130,7 @@ PROBES = [
     # probed; its report side shares erasure_propagation's shape)
     ("metrics_backlog_report", "metrics history (fixed fixture)", "per-query-name windows + aggs"),
     ("groupwise_ndv_estimate", "events", "per-day registers + union fold"),
+    ("postings_delta_merge", "documents delta + state", "delta tokenize + union, rollup proof"),
 ]
 REPS = 3
 

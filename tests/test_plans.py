@@ -1082,3 +1082,20 @@ def test_groupwise_ndv_registers_partial_aggregate(plans):
     # anything else would mean an unowned shuffle crept in.
     assert "grp" in owned and "bucket" in owned
     assert owned <= {"grp", "bucket", "_groupingexpression", "user_id"}, owned
+
+
+def test_postings_merge_tokenizes_delta_only(plans):
+    """The index refresh must tokenize ONLY the arriving docs: the
+    stored postings enter as a parquet source, the from-scratch
+    harness enters through the session-cached doc-term index
+    (InMemoryTableScan — no second tokenize), and exactly ONE
+    Generate (the delta explode) appears in the whole plan."""
+    p = plans("postings_delta_merge")
+    assert "postings_state" in p
+    assert "InMemoryTableScan" in p
+    # the live plan tree up to the cached relation: everything past
+    # "InMemoryRelation" is the index's one-time build printed for
+    # provenance, not executed at refresh time
+    live = p.split("InMemoryRelation")[0]
+    assert live.count("Generate") == 1, live.count("Generate")
+    assert "CartesianProduct" not in p

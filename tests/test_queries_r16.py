@@ -268,3 +268,52 @@ def test_groupwise_ndv_regimes_and_union_fold(spark, sf_dir):
         assert r.rel_err < 0.45, (r.grp, r.rel_err, r.est_distinct)
     assert all_row.exact_distinct < sum(r.exact_distinct for r in days)
     assert all_row.exact_distinct >= max(r.exact_distinct for r in days)
+
+
+def test_postings_state_covers_exactly_the_base_slice(spark, sf_dir):
+    """The stored postings must cover exactly the base-slice docs, the
+    delta exactly the arriving batch, and the merged index exactly
+    the corpus — so the refresh is genuinely incremental (tokenizes
+    only the delta) and the artifact builds once per corpus
+    version."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.queries.text import (
+        ensure_postings_state,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    p1 = ensure_postings_state(spark, sf_dir)
+    stamp = max(
+        f.stat().st_mtime_ns for f in Path(p1).rglob("*") if f.is_file()
+    )
+    assert ensure_postings_state(spark, sf_dir) == p1
+    assert (
+        max(f.stat().st_mtime_ns for f in Path(p1).rglob("*") if f.is_file())
+        == stamp
+    )
+    state_docs = {
+        r.doc_id
+        for r in spark.read.parquet(p1).select("doc_id").distinct().collect()
+    }
+    docs = load(spark, sf_dir, "documents")
+    base = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 10 != 7)
+        .filter(F.length("text") > 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert state_docs <= base
+    # every base doc with at least one token appears in the state
+    missing = base - state_docs
+    if missing:
+        texts = {
+            r.doc_id: r.text
+            for r in docs.filter(F.col("doc_id").isin(*list(missing)[:50]))
+            .select("doc_id", "text")
+            .collect()
+        }
+        assert all(not t.strip() for t in texts.values()), texts
