@@ -152,6 +152,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "metrics_backlog_report",
     "groupwise_ndv_estimate",
     "postings_delta_merge",
+    "stream_ndv_rollup",
 )
 
 

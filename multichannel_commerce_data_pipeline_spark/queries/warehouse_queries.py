@@ -3143,3 +3143,146 @@ def stream_erasure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = side("orders", lambda d: d.o_custkey, tomb)
     li = side("lineitem", lambda d: d.l_orderkey, gone)
     return c.unionByName(o).unionByName(li)
+
+
+# --- streaming NDV register maintenance (r16) ------------------------
+# ndv_delta_merge's arrival-time twin, completing the CBO-statistics
+# trio's STREAMING story (histograms: stream_binned_profile; join
+# sizes: stream CM grids; NDV: this). Registers are algebraic state
+# (bucket-wise MIN), so the generic stream_view_delta_refresh fold
+# maintains them per micro-batch with history never rescanned.
+_SNDV_SPLIT = "2001-07-01 00:00:00"  # two-batch split of the delta feed
+_STREAM_NDV_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _stream_ndv_run(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import os
+
+        from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+            minhash_distinct_sketch,
+        )
+        from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+            _MH_M,
+            _MH_SEED,
+        )
+        from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+            fresh_stream_dir,
+            stream_view_delta_refresh,
+        )
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tmp = fresh_stream_dir(f"mcdp_sndv_{tag}_")
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        delta = load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") >= F.lit(_HDM_CUT).cast("timestamp")
+        )
+        split = F.lit(_SNDV_SPLIT).cast("timestamp")
+        delta.filter(F.col("l_shipdate") < split).select(
+            F.col("l_partkey").alias("pk")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+        delta.filter(F.col("l_shipdate") >= split).select(
+            F.col("l_partkey").alias("pk")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+        # pinned mtimes: deterministic two-batch drain order (register
+        # MIN-folding commutes, but deterministic batch ids keep the
+        # landed state dirs reproducible)
+        now = os.stat(f"{src}/b1").st_mtime
+        for sub, t in (("b0", now - 60), ("b1", now - 30)):
+            root = f"{src}/{sub}"
+            for name in os.listdir(root):
+                os.utime(os.path.join(root, name), (t, t))
+        init_state = spark.read.parquet(ensure_ndv_state(spark, sf_dir))
+        stream_view_delta_refresh(
+            spark,
+            f"{src}/b*",
+            "pk bigint",
+            out,
+            ckpt,
+            delta_agg=lambda b: minhash_distinct_sketch(
+                b, F.col("pk"), m=_MH_M, seed=_MH_SEED
+            ),
+            init_state=init_state,
+            merge=lambda df: df.groupBy("bucket").agg(
+                F.min("min_h").alias("min_h")
+            ),
+        )
+        return out
+
+    from multichannel_commerce_data_pipeline_spark.tables import session_memo
+
+    return session_memo(spark, _STREAM_NDV_DIRS, sf_dir, build)
+
+
+def _stream_ndv_oracle() -> str:
+    from multichannel_commerce_data_pipeline_spark.functions import (
+        oracle_hash64,
+    )
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        oracle_row_fingerprint,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+        _MH_M,
+        _MH_R,
+        _MH_SEED,
+    )
+
+    h = oracle_hash64("CAST(l_partkey AS VARCHAR)", _MH_SEED)
+    term = oracle_dround(f"CAST(min_h AS DOUBLE) / CAST({_MH_R} AS DOUBLE)", 12)
+    s_sum = f"CAST(SUM(CAST({term} AS DECIMAL(28,12))) AS DOUBLE)"
+    est = oracle_dround(
+        f"CAST({_MH_M * _MH_M} AS DOUBLE) / ({s_sum}) - {_MH_M}", 6
+    )
+    fp = oracle_row_fingerprint(["bucket", "min_h"])
+    return f"""
+    WITH fullr AS (
+      SELECT CAST(h % {_MH_M} AS INT) AS bucket, MIN(h) AS min_h
+      FROM (SELECT {h} AS h FROM lineitem)
+      GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_registers,
+           bit_xor({fp}) AS registers_digest,
+           {est} AS est_distinct
+    FROM fullr
+    """
+
+
+@query("stream_ndv_rollup", oracle=_stream_ndv_oracle())
+def stream_ndv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16+ × T5 (r16): STREAMING NDV register maintenance —
+    ndv_delta_merge's arrival-time twin, completing the CBO trio's
+    streaming story. The stored base-slice registers seed the view
+    state; post-cutover lineitem rows then ARRIVE as two checkpointed
+    micro-batches and the generic stream_view_delta_refresh fold
+    advances ``state(bid) = MIN-merge(state(bid-1) ∪ sketch(batch))``
+    — each batch ships at most m=128 register rows into the fold, the
+    state is always exactly <= m rows regardless of stream length,
+    and history is never rescanned (the streaming form of the
+    rerun-everything statistics refresh the reference's 300 s loop
+    implies).
+
+    The oracle is the from-scratch register rebuild over the WHOLE
+    corpus, compared by register count, the order-independent XOR of
+    (bucket, min_h) fingerprints, and the served estimate — so a
+    green driver row proves the cross-batch MIN fold over the
+    micro-batch/state boundary is register-for-register identical to
+    the batch rebuild (MIN's commutativity/associativity made
+    physical). Restart/replay safety comes from the shared
+    stream_view_delta_refresh contract (idempotent per-batch state
+    snapshots with a one-predecessor replay window, pinned in
+    tests/test_streaming.py)."""
+    from multichannel_commerce_data_pipeline_spark.operators.reconcile import (
+        row_fingerprint,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_latest_view_state,
+    )
+
+    out = _stream_ndv_run(spark, sf_dir)
+    state = read_latest_view_state(spark, out)
+    fp = row_fingerprint([F.col("bucket"), F.col("min_h")])
+    return state.agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.bit_xor(fp).alias("registers_digest"),
+        _ndv_est_agg("min_h").alias("est_distinct"),
+    )

@@ -1997,3 +1997,58 @@ def test_stream_erasure_snapshot_retention_bounded(spark, sf_dir, tmp_path):
     )
     got = spark.read.parquet(f"{snap}/snap-2/customer").count()
     assert got == want
+
+
+def test_stream_ndv_state_bounded_and_equals_batch_fold(spark, sf_dir):
+    """The streamed NDV registers must stay <= m rows in EVERY landed
+    state snapshot (register state is bounded by construction, not by
+    luck), span two micro-batches, and the final state must equal the
+    batch bucket-wise-MIN fold of base state + the full delta slice
+    computed directly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from multichannel_commerce_data_pipeline_spark.operators.frequency import (
+        minhash_distinct_sketch,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.aggregates import (
+        _MH_M,
+        _MH_SEED,
+    )
+    from multichannel_commerce_data_pipeline_spark.queries.warehouse_queries import (
+        _HDM_CUT,
+        _stream_ndv_run,
+        ensure_ndv_state,
+    )
+    from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
+        read_latest_view_state,
+    )
+    from multichannel_commerce_data_pipeline_spark.tables import load
+
+    out = _stream_ndv_run(spark, sf_dir)
+    states = sorted(d for d in os.listdir(out) if d.startswith("state-"))
+    assert len(states) >= 1 and "state-1" in states  # two batches drained
+    for d in states:
+        assert spark.read.parquet(f"{out}/{d}").count() <= _MH_M
+    got = {
+        (r.bucket, r.min_h)
+        for r in read_latest_view_state(spark, out).collect()
+    }
+    base = spark.read.parquet(ensure_ndv_state(spark, sf_dir))
+    delta = minhash_distinct_sketch(
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") >= F.lit(_HDM_CUT).cast("timestamp")
+        ),
+        F.col("l_partkey"),
+        m=_MH_M,
+        seed=_MH_SEED,
+    )
+    want = {
+        (r.bucket, r.min_h)
+        for r in base.unionByName(delta)
+        .groupBy("bucket")
+        .agg(F.min("min_h").alias("min_h"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
