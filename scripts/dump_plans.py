@@ -860,6 +860,30 @@ COMMENTARY = {
         "query_name, whose cardinality is the number of streaming "
         "queries, not their data volume."
     ),
+    "groupwise_ndv_estimate": (
+        "Group-wise cardinality from one scan: the per-(day, bucket) "
+        "register build partial-aggregates map-side (partial_min — "
+        "each partition ships at most m register rows per day no "
+        "matter the day's traffic), and the ALL row folds the day "
+        "registers by bucket-wise MIN, giving the deduplicated total "
+        "without a second scan (summing daily exacts double-counts "
+        "returning users). The exact COUNT DISTINCT harness adds the "
+        "only other exchanges (its own group key and the two-phase "
+        "distinct's user_id partial) — enumerated in "
+        "tests/test_plans.py so an unowned shuffle cannot creep in."
+    ),
+    "postings_delta_merge": (
+        "Incremental search-index refresh: the stored postings enter "
+        "as a parquet source, ONLY the arriving docs are tokenized "
+        "(a single live Generate — plan-asserted; the union-of-"
+        "aggregates form re-executed the delta tokenize per proof "
+        "granularity until the ROLLUP grouping-sets rewrite), and "
+        "the from-scratch harness rides the session-cached doc-term "
+        "index (InMemoryTableScan — the one-time build is printed "
+        "inside the cached relation for provenance, not re-run). "
+        "Postings over disjoint doc sets merge by plain union, so "
+        "the refresh shuffles delta-sized rows only."
+    ),
 }
 
 
