@@ -108,6 +108,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Fan-out key preference for parallelize_small_scan (r16 optimization
+# round): a KEYLESS repartition(n) is round-robin, and Spark inserts a
+# LOCAL SORT of the full input rows before it (sortBeforeRepartition,
+# on by default since SPARK-23207, so retried map tasks reproduce the
+# same row→partition assignment — guide §2.5). On a single-row-group
+# driver table that sort runs inside the one serial scan task, over
+# the WIDE pre-projection row; measured on lineitem at sf0.1:
+# round-robin fan-out 0.87 s vs hash fan-out 0.58 s bare, and 1.34 s
+# vs 0.77 s through the arithmetic_margin projection. Hash
+# partitioning needs no such sort (the row→partition map is already a
+# deterministic function of the key), is retry-deterministic at scale
+# for free, and — when the downstream plan aggregates/joins on the
+# same key — doubles as the semantic distribution (the exec_daily_kpi
+# `by=` precedent). So when the caller names no key, fan out on the
+# first high-cardinality table key present in the frame; fall back to
+# round-robin only when none is (derived frames of computed columns).
+_FANOUT_KEYS = (
+    "l_orderkey",
+    "o_orderkey",
+    "event_id",
+    "doc_id",
+    "vec_id",
+    "c_custkey",
+    "p_partkey",
+    "s_suppkey",
+)
+
+
 def parallelize_small_scan(
     spark: SparkSession,
     df: DataFrame,
@@ -137,6 +165,9 @@ def parallelize_small_scan(
     case, where this helper must be a no-op anyway."""
     target = min_parts or spark.sparkContext.defaultParallelism
     if _estimate_scan_partitions(spark, df) < target:
+        if by is None:
+            cols = set(df.columns)
+            by = next((k for k in _FANOUT_KEYS if k in cols), None)
         return df.repartition(target, F.col(by)) if by else df.repartition(target)
     return df
 
