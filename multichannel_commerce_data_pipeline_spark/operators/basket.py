@@ -57,22 +57,51 @@ def copurchase_pair_counts(
     ``items`` may contain duplicates; they are collapsed first so a
     basket contributes each pair at most once. Output columns:
     ``(item_a, item_b, n_baskets)`` with ``item_a < item_b`` and
-    ``n_baskets >= min_baskets``.
+    ``n_baskets >= min_baskets``. NULL baskets and NULL items are
+    dropped (the self-join formulation below never matched them; the
+    explicit filter documents the contract and pushes to the scan).
 
-    Scale shape: distinct → cap → self-join all shuffle on the basket
-    key (co-partitioned, one exchange per side); the pair count is a
-    partial-aggregated rollup on (item_a, item_b). With the cap, no
-    basket emits more than C(max_basket_size, 2) pairs.
+    Scale shape (r16 optimization round, guide §2.3): ONE basket-keyed
+    exchange — ``collect_set`` dedups and groups in the same partial
+    aggregate, the sorted array's ``max_basket_size``-item prefix is
+    the deterministic cap (identical to the previous
+    ``distinct → row_number ≤ cap`` pair of exchanges), and pairs are
+    generated MAP-SIDE from the capped array (the array is sorted, so
+    pairing each element with its suffix yields exactly the
+    ``item_a < item_b`` pairs) — then one partial-aggregated rollup on
+    (item_a, item_b). The previous shape paid a (bk, it)-keyed distinct
+    exchange, a bk-keyed window exchange, and read that shuffle TWICE
+    through the equi self-join. With the cap, no basket emits more than
+    C(max_basket_size, 2) pairs, exactly as before.
     """
-    distinct = items.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-    ).distinct()
-    capped = cap_basket_size(distinct, "bk", "it", max_basket_size)
-    a = capped.select(F.col("bk"), F.col("it").alias("item_a"))
-    b = capped.select(F.col("bk"), F.col("it").alias("item_b"))
+    grouped = (
+        items.filter(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .groupBy(F.col(basket_col).alias("bk"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set(item_col)), 1, max_basket_size
+            ).alias("arr")
+        )
+    )
+    arr = F.col("arr")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(
+                    arr,
+                    i + F.lit(2),
+                    F.greatest(F.size(arr) - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "bk")
-        .filter(F.col("item_a") < F.col("item_b"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_baskets)

@@ -69,7 +69,16 @@ def feature_buckets(
     ``n_buckets`` buckets. Entirely map-side; duplicates are KEPT (bag
     of words, not set — each occurrence contributes to the profile and
     to the score)."""
-    toks = tokens(text)
+    return feature_buckets_from(tokens(text), n_buckets, seed)
+
+
+def feature_buckets_from(
+    toks: Column, n_buckets: int = N_BUCKETS, seed: int = HASH_SEED
+) -> Column:
+    """:func:`feature_buckets` over a MATERIALIZED token-array column —
+    for callers that already project ``tokens(text)`` (the curation
+    signal mart stages toks for the n-gram multisets anyway), so the
+    tokenizer regex never re-runs inside this builder."""
     m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
     bigrams = F.zip_with(
         F.slice(toks, 1, m),
@@ -199,7 +208,15 @@ def bigram_bucket_keys(
     ``bucket(tok[i-1]) * D + bucket(tok[i])`` — the sufficient
     statistics stream for the hashed bigram language model. One key per
     adjacent token position; entirely map-side. D² total key space, so
-    the fitted model stays a bounded table at any corpus size."""
+    the fitted model stays a bounded table at any corpus size.
+
+    This one-shot Column form md5-hashes every interior token TWICE
+    (once as context, once as word — the two zip_with slices are
+    independent lambda scopes, and Catalyst's subexpression elimination
+    skips any tree containing a LambdaVariable). Corpus-scale callers
+    should stage instead: project :func:`bucket_hashes` into its own
+    column, then derive keys with :func:`bigram_keys_from_hashes` —
+    one hash per token (r16 optimization round, guide §2.3)."""
     toks = tokens(text)
     m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
     b = lambda c: portable_hash32(c, seed) % n_buckets  # noqa: E731
@@ -207,6 +224,29 @@ def bigram_bucket_keys(
         F.slice(toks, 1, m),
         F.slice(toks, 2, m),
         lambda a, w: b(a) * F.lit(n_buckets) + b(w),
+    )
+
+
+def bucket_hashes(toks: Column, n_buckets: int, seed: int) -> Column:
+    """array<bigint> of per-token bucket ids ``hash32(tok) % D`` over a
+    MATERIALIZED token-array column — each token hashed exactly once.
+    Stage this as its own projected column, then feed
+    :func:`bigram_keys_from_hashes`; bucketing per token first is
+    value-identical to bucketing per bigram position because the bucket
+    id is a pure function of the token."""
+    return F.transform(toks, lambda t: portable_hash32(t, seed) % n_buckets)
+
+
+def bigram_keys_from_hashes(hb: Column, n_buckets: int) -> Column:
+    """bigram keys ``hb[i-1] * D + hb[i]`` from a materialized
+    :func:`bucket_hashes` column — pure integer zip, no hashing. The
+    staged twin of :func:`bigram_bucket_keys` (same values, half the
+    md5 work)."""
+    m = F.greatest(F.size(hb) - F.lit(1), F.lit(0))
+    return F.zip_with(
+        F.slice(hb, 1, m),
+        F.slice(hb, 2, m),
+        lambda a, w: a * F.lit(n_buckets) + w,
     )
 
 

@@ -298,8 +298,20 @@ def oracle_normalize_text(expr: str) -> str:
 def gopher_flags(text: Column) -> dict[str, Column]:
     """Quality flag columns for one document: the caller selects
     whichever subset it filters on (all JVM-side, one tokenizer pass
-    when materialized via with_text_features discipline)."""
-    toks = tokens(text)
+    when materialized via with_text_features discipline). Callers that
+    already project ``tokens(text)`` should pass it through
+    :func:`gopher_flags_from` instead — the flags reference the token
+    list from several independent output columns, and the lambda-
+    bearing ones (mean word length) are excluded from Catalyst's
+    subexpression elimination, so an inlined tokenizer re-runs per
+    reference (r16 optimization round, guide §4.2)."""
+    return gopher_flags_from(tokens(text), text)
+
+
+def gopher_flags_from(toks: Column, text: Column) -> dict[str, Column]:
+    """:func:`gopher_flags` over a MATERIALIZED token-array column
+    (the symbol ratio still reads the raw text — symbols include
+    characters the whitespace tokenizer keeps inside tokens)."""
     n_words = F.size(toks)
     mean_wl = F.when(
         n_words > 0,

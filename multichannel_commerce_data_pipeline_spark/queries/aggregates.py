@@ -975,9 +975,21 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, F.col("o_custkey"), w=_JS_W, d=_JS_D, seed=_JS_SEED
     )
     est = cm_inner_product(sa, sb)
-    exact = ev.join(
-        orders, ev.user_id == orders.o_custkey
-    ).agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    # Exact harness as Σ_k fA(k)·fB(k) over PER-KEY COUNTS (r16
+    # optimization round, guide §2.3/§3.4): COUNT(*) of the equi-join
+    # equals the sum of matched frequency products, so aggregate each
+    # side to its key histogram first — map-side partial aggregation
+    # collapses every partition to ≤|keys| rows before the exchange,
+    # and the join matches ~15k distinct keys instead of materializing
+    # the many-many row explosion the sketch exists to price. NULL keys
+    # drop identically on both forms (equi-join semantics).
+    ca = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("__na"))
+    cb = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__nb"))
+    exact = ca.join(cb, ca.user_id == cb.o_custkey).agg(
+        F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0))
+        .cast("long")
+        .alias("exact_join_size")
+    )
     # the operator returns DECIMAL(38,0) (int64-safe at petabyte
     # inputs); this bench-scale query casts to BIGINT at its output
     # boundary to match the oracle's schema

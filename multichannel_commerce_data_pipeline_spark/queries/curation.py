@@ -123,21 +123,37 @@ def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text")
         .filter(F.col("doc_id") >= _BENCH_CUT),
     )
-    # stage 1: materialize each expensive per-row array exactly once
-    staged = d.select(
+    # stage 0: run the tokenizer regex exactly ONCE per row (r16
+    # optimization round, guide §4.2 — the feature builders, n-gram
+    # multisets and Gopher flags all carry lambdas, which Catalyst's
+    # subexpression elimination skips, so an inlined tokens(text)
+    # re-ran per consumer before this staging)
+    toked = d.select(
+        "doc_id", "text", T.tokens(F.col("text")).alias("toks")
+    )
+    # stage 1: per-token arrays from the materialized tokens — the LM
+    # bucket hash is staged separately so each token is md5-hashed
+    # ONCE (bigram_bucket_keys inline hashed every interior token
+    # twice, once per zip_with slice)
+    staged = toked.select(
         "doc_id",
         "text",
-        T.tokens(F.col("text")).alias("toks"),
-        I.feature_buckets(F.col("text")).alias("bs"),
-        I.bigram_bucket_keys(F.col("text"), _LM_D, _LM_SEED).alias("ks"),
+        "toks",
+        I.feature_buckets_from(F.col("toks")).alias("bs"),
+        I.bucket_hashes(F.col("toks"), _LM_D, _LM_SEED).alias("hb"),
     )
-    # stage 2: n-gram multisets derive from the staged token array
+    # stage 2: n-gram multisets and bigram keys derive from the staged
+    # arrays (pure integer zip for ks — no hashing left here)
     grammed = staged.select(
-        "*",
+        "doc_id",
+        "text",
+        "toks",
+        "bs",
+        I.bigram_keys_from_hashes(F.col("hb"), _LM_D).alias("ks"),
         D.ngram_multiset(F.col("toks"), 2).alias("g2"),
         D.ngram_multiset(F.col("toks"), 3).alias("g3"),
     )
-    flags = T.gopher_flags(F.col("text"))
+    flags = T.gopher_flags_from(F.col("toks"), F.col("text"))
     lmm = lm_model(spark, sf_dir)
     sizes, (priors, lls) = nb_model(spark, sf_dir)
     best = nb_best_struct(F.col("bs"), sizes, priors, lls)

@@ -53,12 +53,22 @@ def lm_model(spark: SparkSession, sf_dir: str):
     """The fitted hashed-bigram log-prob map (cached per sf_dir) —
     shared by lm_perplexity_score and the curation signal mart so both
     score against the SAME fit of the SAME full-corpus profile."""
+    from multichannel_commerce_data_pipeline_spark.operators.text import (
+        tokens,
+    )
+
     d = parallelize_small_scan(
         spark, load(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    with_k = d.select(
-        "doc_id",
-        I.bigram_bucket_keys(F.col("text"), _LM_D, _LM_SEED).alias("ks"),
+    # staged hash-once form (r16 optimization round): bucket-hash each
+    # token in its own projected column, derive bigram keys by integer
+    # zip — bigram_bucket_keys inline would md5 every interior token
+    # twice (see its docstring)
+    hashed = d.select(
+        I.bucket_hashes(tokens(F.col("text")), _LM_D, _LM_SEED).alias("hb")
+    )
+    with_k = hashed.select(
+        I.bigram_keys_from_hashes(F.col("hb"), _LM_D).alias("ks")
     )
     return _cached(
         "lm", sf_dir,
@@ -343,12 +353,22 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scored map-side — a DECIMAL fold of looked-up log-probs over its
     bigram keys, divided by its bigram count, with ppl = exp(−avg).
     Scoring plan: no hash exchange, only the small-scan fan-out."""
+    from multichannel_commerce_data_pipeline_spark.operators.text import (
+        tokens,
+    )
+
     d = parallelize_small_scan(
         spark, load(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    with_k = d.select(
+    # staged hash-once form (r16 optimization round) — one md5 per
+    # token instead of two; see bigram_bucket_keys' docstring
+    hashed = d.select(
         "doc_id",
-        I.bigram_bucket_keys(F.col("text"), _LM_D, _LM_SEED).alias("ks"),
+        I.bucket_hashes(tokens(F.col("text")), _LM_D, _LM_SEED).alias("hb"),
+    )
+    with_k = hashed.select(
+        "doc_id",
+        I.bigram_keys_from_hashes(F.col("hb"), _LM_D).alias("ks"),
     )
     model = lm_model(spark, sf_dir)
     from multichannel_commerce_data_pipeline_spark.functions import dround
