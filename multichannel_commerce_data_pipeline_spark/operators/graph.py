@@ -61,6 +61,23 @@ def pagerank(
     """
     deg = edges.groupBy("src").agg(F.sum("w").cast("double").alias("deg"))
     ed = edges.join(deg, "src")
+    return pagerank_annotated(ed, deg, n_iters, damping, checkpoint_every)
+
+
+def pagerank_annotated(
+    ed: DataFrame,
+    deg: DataFrame,
+    n_iters: int = 2,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """:func:`pagerank` over a PRE-ANNOTATED edge frame ``(src, dst,
+    w, deg)`` plus its ``(src, deg)`` degree frame. The annotation is
+    a pure function of the graph, so repeated ranking queries cache
+    (ed, deg) per corpus version as part of the graph index instead of
+    re-running the degree aggregate and join per call (r16
+    optimization round, guide §2.4 — the per-sf_dir cached-frame rule:
+    persist partitioned on the downstream join key)."""
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
     for i in range(n_iters):
         contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(

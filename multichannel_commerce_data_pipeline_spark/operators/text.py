@@ -330,6 +330,21 @@ def gopher_flags_from(toks: Column, text: Column) -> dict[str, Column]:
         "mean_word_len": mean_wl,
         "symbol_ratio": symbol_ratio,
         "n_stopword_kinds": n_stop,
+        **gopher_ok_flags(n_words, mean_wl, symbol_ratio, n_stop),
+    }
+
+
+def gopher_ok_flags(
+    n_words: Column, mean_wl: Column, symbol_ratio: Column, n_stop: Column
+) -> dict[str, Column]:
+    """The four Gopher pass/fail flags from the four (already computed)
+    scalar signals — the single source of the thresholds. Callers that
+    STAGE the scalars in their own projection (because ``mean_wl``'s
+    aggregate fold carries a lambda, which subexpression elimination
+    skips — r16 optimization round, guide §4.2) derive the flags from
+    the staged columns through this helper so the cut points can never
+    drift between the staged and inline forms."""
+    return {
         "ok_word_count": (n_words >= 5) & (n_words <= 10_000),
         "ok_word_len": (mean_wl >= 2.0) & (mean_wl <= 12.0),
         "ok_symbols": symbol_ratio <= 0.1,

@@ -290,12 +290,21 @@ def nb_lang_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", I.feature_buckets(F.col("text")).alias("bs")
     )
     sizes, (priors, lls) = nb_model(spark, sf_dir)
-    best = nb_best_struct(F.col("bs"), sizes, priors, lls)
-    return with_b.select(
+    # stage the argmax struct in its own projection: the per-class
+    # DECIMAL folds carry lambdas, which Catalyst's subexpression
+    # elimination skips, so referencing ``best`` twice inline would run
+    # the WHOLE |classes|-fold scoring twice per row (r16 optimization
+    # round, guide §4.2)
+    staged = with_b.select(
         "doc_id",
         "lang",
-        best["c"].alias("pred_lang"),
-        best["s"].cast("double").alias("best_logp"),
+        nb_best_struct(F.col("bs"), sizes, priors, lls).alias("best"),
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.col("best")["c"].alias("pred_lang"),
+        F.col("best")["s"].cast("double").alias("best_logp"),
     )
 
 
@@ -508,11 +517,18 @@ def nb_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # ascending sort: last = argmax (ties -> larger class, matching the
-    # oracle's ORDER BY logp DESC, cls DESC), second-to-last = runner-up
-    ordered = F.array_sort(per_class)
-    best = F.element_at(ordered, -1)
-    second = F.element_at(ordered, -2)
-    scored = with_b.select(
+    # oracle's ORDER BY logp DESC, cls DESC), second-to-last = runner-up.
+    # The sorted array is STAGED in its own projection: its per-class
+    # DECIMAL folds carry lambdas (no subexpression elimination), so the
+    # three inline references (best.c, best.s, second.s) would run the
+    # whole |classes|-fold scoring three times per row (r16 optimization
+    # round, guide §4.2)
+    ranked = with_b.select(
+        "lang", F.array_sort(per_class).alias("ordered")
+    )
+    best = F.element_at(F.col("ordered"), -1)
+    second = F.element_at(F.col("ordered"), -2)
+    scored = ranked.select(
         "lang",
         best["c"].alias("pred"),
         (best["s"].cast("double") - second["s"].cast("double")).alias(

@@ -26,6 +26,7 @@ from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import (
     load,
     parallelize_small_scan,
+    parquet_memo,
     session_memo,
 )
 
@@ -349,7 +350,10 @@ def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit the drop/keep decision. The cross-modal step real pipelines
     run: embedding similarity finds the dupes, text quality decides the
     survivor. Quality side is a broadcast-friendly two-column frame."""
-    from multichannel_commerce_data_pipeline_spark.operators.text import quality_score
+    from multichannel_commerce_data_pipeline_spark.operators.text import (
+        quality_score_from,
+        tokens,
+    )
 
     e = parallelize_small_scan(spark, load(spark, sf_dir, "embeddings"))
     pairs = S.embedding_near_dup_pairs(
@@ -360,7 +364,13 @@ def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         multi_probe=True,
     )
     d = load(spark, sf_dir, "documents")
-    q = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    # staged tokenize-once form (r16 optimization round, guide §4.2)
+    q = d.select(
+        "doc_id", "text", tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        quality_score_from(F.col("__toks"), F.col("text")).alias("q"),
+    )
     qa = q.select(F.col("doc_id").alias("id_a"), F.col("q").alias("qa"))
     qb = q.select(F.col("doc_id").alias("id_b"), F.col("q").alias("qb"))
     keep_b = F.col("qb") > F.col("qa")
@@ -1920,7 +1930,7 @@ def ivf_rebalance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lists_dir, reb_dir = ensure_ivf_list_layouts(spark, sf_dir)
-    lists = spark.read.parquet(lists_dir)
+    lists = parquet_memo(spark, lists_dir)
     before = (
         lists.select(
             F.col("cell").cast("long").alias("src_cell"),
@@ -1932,7 +1942,7 @@ def ivf_rebalance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("fp").alias("d_before"),
         )
     )
-    reb = spark.read.parquet(reb_dir).select(
+    reb = parquet_memo(spark, reb_dir).select(
         F.col("cell").cast("long").alias("cell"),
         row_fingerprint([F.col("vid")]).alias("fp"),
     )

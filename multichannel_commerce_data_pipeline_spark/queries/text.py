@@ -21,6 +21,7 @@ from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import (
     load,
     parallelize_small_scan,
+    parquet_memo,
     session_memo,
 )
 
@@ -95,14 +96,20 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha ratio) — the per-document statistics a C4/Gopher-style quality
     filter consumes. Pure Column expressions, no UDFs."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
-    text = F.col("text")
-    toks = T.tokens(text)
-    return d.select(
+    # tokenize ONCE in a staged projection — the three token stats
+    # reference the token list six times between them, and an inlined
+    # tokenizer re-runs per reference (r16 optimization round, guide
+    # §4.2)
+    toked = d.select(
+        "doc_id", "text", T.tokens(F.col("text")).alias("__toks")
+    )
+    toks = F.col("__toks")
+    return toked.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.round(T.avg_token_len(toks), 4).alias("avg_token_len"),
         F.round(T.stopword_ratio(toks), 4).alias("stopword_ratio"),
-        F.round(T.alpha_ratio(text), 4).alias("alpha_ratio"),
+        F.round(T.alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
     )
 
 
@@ -138,14 +145,26 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: composite quality score + keep-filter — the canonical
     'filter the crawl' step of a training-data pipeline."""
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
-    # stage_filter: keep the composite-score predicate above the
+    # tokenize ONCE in a staged projection (the composite score
+    # references the token list three times; an inlined tokenizer
+    # re-runs per reference — r16 optimization round, guide §4.2);
+    # stage_filter then keeps the composite-score predicate above the
     # small-scan fan-out instead of serialized into the scan task
+    toked = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        T.tokens(F.col("text")).alias("__toks"),
+    )
     return stage_filter(
-        d.select(
+        toked.select(
             "doc_id",
             "lang",
             "source",
-            T.quality_score(F.col("text")).alias("quality_score"),
+            T.quality_score_from(F.col("__toks"), F.col("text")).alias(
+                "quality_score"
+            ),
         ),
         F.col("quality_score") >= 0.5,
     )
@@ -649,17 +668,36 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     can be re-thresholded per corpus without recomputing features. One
     tokenizer materialization, zero shuffles."""
     d = load(spark, sf_dir, "documents")
-    flags = T.gopher_flags(F.col("text"))
-    return d.select(
+    # stage 0: tokenize ONCE; stage 1: the four scalar signals ONCE
+    # (mean_word_len's aggregate fold carries a lambda, so inline
+    # references re-run it per consumer — r16 optimization round,
+    # guide §4.2); stage 2: flags derive from the staged scalars via
+    # the single-sourced threshold helper
+    toked = d.select("doc_id", "text", T.tokens(F.col("text")).alias("toks"))
+    flags = T.gopher_flags_from(F.col("toks"), F.col("text"))
+    scalars = toked.select(
         "doc_id",
         flags["n_words"].alias("n_words"),
-        dround(flags["mean_word_len"], 4).alias("mean_word_len"),
-        dround(flags["symbol_ratio"], 4).alias("symbol_ratio"),
+        flags["mean_word_len"].alias("__mwl"),
+        flags["symbol_ratio"].alias("__sr"),
         flags["n_stopword_kinds"].alias("n_stopword_kinds"),
-        flags["ok_word_count"].alias("ok_word_count"),
-        flags["ok_word_len"].alias("ok_word_len"),
-        flags["ok_symbols"].alias("ok_symbols"),
-        flags["ok_stopwords"].alias("ok_stopwords"),
+    )
+    ok = T.gopher_ok_flags(
+        F.col("n_words"),
+        F.col("__mwl"),
+        F.col("__sr"),
+        F.col("n_stopword_kinds"),
+    )
+    return scalars.select(
+        "doc_id",
+        "n_words",
+        dround(F.col("__mwl"), 4).alias("mean_word_len"),
+        dround(F.col("__sr"), 4).alias("symbol_ratio"),
+        "n_stopword_kinds",
+        ok["ok_word_count"].alias("ok_word_count"),
+        ok["ok_word_len"].alias("ok_word_len"),
+        ok["ok_symbols"].alias("ok_symbols"),
+        ok["ok_stopwords"].alias("ok_stopwords"),
     )
 
 
@@ -1257,7 +1295,7 @@ def postings_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_fingerprint,
     )
 
-    state = spark.read.parquet(ensure_postings_state(spark, sf_dir))
+    state = parquet_memo(spark, ensure_postings_state(spark, sf_dir))
     delta = (
         parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
         .filter(F.col("doc_id") % 10 == 7)

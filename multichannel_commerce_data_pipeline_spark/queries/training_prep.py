@@ -425,9 +425,16 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multichannel_commerce_data_pipeline_spark.operators.dedup import exact_dedup
 
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
-    kept = stage_filter(
-        d.select("doc_id", "text"), T.quality_score(F.col("text")) >= 0.5
+    # tokenize ONCE in a staged projection: the composite score
+    # references the token list three times and an inlined tokenizer
+    # re-runs per reference (r16 optimization round, guide §4.2)
+    toked = d.select(
+        "doc_id", "text", T.tokens(F.col("text")).alias("__toks")
     )
+    kept = stage_filter(
+        toked,
+        T.quality_score_from(F.col("__toks"), F.col("text")) >= 0.5,
+    ).select("doc_id", "text")
     uniq = exact_dedup(
         kept.withColumn("f", T.fingerprint(F.col("text"))), ["f"], "doc_id"
     ).drop("f")
@@ -866,9 +873,15 @@ def _curated_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
-        kept = stage_filter(
-            d.select("doc_id", "text"), T.quality_score(F.col("text")) >= 0.5
+        # staged tokenize-once form, like corpus_prepare (r16
+        # optimization round, guide §4.2)
+        toked = d.select(
+            "doc_id", "text", T.tokens(F.col("text")).alias("__toks")
         )
+        kept = stage_filter(
+            toked,
+            T.quality_score_from(F.col("__toks"), F.col("text")) >= 0.5,
+        ).select("doc_id", "text")
         uniq = exact_dedup(
             kept.withColumn("f", T.fingerprint(F.col("text"))), ["f"], "doc_id"
         ).drop("f")

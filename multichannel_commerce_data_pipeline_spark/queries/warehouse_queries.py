@@ -31,7 +31,10 @@ from multichannel_commerce_data_pipeline_spark.sources.warehouse import (
 from multichannel_commerce_data_pipeline_spark.streaming.jobs import (
     fresh_stream_dir,
 )
-from multichannel_commerce_data_pipeline_spark.tables import load
+from multichannel_commerce_data_pipeline_spark.tables import (
+    load,
+    parquet_memo,
+)
 
 
 def _source_fingerprint(sf_dir: str, *tables: str) -> str:
@@ -700,7 +703,7 @@ def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip preserves values (timestamp→date partition derivation
     included). Sums are DECIMAL — order-independent, exact compare."""
     base = ensure_date_partitioned_events(spark, sf_dir)
-    back = spark.read.parquet(base)
+    back = parquet_memo(spark, base)
     return (
         back.filter(
             F.col("day").between(F.lit("2024-01-08"), F.lit("2024-01-14"))
@@ -984,8 +987,8 @@ def compaction_apply_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     landing_dir, compacted_dir = ensure_compacted_layouts(spark, sf_dir)
-    landed = spark.read.parquet(landing_dir)
-    compacted = spark.read.parquet(compacted_dir)
+    landed = parquet_memo(spark, landing_dir)
+    compacted = parquet_memo(spark, compacted_dir)
 
     def fp(df: DataFrame):
         return row_fingerprint(
@@ -1088,7 +1091,7 @@ def mv_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     days — state + delta must equal it exactly; the decimal sum makes
     the merge addition-order-independent, with DOUBLE only at the
     output boundary."""
-    state = spark.read.parquet(ensure_mv_state(spark, sf_dir))
+    state = parquet_memo(spark, ensure_mv_state(spark, sf_dir))
     delta = (
         load(spark, sf_dir, "events")
         .filter(
@@ -1238,7 +1241,7 @@ def mv_join_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") >= l_cut),
     )
     key = lambda a, b: a.o_orderkey == b.l_orderkey  # noqa: E731
-    state = spark.read.parquet(ensure_mv_join_state(spark, sf_dir))
+    state = parquet_memo(spark, ensure_mv_join_state(spark, sf_dir))
     d1 = _mvj_month_agg(F.broadcast(o_new).join(l_old, key(o_new, l_old)))
     d2 = _mvj_month_agg(o_old.join(F.broadcast(l_new), key(o_old, l_new)))
     d3 = _mvj_month_agg(F.broadcast(o_new).join(l_new, key(o_new, l_new)))
@@ -1602,7 +1605,7 @@ def table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
     )
-    tgt = spark.read.parquet(ensure_replica(spark, sf_dir))
+    tgt = parquet_memo(spark, ensure_replica(spark, sf_dir))
     sd = bucket_digests(
         src, src.c_custkey, row_fingerprint(fp_cols(src)), _REC_BUCKETS
     )
@@ -1732,7 +1735,7 @@ def dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the join against the unpartitioned source with the same
     spine; sums are DECIMAL internally, DOUBLE at the boundary."""
     base = ensure_date_partitioned_events(spark, sf_dir)
-    fact = spark.read.parquet(base)
+    fact = parquet_memo(spark, base)
     dim = (
         spark.range(1)
         .select(
@@ -2103,7 +2106,7 @@ def erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e_digest"),
         )
         written = parallelize_small_scan(
-            spark, spark.read.parquet(f"{root}/{table}")
+            spark, parquet_memo(spark, f"{root}/{table}")
         )
         w = written.join(
             F.broadcast(es), erased_key(written) == F.col("__ekey"), "left"
@@ -2195,7 +2198,7 @@ def _merged_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulators merged (cnt+cnt, min/max) — the shared input of the
     delta-merge report and the quantile-serving consumer. History is
     never rescanned; the state read is a bounded <= 8-row collect."""
-    state = spark.read.parquet(ensure_histogram_state(spark, sf_dir))
+    state = parquet_memo(spark, ensure_histogram_state(spark, sf_dir))
     srows = state.collect()  # bounded: <= 8 bucket rows
     n_b = len(
         [c for c in state.columns if c[0] == "b" and c[1:].isdigit()]
@@ -2853,7 +2856,7 @@ def ndv_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MH_SEED,
     )
 
-    state = spark.read.parquet(ensure_ndv_state(spark, sf_dir))
+    state = parquet_memo(spark, ensure_ndv_state(spark, sf_dir))
     delta = minhash_distinct_sketch(
         load(spark, sf_dir, "lineitem").filter(
             F.col("l_shipdate") >= F.lit(_HDM_CUT).cast("timestamp")

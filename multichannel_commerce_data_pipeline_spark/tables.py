@@ -255,6 +255,33 @@ def session_memo(spark: SparkSession, cache: dict, sf_dir: str, build):
     return cache[key]
 
 
+# (applicationId, path) -> scan DataFrame for immutable published
+# artifacts — see parquet_memo.
+_PARQUET_SCANS: dict[tuple[str, str], DataFrame] = {}
+
+
+def parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` memoized per (session, path) for
+    IMMUTABLE-once-published artifact directories (the fingerprinted
+    ``ensure_*`` layouts: their path embeds the source digest and they
+    publish by atomic rename, so path identity == content identity).
+
+    Every fresh ``spark.read.parquet`` call re-lists the directory and
+    re-reads a footer for schema inference — driver-side work a real
+    warehouse does once per table via its catalog/manifest (guide §6:
+    file-listing cost; Iceberg/Delta's strongest practical argument).
+    Reusing the scan node reuses the session's cached FileIndex instead
+    of rebuilding it on every query construction. Only the UNEXECUTED
+    scan plan is cached — every execution still reads the parquet
+    files. Never use this for per-run temp dirs (a fresh path per call
+    would just grow the dict) or for dirs rewritten in place (the
+    snapshot would go stale)."""
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _PARQUET_SCANS:
+        _PARQUET_SCANS[key] = spark.read.parquet(path)
+    return _PARQUET_SCANS[key]
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
 
