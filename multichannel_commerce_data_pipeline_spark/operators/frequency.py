@@ -82,7 +82,12 @@ def heavy_hitter_estimates(
 
 
 def cm_sketch(
-    df: DataFrame, key: Column, w: int = 64, d: int = 3, seed: int = 131
+    df: DataFrame,
+    key: Column,
+    w: int = 64,
+    d: int = 3,
+    seed: int = 131,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Count-Min sketch build: a ``d x w`` counter grid as a ``(j,
     bucket, cell)`` frame (at most ``d*w`` rows), where row ``j`` of the
@@ -105,11 +110,23 @@ def cm_sketch(
     bucket position — and therefore the whole sketch — reproducible in
     an external SQL engine, which Spark's xxhash64-based CountMinSketch
     aggregate is not.
+
+    ``weight`` (optional, must be a non-NULL BIGINT column) folds a
+    PRE-AGGREGATED input: a row carrying ``(key, weight)`` increments
+    the key's d cells by ``weight`` instead of 1, so a sketch built
+    from a per-key count histogram is cell-for-cell identical to one
+    built from the raw rows (each key hashes to the same buckets; the
+    bucket sum groups the same addends) — one shared aggregate instead
+    of a second full scan when the caller already has the histogram
+    (r16 optimization round, guide §2.3 "aggregate before you
+    shuffle").
     """
     from multichannel_commerce_data_pipeline_spark.operators.bloom import _positions
 
     pos = _positions(key.cast("string"), w, d, seed)
+    cols = [] if weight is None else [weight.alias("__w")]
     inc = df.select(
+        *cols,
         F.explode(
             F.array(
                 *[
@@ -120,11 +137,14 @@ def cm_sketch(
                     for j, p in enumerate(pos)
                 ]
             )
-        ).alias("c")
+        ).alias("c"),
+    )
+    cell = (
+        F.count(F.lit(1)) if weight is None else F.sum("__w").cast("long")
     )
     return inc.groupBy(
         F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("cell"))
+    ).agg(cell.alias("cell"))
 
 
 def cm_estimate(

@@ -803,6 +803,15 @@ def semantic_dedup(
 
     Returns (id, cell, exemplar_id, cos_to_exemplar, keep)."""
     assign, _ = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
+    # Both the exemplar election and the comparison consume the
+    # assignment, and Spark has no DataFrame-level CSE — without a
+    # materialization the corpus x centroid scoring (the dominant cost
+    # of SemDeDup at any scale) executes twice. The eager
+    # localCheckpoint stores the scored assignment in executor-local
+    # blocks: no network shuffle of the corpus (the broadcast-back
+    # design below is preserved), the scoring runs once per call (r16
+    # optimization round, guide §1.2/§5 localCheckpoint).
+    assign = assign.localCheckpoint(eager=True)
     exemplar = F.max(
         F.struct(
             F.col("ccos"),

@@ -970,21 +970,43 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = parallelize_small_scan(
         spark, load(spark, sf_dir, "orders")
     ).select("o_custkey")
-    sa = cm_sketch(ev, F.col("user_id"), w=_JS_W, d=_JS_D, seed=_JS_SEED)
+    # ONE aggregate per input feeds both halves (r16 optimization
+    # round, guide §2.3 "aggregate before you shuffle" + §1.2): the
+    # per-key count histogram is materialized once per side (eager
+    # localCheckpoint — ≤ |keys| rows), the exact harness is
+    # Σ_k fA(k)·fB(k) over the matched histograms (= COUNT(*) of the
+    # equi-join; NULL keys drop identically), and the CM grids fold
+    # the SAME histograms via the weighted sketch build — a key's d
+    # cells gain count(key) at the same bucket positions the raw rows
+    # hashed to, so every cell (and the estimate) is bit-identical.
+    # Each base table is now scanned once instead of twice.
+    ca = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__na"))
+        .localCheckpoint(eager=True)
+    )
+    cb = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__nb"))
+        .localCheckpoint(eager=True)
+    )
+    sa = cm_sketch(
+        ca,
+        F.col("user_id"),
+        w=_JS_W,
+        d=_JS_D,
+        seed=_JS_SEED,
+        weight=F.col("__na"),
+    )
     sb = cm_sketch(
-        orders, F.col("o_custkey"), w=_JS_W, d=_JS_D, seed=_JS_SEED
+        cb,
+        F.col("o_custkey"),
+        w=_JS_W,
+        d=_JS_D,
+        seed=_JS_SEED,
+        weight=F.col("__nb"),
     )
     est = cm_inner_product(sa, sb)
-    # Exact harness as Σ_k fA(k)·fB(k) over PER-KEY COUNTS (r16
-    # optimization round, guide §2.3/§3.4): COUNT(*) of the equi-join
-    # equals the sum of matched frequency products, so aggregate each
-    # side to its key histogram first — map-side partial aggregation
-    # collapses every partition to ≤|keys| rows before the exchange,
-    # and the join matches ~15k distinct keys instead of materializing
-    # the many-many row explosion the sketch exists to price. NULL keys
-    # drop identically on both forms (equi-join semantics).
-    ca = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("__na"))
-    cb = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__nb"))
     exact = ca.join(cb, ca.user_id == cb.o_custkey).agg(
         F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0))
         .cast("long")

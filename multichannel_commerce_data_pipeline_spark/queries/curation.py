@@ -110,7 +110,29 @@ def _signal_oracle() -> str:
     """
 
 
+# Constructed-plan memo for the signal chain: building the frame costs
+# ~0.8 s of pure driver-side py4j round-trips (~3.3k calls: the feature
+# builders, n-gram multisets, NB argmax fold and LM scorer each create
+# several lambda expressions at ~14 ms apiece), and five queries build
+# it per invocation. The DataFrame is an immutable pure function of
+# (session, sf_dir) — memoizing the PLAN OBJECT (no persist; every
+# execution still scans the parquet) removes the rebuild the same way
+# parquet_memo reuses a scan node (r16 optimization round, guide §1.2:
+# per-task work includes the driver's own expression construction).
+_SIGNALS_PLANS: dict[tuple[str, str], DataFrame] = {}
+
+
 def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multichannel_commerce_data_pipeline_spark.tables import (
+        session_memo,
+    )
+
+    return session_memo(
+        spark, _SIGNALS_PLANS, sf_dir, lambda: _signals_plan(spark, sf_dir)
+    )
+
+
+def _signals_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The map-side half of the mart (everything except the
     contamination count): one projection chain over the train slice.
     Shared by the mart and the keep-decision query — the decision's

@@ -249,9 +249,19 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         copurchase_pair_counts,
     )
 
-    items = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # The persisted (l_orderkey-partitioned, per-order-distinct) basket
+    # index replaces the raw scan: the pair build's basket groupBy
+    # reuses the cached layout, so the whole query adds ONE exchange
+    # (the pair rollup) on top of a cache read — the same shared-index
+    # shape the edge build and the rec model already use (r16
+    # optimization round, guide §2.4). collect_set on the pre-distinct
+    # input yields the same per-order sets.
     return copurchase_pair_counts(
-        items, "l_orderkey", "l_partkey", min_baskets=2, max_basket_size=64
+        _basket_items(spark, sf_dir),
+        "l_orderkey",
+        "l_partkey",
+        min_baskets=2,
+        max_basket_size=64,
     ).select(
         F.col("item_a").alias("part_a"),
         F.col("item_b").alias("part_b"),
@@ -879,12 +889,17 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     dround-quantized so the statistics hash-match the oracle."""
     nb = _n_baskets(spark, sf_dir)
     edges = _copurchase_edges(spark, sf_dir)
+    # Per-item basket counts from the persisted basket index instead
+    # of a fresh scan + distinct exchange (identical distinct set);
+    # materialized once per run (eager localCheckpoint, ≤ |parts|
+    # rows) because BOTH the antecedent and consequent joins consume
+    # it and Spark has no DataFrame-level CSE (r16 optimization round,
+    # guide §2.4).
     item_n = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        _basket_items(spark, sf_dir)
         .groupBy(F.col("l_partkey").alias("part"))
         .agg(F.count(F.lit(1)).alias("n_item"))
+        .localCheckpoint(eager=True)
     )
     ia = item_n.select(F.col("part").alias("src"), F.col("n_item").alias("n_ante"))
     ic = item_n.select(F.col("part").alias("dst"), F.col("n_item").alias("n_cons"))

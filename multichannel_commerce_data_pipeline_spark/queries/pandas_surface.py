@@ -180,7 +180,6 @@ def event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multichannel_commerce_data_pipeline_spark.tables import (
         parallelize_small_scan,
     )
-    from pyspark.sql import Window
 
     k = 24
     ev = parallelize_small_scan(
@@ -188,12 +187,25 @@ def event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id")
     est = heavy_hitter_estimates(ev, F.col("user_id"), k=k)
 
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w_all = Window.partitionBy()
-    exact = exact.withColumn("total", F.sum("n").over(w_all)).withColumn(
-        "rk", F.row_number().over(w_all.orderBy(F.desc("n"), F.asc("user_id")))
+    # The harness's total + top-10 both derive from the per-user
+    # aggregate. The old shape computed them with two UNPARTITIONED
+    # windows, which moves every distinct user to ONE partition — a
+    # single-task sort that grows with the corpus (the real scale
+    # hazard at 100 TB, not a cosmetic warning). Materialize the
+    # aggregate once per run instead (eager localCheckpoint — it is
+    # the same row count the window funneled into one task, kept
+    # distributed), then: grand total = 1-row aggregate broadcast to
+    # the survivors, top-10 = TakeOrderedAndProject (distributed
+    # top-k, no global sort). Values identical: same tie order, total
+    # = SUM(n) as before (r16 optimization round, guide §2.4/§5).
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    joined = exact.filter(F.col("rk") <= 10).join(
+    tot = exact.agg(F.sum("n").alias("total"))
+    top = exact.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
+    joined = top.crossJoin(F.broadcast(tot)).join(
         est.withColumnRenamed("key", "ukey"),
         F.col("user_id").cast("string") == F.col("ukey"),
         "left",

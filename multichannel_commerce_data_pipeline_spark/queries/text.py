@@ -1010,11 +1010,14 @@ def keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     words. Corpus-level keyword surfacing with zero model weights —
     the cheap first pass before embedding-based topic work. Plan: one
     tokenize + posexplode, ONE keyed running-sum window per document
-    (pos-ordered, doc-bounded frames), two partial-aggregated word/
-    phrase rollups, and the per-word ratios re-joined onto distinct
-    phrases with DECIMAL-quantized addends so the <=4-term score sum is
-    order-independent. Top-20 via TakeOrderedAndProject with the rank
-    window over the survivors (the corpus_top_terms lesson)."""
+    (pos-ordered, doc-bounded frames), ONE phrase-census rollup
+    materialized per run (everything downstream — word stats, scores,
+    ranks — derives from the census, so the document chain executes
+    once, not once per consumer), and the per-word ratios re-joined
+    onto distinct phrases with DECIMAL-quantized addends so the
+    <=4-term score sum is order-independent. Top-20 via
+    TakeOrderedAndProject with the rank window over the survivors (the
+    corpus_top_terms lesson)."""
     from pyspark.sql import Window
 
     d = parallelize_small_scan(spark, load(spark, sf_dir, "documents"))
@@ -1053,20 +1056,37 @@ def keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("plen") <= _RAKE_MAX_LEN)
     )
-    wocc = phr.select(
-        F.explode(F.split("phrase", " ")).alias("w"), "plen"
+    # The phrase census is the ONLY consumer of the document chain:
+    # materialize it once (eager localCheckpoint — recomputed on every
+    # invocation, small: distinct phrases) and derive everything else
+    # from the census. Spark has no DataFrame-level CSE, so the old
+    # shape (wstats from phr, pcounts from phr, two consumers of
+    # pcounts) re-executed the tokenize+posexplode+island-window chain
+    # three times per run (r16 optimization round, guide §1.2/§3.3 —
+    # three `Scan parquet documents` copies in the before plan).
+    pcounts = (
+        phr.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .localCheckpoint(eager=True)
     )
-    wstats = wocc.groupBy("w").agg(
-        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    # Word stats re-derived from the census: a distinct phrase with
+    # occurrence count n contributes each of its word positions n
+    # times, so freq(w) = SUM(n_occurrences) and deg(w) =
+    # SUM(n_occurrences * plen) over exploded census rows — the same
+    # integers the per-occurrence explode produced (plen is a function
+    # of the phrase: its word count).
+    pw = pcounts.select(
+        "n_occurrences",
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
     )
-    pcounts = phr.groupBy("phrase").agg(
-        F.count(F.lit(1)).alias("n_occurrences")
+    wstats = pw.groupBy("w").agg(
+        F.sum("n_occurrences").alias("freq"),
+        F.sum(F.col("n_occurrences") * F.col("plen")).alias("deg"),
     )
-    pwords = (
-        pcounts.select("phrase")
-        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
-        .join(wstats, "w")
-    )
+    pwords = pcounts.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    ).join(wstats, "w")
     pscore = pwords.groupBy("phrase").agg(
         dround(
             F.sum(

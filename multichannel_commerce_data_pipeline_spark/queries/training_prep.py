@@ -1647,12 +1647,21 @@ def _rec_model(
         # too (companions of the train profile minus already-bought):
         # persisting it keeps the per-evaluation cost at the scoring
         # join, the shape a feature store would serve at runtime.
+        # persisted on the FULL scoring-join key: Spark's co-partition
+        # check for joins requires ALL cluster keys by default
+        # (spark.sql.requireAllClusterKeysForCoPartition), so a
+        # cust-only layout was re-exchanged by (cust, part) on every
+        # evaluation — laying the cache out on (cust, part) makes the
+        # scoring join exchange-free on the cached side (r16
+        # optimization round, guide §2.4)
         user_recs = (
             profile.join(recs, profile["part"] == recs["pa"])
             .select("cust", F.col("pb").alias("part"))
             .distinct()
             .join(profile, ["cust", "part"], "left_anti")
-            .repartition(spark.sparkContext.defaultParallelism, "cust")
+            .repartition(
+                spark.sparkContext.defaultParallelism, "cust", "part"
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         user_recs.count()
@@ -1760,6 +1769,13 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a function of orderkey, so the (cust, part) collapse equals
     # the old raw orders⨝lineitem + distinct) — the warm pass pays one
     # broadcast join + one distinct instead of re-scanning lineitem.
+    # Semi-join BEFORE the distinct (filter commutes with distinct on
+    # its own columns): non-train customers drop map-side before
+    # anything shuffles — shuffle fewer bytes (guide §2.3). The
+    # distinct's (cust, part) exchange then doubles as the scoring
+    # join's distribution: user_recs is persisted hash(cust, part) at
+    # the same width, so the SortMergeJoin below adds no exchange on
+    # either side (r16 optimization round, guide §2.4).
     test_pos = (
         _basket_items(spark, sf_dir)
         .join(
@@ -1767,8 +1783,8 @@ def rec_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
         .join(profile.select("cust").distinct(), "cust", "left_semi")
+        .distinct()
     )
     scored = test_pos.join(
         user_recs.withColumn("_hit", F.lit(1)), ["cust", "part"], "left"
