@@ -56,6 +56,21 @@ def get_spark(
         # fact-table scan of shuffle joins (Spark 3.3+). Near-free at
         # test scale; at 100 TB it prunes fact rows before the exchange.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # PySpark 4 wraps every Column/DataFrame method to capture the
+        # Python call site for error messages
+        # (pyspark.errors.utils._with_origin): per expression that is
+        # a conf read + PySparkCurrentOrigin set/clear (4-5 extra py4j
+        # round trips) plus a Python stack walk. Across the 101 timed
+        # queries that instrumentation was 60% of all py4j round trips
+        # (86,461 -> 34,776 per full build pass) and ~43% of DataFrame
+        # CONSTRUCTION time (in-process flip-flop A/B over 8 build-
+        # heavy queries, min-of-4 each arm: 3.44 s -> 1.95 s, every
+        # query improved). Diagnostic-only: plans, results and error
+        # TYPES are unchanged — errors just lose the per-call-site
+        # line annotation. Guide §4: control what crosses the Python
+        # boundary; here the boundary traffic was the instrumentation
+        # itself.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("MCDP_DRIVER_MEM", "16g"))
     )
