@@ -979,17 +979,25 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME histograms via the weighted sketch build — a key's d
     # cells gain count(key) at the same bucket positions the raw rows
     # hashed to, so every cell (and the estimate) is bit-identical.
-    # Each base table is now scanned once instead of twice.
-    ca = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("__na"))
-        .localCheckpoint(eager=True)
-    )
-    cb = (
-        orders.groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("__nb"))
-        .localCheckpoint(eager=True)
-    )
+    # Each base table is now scanned once instead of twice. The two
+    # materializations are independent jobs, so they run concurrently
+    # (guide §2.6 "overlap independent jobs"): one job's stage tail
+    # back-fills the idle cores the other leaves free, halving the
+    # serial wall the two eager checkpoints otherwise pay.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            lambda: ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("__na"))
+            .localCheckpoint(eager=True)
+        )
+        fb = pool.submit(
+            lambda: orders.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("__nb"))
+            .localCheckpoint(eager=True)
+        )
+        ca, cb = fa.result(), fb.result()
     sa = cm_sketch(
         ca,
         F.col("user_id"),
