@@ -302,8 +302,21 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multichannel_commerce_data_pipeline_spark.operators.skew import (
         salted_sum_count,
     )
+    from multichannel_commerce_data_pipeline_spark.tables import (
+        parallelize_small_scan,
+    )
 
-    li = load(spark, sf_dir, "lineitem")
+    # DECIMAL partial sums are compute-heavy per row; fan the serial
+    # single-row-group scan out (projected to the four used columns
+    # first, guide §2.3) so phase-1 salting aggregates in parallel
+    # instead of inside the one scan task. No-op on real multi-split
+    # tables.
+    li = parallelize_small_scan(
+        spark,
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_orderkey", "l_quantity", "l_extendedprice"
+        ),
+    )
     dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
     out = salted_sum_count(
         li,

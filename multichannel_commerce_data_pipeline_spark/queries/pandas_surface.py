@@ -91,12 +91,29 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 GROUPED_AGG (UDAF): quantity-weighted average price per
-    return flag, computed in one pandas call per group."""
+    return flag, computed in one pandas call per group.
+
+    A GROUPED_AGG pandas UDF gets NO partial aggregation — the raw
+    form ships every fact row through the Arrow boundary into
+    |groups| reduce tasks (3 here), so boundary traffic and per-task
+    group size both grow with the fact table. Reduce in the JVM
+    first: exact partial sums per (flag, deterministic salt), then
+    the SAME UDAF combines the ≤3·128 partial rows — the weighted
+    mean of partial means, weighted by the partial weights, IS the
+    global weighted mean (Σpv/Σpw). The salt is hash-derived, not
+    rand(), so retried map tasks reproduce it (SPARK-38388)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        dround(weighted_avg_pd(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias(
-            "weighted_avg_price"
-        )
+    parts = li.groupBy(
+        "l_returnflag",
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(128)).alias("__salt"),
+    ).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__pv"),
+        F.sum("l_quantity").alias("__pw"),
+    )
+    return parts.groupBy("l_returnflag").agg(
+        dround(
+            weighted_avg_pd(F.col("__pv") / F.col("__pw"), F.col("__pw")), 4
+        ).alias("weighted_avg_price")
     )
 
 

@@ -1372,7 +1372,14 @@ def _positives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_partkey").alias("part"),
             )
             .distinct()
-            .repartition(spark.sparkContext.defaultParallelism, "cust")
+            # FULL anti-join key layout: both consumers anti-join on
+            # (cust, part), and Spark only recognizes cached layouts
+            # that carry ALL the join's cluster keys
+            # (requireAllClusterKeysForCoPartition) — a cust-only
+            # layout re-exchanged the whole positives set per call
+            .repartition(
+                spark.sparkContext.defaultParallelism, "cust", "part"
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         pos.count()
@@ -1458,11 +1465,15 @@ def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = cand.join(pos, ["cust", "part"], "left_anti")
     from pyspark.sql import Window
 
-    wd = Window.partitionBy("cust", "part").orderBy("i")
+    # collision dedup as an aggregate, not a window: min(i) per
+    # (cust, part) is the same "first draw wins" rule, but a
+    # HashAggregate partial-aggregates map-side and needs no sort,
+    # and its required distribution is exactly the anti-join's
+    # output partitioning — zero extra exchanges
     wr = Window.partitionBy("cust").orderBy("i")
     return (
-        neg.withColumn("dup", F.row_number().over(wd))
-        .filter(F.col("dup") == 1)
+        neg.groupBy("cust", "part")
+        .agg(F.min("i").alias("i"))
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= _NEG_K)
         .select(
