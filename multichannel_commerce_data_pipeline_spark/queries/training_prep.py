@@ -1372,14 +1372,15 @@ def _positives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_partkey").alias("part"),
             )
             .distinct()
-            # FULL anti-join key layout: both consumers anti-join on
-            # (cust, part), and Spark only recognizes cached layouts
-            # that carry ALL the join's cluster keys
-            # (requireAllClusterKeysForCoPartition) — a cust-only
-            # layout re-exchanged the whole positives set per call
-            .repartition(
-                spark.sparkContext.defaultParallelism, "cust", "part"
-            )
+            # NOTE (r16 optimization round): re-keying this layout to
+            # the full anti-join key (cust, part) was tried and
+            # MEASURED SLOWER (hard_negative_samples 0.82 -> 1.44 s
+            # min, interleaved A/B): both consumers' anti-joins
+            # broadcast the positives set, so the cache layout never
+            # feeds a join, and the matching layout only baited the
+            # planner into a sort-merge anti-join (full sort of the
+            # cached side per call) where the broadcast was cheaper.
+            .repartition(spark.sparkContext.defaultParallelism, "cust")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         pos.count()
