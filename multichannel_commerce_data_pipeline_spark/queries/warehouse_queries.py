@@ -1981,9 +1981,24 @@ def ensure_erased_tables(spark: SparkSession, sf_dir: str) -> str:
             src_li.l_orderkey == gone_orders.o_orderkey,
             "left_anti",
         )
-        cust.write.mode("overwrite").parquet(f"{path}/customer")
-        orders.write.mode("overwrite").parquet(f"{path}/orders")
-        li.write.mode("overwrite").parquet(f"{path}/lineitem")
+        # the three erased-table writes are independent jobs; running
+        # them from a small pool lets one write's stage tail back-fill
+        # cores the others leave idle (guide §2.6 — the
+        # join_size_estimate threaded-materialization idiom). One-time
+        # cold-path cost per corpus version.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(pair) -> None:
+            df, sub = pair
+            df.write.mode("overwrite").parquet(f"{path}/{sub}")
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(
+                pool.map(
+                    _write,
+                    [(cust, "customer"), (orders, "orders"), (li, "lineitem")],
+                )
+            )
 
     return _materialize_atomic(base, build)
 
