@@ -51,6 +51,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bigger Arrow batches across the Python boundary (guide §4.2:
+        # raise maxRecordsPerBatch for narrow data): every mapInPandas/
+        # pandas_udf kernel here is narrow (ids, token counts, model
+        # scores; text columns ~1 KB), so 32k-row batches amortize the
+        # per-batch transpose+IPC overhead at bounded memory (~32 MB
+        # per in-flight batch worst case). Measured in-process
+        # flip-flop, min-of-3 per arm, every pandas-path query
+        # improved: event_heavy_hitters 1.04->0.88 s, nb_calibration
+        # 0.52->0.42, lm_perplexity 0.47->0.34, pandas_map_batches
+        # 0.23->0.19, dsir 0.26->0.24; 65536 measured equal to 32768
+        # at twice the batch memory, so the smaller value wins.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Inject a bloom filter from a selective dimension side into the
         # fact-table scan of shuffle joins (Spark 3.3+). Near-free at
