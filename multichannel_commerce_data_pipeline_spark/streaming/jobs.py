@@ -1010,13 +1010,15 @@ def stream_boilerplate_cut(
 
 def read_latest_cm_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
     """The current grid: complete mode re-emits every cell each batch,
-    so the max-batch rows are the whole sketch."""
-    from pyspark.sql import Window
-
+    so the max-batch rows are the whole sketch. The landed rows grow
+    with TRIGGER COUNT (one full grid per batch dir), so the latest-
+    batch filter must not be an unpartitioned window (that moves every
+    batch's cells to ONE task); max(__bid) partial-aggregates map-side
+    and attaches as a 1-row broadcast (r17 window audit, guide §2.4)."""
     all_rows = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
-    w_ = Window.partitionBy()
+    mx = all_rows.agg(F.max("__bid").alias("__mx"))
     return (
-        all_rows.withColumn("__mx", F.max("__bid").over(w_))
+        all_rows.join(F.broadcast(mx))
         .filter(F.col("__bid") == F.col("__mx"))
         .select("j", "bucket", "cell")
     )
@@ -1156,13 +1158,13 @@ def read_latest_binned_profile(spark: SparkSession, out_dir: str) -> DataFrame:
     superseded batch dirs at commit time, so normally exactly one
     ``batch-<id>`` dir exists; the max-__bid filter keeps the read
     correct in the one crash window where the new dir landed before
-    the old one was pruned."""
-    from pyspark.sql import Window
-
+    the old one was pruned. Same latest-batch idiom as
+    read_latest_cm_sketch: scalar max + 1-row broadcast, never an
+    unpartitioned window (r17 window audit)."""
     all_rows = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
-    w_ = Window.partitionBy()
+    mx = all_rows.agg(F.max("__bid").alias("__mx"))
     return (
-        all_rows.withColumn("__mx", F.max("__bid").over(w_))
+        all_rows.join(F.broadcast(mx))
         .filter(F.col("__bid") == F.col("__mx"))
         .select("bin", "is_ref", "n")
     )
