@@ -201,6 +201,59 @@ HEADLINE = [
 ]
 
 
+# Timed queries whose WARM reps serve a session-persisted per-corpus
+# index/model or a once-per-corpus disk layout (built during their own
+# cold rep or the declared bench setup; nothing persists across
+# processes). Their warm column measures serving-with-index; the cold
+# column is the honest build+serve cost (r16 verdict item #7 —
+# round-over-round warm claims on these names should be discounted or
+# read against cold).
+CACHE_BACKED = [
+    # MEMORY_AND_DISK persisted frames
+    "copurchase_pairs",
+    "basket_association_rules",
+    "copurchase_pagerank",
+    "copurchase_triangles",
+    "copurchase_communities",
+    "rec_hitrate_eval",
+    "negative_samples",
+    "hard_negative_samples",
+    "kmeans_centroid_fit",
+    "kmeans_silhouette",
+    "rfm_kmeans_segments",
+    "tfidf_top_terms",
+    "bm25_search",
+    "phrase_search",
+    "minhash_lsh_dupes",
+    "incremental_lsh_dedup",
+    "containment_dupes",
+    "substring_dedup_spans",
+    "decontaminate_spans",
+    "eval_overlap_report",
+    "dup_span_histogram",
+    "curation_signal_table",
+    "corpus_prepare_decontaminated",
+    # fit-once literal models (collected once per corpus version)
+    "histogram_quantile_estimate",
+    "token_budget_select",
+    "dsir_importance_weights",
+    "nb_calibration_report",
+    # declared bench-setup storage investments (see setup block below)
+    "ann_ivfpq_topk",
+    "bucketed_join_rollup",
+    # once-per-corpus disk layouts (ensure_* atomic artifacts)
+    "erasure_propagation",
+    "ivf_rebalance_apply",
+    "ivf_index_merge",
+    "compaction_apply_reconcile",
+    "mv_incremental_merge",
+    "mv_join_delta_merge",
+    "histogram_delta_merge",
+    "ndv_delta_merge",
+    "zorder_layout_prune",
+]
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from multichannel_commerce_data_pipeline_spark.queries import load_registry
@@ -227,7 +280,18 @@ def main() -> None:
     # in 10 s probes — for load1 to fall under the threshold, then
     # proceed regardless and let the watermark tell the story. Bounded
     # so a permanently-busy box delays the record by at most 2 min.
-    LOAD1_THRESHOLD = 2.0
+    #
+    # r17 (verdict item #2): threshold tightened 2.0 -> 0.5. The r15
+    # driver record started at load1 1.72 and the r16 scaling probe at
+    # 1.99 — both inside the old threshold, both contaminated enough
+    # to make per-query round-over-round comparison unadjudicable.
+    # Additionally, a run that STILL starts above the threshold after
+    # the bounded wait no longer overwrites the committed
+    # bench_detail.json — it lands in bench_detail_suspect.json (the
+    # stdout contract line is printed either way and names the file),
+    # so a contaminated window can never silently replace the round's
+    # comparable per-query record.
+    LOAD1_THRESHOLD = 0.5
     load_wait = 0
     if os.getloadavg()[0] > LOAD1_THRESHOLD:
         deadline = time.monotonic() + 120
@@ -316,9 +380,22 @@ def main() -> None:
         "loadavg_after": [round(x, 2) for x in load_after],
         "load_wait_sec": load_wait,
         "wall_clock_sec": round(time.perf_counter() - run_t0, 1),
+        # Cache-cold honesty (r16 verdict item #7): these queries'
+        # WARM reps serve session-persisted per-corpus indexes/models
+        # (the maintained feature-store convention, built inside their
+        # own COLD rep — nothing persists across processes), so their
+        # warm number measures serving-with-index and the `queries`
+        # (cold) column is the honest build+serve cost. BENCH.md must
+        # report both columns for these names.
+        "cache_backed": CACHE_BACKED,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_detail.json"), "w") as f:
+    detail_name = (
+        "bench_detail.json"
+        if load_before[0] <= LOAD1_THRESHOLD
+        else "bench_detail_suspect.json"
+    )
+    with open(os.path.join(here, detail_name), "w") as f:
         json.dump(detail, f, indent=1)
     print(
         json.dumps(
@@ -332,7 +409,7 @@ def main() -> None:
                 # contamination watermark: 1-min loadavg at start (idle
                 # box ≈ 0) — see bench_detail.json for the full triple
                 "load1_before": round(load_before[0], 2),
-                "queries_detail": "bench_detail.json",
+                "queries_detail": detail_name,
             }
         )
     )
