@@ -176,8 +176,28 @@ def _signals_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.ngram_multiset(F.col("toks"), 3).alias("g3"),
     )
     flags = T.gopher_flags_from(F.col("toks"), F.col("text"))
-    lmm = lm_model(spark, sf_dir)
-    sizes, (priors, lls) = nb_model(spark, sf_dir)
+    # The LM and NB fits are independent bounded-aggregate collects
+    # (each cached per corpus version); run the two fit JOBS
+    # concurrently so the second's map stage back-fills the first's
+    # stage tail instead of idling 32 cores (r17, guide §2.6 "overlap
+    # independent jobs" — the wave-8 threaded-materialization idiom
+    # applied to the mart's cold build). Warm calls hit both caches
+    # and never enter the pool.
+    from multichannel_commerce_data_pipeline_spark.queries.importance import (
+        _MODEL_CACHE,
+    )
+
+    if ("lm", sf_dir) in _MODEL_CACHE and ("nb", sf_dir) in _MODEL_CACHE:
+        lmm = lm_model(spark, sf_dir)
+        sizes, (priors, lls) = nb_model(spark, sf_dir)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_lm = pool.submit(lm_model, spark, sf_dir)
+            f_nb = pool.submit(nb_model, spark, sf_dir)
+            lmm = f_lm.result()
+            sizes, (priors, lls) = f_nb.result()
     best = nb_best_struct(F.col("bs"), sizes, priors, lls)
     lm_avg = I.score_buckets(F.col("ks"), lmm).cast("double") / F.size("ks")
     return grammed.select(

@@ -1635,7 +1635,6 @@ def _rec_model(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        recs.count()
         # Train profile off the same shared index: custkey is
         # functionally dependent on orderkey, so broadcast-joining the
         # (already per-order-distinct) basket frame to the train orders
@@ -1654,7 +1653,16 @@ def _rec_model(
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        profile.count()
+        # recs (train-side top-k companions) and profile (train user
+        # profiles) are INDEPENDENT materializations off the shared
+        # basket index — run the two persist-filling jobs concurrently
+        # so the second back-fills the first's stage tail (r17, guide
+        # §2.6; the wave-8 idiom). user_recs below consumes both, so
+        # it waits on the pool.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(lambda df: df.count(), (recs, profile)))
         # each user's servable rec set is part of the trained artifact
         # too (companions of the train profile minus already-bought):
         # persisting it keeps the per-evaluation cost at the scoring

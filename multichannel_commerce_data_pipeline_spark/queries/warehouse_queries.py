@@ -2633,7 +2633,21 @@ def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical inputs."""
     from pyspark.sql import Window as W
 
-    m = _merged_histogram(spark, sf_dir)
+    # The merged-histogram state read (+ its once-per-corpus artifact
+    # build) and the exact-percentile accuracy fit are independent
+    # driver-blocking jobs; overlap them on the cold call (r17, guide
+    # §2.6 — the wave-8 threaded-materialization idiom). Warm calls
+    # hit the fit cache and never enter the pool.
+    if (spark.sparkContext.applicationId, sf_dir) in _HQE_EXACT_CACHE:
+        m = _merged_histogram(spark, sf_dir)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_m = pool.submit(_merged_histogram, spark, sf_dir)
+            f_fit = pool.submit(_hqe_exact_fit, spark, sf_dir)
+            m = f_m.result()
+            f_fit.result()
     w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = m.select(
         "bucket", "n_rows", "lo", "hi", F.sum("n_rows").over(w).alias("c")
