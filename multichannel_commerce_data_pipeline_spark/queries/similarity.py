@@ -1712,6 +1712,51 @@ def _ivf_split_subassign(members: DataFrame) -> DataFrame:
     )
 
 
+_LIST_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _pack_list_files(
+    df: "DataFrame", cell_col: str, id_col: str, rows_per_file: int
+) -> "DataFrame":
+    """Lay a cell-partitioned maintenance write out as
+    ceil(list_rows / rows_per_file) files per inverted list instead of
+    one file per (write task x cell): the r16 layout wrote thousands
+    of sub-openCost files per rebalance — the guide §6 small-files
+    anti-pattern on the WRITE side. rows_per_file derives from the
+    measured source row width against the 128 MB target (a data-size
+    rule, not a core-count knob: locally every list packs to ONE file;
+    at 100 TB a hot list still splits into ~128 MB files). The file
+    key is hash-derived from the member id — deterministic under task
+    retry (SPARK-38388), and rows within a list are file-order
+    independent (probes read whole lists; proofs XOR row digests)."""
+    counts = df.groupBy(cell_col).agg(F.count(F.lit(1)).alias("__n"))
+    nf = F.greatest(
+        F.lit(1), F.ceil(F.col("__n") / F.lit(float(rows_per_file)))
+    ).cast("int")
+    packed = (
+        df.join(
+            F.broadcast(counts.select(cell_col, nf.alias("__nf"))), cell_col
+        )
+        .withColumn(
+            "__f", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nf")).cast("int")
+        )
+    )
+    return packed.repartition(F.col(cell_col), F.col("__f")).drop(
+        "__nf", "__f"
+    )
+
+
+def _ivf_rows_per_file(spark: SparkSession, sf_dir: str) -> int:
+    """128 MB target / measured average source row width (on-disk
+    parquet bytes per embedding row)."""
+    import os as _os
+
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    n = load(spark, sf_dir, "embeddings").count()
+    row_bytes = max(1, _os.path.getsize(src) // max(1, n))
+    return max(1, _LIST_TARGET_FILE_BYTES // row_bytes)
+
+
 def ensure_ivf_list_layouts(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str]:
@@ -1747,7 +1792,12 @@ def ensure_ivf_list_layouts(
         _, cents = S.ivf_assign(base, _IVF_STRIDE)
         assign, _ = S.ivf_assign(e, _IVF_STRIDE, centroids=cents)
         (
-            assign.select("vid", "v", "v_n", "ccos", "cell")
+            _pack_list_files(
+                assign.select("vid", "v", "v_n", "ccos", "cell"),
+                "cell",
+                "vid",
+                _ivf_rows_per_file(spark, sf_dir),
+            )
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(path)
@@ -1776,14 +1826,19 @@ def ensure_ivf_list_layouts(
         for c in split:
             _sh.rmtree(_P(path) / f"cell={c}", ignore_errors=True)
         (
-            sub.select(
+            _pack_list_files(
+                sub.select(
+                    "vid",
+                    "v",
+                    "v_n",
+                    F.col("sub_cos").alias("ccos"),
+                    (
+                        F.col("cell") * _REB_SUB_BASE + F.col("sub") + 1
+                    ).alias("cell"),
+                ),
+                "cell",
                 "vid",
-                "v",
-                "v_n",
-                F.col("sub_cos").alias("ccos"),
-                (
-                    F.col("cell") * _REB_SUB_BASE + F.col("sub") + 1
-                ).alias("cell"),
+                _ivf_rows_per_file(spark, sf_dir),
             )
             .write.mode("append")
             .partitionBy("cell")

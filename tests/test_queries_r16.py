@@ -317,3 +317,36 @@ def test_postings_state_covers_exactly_the_base_slice(spark, sf_dir):
             .collect()
         }
         assert all(not t.strip() for t in texts.values()), texts
+
+
+def test_ivf_list_layout_packs_files_by_data_size(spark, sf_dir):
+    """r17 (guide §6, write side): each inverted list must land as
+    ceil(list_rows / rows_per_file) files — locally that is ONE file
+    per list — never one file per (write task x cell). Guards the
+    _pack_list_files rule on both the base layout and the rebalanced
+    rewrite's appended sub-lists."""
+    import math
+    import os
+    from pathlib import Path
+
+    from multichannel_commerce_data_pipeline_spark.queries.similarity import (
+        _ivf_rows_per_file,
+        ensure_ivf_list_layouts,
+    )
+
+    rpf = _ivf_rows_per_file(spark, sf_dir)
+    for d in ensure_ivf_list_layouts(spark, sf_dir):
+        rows = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.read.parquet(d)
+            .groupBy("cell")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        for sub in Path(d).glob("cell=*"):
+            cell = int(sub.name.split("=")[1])
+            n_files = len(list(sub.glob("*.parquet")))
+            assert n_files == math.ceil(rows[cell] / rpf), (
+                f"{d} cell={cell}: {n_files} files for {rows[cell]} rows"
+            )
