@@ -69,8 +69,13 @@ def replicated_salted_join(
     salted_fact = fact.withColumn(
         "__salt", deterministic_bucket(salt_col, n_salts)
     )
+    # sequence(0, n-1) is one expression node (vs n_salts F.lit py4j
+    # bridge calls + n literal nodes per construction); same exploded
+    # values, same plan after ConstantFolding (r17, verify-gotchas
+    # literal-count discipline).
     replicated_dim = dim.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
     )
     joined = salted_fact.join(replicated_dim, [*on, "__salt"], how)
     return joined.drop("__salt")

@@ -101,7 +101,14 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME UDAF combines the ≤3·128 partial rows — the weighted
     mean of partial means, weighted by the partial weights, IS the
     global weighted mean (Σpv/Σpw). The salt is hash-derived, not
-    rand(), so retried map tasks reproduce it (SPARK-38388)."""
+    rand(), so retried map tasks reproduce it (SPARK-38388).
+
+    Coverage note (ADVICE r16): with the JVM pre-reduction the UDAF
+    only ever sees the ≤3·128 partial rows, so this query no longer
+    exercises (or benchmarks) the fact-scale GROUPED_AGG Arrow path —
+    it is the X5 surface probe for the UDAF CALL shape; the
+    row-volume Arrow boundary is stressed by the mapInPandas /
+    applyInPandas queries below."""
     li = load(spark, sf_dir, "lineitem")
     parts = li.groupBy(
         "l_returnflag",
@@ -110,10 +117,26 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__pv"),
         F.sum("l_quantity").alias("__pw"),
     )
-    return parts.groupBy("l_returnflag").agg(
-        dround(
-            weighted_avg_pd(F.col("__pv") / F.col("__pw"), F.col("__pw")), 4
-        ).alias("weighted_avg_price")
+    # ADVICE r16: divide as DOUBLE — the DECIMAL quotient (default
+    # allowPrecisionLoss) rounds each partial mean to scale 6 before
+    # the UDAF recombines, a latent divergence from SUM(v*w)/SUM(w)
+    # near 4th-decimal rounding boundaries; double keeps ~1e-16
+    # relative error. A zero-weight bucket (unreachable with positive
+    # TPC-H quantities, but latent) would make the quotient NULL and
+    # crash the UDAF's value*weight — drop it before the recombine.
+    return (
+        parts.filter(F.col("__pw") != 0)
+        .groupBy("l_returnflag")
+        .agg(
+            dround(
+                weighted_avg_pd(
+                    F.col("__pv").cast("double")
+                    / F.col("__pw").cast("double"),
+                    F.col("__pw"),
+                ),
+                4,
+            ).alias("weighted_avg_price")
+        )
     )
 
 

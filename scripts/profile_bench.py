@@ -61,12 +61,22 @@ def main() -> None:
         cold_build, cold_exec = t1 - t0, t2 - t1
         builds, execs = [], []
         n_jobs = n_stages = n_tasks = 0
+        build_jobs = 0
         for rep in range(3):
             group = f"prof_{name}_{rep}"
-            sc.setJobGroup(group, name)
+            # Jobs fired DURING fn() are eager materializations
+            # (localCheckpoint/persist-fill) — execution booked inside
+            # the build wall-clock. Counting them separately keeps the
+            # build-share metric honest: pure py4j construction is
+            # build time with build_jobs == 0 (r17, verdict item #9).
+            bgroup = f"profb_{name}_{rep}"
+            sc.setJobGroup(bgroup, name)
             t0 = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             t1 = time.perf_counter()
+            if rep == 2:
+                build_jobs = len(tracker.getJobIdsForGroup(bgroup))
+            sc.setJobGroup(group, name)
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
             builds.append(t1 - t0)
@@ -94,10 +104,12 @@ def main() -> None:
             "jobs": n_jobs,
             "stages": n_stages,
             "tasks": n_tasks,
+            "build_jobs": build_jobs,
         }
         print(
             f"{name:40s} build {min(builds):6.3f}  exec {min(execs):6.3f}  "
-            f"jobs {n_jobs:3d} stages {n_stages:3d} tasks {n_tasks:4d}",
+            f"jobs {n_jobs:3d} stages {n_stages:3d} tasks {n_tasks:4d} "
+            f"bjobs {build_jobs:2d}",
             flush=True,
         )
     totals = {
