@@ -272,10 +272,23 @@ def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the 100 TB path swaps in approx_percentile with the same
     call shape."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        dround(F.percentile("l_extendedprice", 0.5), 2).alias("median_price"),
-        dround(F.percentile("l_extendedprice", 0.90), 2).alias("p90_price"),
-        dround(F.percentile("l_discount", 0.25), 2).alias("p25_discount"),
+    # the two price cut points come from ONE array-percentile (each
+    # scalar exact-percentile buffers the whole column per group;
+    # values bit-identical — r17, the _hqe_exact_fit lesson)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit([0.5, 0.90])).alias(
+                "__pp"
+            ),
+            F.percentile("l_discount", 0.25).alias("__pd"),
+        )
+        .select(
+            "l_returnflag",
+            dround(F.element_at("__pp", 1), 2).alias("median_price"),
+            dround(F.element_at("__pp", 2), 2).alias("p90_price"),
+            dround(F.col("__pd"), 2).alias("p25_discount"),
+        )
     )
 
 
@@ -355,15 +368,29 @@ def approx_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = lambda approx, exact: (  # noqa: E731
         F.abs(approx - exact) <= F.abs(exact) * F.lit(0.02)
     )
-    return li.groupBy("l_returnflag").agg(
-        within(
-            F.approx_percentile("l_extendedprice", 0.5, 10000),
-            F.percentile("l_extendedprice", 0.5),
-        ).alias("median_within_tol"),
-        within(
-            F.approx_percentile("l_extendedprice", 0.90, 10000),
-            F.percentile("l_extendedprice", 0.90),
-        ).alias("p90_within_tol"),
+    # each aggregate family batched to one array call per group: the
+    # two exact percentiles shared one full-column sort buffer, the
+    # two approx ones share one KLL sketch (values bit-identical —
+    # r17, the _hqe_exact_fit lesson)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.lit([0.5, 0.90]), 10000
+            ).alias("__a"),
+            F.percentile("l_extendedprice", F.lit([0.5, 0.90])).alias(
+                "__e"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            within(
+                F.element_at("__a", 1), F.element_at("__e", 1)
+            ).alias("median_within_tol"),
+            within(
+                F.element_at("__a", 2), F.element_at("__e", 2)
+            ).alias("p90_within_tol"),
+        )
     )
 
 
@@ -594,9 +621,20 @@ def winsorized_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    bounds = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.01).alias("lo"),
-        F.percentile("l_extendedprice", 0.99).alias("hi"),
+    # one array-percentile per group (sort once, read both bounds) —
+    # the _hqe_exact_fit lesson; values bit-identical
+    bounds = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit([0.01, 0.99])).alias(
+                "__b"
+            )
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("__b", 1).alias("lo"),
+            F.element_at("__b", 2).alias("hi"),
+        )
     )
     clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
         "l_returnflag",
@@ -724,12 +762,22 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile with the same call shape (the percentile_summary
     note)."""
     li = load(spark, sf_dir, "lineitem")
-    row = li.agg(
-        *[
-            dround(F.percentile("l_extendedprice", q), 2).alias(f"b{i}")
-            for i, q in enumerate(_EQD_QS)
-        ]
-    ).collect()[0]
+    # one array-percentile (sort once) instead of 7 full-column
+    # buffers — the _hqe_exact_fit lesson; values bit-identical
+    row = (
+        li.agg(
+            F.percentile("l_extendedprice", F.lit(list(_EQD_QS))).alias(
+                "__ps"
+            )
+        )
+        .select(
+            *[
+                dround(F.element_at("__ps", i + 1), 2).alias(f"b{i}")
+                for i in range(len(_EQD_QS))
+            ]
+        )
+        .collect()[0]
+    )
     bucket = sum(
         F.when(F.col("l_extendedprice") > F.lit(row[f"b{i}"]), 1).otherwise(0)
         for i in range(len(_EQD_QS))

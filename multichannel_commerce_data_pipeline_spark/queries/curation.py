@@ -340,9 +340,16 @@ def _decision_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decision_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unpersisted lineage behind :func:`_decision_frame`."""
     signals = _signals(spark, sf_dir)
-    cuts = signals.groupBy("guessed_lang").agg(
-        dround(F.percentile("ppl", 0.33), 6).alias("c33"),
-        dround(F.percentile("ppl", 0.66), 6).alias("c66"),
+    # one array-percentile per language (sort once) — the
+    # _hqe_exact_fit lesson; values bit-identical
+    cuts = (
+        signals.groupBy("guessed_lang")
+        .agg(F.percentile("ppl", F.lit([0.33, 0.66])).alias("__c"))
+        .select(
+            "guessed_lang",
+            dround(F.element_at("__c", 1), 6).alias("c33"),
+            dround(F.element_at("__c", 2), 6).alias("c66"),
+        )
     )
     mart = curation_signal_table(spark, sf_dir)
     b = mart.join(F.broadcast(cuts), "guessed_lang", "left").withColumn(
@@ -619,14 +626,27 @@ def sampled_percentile_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     sampled_ppl = F.when(in_sample, F.col("ppl"))
-    g = sig.groupBy("guessed_lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(in_sample.cast("long")).alias("n_sampled"),
-        dround(F.percentile(sampled_ppl, 0.33), 6).alias("c33_sampled"),
-        dround(F.percentile(sampled_ppl, 0.66), 6).alias("c66_sampled"),
-        dround(F.percentile(F.col("ppl"), 0.33), 6).alias("c33_exact"),
-        dround(F.percentile(F.col("ppl"), 0.66), 6).alias("c66_exact"),
-        F.sum(F.col("ppl").isNull().cast("long")).alias("n_noscore"),
+    # each percentile pair batched to one array call (sort once per
+    # input expression) — the _hqe_exact_fit lesson; bit-identical
+    g = (
+        sig.groupBy("guessed_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(in_sample.cast("long")).alias("n_sampled"),
+            F.percentile(sampled_ppl, F.lit([0.33, 0.66])).alias("__cs"),
+            F.percentile(F.col("ppl"), F.lit([0.33, 0.66])).alias("__ce"),
+            F.sum(F.col("ppl").isNull().cast("long")).alias("n_noscore"),
+        )
+        .select(
+            "guessed_lang",
+            "n_docs",
+            "n_sampled",
+            dround(F.element_at("__cs", 1), 6).alias("c33_sampled"),
+            dround(F.element_at("__cs", 2), 6).alias("c66_sampled"),
+            dround(F.element_at("__ce", 1), 6).alias("c33_exact"),
+            dround(F.element_at("__ce", 2), 6).alias("c66_exact"),
+            "n_noscore",
+        )
     )
     return g.select(
         "guessed_lang",

@@ -946,10 +946,20 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("latency_s"),
     )
-    return lat.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        dround(F.percentile("latency_s", 0.5), 2).alias("median_latency_s"),
-        dround(F.percentile("latency_s", 0.90), 2).alias("p90_latency_s"),
+    # one array-percentile per group (sort once) — the _hqe_exact_fit
+    # lesson; values bit-identical
+    return (
+        lat.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.percentile("latency_s", F.lit([0.5, 0.90])).alias("__p"),
+        )
+        .select(
+            "cohort_week",
+            "n_converted",
+            dround(F.element_at("__p", 1), 2).alias("median_latency_s"),
+            dround(F.element_at("__p", 2), 2).alias("p90_latency_s"),
+        )
     )
 
 

@@ -2177,12 +2177,22 @@ def ensure_histogram_state(spark: SparkSession, sf_dir: str) -> str:
         old = load(spark, sf_dir, "lineitem").filter(
             F.col("l_shipdate") < F.lit(_HDM_CUT).cast("timestamp")
         )
-        row = old.agg(
-            *[
-                dround(F.percentile("l_extendedprice", q), 2).alias(f"b{i}")
-                for i, q in enumerate(_EQD_QS)
-            ]
-        ).collect()[0]
+        # one array-percentile (sort once) instead of 7 full-column
+        # buffers — the _hqe_exact_fit lesson (values bit-identical)
+        row = (
+            old.agg(
+                F.percentile(
+                    "l_extendedprice", F.lit(list(_EQD_QS))
+                ).alias("__ps")
+            )
+            .select(
+                *[
+                    dround(F.element_at("__ps", i + 1), 2).alias(f"b{i}")
+                    for i in range(len(_EQD_QS))
+                ]
+            )
+            .collect()[0]
+        )
         bounds = [float(row[f"b{i}"]) for i in range(len(_EQD_QS))]
         bucket = sum(
             F.when(F.col("l_extendedprice") > F.lit(b), 1).otherwise(0)
@@ -2532,12 +2542,26 @@ def _hqe_exact_fit(spark: SparkSession, sf_dir: str) -> tuple[float, ...]:
 
     def build() -> tuple[float, ...]:
         li = parallelize_small_scan(spark, load(spark, sf_dir, "lineitem"))
-        row = li.agg(
-            *[
-                dround(F.percentile("l_extendedprice", q), 4).alias(f"e{qi}")
-                for qi, q in _HQE_QS
-            ]
-        ).collect()[0]
+        # ONE array-percentile aggregate: N scalar F.percentile
+        # expressions each buffer the whole column per partition (the
+        # exact aggregate keeps every value), so the fit paid N column
+        # copies; the array form sorts once and reads all cut points
+        # from it — values bit-identical, measured 4.1 -> 1.3 s at
+        # sf0.1 (r17, guide §1.2 per-task work).
+        row = (
+            li.agg(
+                F.percentile(
+                    "l_extendedprice", F.lit([q for _, q in _HQE_QS])
+                ).alias("__ps")
+            )
+            .select(
+                *[
+                    dround(F.element_at("__ps", i + 1), 4).alias(f"e{qi}")
+                    for i, (qi, _) in enumerate(_HQE_QS)
+                ]
+            )
+            .collect()[0]
+        )
         return tuple(float(row[f"e{qi}"]) for qi, _ in _HQE_QS)
 
     return session_memo(spark, _HQE_EXACT_CACHE, sf_dir, build)

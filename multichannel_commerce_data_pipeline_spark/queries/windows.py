@@ -285,13 +285,27 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
-    row = base.agg(
-        *[
-            dround(F.percentile(m, q), 6).alias(f"{m[0]}{i}")
-            for m in ("recency_days", "frequency", "monetary")
-            for i, q in enumerate(_RFM_QS)
-        ]
-    ).collect()[0]
+    # one array-percentile per measure (sort once each) instead of
+    # 3x3 full-column buffers — the _hqe_exact_fit lesson; values
+    # bit-identical
+    row = (
+        base.agg(
+            *[
+                F.percentile(m, F.lit(list(_RFM_QS))).alias(f"__{m[0]}")
+                for m in ("recency_days", "frequency", "monetary")
+            ]
+        )
+        .select(
+            *[
+                dround(F.element_at(f"__{m[0]}", i + 1), 6).alias(
+                    f"{m[0]}{i}"
+                )
+                for m in ("recency_days", "frequency", "monetary")
+                for i in range(len(_RFM_QS))
+            ]
+        )
+        .collect()[0]
+    )
 
     def bucket(m: str):
         return 1 + sum(
