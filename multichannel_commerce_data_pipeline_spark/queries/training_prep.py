@@ -1585,7 +1585,7 @@ def _rec_model(
         from pyspark.sql import Window
 
         from multichannel_commerce_data_pipeline_spark.operators.basket import (
-            cap_basket_size,
+            copurchase_pair_counts,
         )
         from multichannel_commerce_data_pipeline_spark.queries.joins import (
             _basket_items,
@@ -1603,28 +1603,43 @@ def _rec_model(
         # own orders⨝lineitem + distinct. Exact: the basket cap is
         # per-order and an order's distinct item set does not depend on
         # which other orders exist, so cap(all baskets) semi-joined to
-        # the train keys equals cap(train baskets); the broadcast
-        # semi-join keeps the index's partitioning, so the pair
-        # self-join below stays exchange-free.
-        baskets = cap_basket_size(
-            _basket_items(spark, sf_dir), "l_orderkey", "l_partkey", 64
-        ).join(
+        # the train keys equals cap(train baskets).
+        #
+        # r17: pairs generate MAP-SIDE from the capped sorted-set
+        # prefix (operators/basket.copurchase_pair_counts — the r16
+        # copurchase_pairs shape), replacing the capped equi self-join
+        # whose shared `baskets` subtree (window cap + semi-join)
+        # Spark re-executed once per join side (no DataFrame-level
+        # CSE). The sorted collect_set prefix IS cap_basket_size's
+        # 64-smallest-items rule, so the pair supports are identical;
+        # the directed (pa, pb, w) frame the top-k window consumes is
+        # the symmetric closure of the unordered counts (co-occurrence
+        # is symmetric: w(pa,pb) = w(pb,pa)).
+        items = _basket_items(spark, sf_dir).join(
             F.broadcast(train_orders.select("o_orderkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left_semi",
         )
-        a = baskets.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+        und = copurchase_pair_counts(
+            items, "l_orderkey", "l_partkey", min_baskets=1,
+            max_basket_size=64,
         )
-        b = baskets.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-        )
-        cp = (
-            a.join(b, "ok")
-            .filter(F.col("pa") != F.col("pb"))
-            .groupBy("pa", "pb")
-            .agg(F.count(F.lit(1)).alias("w"))
-        )
+        cp = und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("item_a").alias("pa"),
+                        F.col("item_b").alias("pb"),
+                        F.col("n_baskets").alias("w"),
+                    ),
+                    F.struct(
+                        F.col("item_b").alias("pa"),
+                        F.col("item_a").alias("pb"),
+                        F.col("n_baskets").alias("w"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.*")
         wr = Window.partitionBy("pa").orderBy(F.desc("w"), F.asc("pb"))
         recs = (
             cp.withColumn("rn", F.row_number().over(wr))
