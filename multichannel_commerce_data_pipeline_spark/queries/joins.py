@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multichannel_commerce_data_pipeline_spark.functions import stage_filter
 from multichannel_commerce_data_pipeline_spark.queries import query
 from multichannel_commerce_data_pipeline_spark.tables import (
     load,
@@ -619,19 +620,25 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _BLOOM_CACHE:
         _BLOOM_CACHE[sf_dir] = bloom_build(dim, "c_custkey")
     words = _BLOOM_CACHE[sf_dir]
-    # Catalyst pushes the membership predicate BELOW the fan-out
-    # exchange into the scan itself — at 100 TB that is exactly right
-    # (hashing rides inside the parallel scan and rows die before any
-    # exchange); on the driver's single-row-group parquet it means the
-    # md5 work runs in the one scan task, so the local warm time is a
-    # testdata artifact, not a plan defect (SCALING ratio stays ~1.4x).
+    # stage_filter (r17): the membership probe is one md5 per fact row
+    # — a compute-heavy derived predicate, exactly the class
+    # stage_filter exists for. Unpinned, Catalyst pushed it below the
+    # fan-out exchange into the single-row-group scan's DataFilters,
+    # so ALL the hashing ran in the one serial scan task (the r9 plan
+    # audit's corpus_prepare lesson, previously accepted here as a
+    # testdata artifact). Pinned, the probe fans out over the
+    # exchange; at real multi-split scale the pin costs nothing — the
+    # filter still runs pipelined inside the (parallel) scan stage,
+    # and a derived md5 never contributed row-group pruning anyway.
     orders = parallelize_small_scan(
         spark,
         load(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus"
         ),
     )
-    pruned = orders.filter(bloom_contains(F.col("o_custkey"), words))
+    pruned = stage_filter(
+        orders, bloom_contains(F.col("o_custkey"), words)
+    )
     marked = pruned.join(
         F.broadcast(dim.withColumn("_hit", F.lit(1))),
         pruned["o_custkey"] == F.col("c_custkey"),

@@ -425,11 +425,15 @@ def test_balanced_sample_broadcasts_class_counts(plans):
 
 
 def test_bloom_prune_is_scan_side(plans):
-    """The Bloom membership predicate must evaluate in the fact scan's
-    own stage — a Filter with the literal-array arithmetic BEFORE any
-    exchange — and the only join left is the broadcast exact join. A
-    hash exchange of unpruned orders, or a join against a bloom-words
-    frame, would defeat the operator's purpose (prune before shuffle)."""
+    """The Bloom membership predicate must evaluate as a Filter on the
+    fact side BEFORE the join — and the only join left is the
+    broadcast exact join. A hash exchange of unpruned orders into a
+    join, or a join against a bloom-words frame, would defeat the
+    operator's purpose (prune before the join shuffle). Since r17 the
+    probe is stage_filter-pinned ABOVE the local fan-out exchange
+    (testdata-only; a no-op on multi-split tables) so the md5 work
+    parallelizes instead of running in the single-row-group scan
+    task."""
     p = plans("bloom_semi_prune")
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
