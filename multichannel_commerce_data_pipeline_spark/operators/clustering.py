@@ -153,6 +153,16 @@ def kmeans_fit(
                 F.coalesce(F.col("new_cv"), F.col("prev_cv")).alias("cv"),
             )
         )
+        # Truncate the round's lineage at the k-row centroid frame
+        # (eager localCheckpoint of 8 rows — executor-local, no py4j
+        # of vectors): without it each consumer of cents re-embeds the
+        # WHOLE previous-round chain, so the 2-round fit's one plan
+        # scanned the corpus 15x instead of one pass per round (r17;
+        # the "long horizons" note below applied — the blowup is
+        # per-consumer re-execution, not horizon length). Values are
+        # identical: the checkpoint stores the same DECIMAL-quantized
+        # deterministic centroids the lazy chain computes.
+        cents = cents.localCheckpoint(eager=True)
     return _assign(corpus, cents), cents
 
 
